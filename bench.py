@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The reference's benchmark is its three paired OLTP-vs-DW top-5 queries
+measured with SET STATISTICS IO/TIME (`Olist DW.sql:211-279`); ours is
+the same query set (both forms) plus the incremental-delta plan, wall-
+clock per query with the action being a count+collect of the (small)
+result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from olist_data_warehouse_spark.plans.queries import REGISTRY  # noqa: E402
+from olist_data_warehouse_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_top_units_oltp",
+    "q1_top_units_dw",
+    "q2_top_revenue_oltp",
+    "q2_top_revenue_dw",
+    "q3_conversion_oltp",
+    "q3_conversion_dw",
+    "j7_incremental_delta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark("olist_dw_bench")
+
+    # Warm the JVM/session on the smallest data so per-query numbers
+    # measure the plan, not session startup.
+    REGISTRY["t3_limit"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in REGISTRY:
+            continue
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = df.count()
+        if n <= 1000:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "olist_dw_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

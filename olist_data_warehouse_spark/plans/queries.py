@@ -1,0 +1,899 @@
+"""Query registry: every operator as a (Spark plan, DuckDB oracle) pair.
+
+This is the engine's public query surface and its correctness gate in
+one place. Each entry registers:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first plan (DataFrame
+  API so the operator usage is explicit; Catalyst still optimizes).
+- ``oracle`` — the equivalent ANSI SQL for DuckDB over the same parquet
+  tables. Shared CTE fragments keep the two sides from drifting.
+
+Naming convention: every computed column is aliased identically on both
+sides (the driver's hash sorts columns by name). Types are pinned
+explicitly wherever Spark and DuckDB defaults differ (DuckDB SUM(BIGINT)
+→ HUGEINT, year() → BIGINT, FLOOR → DOUBLE...).
+
+Determinism convention: every top-k query orders by the measure THEN by
+all group keys, so tie membership at the k-boundary is identical in
+both engines (SURVEY.md §7.4.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.functions import (
+    date_key_to_date,
+    date_to_date_key,
+    datediff_hours,
+    int_avg,
+    round2,
+    surrogate_key,
+)
+from olist_data_warehouse_spark.plans import star
+from olist_data_warehouse_spark.sources.readers import load_testdata
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = RegisteredQuery(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_testdata(spark, sf_dir, names or None)
+
+
+def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build the full star (dims + facts) over a testdata dir."""
+    t = _t(
+        spark, sf_dir, "orders", "lineitem", "part", "supplier", "nation", "region",
+        "events",
+    )
+    product_dim = star.build_product_dim(t["part"])
+    location_dim = star.build_location_dim(t["nation"], t["region"])
+    time_period = star.build_time_period(t["orders"])
+    sales_fact = star.build_sales_fact(
+        t["orders"], t["lineitem"], t["part"], t["supplier"], t["nation"],
+        t["region"], product_dim, location_dim, time_period,
+    )
+    conversions = star.build_conversions_fact(t["events"])
+    return {
+        **t,
+        "product_dim": product_dim,
+        "location_dim": location_dim,
+        "time_period": time_period,
+        "time_period_events": star.build_calendar(t["events"], "ts"),
+        "sales_fact": sales_fact,
+        "conversions": conversions,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (mirror plans/star.py exactly)
+# ---------------------------------------------------------------------------
+
+SQL_PRODUCT_DIM = """
+product_dim AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY product) + 999 AS BIGINT) AS product_key,
+         product
+  FROM (SELECT DISTINCT p_brand AS product FROM part)
+)
+""".strip()
+
+SQL_LOCATION_DIM = """
+location_dim AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY state, city, zip) AS BIGINT) AS location_key,
+         city, state, zip
+  FROM (
+    SELECT DISTINCT n_name AS city, r_name AS state,
+           lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS zip
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+  )
+)
+""".strip()
+
+SQL_TIME_PERIOD = """
+time_period AS (
+  SELECT CAST(strftime(CAST(d AS DATE), '%Y%m%d') AS INT) AS date_key,
+         CAST(year(CAST(d AS DATE)) AS INT) AS year
+  FROM (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+    FROM (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                 max(CAST(o_orderdate AS DATE)) AS hi FROM orders)
+  )
+)
+""".strip()
+
+SQL_SALES_FACT = f"""
+sales_fact AS (
+  SELECT tp.date_key, ld.location_key, pd.product_key,
+         l.l_suppkey AS seller_id,
+         SUM(l.l_extendedprice) AS sales_total,
+         COUNT(l.l_partkey) AS sales_quantity
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN product_dim pd ON pd.product = p.p_brand
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  JOIN time_period tp
+    ON CAST(strptime(CAST(tp.date_key AS VARCHAR), '%Y%m%d') AS DATE)
+     = CAST(o.o_orderdate AS DATE)
+  JOIN location_dim ld ON ld.city = n.n_name AND ld.state = r.r_name
+  WHERE o.o_orderstatus != '{star.EXCLUDED_STATUS}'
+    AND o.o_orderdate < TIMESTAMP '{star.SALES_CUTOFF} 00:00:00'
+  GROUP BY 1, 2, 3, 4
+)
+""".strip()
+
+SQL_TIME_PERIOD_EVENTS = """
+time_period_ev AS (
+  SELECT CAST(strftime(CAST(d AS DATE), '%Y%m%d') AS INT) AS date_key,
+         CAST(year(CAST(d AS DATE)) AS INT) AS year
+  FROM (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+    FROM (SELECT min(CAST(ts AS DATE)) AS lo,
+                 max(CAST(ts AS DATE)) AS hi FROM events)
+  )
+)
+""".strip()
+
+SQL_LEADS = """
+leads AS (
+  SELECT user_id, min(ts) AS first_contact_date,
+         'origin_' || CAST(user_id % 4 AS VARCHAR) AS origin
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+""".strip()
+
+SQL_DEALS = """
+deals AS (
+  SELECT user_id, min(ts) AS won_date,
+         'type_' || CAST(user_id % 3 AS VARCHAR) AS lead_type
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+""".strip()
+
+SQL_CONVERSIONS = f"""
+{SQL_LEADS},
+{SQL_DEALS},
+conversions AS (
+  SELECT tp.date_key, l.origin, d.lead_type,
+         CAST(FLOOR(AVG(date_diff('hour', l.first_contact_date, d.won_date)))
+              AS BIGINT) AS avg_hrs_convert
+  FROM leads l
+  JOIN deals d ON l.user_id = d.user_id
+  JOIN time_period_ev tp
+    ON CAST(strptime(CAST(tp.date_key AS VARCHAR), '%Y%m%d') AS DATE)
+     = CAST(d.won_date AS DATE)
+  GROUP BY 1, 2, 3
+  HAVING CAST(FLOOR(AVG(date_diff('hour', l.first_contact_date, d.won_date)))
+              AS BIGINT) >= 1
+)
+""".strip()
+
+SQL_STAR = f"WITH {SQL_PRODUCT_DIM},\n{SQL_LOCATION_DIM},\n{SQL_TIME_PERIOD},\n{SQL_SALES_FACT}"
+SQL_STAR_CONV = f"WITH {SQL_TIME_PERIOD_EVENTS},\n{SQL_CONVERSIONS}"
+
+
+# ---------------------------------------------------------------------------
+# The three paired benchmark queries (Olist DW.sql:215-279)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE_OLTP = f"""
+WITH {SQL_TIME_PERIOD}
+SELECT CAST(tp.year AS INT) AS year, s.s_suppkey AS seller_id,
+       r.r_name AS state, p.p_brand AS product,
+       COUNT(p.p_brand) AS total_units
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN time_period tp
+  ON CAST(strptime(CAST(tp.date_key AS VARCHAR), '%Y%m%d') AS DATE)
+   = CAST(o.o_orderdate AS DATE)
+WHERE tp.year = 1998
+GROUP BY 1, 2, 3, 4
+ORDER BY total_units DESC, seller_id, state, product
+LIMIT 5
+"""
+
+
+@register(
+    "q1_top_units_oltp",
+    oracle=_Q1_ORACLE_OLTP,
+    doc="Top-5 (seller, state, category) by units, OLTP 6-way join form "
+    "(Olist DW.sql:215-226): J1+J2, A3, P7, T1.",
+)
+def q1_top_units_oltp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem", "part", "supplier", "nation", "region")
+    tp = star.build_time_period(t["orders"])
+    nr = t["nation"].join(
+        F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey
+    )
+    joined = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nr), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(tp),
+            date_key_to_date(F.col("date_key")) == F.to_date("o_orderdate"),
+        )
+        .filter(F.col("year") == 1998)
+    )
+    agg = joined.groupBy(
+        F.col("year"),
+        F.col("s_suppkey").alias("seller_id"),
+        F.col("r_name").alias("state"),
+        F.col("p_brand").alias("product"),
+    ).agg(F.count("p_brand").alias("total_units"))
+    return agg.orderBy(
+        F.desc("total_units"), "seller_id", "state", "product"
+    ).limit(5)
+
+
+_Q1_ORACLE_DW = f"""
+{SQL_STAR}
+SELECT tp.year, f.seller_id, ld.state, pd.product,
+       CAST(SUM(f.sales_quantity) AS BIGINT) AS total_units
+FROM sales_fact f
+JOIN time_period tp ON tp.date_key = f.date_key
+JOIN location_dim ld ON ld.location_key = f.location_key
+JOIN product_dim pd ON pd.product_key = f.product_key
+WHERE tp.year = 1998
+GROUP BY 1, 2, 3, 4
+ORDER BY total_units DESC, seller_id, state, product
+LIMIT 5
+"""
+
+
+@register(
+    "q1_top_units_dw",
+    oracle=_Q1_ORACLE_DW,
+    doc="Top-5 by units, DW star form (Olist DW.sql:228-237): full star "
+    "build (J1-J3, A1, F7) + key-lookup joins (J5) + re-agg (A4) + T1.",
+)
+def q1_top_units_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = star_tables(spark, sf_dir)
+    agg = (
+        s["sales_fact"]
+        .join(F.broadcast(s["time_period"]), "date_key")
+        .join(F.broadcast(s["location_dim"]), "location_key")
+        .join(F.broadcast(s["product_dim"]), "product_key")
+        .filter(F.col("year") == 1998)
+        .groupBy("year", "seller_id", "state", "product")
+        .agg(F.sum("sales_quantity").alias("total_units"))
+    )
+    return agg.orderBy(
+        F.desc("total_units"), "seller_id", "state", "product"
+    ).limit(5)
+
+
+_Q2_ORACLE_OLTP = f"""
+WITH {SQL_TIME_PERIOD}
+SELECT CAST(tp.year AS INT) AS year, s.s_suppkey AS seller_id,
+       r.r_name AS state, p.p_brand AS product,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN time_period tp
+  ON CAST(strptime(CAST(tp.date_key AS VARCHAR), '%Y%m%d') AS DATE)
+   = CAST(o.o_orderdate AS DATE)
+WHERE tp.year = 1998
+GROUP BY 1, 2, 3, 4
+ORDER BY total_revenue DESC, seller_id, state, product
+LIMIT 5
+"""
+
+
+@register(
+    "q2_top_revenue_oltp",
+    oracle=_Q2_ORACLE_OLTP,
+    doc="Top-5 by revenue, OLTP form (Olist DW.sql:239-250): A1+F4+T1.",
+)
+def q2_top_revenue_oltp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem", "part", "supplier", "nation", "region")
+    tp = star.build_time_period(t["orders"])
+    nr = t["nation"].join(
+        F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey
+    )
+    joined = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nr), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(tp),
+            date_key_to_date(F.col("date_key")) == F.to_date("o_orderdate"),
+        )
+        .filter(F.col("year") == 1998)
+    )
+    agg = joined.groupBy(
+        F.col("year"),
+        F.col("s_suppkey").alias("seller_id"),
+        F.col("r_name").alias("state"),
+        F.col("p_brand").alias("product"),
+    ).agg(round2(F.sum("l_extendedprice")).alias("total_revenue"))
+    return agg.orderBy(
+        F.desc("total_revenue"), "seller_id", "state", "product"
+    ).limit(5)
+
+
+_Q2_ORACLE_DW = f"""
+{SQL_STAR}
+SELECT tp.year, f.seller_id, ld.state, pd.product,
+       ROUND(SUM(f.sales_total), 2) AS total_revenue
+FROM sales_fact f
+JOIN time_period tp ON tp.date_key = f.date_key
+JOIN location_dim ld ON ld.location_key = f.location_key
+JOIN product_dim pd ON pd.product_key = f.product_key
+WHERE tp.year = 1998
+GROUP BY 1, 2, 3, 4
+ORDER BY total_revenue DESC, seller_id, state, product
+LIMIT 5
+"""
+
+
+@register(
+    "q2_top_revenue_dw",
+    oracle=_Q2_ORACLE_DW,
+    doc="Top-5 by revenue, DW star form (Olist DW.sql:252-261).",
+)
+def q2_top_revenue_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = star_tables(spark, sf_dir)
+    agg = (
+        s["sales_fact"]
+        .join(F.broadcast(s["time_period"]), "date_key")
+        .join(F.broadcast(s["location_dim"]), "location_key")
+        .join(F.broadcast(s["product_dim"]), "product_key")
+        .filter(F.col("year") == 1998)
+        .groupBy("year", "seller_id", "state", "product")
+        .agg(round2(F.sum("sales_total")).alias("total_revenue"))
+    )
+    return agg.orderBy(
+        F.desc("total_revenue"), "seller_id", "state", "product"
+    ).limit(5)
+
+
+_Q3_ORACLE_OLTP = f"""
+WITH {SQL_TIME_PERIOD_EVENTS},
+{SQL_LEADS},
+{SQL_DEALS}
+SELECT tp.year, l.origin, d.lead_type,
+       CAST(FLOOR(AVG(date_diff('hour', l.first_contact_date, d.won_date)))
+            AS BIGINT) AS avg_hrs_convert
+FROM deals d
+JOIN leads l ON l.user_id = d.user_id
+JOIN time_period_ev tp
+  ON CAST(strptime(CAST(tp.date_key AS VARCHAR), '%Y%m%d') AS DATE)
+   = CAST(d.won_date AS DATE)
+GROUP BY 1, 2, 3
+ORDER BY avg_hrs_convert ASC, year, origin, lead_type
+LIMIT 5
+"""
+
+
+@register(
+    "q3_conversion_oltp",
+    oracle=_Q3_ORACLE_OLTP,
+    doc="Top-5 fastest funnel conversions, OLTP form (Olist DW.sql:264-271): "
+    "F3 hour-boundary DATEDIFF + A2 integer AVG + T2 ASC top-k.",
+)
+def q3_conversion_oltp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "events")
+    tp = star.build_calendar(t["events"], "ts")
+    leads = star.build_conversion_leads(t["events"])
+    deals = star.build_conversion_deals(t["events"])
+    joined = (
+        deals.join(leads, "user_id")
+        .join(
+            F.broadcast(tp),
+            date_key_to_date(F.col("date_key")) == F.to_date("won_date"),
+        )
+    )
+    agg = joined.groupBy("year", "origin", "lead_type").agg(
+        int_avg(datediff_hours("first_contact_date", "won_date")).alias(
+            "avg_hrs_convert"
+        )
+    )
+    return agg.orderBy("avg_hrs_convert", "year", "origin", "lead_type").limit(5)
+
+
+_Q3_ORACLE_DW = f"""
+{SQL_STAR_CONV}
+SELECT tp.year, c.origin, c.lead_type,
+       CAST(MIN(c.avg_hrs_convert) AS BIGINT) AS avg_hrs_convert
+FROM conversions c
+JOIN time_period_ev tp ON tp.date_key = c.date_key
+GROUP BY 1, 2, 3
+ORDER BY avg_hrs_convert ASC, year, origin, lead_type
+LIMIT 5
+"""
+
+
+@register(
+    "q3_conversion_dw",
+    oracle=_Q3_ORACLE_DW,
+    doc="Top-5 fastest conversions, DW form (Olist DW.sql:273-279): "
+    "conversions fact + MIN re-agg (A5) + T2.",
+)
+def q3_conversion_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = star_tables(spark, sf_dir)
+    agg = (
+        s["conversions"]
+        .join(F.broadcast(s["time_period_events"]), "date_key")
+        .groupBy("year", "origin", "lead_type")
+        .agg(F.min("avg_hrs_convert").alias("avg_hrs_convert"))
+    )
+    return agg.orderBy("avg_hrs_convert", "year", "origin", "lead_type").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Operator micro-queries: scans / filters / projections (S*, P*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_project_alias",
+    oracle="""
+SELECT l_orderkey AS okey, l_linenumber AS line, l_extendedprice AS price
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+""",
+    doc="S1+P1+P6: base scan, aliased projection, timestamp range filter. "
+    "Filter + pruning push to the parquet scan (Olist DW.sql:144-155).",
+)
+def s1_scan_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@register(
+    "p2_select_star",
+    oracle="SELECT * FROM region",
+    doc="P2: full projection (Olist DW.sql:281).",
+)
+def p2_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "region")["region"].select("*")
+
+
+@register(
+    "p3_filter_neq",
+    oracle="""
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus != 'F'
+""",
+    doc="P3: NULL-rejecting != filter (order_status != 'canceled', "
+    "Olist DW.sql:155).",
+)
+def p3_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "p4_p9_filter_notnull_neq",
+    oracle="""
+SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang != 'en'
+""",
+    doc="P4+P9: IS NOT NULL + != cleanup filters (Olist DW.sql:74,179).",
+)
+def p4_p9_filter_notnull_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.filter(F.col("lang").isNotNull() & (F.col("lang") != "en")).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "p5_j8_not_in_anti",
+    oracle="""
+SELECT DISTINCT p_brand AS product FROM part
+WHERE p_brand NOT IN (
+  SELECT DISTINCT p_brand FROM part WHERE p_size = 1 AND p_brand IS NOT NULL
+)
+""",
+    doc="P5+J8: NOT IN (subquery) as left_anti join — the product-dim "
+    "append pattern (Olist DW.sql:71-75). NULLs pre-filtered to keep "
+    "T-SQL NOT-IN ≡ anti-join (SURVEY.md §7.4.4).",
+)
+def p5_j8_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")["part"]
+    existing = (
+        part.filter((F.col("p_size") == 1) & F.col("p_brand").isNotNull())
+        .select("p_brand")
+        .distinct()
+    )
+    return (
+        part.select(F.col("p_brand").alias("product"))
+        .distinct()
+        .join(F.broadcast(existing), F.col("product") == existing.p_brand, "left_anti")
+    )
+
+
+@register(
+    "p6_range_timestamp",
+    oracle="""
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_orderdate > TIMESTAMP '2000-12-31 00:00:00'
+""",
+    doc="P6: range predicate on timestamp vs literal "
+    "(order_purchase_timestamp > '20181231', Olist DW.sql:342).",
+)
+def p6_range_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(
+        F.col("o_orderdate") > F.lit("2000-12-31").cast("timestamp")
+    ).select("o_orderkey", "o_orderdate")
+
+
+@register(
+    "p10_j6_lookup_split",
+    oracle="""
+WITH loaded AS (
+  SELECT DISTINCT CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT)
+         AS date_key
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+src AS (
+  SELECT o_orderkey,
+         CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_key
+  FROM orders
+)
+SELECT s.o_orderkey, s.date_key
+FROM src s LEFT JOIN loaded ld ON ld.date_key = s.date_key
+WHERE ld.date_key IS NULL
+""",
+    doc="J6+P10: SSIS Lookup (full-cache left join ≡ broadcast hash join) "
+    "+ Conditional Split on ISNULL — the INSERT branch "
+    "(Package.dtsx:124-280,34-122).",
+)
+def p10_j6_lookup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    src = o.select(
+        "o_orderkey", date_to_date_key("o_orderdate").alias("date_key")
+    )
+    loaded = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(date_to_date_key("o_orderdate").alias("date_key"))
+        .distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    return (
+        src.join(F.broadcast(loaded), "date_key", "left")
+        .filter(F.col("matched").isNull())
+        .select("o_orderkey", "date_key")
+    )
+
+
+@register(
+    "j7_incremental_delta",
+    oracle=f"""
+{SQL_STAR},
+loaded AS (SELECT DISTINCT date_key FROM sales_fact WHERE date_key < 19980101)
+SELECT f.date_key, f.location_key, f.product_key, f.seller_id,
+       f.sales_total, f.sales_quantity
+FROM sales_fact f
+WHERE NOT EXISTS (SELECT 1 FROM loaded ld WHERE ld.date_key = f.date_key)
+""",
+    doc="J7 (E3): the whole SSIS incremental package as one plan — "
+    "re-run the fact aggregation, left-anti against already-loaded "
+    "date_keys, keep only new dates (Package.dtsx:657-673). "
+    "Whole-date granularity replicated (SURVEY.md §7.4.8).",
+)
+def j7_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = star_tables(spark, sf_dir)
+    fact = s["sales_fact"]
+    loaded = (
+        fact.filter(F.col("date_key") < 19980101).select("date_key").distinct()
+    )
+    return fact.join(F.broadcast(loaded), "date_key", "left_anti").select(
+        "date_key", "location_key", "product_key", "seller_id",
+        "sales_total", "sales_quantity",
+    )
+
+
+@register(
+    "j3_composite_key_join",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS od, o_orderstatus AS st,
+         COUNT(*) AS n_orders, SUM(o_totalprice) AS day_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o.o_orderkey, d.n_orders, d.day_total
+FROM orders o
+JOIN daily d ON d.od = CAST(o.o_orderdate AS DATE) AND d.st = o.o_orderstatus
+""",
+    doc="J3: composite-key equi-join (zip AND city, Olist DW.sql:154) — "
+    "two-column join keys, one shuffle on the compound key.",
+)
+def j3_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("od"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("day_total"))
+    )
+    return (
+        o.join(
+            daily,
+            (daily.od == F.to_date(o.o_orderdate)) & (daily.st == o.o_orderstatus),
+        )
+        .select("o_orderkey", "n_orders", "day_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / sorts / scalars (A*, T*, F*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_integer_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(FLOOR(AVG(l_linenumber)) AS BIGINT) AS avg_line
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="A2: T-SQL integer-AVG convention (AVG(int) → int; SURVEY §7.4.3).",
+)
+def a2_integer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(int_avg("l_linenumber").alias("avg_line"))
+
+
+@register(
+    "a5_min_agg",
+    oracle="""
+SELECT o_orderpriority, MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="A5: MIN/MAX aggregate (Olist DW.sql:275).",
+)
+def a5_min_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "a6_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="A6: whole-row DISTINCT for dim sourcing (Olist DW.sql:96).",
+)
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "a8_count_distinct",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(l_partkey) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Extended aggregate: COUNT(DISTINCT) (absent in reference, "
+    "SURVEY §2.4 'not present' list — engine provides it).",
+)
+def a8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("l_partkey").alias("n_rows"),
+    )
+
+
+@register(
+    "t3_limit",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3",
+    doc="T3: LIMIT peek (TOP 10, Olist DW.sql:316) — ordered by key for "
+    "cross-engine determinism.",
+)
+def t3_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")["region"]
+    return r.select("r_regionkey", "r_name").orderBy("r_regionkey").limit(3)
+
+
+@register(
+    "f1_f2_date_key_roundtrip",
+    oracle="""
+SELECT DISTINCT
+  CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_key,
+  CAST(CAST(strptime(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS VARCHAR),
+       '%Y%m%d') AS DATE) AS VARCHAR) AS d
+FROM orders
+""",
+    doc="F1+F2: CONVERT style-112 semantics — timestamp → int yyyyMMdd key "
+    "→ DATE roundtrip (Olist DW.sql:153).",
+)
+def f1_f2_date_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    dk = date_to_date_key("o_orderdate")
+    return o.select(
+        dk.alias("date_key"),
+        date_key_to_date(dk).cast("string").alias("d"),
+    ).distinct()
+
+
+@register(
+    "f3_datediff_hours",
+    oracle="""
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, min(ts) AS purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT s.user_id, date_diff('hour', s.signup_ts, p.purchase_ts) AS hrs
+FROM s JOIN p ON s.user_id = p.user_id
+""",
+    doc="F3: DATEDIFF(HOUR) boundary-crossing semantics "
+    "(Olist DW.sql:168,266; SURVEY §7.4.2).",
+)
+def f3_datediff_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id", datediff_hours("signup_ts", "purchase_ts").alias("hrs")
+    )
+
+
+@register(
+    "f7_surrogate_keys",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) + 999 AS BIGINT) AS nation_key,
+       n_name
+FROM (SELECT DISTINCT n_name FROM nation)
+""",
+    doc="F7: SEQUENCE emulation — deterministic row_number surrogate keys "
+    "seeded at 1000 (Olist DW.sql:55-57; SURVEY §1.4).",
+)
+def f7_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    return surrogate_key(
+        n.select("n_name").distinct(), "nation_key", ["n_name"], start=1000
+    ).select("nation_key", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Set operations & windows (engine extensions; SURVEY §2.6, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
+UNION ALL
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5
+""",
+    doc="Set op: UNION ALL (reference has none, SURVEY §2.6 — extension).",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    a = n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name")
+    b = n.filter(F.col("n_nationkey") < 5).select("n_nationkey", "n_name")
+    return a.unionAll(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
+INTERSECT
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12
+""",
+    doc="Set op: INTERSECT (extension).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    a = n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name")
+    b = n.filter(F.col("n_nationkey") < 12).select("n_nationkey", "n_name")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
+EXCEPT
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12
+""",
+    doc="Set op: EXCEPT — the declarative twin of the anti-join family "
+    "(J7/J8).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    a = n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name")
+    b = n.filter(F.col("n_nationkey") < 12).select("n_nationkey", "n_name")
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "w1_window_topn_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    doc="Window extension: partitioned row_number top-1-per-group — the "
+    "scalable form of per-key top-k (no global sort, one hash shuffle).",
+)
+def w1_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "a9_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="Grouping-sets extension: ROLLUP subtotals (SURVEY §2.4 'not "
+    "present' list — engine provides).",
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )

@@ -1,0 +1,15 @@
+"""Sources & sinks (reference operators S1-S11, SURVEY.md §2.1)."""
+
+from olist_data_warehouse_spark.sources.readers import (  # noqa: F401
+    load_testdata,
+    read_csv,
+    read_parquet,
+)
+from olist_data_warehouse_spark.sources.writers import (  # noqa: F401
+    append_rows,
+    append_table,
+    create_database,
+    ctas,
+    delete_where,
+    rename_table,
+)

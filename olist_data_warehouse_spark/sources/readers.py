@@ -1,0 +1,68 @@
+"""Readers: the engine's scan surface (S1, S2, S11 in SURVEY.md §2.1).
+
+Everything is a declarative ``spark.read`` so Catalyst keeps predicate
+pushdown / column pruning / partition pruning. At 100 TB the only scan
+knob that matters is *not defeating* those: never ``.cache()`` a raw
+scan, never materialize wider than the query needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from olist_data_warehouse_spark.schemas import TESTDATA
+
+TESTDATA_TABLES = tuple(TESTDATA)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Base-table scan (S1). Parquet: columnar, min/max stats, pushdown."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV ingestion (S11) — the reference's flat-file import analog
+    (`Olist DW.sql:7-17`). Explicit schema only; inference is banned in
+    the engine proper (one pass saved, and types never drift).
+    """
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables for ``sf_dir`` as DataFrames."""
+    out = {}
+    for name in tables or TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = _normalize_nanos_timestamps(spark.read.parquet(p))
+    return out
+
+
+def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as LongType nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``; convert to TimestampType.
+
+    Integer ``DIV`` (not ``/``) keeps the nanos→micros conversion exact —
+    float division loses precision above 2^53 ns (~1970+104 days).
+    DuckDB truncates nanos→micros the same way, so the oracle agrees.
+    """
+    from pyspark.sql import functions as F
+
+    ts_cols = [f.name for f in df.schema.fields if f.name in ("ts",) and
+               f.dataType.simpleString() == "bigint"]
+    for c in ts_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each testdata table as a temp view (SQL entry point E1)."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

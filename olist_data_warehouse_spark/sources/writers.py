@@ -1,0 +1,60 @@
+"""Sinks & table mutations (S3-S9 in SURVEY.md §2.1).
+
+The reference's mutation surface is small: CTAS (``SELECT INTO``),
+append (``INSERT INTO … SELECT`` / fast-load destination), literal-row
+append (``INSERT VALUES``), predicate DELETE, database create, table
+rename. Spark-first mapping:
+
+- CTAS / append → ``saveAsTable`` with the right mode. A Parquet table
+  write is one atomic commit per save — the same durability contract as
+  the SSIS single-commit fast load (`Package.dtsx:331,335`).
+- DELETE on plain Parquet has no in-place form; the engine uses
+  read → filter(~pred) → overwrite, which is exactly what a
+  copy-on-write lakehouse format does under the hood. On a real
+  deployment you'd put Delta/Iceberg underneath and this function
+  becomes ``DELETE FROM`` — the call site doesn't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """S8: `Olist DW.sql:39-51` (existence-checked create)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def rename_table(spark: SparkSession, old: str, new: str) -> None:
+    """S9: ``sp_rename`` analog (`Olist DW.sql:9-22`)."""
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+
+def ctas(df: DataFrame, table: str, overwrite: bool = False) -> None:
+    """S4: ``SELECT … INTO`` — create-and-populate from a query."""
+    df.write.mode("overwrite" if overwrite else "errorifexists").saveAsTable(table)
+
+
+def append_table(df: DataFrame, table: str) -> None:
+    """S5/S3: ``INSERT INTO … SELECT`` / fast-load append."""
+    df.write.mode("append").saveAsTable(table)
+
+
+def append_rows(spark: SparkSession, rows: list, schema, table: str) -> None:
+    """S6: ``INSERT INTO … VALUES`` — literal-row append
+    (`Olist DW.sql:296-312`)."""
+    spark.createDataFrame(rows, schema).write.mode("append").saveAsTable(table)
+
+
+def delete_where(spark: SparkSession, table: str, predicate: Column) -> None:
+    """S7: ``DELETE … WHERE pred`` (`Olist DW.sql:183-184`).
+
+    Copy-on-write rewrite keeping rows where the predicate is NOT true
+    (SQL DELETE semantics: NULL-predicate rows survive).
+    """
+    kept = spark.table(table).filter(~predicate.eqNullSafe(True))
+    # Materialize before overwriting the table we read from.
+    kept_rows = kept.cache()
+    kept_rows.count()
+    kept_rows.write.mode("overwrite").saveAsTable(table)
+    kept_rows.unpersist()

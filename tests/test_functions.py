@@ -1,0 +1,71 @@
+"""Unit tests for T-SQL-exact scalar semantics (SURVEY.md §2.7, §7.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.functions import (
+    date_key_to_date,
+    date_to_date_key,
+    datediff_hours,
+    int_avg,
+    surrogate_key,
+)
+
+
+def test_datediff_hours_boundary_semantics(spark):
+    """DATEDIFF(HOUR) counts hour-boundary crossings, not elapsed hours."""
+    rows = [
+        # 23:59 -> 00:01: 2 minutes elapsed, but one hour boundary crossed.
+        (dt.datetime(2018, 1, 1, 23, 59), dt.datetime(2018, 1, 2, 0, 1), 1),
+        # same hour: 0
+        (dt.datetime(2018, 1, 1, 10, 0), dt.datetime(2018, 1, 1, 10, 59), 0),
+        # exactly 1h
+        (dt.datetime(2018, 1, 1, 10, 30), dt.datetime(2018, 1, 1, 11, 30), 1),
+        # negative (won before contact — the reference's `< 1` DELETE case)
+        (dt.datetime(2018, 1, 2, 0, 1), dt.datetime(2018, 1, 1, 23, 59), -1),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], "a timestamp, b timestamp"
+    )
+    got = [r[0] for r in df.select(datediff_hours("a", "b")).collect()]
+    assert got == [e for _, _, e in rows]
+
+
+def test_date_key_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2018, 3, 5, 14, 30),)], "ts timestamp"
+    )
+    out = df.select(
+        date_to_date_key("ts").alias("dk"),
+        date_key_to_date(date_to_date_key("ts")).alias("d"),
+    ).collect()[0]
+    assert out.dk == 20180305
+    assert out.d == dt.date(2018, 3, 5)
+
+
+def test_int_avg_floors(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,)], "x int")
+    assert df.agg(int_avg("x")).collect()[0][0] == 1  # avg=1.666 -> 1
+
+
+def test_surrogate_key_seeded_and_stable(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "name string")
+    got = {
+        (r.name, r.k)
+        for r in surrogate_key(df, "k", ["name"], start=1000).collect()
+    }
+    assert got == {("a", 1000), ("b", 1001), ("c", 1002)}
+
+
+def test_surrogate_key_continue_sequence(spark):
+    """Appends continue from max(existing) — Olist DW.sql:71-75."""
+    base = spark.createDataFrame([("a",), ("b",)], "name string")
+    dim = surrogate_key(base, "k", ["name"], start=1000)
+    mx = dim.agg(F.max("k")).collect()[0][0]
+    new = spark.createDataFrame([("z",), ("y",)], "name string")
+    appended = surrogate_key(new, "k", ["name"], start=mx + 1)
+    got = {(r.name, r.k) for r in appended.collect()}
+    assert got == {("y", 1002), ("z", 1003)}
