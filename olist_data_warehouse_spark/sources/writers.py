@@ -53,8 +53,10 @@ def delete_where(spark: SparkSession, table: str, predicate: Column) -> None:
     (SQL DELETE semantics: NULL-predicate rows survive).
     """
     kept = spark.table(table).filter(~predicate.eqNullSafe(True))
-    # Materialize before overwriting the table we read from.
-    kept_rows = kept.cache()
-    kept_rows.count()
-    kept_rows.write.mode("overwrite").saveAsTable(table)
-    kept_rows.unpersist()
+    # Truncate lineage before overwriting the table being read from —
+    # Spark refuses an overwrite whose plan still references the target
+    # (UNSUPPORTED_OVERWRITE). localCheckpoint materializes the kept
+    # rows eagerly; fine for the dim/fact sizes DELETE targets. A
+    # lakehouse format (Delta/Iceberg) would make this a real DELETE.
+    kept = kept.localCheckpoint(eager=True)
+    kept.write.mode("overwrite").saveAsTable(table)

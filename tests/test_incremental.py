@@ -1,0 +1,62 @@
+"""E3 parity: the incremental load replicating the reference's own
+ETL smoke test (`Olist DW.sql:294-353`, FIXTURES.md §C) — fake 2019
+rows are picked up once, idempotently, at whole-date granularity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.plans import incremental, warehouse
+from tests import olist_fixtures
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    """DW built from pre-2019 data; staging then gains the fake rows."""
+    st_after = olist_fixtures.staging_with_fake_2019(spark)
+    # Build uses the < 2019 cutoff, so the DW starts without fake dates
+    # even though staging already contains them (same effect as the
+    # reference's insert-after-build ordering).
+    dw = warehouse.build_warehouse(st_after)
+    return st_after, dw
+
+
+def test_delta_picks_up_exactly_new_dates(state):
+    st, dw = state
+    new = incremental.incremental_load_orders(st, dw)
+    got_dates = {r.date_key for r in new.select("date_key").distinct().collect()}
+    assert got_dates == {
+        20190101, 20190102, 20190103, 20190104, 20190105, 20190106,
+        20190201,  # fixture order o4, also post-cutoff
+    }
+    # Spot-check one aggregated row: 2019-01-02 order, price 239.90
+    r = new.filter(F.col("date_key") == 20190102).collect()
+    assert len(r) == 1 and r[0].sales_total == 239.9 and r[0].sales_quantity == 1
+
+
+def test_second_run_is_idempotent(state):
+    """Anti-join idempotence: after appending, a re-run inserts nothing."""
+    st, dw = state
+    new = incremental.incremental_load_orders(st, dw)
+    dw2 = dict(dw)
+    dw2["orders"] = dw["orders"].unionByName(new)
+    again = incremental.incremental_load_orders(st, dw2)
+    assert again.count() == 0
+
+
+def test_late_item_for_loaded_date_is_skipped(spark, state):
+    """Whole-date granularity (SURVEY §7.4.8): a late item for an
+    already-loaded date_key is dropped (SSIS UPDATE branch unwired)."""
+    from olist_data_warehouse_spark import schemas
+
+    st, dw = state
+    late = spark.createDataFrame(
+        [("o2", 2, "p1", "s1", olist_fixtures.ts("20180514 00:00:00"), 99.0, 9.0)],
+        schemas.OLIST_ORDER_ITEMS,
+    )
+    st_late = dict(st)
+    st_late["order_items"] = st["order_items"].unionByName(late)
+    new = incremental.incremental_load_orders(st_late, dw)
+    # 2018-05-10 is already loaded → the late item's date never appears.
+    assert new.filter(F.col("date_key") == 20180510).count() == 0
