@@ -1,0 +1,243 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The 100 TB shapes:
+
+- **Exact** — one hash-groupBy on a 32-char digest: a single shuffle of
+  (digest, doc_id), no full-text movement. This is the baseline pass
+  every corpus dedup starts with.
+- **n-gram Jaccard (all-pairs)** — explode k-word shingles, self-join
+  on shingle, count intersections, filter by threshold. Correct but
+  quadratic in the worst case; at scale it is the *verification* stage
+  run only on candidate pairs, never the discovery stage.
+- **MinHash-LSH** — the discovery stage: H permutation-min signatures
+  per doc, banded into B buckets; only same-bucket docs become
+  candidate pairs. Everything is relational (explode → groupBy-min →
+  band digest → self-join on (band, digest)), so Catalyst distributes
+  it; no UDFs. Hash family is the portable md5-based 32-bit hash under
+  a Carter-Wegman family mod the Mersenne prime 2^31-1, so the DuckDB
+  oracle reproduces signatures bit-for-bit.
+- **SimHash** — per-token hash bit-vote; near-dups share the 32-bit
+  signature (or differ in ≤ hamming-k, checked by a bucket join on
+  rotated bands at scale). Relational form: token × bit explode.
+
+Skew note: stop-shingles ("the the the") can hot-spot the shingle
+join; production runs add a document-frequency cap on shingles (drop
+shingles appearing in > X% of docs) — exposed as ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.operators import textops
+
+MERSENNE_P = (1 << 31) - 1  # 2147483647, prime
+# Carter-Wegman coefficients: a_i = (i*2654435761 mod p) | 1, b_i =
+# (i*40503 + 17) mod p — fixed, reproduced literally in the oracle SQL.
+HASH_A_MULT = 2654435761
+HASH_B_MULT = 40503
+HASH_B_ADD = 17
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Group documents by normalized-content fingerprint.
+
+    Returns (fingerprint, canonical_doc_id, n_dups) for groups with >1
+    member — the survivors list is its complement.
+    """
+    fp = docs.select(
+        F.col("doc_id"), textops.fingerprint("text").alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("doc_id").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep one doc per normalized-content fingerprint (min doc_id wins).
+
+    One shuffle of (fingerprint, doc_id); text never moves.
+    """
+    fp = docs.select(
+        "doc_id", textops.fingerprint("text").alias("fingerprint")
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "fingerprint")
+
+
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the set representation."""
+    return (
+        docs.select(
+            "doc_id", F.explode(textops.word_shingles("text", k)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs k-word-shingle Jaccard ≥ threshold (doc_a < doc_b).
+
+    Scale posture: the self-join shuffles on shingle; ``max_shingle_df``
+    drops stop-shingles to bound skew. At 100 TB this runs as the
+    verifier behind :func:`minhash_lsh_candidates`, not standalone.
+    """
+    sh = shingle_sets(docs, k)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash) rows: H-permutation MinHash.
+
+    Relational form: shingles → portable 32-bit hash → cross the small
+    hash-index range → groupBy-min. Two shuffles total (distinct,
+    groupBy), both on compact (id, int) rows.
+    """
+    sh = shingle_sets(docs, k).select(
+        "doc_id",
+        (textops.portable_hash32("shingle") % MERSENNE_P).alias("h"),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
+    crossed = sh.select("doc_id", "h", idx)
+    a = (F.col("hash_idx") * HASH_A_MULT % MERSENNE_P).cast("long")
+    a = F.when(a % 2 == 0, a + 1).otherwise(a)  # force odd
+    b = (F.col("hash_idx") * HASH_B_MULT + HASH_B_ADD) % MERSENNE_P
+    return (
+        crossed.withColumn("perm", (a * F.col("h") + b) % MERSENNE_P)
+        .groupBy("doc_id", "hash_idx")
+        .agg(F.min("perm").alias("minhash"))
+    )
+
+
+def minhash_band_buckets(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_digest): md5 over the band's ordered minhash
+    values — docs sharing (band, digest) are LSH candidates."""
+    # floor-div, NOT fractional-div-then-cast: engines disagree on
+    # double→int cast rounding (Spark truncates, DuckDB rounds).
+    banded = signatures.withColumn(
+        "band", F.floor(F.col("hash_idx") / F.lit(rows_per_band)).cast("int")
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("hash_idx", "minhash")
+                            )
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_digest")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) from banded
+    MinHash — the scale path: only same-bucket docs ever meet."""
+    buckets = minhash_band_buckets(
+        minhash_signatures(docs, num_hashes, k), rows_per_band
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "band_digest"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): bit-vote over per-token portable hashes.
+
+    Relational: token (with multiplicity) × bit-index explode →
+    sum(±1) per bit → reassemble. Near-dup docs agree on most bits.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(textops.tokens("text")).alias("token"),
+    ).withColumn("h", textops.portable_hash32("token"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft take SQL expressions for the shift amount
+    # only via F.expr (the Python API insists on a literal int).
+    votes = (
+        toks.select("doc_id", "h", bit)
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("shiftright(h, CAST(bit AS INT))") % 2 == 1, 1
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a real vector pipeline runs them:
+
+- **Brute-force cosine top-k** — exact baseline. The query set is tiny
+  (broadcast); the corpus streams through one narrow stage computing
+  dot products with `zip_with`/`aggregate` (JVM-side, codegen — no
+  Python in the loop) followed by a per-query top-k window. Cost is
+  one pass over the corpus per batch of queries; no shuffle of the
+  embedding column beyond the final (query, k) rows.
+- **IVF (inverted-file) cosine** — the scale path: assign every vector
+  to its nearest of C centroids (one broadcast pass), then search only
+  the probe's centroid bucket. At 100 TB the assignment becomes the
+  partitioning key (write bucketed-by-centroid parquet), so a query
+  touches ~1/C of the data. Centroids here are seeded deterministically
+  (first C vec_ids) so the oracle can reproduce assignment exactly;
+  production would run k-means++ refinement on a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] with double accumulation, left-to-right (matches
+    DuckDB's list evaluation order for reproducible floats)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cos_sim rounded to 4). The
+    query side is filtered from the corpus itself and broadcast.
+    """
+    queries = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = embeddings.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) seed centroid.
+
+    Deterministic seeding: centroids are the first ``n_centroids``
+    vec_ids. Returns (vec_id, centroid_id, cos_sim rounded 4).
+    """
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cos_sim")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Approximate top-k: search only within the query's centroid bucket.
+
+    The recall/speed trade is the bucket count; production adds
+    multi-probe (visit the p nearest centroids). Returns the same shape
+    as :func:`brute_force_topk`.
+    """
+    assign = ivf_assign(embeddings, n_centroids)
+    corpus = embeddings.join(assign.select("vec_id", "centroid_id"), "vec_id")
+    queries = (
+        corpus.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("centroid_id"),
+        )
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (corpus.centroid_id == queries.centroid_id),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

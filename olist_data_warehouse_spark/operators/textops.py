@@ -1,0 +1,135 @@
+"""Text-analysis operators over a document table, Catalyst-native.
+
+Every function here is a *column expression* built from
+``pyspark.sql.functions`` only — no Python UDFs — so text analytics at
+100 TB runs inside whole-stage codegen with full pushdown. Each has an
+exact DuckDB-SQL twin (see plans/queries.py) built from the same
+portable primitives:
+
+- whitespace tokenization: ``split(trim(x), '\\s+')``
+- portable 32-bit hash: first 8 hex digits of md5, parsed as int —
+  identical in Spark (``conv(_,16,10)``) and DuckDB (``('0x'||_)::BIGINT``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small and fixed: the operator
+# contract is "deterministic heuristic", not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+# Deterministic tie-break: fixed priority order.
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BIGINT to match DuckDB len())."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token-count estimate: ceil(chars/4) — the standard
+    subword rule of thumb, portable to any engine."""
+    return F.ceil(F.length(normalize_text(col)) / F.lit(4.0)).cast("long")
+
+
+def portable_hash32(col: Column | str) -> Column:
+    """Deterministic 32-bit hash identical across Spark and DuckDB:
+    int value of the first 8 hex digits of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. Whitespace or
+    case changes don't alter it; any content change does."""
+    return F.md5(normalize_text(col))
+
+
+def stopword_count(col: Column | str) -> Column:
+    toks = tokens(col)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal)."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        ).cast("long")
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language with fixed-priority tie-break; 'und' if no
+    marker hits at all."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    expr = F.lit("und")
+    # Build CASE from lowest to highest priority so the highest-priority
+    # language wins equal scores.
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def punct_count(col: Column | str) -> Column:
+    """Count of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(normalize_text(col), r"[a-z0-9 ]", "")
+    return F.length(stripped).cast("long")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals: token count, mean token length,
+    stopword ratio, punctuation ratio. All rounded for cross-engine
+    float stability."""
+    n_tok = token_count(col)
+    n_chr = F.length(normalize_text(col)).cast("long")
+    return {
+        "n_tokens": n_tok,
+        "n_chars_norm": n_chr,
+        "mean_token_len": F.round(
+            (n_chr - (n_tok - F.lit(1))) / n_tok.cast("double"), 4
+        ),
+        "stopword_ratio": F.round(stopword_count(col) / n_tok.cast("double"), 4),
+        "punct_ratio": F.round(punct_count(col) / n_chr.cast("double"), 4),
+    }
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Contiguous k-word shingles (array<string>) of the normalized
+    text — the unit set for Jaccard/MinHash dedup. Documents shorter
+    than k words yield a single whole-text shingle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, joined).otherwise(F.array(normalize_text(col)))

@@ -1,0 +1,457 @@
+"""LLM-data-pipeline queries: dedup / similarity / text analysis.
+
+Registers the extended operators (BASELINE.json north star) into the
+same REGISTRY as the reference-parity queries, each with a DuckDB
+oracle twin where expressible. Portability invariants used throughout:
+
+- normalize: ``regexp_replace(lower(trim(x)), '\\s+', ' ')`` — DuckDB
+  needs the ``'g'`` flag to match Spark's replace-all default.
+- portable 32-bit hash: first 8 md5 hex digits as int (verified
+  identical: Spark ``conv(_,16,10)`` ≡ DuckDB ``('0x'||_)::BIGINT``).
+- float math: DuckDB ``list_dot_product`` accumulates FLOAT[] in
+  single precision; the oracles cast lists to DOUBLE first, which then
+  matches Spark's left-to-right double `aggregate` exactly (verified
+  to 0 ulp on the test vectors; both sides still round to 4dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.operators import dedup, similarity, textops
+from olist_data_warehouse_spark.plans.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+SQL_NORM_TOKENS = r"""
+norm AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, t, string_split(t, ' ') AS toks FROM norm)
+""".strip()
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+
+SQL_SHINGLES = r"""
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [t] END AS shingles
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingled
+)
+""".strip()
+
+SQL_MINHASH = f"""
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+idx AS (SELECT unnest(generate_series(0, 15)) AS hash_idx),
+coeff AS (
+  SELECT hash_idx,
+         CASE WHEN (hash_idx * {dedup.HASH_A_MULT} % 2147483647) % 2 = 0
+              THEN (hash_idx * {dedup.HASH_A_MULT} % 2147483647) + 1
+              ELSE hash_idx * {dedup.HASH_A_MULT} % 2147483647 END AS a,
+         (hash_idx * {dedup.HASH_B_MULT} + {dedup.HASH_B_ADD}) % 2147483647 AS b
+  FROM idx
+),
+signatures AS (
+  SELECT doc_id, c.hash_idx,
+         min((c.a * h.h + c.b) % 2147483647) AS minhash
+  FROM hashed h CROSS JOIN coeff c
+  GROUP BY 1, 2
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS}
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(ceil(length(t) / 4.0) AS BIGINT) AS bpe_est,
+       md5(t) AS fingerprint
+FROM tok
+""",
+    doc="Token counting (whitespace + BPE-ish chars/4 estimate) and "
+    "rolling document fingerprint (md5 of normalized text). All "
+    "Catalyst built-ins: one narrow pass, no shuffle.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.bpe_token_estimate("text").alias("bpe_est"),
+        textops.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS}
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round((length(t) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 4)
+         AS mean_token_len,
+       round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL})))
+                  AS BIGINT) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       round(CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+             / CAST(length(t) AS DOUBLE), 4) AS punct_ratio
+FROM tok
+""",
+    doc="Quality scoring: length/stopword/punctuation signals per doc "
+    "(the standard pre-training quality-filter features).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = textops.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    score_cols = ",\n       ".join(
+        f"CAST(len(list_filter(toks, x -> x IN "
+        f"({', '.join(repr(w) for w in ws)}))) AS BIGINT) AS score_{lang}"
+        for lang, ws in textops.LANG_MARKERS.items()
+    )
+    best = ", ".join(f"score_{lang}" for lang in textops.LANG_PRIORITY)
+    case = "CASE\n"
+    for lang in textops.LANG_PRIORITY:
+        case += (
+            f"  WHEN score_{lang} = greatest({best}) AND score_{lang} > 0"
+            f" THEN '{lang}'\n"
+        )
+    case += "  ELSE 'und' END"
+    return score_cols, case
+
+
+_SCORE_COLS, _LANG_CASE = _lang_scores_sql()
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+scored AS (
+  SELECT doc_id, lang,
+       {_SCORE_COLS}
+  FROM tok
+)
+SELECT doc_id, lang AS lang_labeled,
+       {_LANG_CASE} AS lang_pred
+FROM scored
+""",
+    doc="Language ID: stopword-marker n-gram heuristic with "
+    "deterministic argmax/tie-break — per-row expression, no shuffle.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        textops.lang_id("text").alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint
+""",
+    doc="Exact dedup: hash-groupBy on normalized-content digest, min "
+    "doc_id survives. One shuffle of (digest, id); text never moves.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.exact_dedup(d)
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM all_docs
+)
+SELECT fingerprint, min(doc_id) AS canonical_doc_id, count(doc_id) AS n_dups
+FROM fp GROUP BY fingerprint HAVING count(doc_id) > 1
+""",
+    doc="Duplicate-group detection, exercised on a corpus with seeded "
+    "dups (docs 0-49 duplicated under shifted ids).",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    with_dups = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_duplicate_groups(with_dups)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(shingle) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(a.shingle) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4)
+      >= 0.12
+""",
+    doc="n-gram Jaccard near-dup pairs (3-word shingles, thr 0.12): "
+    "explode → self-join on shingle → set arithmetic. At 100 TB this "
+    "is the verify stage behind LSH, with a shingle-DF cap for skew.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.ngram_jaccard_pairs(d, k=3, threshold=0.12)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH}
+SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx, minhash FROM signatures
+""",
+    doc="MinHash signatures (16 Carter-Wegman permutations mod 2^31-1 "
+    "over portable md5-based shingle hashes) — bit-for-bit reproducible "
+    "in the oracle. Two compact shuffles; no UDFs.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_signatures(d, num_hashes=16, k=3).select(
+        "doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "minhash"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH},
+buckets AS (
+  SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
+           AS band_digest
+  FROM signatures
+  GROUP BY doc_id, CAST(hash_idx // 4 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.band_digest = b.band_digest
+WHERE a.doc_id < b.doc_id
+""",
+    doc="MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows): "
+    "docs meet only within equal band digests — the discovery stage "
+    "that replaces the quadratic join at scale.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_lsh_candidates(d, num_hashes=16, rows_per_band=4, k=3)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+tokens_flat AS (
+  SELECT doc_id, unnest(toks) AS token FROM tok
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM tokens_flat
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+         AS simhash
+FROM votes GROUP BY doc_id
+""",
+    doc="SimHash (32-bit): per-token bit votes; near-dups land within "
+    "small hamming distance. Relational form for parity; the scale "
+    "path computes the same per-partition with an Arrow batch.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash(d, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_dot_product(list_transform({a}, x -> x::DOUBLE), "
+    "list_transform({b}, x -> x::DOUBLE)) / "
+    "(sqrt(list_dot_product(list_transform({a}, x -> x::DOUBLE), "
+    "list_transform({a}, x -> x::DOUBLE))) * "
+    "sqrt(list_dot_product(list_transform({b}, x -> x::DOUBLE), "
+    "list_transform({b}, x -> x::DOUBLE)))), 4)"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 10
+""",
+    doc="Brute-force cosine top-10 for 5 query vectors: exact ANN "
+    "baseline. Queries broadcast; corpus streams once; JVM-side "
+    "zip_with/aggregate dot products (no Python).",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.brute_force_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "sim_ivf_assign",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS cos_sim
+  FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, centroid_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, cos_sim FROM ranked WHERE rn = 1
+""",
+    doc="IVF assignment: nearest of 8 deterministic seed centroids per "
+    "vector — at scale this becomes the bucketing key so queries touch "
+    "~1/C of the corpus.",
+)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_assign(e, n_centroids=8)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS cos_sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+  FROM assigned WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM assigned e JOIN q ON e.centroid_id = q.centroid_id
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 10
+""",
+    doc="IVF top-10: search restricted to the query's centroid bucket — "
+    "the approximate scale path (recall tunable via bucket count / "
+    "multi-probe).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_topk(e, [0, 1, 2, 3, 4], k=10, n_centroids=8)

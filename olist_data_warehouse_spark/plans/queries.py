@@ -897,3 +897,8 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
     )
+
+
+# Extended LLM-pipeline operators register themselves into REGISTRY on
+# import (kept in a sibling module to keep this file reference-focused).
+from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
