@@ -24,6 +24,7 @@ from olist_data_warehouse_spark.plans.queries import REGISTRY  # noqa: E402
 from olist_data_warehouse_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
+    # the reference's own benchmark set (paired OLTP vs DW forms) + E3
     "q1_top_units_oltp",
     "q1_top_units_dw",
     "q2_top_revenue_oltp",
@@ -31,6 +32,12 @@ BENCH_QUERIES = [
     "q3_conversion_oltp",
     "q3_conversion_dw",
     "j7_incremental_delta",
+    # extended LLM-pipeline headliners
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "stream_sessionize",
 ]
 
 
@@ -52,9 +59,9 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()
-        if n <= 1000:
-            df.collect()
+        # One execution: count() materializes the full result without
+        # pulling wide rows to the driver.
+        df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

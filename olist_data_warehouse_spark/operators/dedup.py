@@ -72,10 +72,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the set representation."""
+    """(doc_id, shingle) distinct pairs — the set representation.
+
+    Tokenization is materialized below a repartition exchange so the
+    per-shingle lambda references a computed attribute instead of
+    re-evaluating the regexp+split chain per element (CollapseProject
+    would otherwise inline it — measured ~10× slower).
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id",
+        textops.tokens("text").alias("toks"),
+        textops.normalize_text("text").alias("norm"),
+    ).repartition(spark.sparkContext.defaultParallelism)
     return (
-        docs.select(
-            "doc_id", F.explode(textops.word_shingles("text", k)).alias("shingle")
+        toks.select(
+            "doc_id",
+            F.explode(
+                textops.shingles_from_tokens(F.col("toks"), F.col("norm"), k)
+            ).alias("shingle"),
         )
         .distinct()
     )
@@ -87,22 +102,34 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs k-word-shingle Jaccard ≥ threshold (doc_a < doc_b).
 
-    Scale posture: the self-join shuffles on shingle; ``max_shingle_df``
-    drops stop-shingles to bound skew. At 100 TB this runs as the
-    verifier behind :func:`minhash_lsh_candidates`, not standalone.
+    Scale posture: sets are represented by their 32-bit shingle hashes
+    (same portable hash in the oracle, so results match exactly —
+    "hashed-shingle Jaccard", the standard large-corpus practice): the
+    self-join shuffles compact (id, long) rows instead of strings.
+    ``max_shingle_df`` drops stop-shingles to bound skew. At 100 TB this
+    runs as the verifier behind :func:`minhash_lsh_candidates`, not
+    standalone.
     """
-    sh = shingle_sets(docs, k)
+    sh = (
+        shingle_sets(docs, k)
+        .select(
+            "doc_id", (textops.portable_hash32("shingle") % MERSENNE_P).alias("h")
+        )
+        .distinct()
+        # Referenced three times below (sizes + both self-join sides):
+        # persist so the shingle pipeline runs once, not 3×.
+        .persist()
+    )
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
         sh = sh.join(
-            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
-            "shingle",
+            df_counts.filter(F.col("df") <= max_shingle_df).select("h"), "h"
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -131,59 +158,83 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def _coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Carter-Wegman (a_i, b_i) pairs — mirrored literally in oracle SQL."""
+    out = []
+    for i in range(num_hashes):
+        a = (i * HASH_A_MULT) % MERSENNE_P
+        if a % 2 == 0:
+            a += 1
+        b = (i * HASH_B_MULT + HASH_B_ADD) % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_wide(
     docs: DataFrame, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(doc_id, hash_idx, minhash) rows: H-permutation MinHash.
+    """(doc_id, mh_0 .. mh_{H-1}): H-permutation MinHash, one shuffle.
 
-    Relational form: shingles → portable 32-bit hash → cross the small
-    hash-index range → groupBy-min. Two shuffles total (distinct,
-    groupBy), both on compact (id, int) rows.
+    All H mins are computed as H aggregate columns over the SAME
+    shingle-hash rows — no H× row explosion, a single groupBy(doc_id).
+    At 100 TB this is the difference between shuffling |shingles| rows
+    and shuffling H·|shingles| rows.
     """
     sh = shingle_sets(docs, k).select(
         "doc_id",
         (textops.portable_hash32("shingle") % MERSENNE_P).alias("h"),
     )
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
-    crossed = sh.select("doc_id", "h", idx)
-    a = (F.col("hash_idx") * HASH_A_MULT % MERSENNE_P).cast("long")
-    a = F.when(a % 2 == 0, a + 1).otherwise(a)  # force odd
-    b = (F.col("hash_idx") * HASH_B_MULT + HASH_B_ADD) % MERSENNE_P
-    return (
-        crossed.withColumn("perm", (a * F.col("h") + b) % MERSENNE_P)
-        .groupBy("doc_id", "hash_idx")
-        .agg(F.min("perm").alias("minhash"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_coefficients(num_hashes))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash) long-form signatures — an unpivot of
+    :func:`minhash_signatures_wide` (post-agg, so the stack runs on
+    |docs| rows, not |shingles|)."""
+    wide = minhash_signatures_wide(docs, num_hashes, k)
+    stack_expr = ", ".join(
+        f"{i}, mh_{i}" for i in range(num_hashes)
     )
+    return wide.select(
+        "doc_id",
+        F.expr(
+            f"stack({num_hashes}, {stack_expr}) AS (hash_idx, minhash)"
+        ),
+    ).select("doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "minhash")
 
 
 def minhash_band_buckets(
-    signatures: DataFrame, rows_per_band: int = 4
+    signatures_wide: DataFrame, num_hashes: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """(doc_id, band, band_digest): md5 over the band's ordered minhash
-    values — docs sharing (band, digest) are LSH candidates."""
-    # floor-div, NOT fractional-div-then-cast: engines disagree on
-    # double→int cast rounding (Spark truncates, DuckDB rounds).
-    banded = signatures.withColumn(
-        "band", F.floor(F.col("hash_idx") / F.lit(rows_per_band)).cast("int")
-    )
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("hash_idx", "minhash")
-                            )
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_digest")
+    """(doc_id, band, band_digest): md5 over each band's ordered minhash
+    values — docs sharing (band, digest) are LSH candidates.
+
+    Works on the wide signature form: each band digest is a direct
+    concat of its member columns (hash-idx order by construction) — no
+    collect_list/sort, no extra shuffle.
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = []
+    for band in range(n_bands):
+        cols = [
+            F.col(f"mh_{band * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_digest"),
+            )
         )
-    )
+    return signatures_wide.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_digest").alias("band_digest"))
 
 
 def minhash_lsh_candidates(
@@ -194,9 +245,11 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (doc_a < doc_b) from banded
     MinHash — the scale path: only same-bucket docs ever meet."""
+    # Both self-join sides read the bucket table: persist to compute
+    # the signature pipeline once.
     buckets = minhash_band_buckets(
-        minhash_signatures(docs, num_hashes, k), rows_per_band
-    )
+        minhash_signatures_wide(docs, num_hashes, k), num_hashes, rows_per_band
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

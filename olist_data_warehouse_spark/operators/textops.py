@@ -120,16 +120,24 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Contiguous k-word shingles (array<string>) of the normalized
-    text — the unit set for Jaccard/MinHash dedup. Documents shorter
-    than k words yield a single whole-text shingle."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, norm: Column, k: int = 3) -> Column:
+    """Contiguous k-word shingles from a *materialized* tokens column.
+
+    Prefer this over :func:`word_shingles` whenever the tokens can be
+    computed in a prior (exchange-separated) projection: the lambda then
+    reads an attribute instead of re-running the tokenizer per element.
+    Documents shorter than k words yield one whole-text shingle.
+    """
     n = F.size(toks)
     joined = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return F.when(n >= k, joined).otherwise(F.array(normalize_text(col)))
+    return F.when(n >= k, joined).otherwise(F.array(norm))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Contiguous k-word shingles (array<string>) of the normalized
+    text — the unit set for Jaccard/MinHash dedup. Convenience form of
+    :func:`shingles_from_tokens` computing tokens inline."""
+    return shingles_from_tokens(tokens(col), normalize_text(col), k)

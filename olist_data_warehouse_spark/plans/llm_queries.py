@@ -235,10 +235,15 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {SQL_NORM_TOKENS},
 {SQL_SHINGLES},
-sizes AS (SELECT doc_id, count(shingle) AS set_size FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(h) AS set_size FROM shh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(a.shingle) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(a.h) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

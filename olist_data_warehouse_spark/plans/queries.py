@@ -899,6 +899,7 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Extended LLM-pipeline operators register themselves into REGISTRY on
-# import (kept in a sibling module to keep this file reference-focused).
+# Extended LLM-pipeline and streaming operators register themselves into
+# REGISTRY on import (sibling modules keep this file reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
+from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401

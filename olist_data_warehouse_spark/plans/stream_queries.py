@@ -1,0 +1,66 @@
+"""Batch twins of the streaming operators, with DuckDB oracles.
+
+Structured Streaming transformations aren't directly DuckDB-checkable,
+so each streaming op in ``streaming/events.py`` has its batch-identical
+form registered here (same grouping, same output schema). The pytest
+suite closes the loop by asserting stream output == batch output; the
+oracle pins the batch side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.plans.queries import _t, register
+from olist_data_warehouse_spark.streaming import events as ev
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Event-time 1h tumbling window agg — batch twin of the "
+    "watermarked streaming aggregation (streaming/events.py). One "
+    "shuffle on (window, type).",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return ev.tumbling_counts(e)
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) + 1 AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+""",
+    doc="Sessionization (30-min gap) via lag + running sum — batch twin "
+    "of the stateful session_window stream. One shuffle on user_id.",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return ev.sessionize_batch(e, gap_minutes=30)

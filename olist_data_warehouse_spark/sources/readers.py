@@ -41,8 +41,35 @@ def load_testdata(
     for name in tables or TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            out[name] = _normalize_nanos_timestamps(spark.read.parquet(p))
+            df = _normalize_nanos_timestamps(spark.read.parquet(p))
+            out[name] = _heal_partitioning(spark, df, p)
     return out
+
+
+# Files below this size stay unsplit — repartitioning a dim table costs
+# more than it buys.
+_MIN_HEAL_BYTES = 256 * 1024
+
+
+def _heal_partitioning(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Repartition a scan whose file layout starves the executors.
+
+    A single-row-group parquet file scans as ONE task no matter how
+    many cores exist, and everything up to the first shuffle (broadcast
+    joins, partial aggregates, expensive projections) then runs
+    single-threaded. On a real cluster inputs arrive as thousands of
+    files and this never triggers; locally it is the difference between
+    1 and 32 cores doing the work. Catalyst still pushes filters and
+    pruning through the repartition, so scan pushdown is preserved.
+    """
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(path)
+        if size >= _MIN_HEAL_BYTES and df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
 
 
 def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:

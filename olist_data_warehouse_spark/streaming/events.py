@@ -1,0 +1,165 @@
+"""Streaming form of the incremental load + event-time operators.
+
+The reference's "incremental" story is a scheduled re-run of a delta
+query plus an anti-join insert (SSIS package, SURVEY.md §2.9/E3). Its
+idiomatic Spark upgrade is Structured Streaming: the same anti-join
+merge runs per micro-batch in ``foreachBatch``, with watermarked
+event-time windows replacing the whole-date granularity.
+
+Everything here works identically on a real cluster: the parquet file
+source is replaced by Kafka/files-on-object-store and the memory/table
+sinks by Delta — the plan in the middle doesn't change.
+
+Batch/stream parity: each streaming transformation has a batch twin in
+``plans/queries.py`` (`stream_*` entries) whose DuckDB oracle pins the
+semantics; the pytest suite then asserts the streaming run produces
+exactly the batch result (availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.schemas import TESTDATA
+
+# The parquet file source needs an explicit schema; ts arrives as
+# TIMESTAMP(NANOS) → long under nanosAsLong (see sources.readers).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file = one batch
+    with availableNow; a directory of arriving files in production)."""
+    # Glob, not bare file path: the streaming file source requires its
+    # basePath to be a directory (a glob's parent qualifies).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 1-hour tumbling window counts per event_type.
+
+    Late rows beyond the watermark are dropped instead of reopening old
+    windows — the streaming analog of the reference's "late item for a
+    loaded date is skipped" behavior (SURVEY §7.4.8), but windowed and
+    principled.
+    """
+    w = events.withWatermark("ts", watermark)
+    return (
+        w.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_streaming_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+) -> None:
+    """The J7 incremental load as a streaming job.
+
+    Per micro-batch: aggregate, anti-join against already-loaded
+    window keys in the target, append only new ones — exactly the SSIS
+    Lookup→Split→Insert semantics, continuously. availableNow makes it
+    a catch-up batch run (the scheduled-daily analog).
+    """
+    agg = tumbling_counts(read_events_stream(spark, sf_dir))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        if not spark_l.catalog.tableExists(target_table):
+            batch_df.write.saveAsTable(target_table)
+            return
+        existing = spark_l.table(target_table).select(
+            "window_start", "event_type"
+        ).distinct()
+        new_rows = batch_df.join(
+            F.broadcast(existing), ["window_start", "event_type"], "left_anti"
+        )
+        new_rows.write.mode("append").saveAsTable(target_table)
+
+    (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts after a > gap idle period.
+
+    Batch form via lag + running sum — one shuffle on user_id, fully
+    window-expressible (and oracle-checkable). The streaming twin is
+    ``F.session_window(ts, gap)`` which Spark maintains with state —
+    same semantics, incremental state instead of a sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn("session_seq", F.sum("new_session").over(w) + 1)
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization with Spark's native session window —
+    stateful, watermark-driven; the scale path for the batch twin."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

@@ -14,8 +14,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("olist_dw_tests", cpus=8)
+def spark(tmp_path_factory):
+    # Fresh warehouse dir per test session: the default ./spark-warehouse
+    # outlives the (in-memory) catalog, and a leftover table directory
+    # makes saveAsTable fail with LOCATION_ALREADY_EXISTS.
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark(
+        "olist_dw_tests", cpus=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

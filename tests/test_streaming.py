@@ -1,0 +1,67 @@
+"""Streaming parity: stream output must equal the oracle-pinned batch
+twin (availableNow trigger = bounded catch-up run)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.sources.readers import load_testdata
+from olist_data_warehouse_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_streaming_incremental_matches_batch(spark):
+    batch = ev.tumbling_counts(load_testdata(spark, SF, ("events",))["events"])
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.sql("CREATE DATABASE IF NOT EXISTS stream_test")
+        spark.sql("DROP TABLE IF EXISTS stream_test.win_counts")
+        ev.run_streaming_incremental(
+            spark, SF, "stream_test.win_counts", ckpt
+        )
+        got = spark.table("stream_test.win_counts")
+        cols = ("window_start", "event_type", "n_events", "total_value")
+        assert rows(got, *cols) == rows(batch, *cols)
+
+
+def test_streaming_incremental_is_idempotent(spark):
+    """Re-running the merge against an already-loaded target appends
+    nothing (anti-join on the window key — the J7 semantics)."""
+    batch = ev.tumbling_counts(load_testdata(spark, SF, ("events",))["events"])
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.sql("CREATE DATABASE IF NOT EXISTS stream_test")
+        spark.sql("DROP TABLE IF EXISTS stream_test.win_counts2")
+        ev.run_streaming_incremental(spark, SF, "stream_test.win_counts2", ckpt)
+        n1 = spark.table("stream_test.win_counts2").count()
+    with tempfile.TemporaryDirectory() as ckpt2:  # fresh checkpoint, same target
+        ev.run_streaming_incremental(spark, SF, "stream_test.win_counts2", ckpt2)
+        n2 = spark.table("stream_test.win_counts2").count()
+    assert n1 == n2 == batch.count()
+
+
+def test_session_window_stream_matches_batch_sessionize(spark):
+    """Native session_window (stateful) agrees with the lag+cumsum batch
+    form on session starts and sizes."""
+    events = load_testdata(spark, SF, ("events",))["events"]
+    batch = ev.sessionize_batch(events, gap_minutes=30)
+
+    stream = ev.sessionize_stream(ev.read_events_stream(spark, SF), 30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_stream")
+    assert rows(got, "user_id", "session_start", "n_events") == rows(
+        batch, "user_id", "session_start", "n_events"
+    )
