@@ -72,6 +72,59 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ thr).
+
+    Brute-force all-pairs at test scale (the exact verify stage); the
+    discovery stage at 100 TB is LSH bucketing (random-hyperplane
+    signs) or :func:`ivf_assign` buckets — same pair-emission shape,
+    restricted to same-bucket candidates.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_pandas_udf(dim: int):
+    """Arrow-batched Pandas-UDF cosine — the §2.10 'slow path done
+    right' demonstration: used only when an expression can't stay in
+    Catalyst (here it can — see :func:`cosine` — so this exists as the
+    measured alternative and for kernels that genuinely need NumPy).
+    Batched vectorized math, one JVM↔Python crossing per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _cos(a, b):
+        # float64 up-cast: Arrow delivers array<float> as float32 and
+        # float32 accumulation drifts ~1e-7 — match the engine's
+        # double-precision convention.
+        am = np.stack(a.to_numpy()).astype(np.float64)
+        bm = np.stack(b.to_numpy()).astype(np.float64)
+        num = (am * bm).sum(axis=1)
+        den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+        return pd.Series(num / den)
+
+    # Explicit SCALAR eval type: type hints can't resolve locally
+    # imported pandas in the UDF signature.
+    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) seed centroid.
 

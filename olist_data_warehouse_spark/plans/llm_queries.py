@@ -387,6 +387,25 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.35 for the "
+    "synthetic corpus): exact all-pairs verify stage; LSH/IVF buckets "
+    "bound the candidate set at scale.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.cosine_near_dup_pairs(e, threshold=0.35)
+
+
+@register(
     "sim_ivf_assign",
     oracle=f"""
 WITH c AS (

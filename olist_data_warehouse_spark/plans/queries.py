@@ -899,6 +899,28 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a10_pivot",
+    oracle="""
+SELECT l_returnflag,
+       SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_open,
+       SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Pivot extension (absent in reference): native Spark pivot; the "
+    "oracle is the equivalent FILTER-aggregate form.",
+)
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
 # Extended LLM-pipeline and streaming operators register themselves into
 # REGISTRY on import (sibling modules keep this file reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401

@@ -1,0 +1,73 @@
+"""Source/sink + catalog surface tests (S8-S11, §2.10 UDF discipline)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark import schemas
+from olist_data_warehouse_spark.operators import similarity
+from olist_data_warehouse_spark.sources import readers, writers
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    """S11: CSV ingestion with schema-on-read (no inference, ever)."""
+    p = str(tmp_path / "cat")
+    src = spark.createDataFrame(
+        [("cat_a", "toys"), ("cat_b", "housewares")], schemas.OLIST_CATEGORY
+    )
+    src.write.option("header", True).csv(p)
+    back = readers.read_csv(spark, p, schemas.OLIST_CATEGORY)
+    assert back.schema == schemas.OLIST_CATEGORY
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_catalog_create_rename_introspect(spark):
+    """S8 (CREATE DATABASE IF NOT EXISTS), S9 (rename), S10
+    (INFORMATION_SCHEMA analog via spark.catalog)."""
+    writers.create_database(spark, "cat_test")
+    writers.create_database(spark, "cat_test")  # idempotent
+    spark.sql("DROP TABLE IF EXISTS cat_test.t1")
+    spark.sql("DROP TABLE IF EXISTS cat_test.t2")
+    spark.createDataFrame([(1,)], "x int").write.saveAsTable("cat_test.t1")
+    writers.rename_table(spark, "cat_test.t1", "cat_test.t2")
+    names = [t.name for t in spark.catalog.listTables("cat_test")]
+    assert names == ["t2"]
+    cols = [c.name for c in spark.catalog.listColumns("cat_test.t2")]
+    assert cols == ["x"]
+
+
+def test_append_rows_literal_values(spark):
+    """S6: INSERT VALUES analog appends literal rows atomically."""
+    writers.create_database(spark, "cat_test")
+    spark.sql("DROP TABLE IF EXISTS cat_test.vals")
+    writers.ctas(
+        spark.createDataFrame([("a", 1)], "k string, v int"), "cat_test.vals"
+    )
+    writers.append_rows(
+        spark, [("b", 2), ("c", 3)], "k string, v int", "cat_test.vals"
+    )
+    assert spark.table("cat_test.vals").count() == 3
+
+
+def test_pandas_udf_cosine_matches_native(spark):
+    """§2.10: the Arrow-batched slow path must agree with the Catalyst
+    fast path (and exists only for kernels that genuinely need NumPy)."""
+    e = readers.load_testdata(spark, "/root/testdata/sf0.001", ("embeddings",))[
+        "embeddings"
+    ]
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") + 1 == F.col("ib")).limit(50)
+    udf_cos = similarity.cosine_pandas_udf(64)
+    got = pairs.select(
+        similarity.cosine(F.col("ea"), F.col("eb")).alias("native"),
+        udf_cos(F.col("ea"), F.col("eb")).alias("arrow"),
+    ).collect()
+    assert len(got) == 50
+    for r in got:
+        # numpy's pairwise summation vs left-to-right fold: identical to
+        # ~1e-15 relative; never compare through round() at a boundary.
+        assert abs(r.native - r.arrow) < 1e-9
