@@ -900,6 +900,42 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_sql_text_entry",
+    oracle="""
+SELECT o_orderpriority,
+       count(o_orderkey) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderstatus != 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="S2/E1: the SQL-text entry point — the engine's analog of the "
+    "SSIS OLE DB Source running a SQL command (Package.dtsx:471-482) "
+    "and of ad-hoc SSMS queries. Same Catalyst plan as the DataFrame "
+    "form; text goes through the ANTLR parser + analyzer.",
+)
+def s2_sql_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    # DataFrame passed straight into the SQL text (Spark 4 named-argument
+    # binding) — no temp-view registration, nothing leaks into the catalog.
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(o_orderkey) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderstatus != 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        orders=orders,
+    )
+
+
+@register(
     "a10_pivot",
     oracle="""
 SELECT l_returnflag,

@@ -1,0 +1,67 @@
+"""Plan-quality regression tests: the physical plans the engine is
+designed around (SCALING.md) must not silently degrade.
+
+These assert on `.explain` output — the same checks a human runs by
+eye: dims broadcast, top-k avoids full sorts, filters reach the scan,
+anti-joins stay broadcast.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dw_star_join_broadcasts_dims_and_takeordered(spark):
+    plan = plan_of(spark, "q1_top_units_dw")
+    # Every dim lookup is a broadcast hash join; no sort-merge anywhere.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # TOP 5 plans as top-k, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "s1_scan_project_alias")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # Column pruning: the read schema carries only the 4 needed columns.
+    assert "l_extendedprice" in plan and "l_discount" not in plan
+
+
+def test_incremental_anti_join_is_broadcast(spark):
+    plan = plan_of(spark, "j7_incremental_delta")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+
+
+def test_expression_join_stays_equi_join(spark):
+    """The yyyyMMdd↔date expression join must plan as a hash join on
+    computed keys — never a cartesian product + filter."""
+    plan = plan_of(spark, "q1_top_units_oltp")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_has_no_udf_and_single_agg_shuffle(spark):
+    plan = plan_of(spark, "dedup_minhash_signatures")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_per_group_uses_window_not_global_sort(spark):
+    plan = plan_of(spark, "w1_window_topn_per_group")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" not in plan  # no global top-k here

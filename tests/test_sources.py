@@ -33,7 +33,13 @@ def test_catalog_create_rename_introspect(spark):
     spark.sql("DROP TABLE IF EXISTS cat_test.t2")
     spark.createDataFrame([(1,)], "x int").write.saveAsTable("cat_test.t1")
     writers.rename_table(spark, "cat_test.t1", "cat_test.t2")
-    names = [t.name for t in spark.catalog.listTables("cat_test")]
+    # listTables also surfaces session temp views — look only at the
+    # persistent tables of the database under test.
+    names = [
+        t.name
+        for t in spark.catalog.listTables("cat_test")
+        if not t.isTemporary
+    ]
     assert names == ["t2"]
     cols = [c.name for c in spark.catalog.listColumns("cat_test.t2")]
     assert cols == ["x"]
