@@ -42,7 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Single-JVM local mode: the driver heap IS the executor heap.
+        # 32 task threads × shuffle/agg state needs real headroom; GC
+        # thrash at 16g showed up as multi-second per-query variance.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Some producers write TIMESTAMP(NANOS) parquet (the driver's
