@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_bruteforce_topk",
     "stream_sessionize",
+    "text_rolling_fingerprint",
+    "multi_decode_meta",
 ]
 
 

@@ -64,6 +64,30 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+# Rabin-Karp rolling-hash parameters. BASE 31 / a large prime modulus is
+# the classic polynomial hash; MOD < 2^30 keeps acc*31+h inside BIGINT.
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over the token stream:
+
+        h = fold(tokens, 0, (acc, t) -> (acc*BASE + hash32(t)) % MOD)
+
+    Order-sensitive (unlike a bag-of-words digest) and incrementally
+    maintainable — appending a token is O(1), which is what makes it a
+    *rolling* fingerprint. Pure ``F.aggregate`` over the token array:
+    JVM-side, no UDF, no shuffle, scale-free per row.
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + portable_hash32(t) % 2147483647)
+        % ROLL_MOD,
+    )
+
+
 def stopword_count(col: Column | str) -> Column:
     toks = tokens(col)
     arr = F.array(*[F.lit(w) for w in STOPWORDS])

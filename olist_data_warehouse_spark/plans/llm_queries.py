@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olist_data_warehouse_spark.operators import dedup, similarity, textops
+from olist_data_warehouse_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from olist_data_warehouse_spark.plans.queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -101,6 +106,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.token_count("text").alias("n_tokens"),
         textops.bpe_token_estimate("text").alias("bpe_est"),
         textops.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS}
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
+         (acc, h) -> (acc * {textops.ROLL_BASE} + h) % {textops.ROLL_MOD})
+         AS roll_hash
+FROM tok
+""",
+    doc="Document fingerprinting via Rabin-Karp polynomial rolling hash "
+    "over the token stream — order-sensitive and O(1)-incremental per "
+    "appended token. Single narrow pass, no shuffle, no UDF.",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id", textops.rolling_hash("text").alias("roll_hash")
     )
 
 
@@ -479,3 +508,47 @@ FROM ranked WHERE rn <= 10
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.ivf_topk(e, [0, 1, 2, 3, 4], k=10, n_centroids=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload -> typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multi_decode_meta",
+    oracle="""
+SELECT doc_id AS item_id,
+       CAST(octet_length(encode(
+         'FAKEIMG|' || CAST(doc_id % 64 + 16 AS VARCHAR) || '|'
+                    || CAST(doc_id % 48 + 16 AS VARCHAR) || '|3|'
+                    || substr(text, 1, 64))) AS INT) AS byte_len,
+       TRUE AS is_valid,
+       CAST(doc_id % 64 + 16 AS INT) AS width,
+       CAST(doc_id % 48 + 16 AS INT) AS height,
+       3 AS channels
+FROM documents
+""",
+    doc="Multimodal decode stage end-to-end: deterministic fake image "
+    "payloads built as a binary column (opaque bytes + typed metadata "
+    "design), sharded by id-hash for size-skew-uniform tasks, decoded "
+    "via the Arrow-batched mapInPandas kernel. The oracle recomputes "
+    "the metadata analytically — checking the binary plumbing, batch "
+    "shape, and schema, not a codec.",
+)
+def multi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = (F.col("doc_id") % 64 + 16).cast("int")
+    h = (F.col("doc_id") % 48 + 16).cast("int")
+    payload = F.concat(
+        F.lit("FAKEIMG|"), w.cast("string"), F.lit("|"),
+        h.cast("string"), F.lit("|3|"), F.substring("text", 1, 64),
+    ).cast("binary")
+    images = d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    meta = multimodal.decode_image_meta(
+        multimodal.shard_for_decode(images, n_shards=32)
+    )
+    return meta.select(
+        "item_id", "byte_len", "is_valid", "width", "height",
+        F.col("channels").cast("int").alias("channels"),
+    )
