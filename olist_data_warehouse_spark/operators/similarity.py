@@ -125,6 +125,90 @@ def cosine_pandas_udf(dim: int):
     return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
 
 
+# Random-hyperplane LSH: deterministic pseudo-random plane weights from
+# a Knuth multiplicative hash of (plane, component), so the DuckDB
+# oracle reproduces the exact same planes (and hence identical double
+# arithmetic → identical sign bits).
+LSH_N_PLANES = 8
+LSH_MULT = 2654435761
+LSH_MOD = 2147483648
+
+
+def _plane_weight(p: int, j: Column) -> Column:
+    """Weight of hyperplane ``p`` at component ``j``, in [-0.5, 0.5)."""
+    return (
+        (F.lit(p * 1024) + j) * F.lit(LSH_MULT) % F.lit(LSH_MOD)
+    ) / F.lit(float(LSH_MOD)) - F.lit(0.5)
+
+
+def lsh_bucket(emb: Column, n_planes: int = LSH_N_PLANES) -> Column:
+    """Random-hyperplane signature, bit-packed into a bucket id.
+
+    Bit p = sign(dot(emb, plane_p)); two vectors collide in a bucket
+    with probability (1 - θ/π)^n_planes — the SimHash geometry applied
+    to real-valued embeddings. At 100 TB the bucket id is the partition
+    key: write the corpus bucketed by it and a query probes one bucket
+    (multi-probe = flip low-confidence bits). Pure Catalyst expressions;
+    one corpus pass, no shuffle, no UDF.
+    """
+    def weighted(p: int):
+        # closure (not a default arg): PySpark reads the lambda arity.
+        return lambda x, j: x.cast("double") * _plane_weight(p, j)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot_p = F.aggregate(
+            F.transform(emb, weighted(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (dot_p >= 0).cast("long") * F.lit(1 << p)
+    return bucket
+
+
+def lsh_assign(embeddings: DataFrame, n_planes: int = LSH_N_PLANES) -> DataFrame:
+    """(vec_id, bucket) assignment under random-hyperplane LSH."""
+    return embeddings.select(
+        "vec_id", lsh_bucket(F.col("embedding"), n_planes).alias("bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = LSH_N_PLANES,
+) -> DataFrame:
+    """Approximate top-k restricted to the query's LSH bucket.
+
+    Same candidate-generation shape as :func:`ivf_topk` with the
+    hyperplane bucket as the join key; recall rises with fewer planes
+    (bigger buckets) or multi-probe.
+    """
+    corpus = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes))
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (corpus.bucket == queries.bucket),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) seed centroid.
 

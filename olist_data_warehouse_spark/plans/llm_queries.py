@@ -552,3 +552,76 @@ def multi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id", "byte_len", "is_valid", "width", "height",
         F.col("channels").cast("int").alias("channels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_bucket_sql(emb: str) -> str:
+    """DuckDB twin of similarity.lsh_bucket: identical plane weights,
+    identical left-to-right double accumulation, identical sign bits."""
+    terms = []
+    for p in range(similarity.LSH_N_PLANES):
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({emb})), j -> "
+            f"CAST({emb}[j] AS DOUBLE) * "
+            f"((({p * 1024} + (j - 1)) * {similarity.LSH_MULT} "
+            f"% {similarity.LSH_MOD}) / {similarity.LSH_MOD}.0 - 0.5))), "
+            "(a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "sim_lsh_assign",
+    oracle=f"""
+SELECT vec_id, {_lsh_bucket_sql("embedding")} AS bucket
+FROM embeddings
+""",
+    doc="Random-hyperplane LSH bucket assignment: bit-packed sign "
+    "signature per vector. The bucket id is the partition key at scale "
+    "(write corpus bucketed by it; a probe touches one bucket). One "
+    "narrow pass, no shuffle, no UDF.",
+)
+def sim_lsh_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.lsh_assign(e)
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket
+  FROM bucketed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM bucketed e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 10
+""",
+    doc="LSH-bucketed approximate top-10: candidates restricted to the "
+    "query's hyperplane bucket — the LSH counterpart of sim_ivf_topk "
+    "(recall tuned by plane count / multi-probe).",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.lsh_topk(e, [0, 1, 2, 3, 4], k=10)

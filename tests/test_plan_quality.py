@@ -65,3 +65,11 @@ def test_topk_per_group_uses_window_not_global_sort(spark):
     plan = plan_of(spark, "w1_window_topn_per_group")
     assert "Window" in plan
     assert "TakeOrderedAndProject" not in plan  # no global top-k here
+
+
+def test_lsh_bucketing_stays_in_catalyst(spark):
+    """Hyperplane signatures are pure expressions — no Python workers,
+    no shuffle for the assignment pass."""
+    plan = plan_of(spark, "sim_lsh_assign")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
