@@ -64,3 +64,21 @@ FROM sess GROUP BY user_id, session_seq
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")["events"]
     return ev.sessionize_batch(e, gap_minutes=30)
+
+
+@register(
+    "stream_user_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+    doc="Per-user running totals — batch twin of the custom stateful "
+    "applyInPandasWithState operator (streaming/events.py). The "
+    "streaming form keeps one fixed-width state row per user.",
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

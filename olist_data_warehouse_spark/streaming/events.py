@@ -145,6 +145,48 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+STATEFUL_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATEFUL_STATE_SCHEMA = "n bigint, total double"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Maintains a running (event count, value total) per user across
+    micro-batches — the pattern for operators Spark's built-in windowed
+    aggs can't express (per-key custom state transitions, e.g. online
+    quality scores or streaming dedup-by-fingerprint). State is one
+    fixed-width row per user; Arrow batches cross the JVM↔Python
+    boundary per group-batch, never per row. The batch twin (plain
+    groupBy agg) is oracle-pinned as ``stream_user_totals``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization with Spark's native session window —
     stateful, watermark-driven; the scale path for the batch twin."""

@@ -65,3 +65,34 @@ def test_session_window_stream_matches_batch_sessionize(spark):
     assert rows(got, "user_id", "session_start", "n_events") == rows(
         batch, "user_id", "session_start", "n_events"
     )
+
+
+def test_apply_in_pandas_with_state_matches_batch(spark):
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user totals across micro-batches equal the batch groupBy."""
+    events = load_testdata(spark, SF, ("events",))["events"]
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    stream = ev.stateful_user_totals(ev.read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); the last emission per
+    # user carries the final running total.
+    got = (
+        spark.table("user_totals_stream")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    cols = ("user_id", "n_events", "total_value")
+    assert rows(got, *cols) == rows(batch, *cols)
