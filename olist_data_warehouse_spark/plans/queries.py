@@ -588,6 +588,37 @@ def p5_j8_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j8_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+)
+""",
+    doc="J8 at fact scale: anti-join where the 'existing keys' side is "
+    "NOT dim-sized (distinct customers of the whole orders table), so "
+    "unlike J7's broadcast this correctly stays a shuffled anti-join — "
+    "AQE picks broadcast only when the distinct set is actually small. "
+    "Uses the one staging table (customer) the reference renames but "
+    "never queries (Olist DW.sql:9).",
+)
+def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    with_orders = (
+        t["orders"].filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey").distinct()
+    )
+    return (
+        t["customer"]
+        .join(with_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(
+            "c_custkey", "c_name", round2(F.col("c_acctbal")).alias("acctbal")
+        )
+    )
+
+
+@register(
     "p6_range_timestamp",
     oracle="""
 SELECT o_orderkey, o_orderdate FROM orders
