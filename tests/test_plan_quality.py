@@ -73,3 +73,11 @@ def test_lsh_bucketing_stays_in_catalyst(spark):
     plan = plan_of(spark, "sim_lsh_assign")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_dw_fact_scan_prunes_year_partition(spark):
+    """The materialized fact is partitioned by yr; the year-scoped DW
+    query must show a PartitionFilters prune on the fact scan."""
+    plan = plan_of(spark, "q1_top_units_dw")
+    assert "PartitionFilters" in plan and "yr" in plan
+    assert "= 1998" in plan
