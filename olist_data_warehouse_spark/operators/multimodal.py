@@ -14,11 +14,12 @@ Design for image/audio/video at 100 TB:
   are uniformly sized regardless of file-size skew.
 
 The actual codec libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode kernels are STUBS: ``decode_image_meta`` uses
-a deterministic fake decoder (parses our own fake header format), and
-``resize_images`` / ``sample_frames`` raise ``NotImplementedError``
-unless the fake codec is requested. The Spark-side plumbing — schema,
-batching, partitioning — is real and tested.
+container, so every kernel gates real codecs behind a clearly-marked
+``NotImplementedError`` and ships a deterministic ``fake`` codec that
+parses our own fake header formats. The Spark-side plumbing — schema,
+Arrow batching, one-to-many frame fan-out, partitioning — is real and
+tested for all four pipeline stages (decode / feature-extract / resize
+/ frame-sample).
 """
 
 from __future__ import annotations
@@ -28,14 +29,19 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Deterministic fake payload format, so plumbing is testable without
-# codec libs: b"FAKEIMG|<width>|<height>|<channels>|" + pixel bytes.
+# Deterministic fake payload formats, so plumbing is testable without
+# codec libs: b"FAKEIMG|<width>|<height>|<channels>|" + pixel bytes;
+# b"FAKEVID|<n_frames>|<width>|<height>|" + frame bytes.
 FAKE_MAGIC = b"FAKEIMG"
+FAKE_VIDEO_MAGIC = b"FAKEVID"
 
 DECODED_META_SCHEMA = (
     "item_id bigint, byte_len int, is_valid boolean, "
     "width int, height int, channels int"
 )
+FEATURES_SCHEMA = "item_id bigint, features array<double>"
+RESIZED_SCHEMA = "item_id bigint, payload binary"
+FRAMES_SCHEMA = "item_id bigint, frame_idx int, width int, height int"
 
 
 def make_fake_image(item_id: int, width: int, height: int, channels: int = 3) -> bytes:
@@ -48,6 +54,34 @@ def make_fake_image(item_id: int, width: int, height: int, channels: int = 3) ->
     return header + body
 
 
+def make_fake_video(item_id: int, n_frames: int, width: int, height: int) -> bytes:
+    header = b"|".join(
+        [FAKE_VIDEO_MAGIC, str(n_frames).encode(), str(width).encode(),
+         str(height).encode()]
+    ) + b"|"
+    body = bytes((item_id * 17 + i) % 256 for i in range(min(n_frames * 4, 64)))
+    return header + body
+
+
+def _parse_image_header(b) -> tuple[bool, int, int, int, bytes]:
+    """(is_valid, width, height, channels, body) from a fake payload."""
+    if b is None or not bytes(b).startswith(FAKE_MAGIC):
+        return (False, 0, 0, 0, b"")
+    parts = bytes(b).split(b"|", 4)
+    try:
+        return (True, int(parts[1]), int(parts[2]), int(parts[3]), parts[4])
+    except (IndexError, ValueError):
+        return (False, 0, 0, 0, b"")
+
+
+def _gate(codec: str, stage: str, needs: str) -> None:
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: {stage} requires {needs}, not available in "
+            "this environment; only the deterministic 'fake' codec is wired."
+        )
+
+
 def decode_image_meta(images: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode stage: binary payload → typed metadata rows.
 
@@ -56,11 +90,7 @@ def decode_image_meta(images: DataFrame, codec: str = "fake") -> DataFrame:
     the identical mapInPandas plumbing: Arrow batches in, explicit
     schema out, no row-at-a-time Python.
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: image libraries are not available in this "
-            "environment; only the deterministic 'fake' codec is wired."
-        )
+    _gate(codec, "image decode", "an image library (PIL/opencv)")
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -72,16 +102,7 @@ def decode_image_meta(images: DataFrame, codec: str = "fake") -> DataFrame:
                     lambda b: len(b) if b is not None else 0
                 ),
             }
-            def parse(b):
-                if b is None or not bytes(b).startswith(FAKE_MAGIC):
-                    return (False, 0, 0, 0)
-                parts = bytes(b).split(b"|", 4)
-                try:
-                    return (True, int(parts[1]), int(parts[2]), int(parts[3]))
-                except (IndexError, ValueError):
-                    return (False, 0, 0, 0)
-
-            parsed = pdf["payload"].map(parse)
+            parsed = pdf["payload"].map(_parse_image_header)
             out["is_valid"] = parsed.map(lambda t: t[0])
             out["width"] = parsed.map(lambda t: t[1])
             out["height"] = parsed.map(lambda t: t[2])
@@ -91,22 +112,105 @@ def decode_image_meta(images: DataFrame, codec: str = "fake") -> DataFrame:
     return images.mapInPandas(decode, schema=DECODED_META_SCHEMA)
 
 
-def resize_images(images: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage (stub): requires a real image codec."""
-    raise NotImplementedError(
-        "resize requires an image library (PIL/opencv) not present in "
-        "this environment; the pipeline slot is decode_image_meta-shaped "
-        "(mapInPandas, binary in → binary out with updated metadata)."
-    )
+def extract_features(images: DataFrame, codec: str = "fake") -> DataFrame:
+    """Feature-extract stage: binary payload → embedding column.
+
+    A real pipeline runs a vision model per Arrow batch here; the fake
+    codec derives a deterministic 5-dim descriptor from the decoded
+    header (width, height, channels, byte_len, aspect ratio) so the
+    batch shape and ``array<double>`` schema are exercised end to end.
+    Invalid payloads get a NULL feature vector (downstream filters on
+    it, mirroring a decode-failure route).
+    """
+    _gate(codec, "feature extraction", "a vision model runtime")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                ok, w, h, c, _body = _parse_image_header(b)
+                if not ok or h == 0:
+                    feats.append(None)
+                else:
+                    feats.append(
+                        [float(w), float(h), float(c), float(len(bytes(b))), w / h]
+                    )
+            yield pd.DataFrame({"item_id": pdf["item_id"], "features": feats})
+
+    return images.mapInPandas(kernel, schema=FEATURES_SCHEMA)
 
 
-def sample_frames(videos: DataFrame, every_n: int) -> DataFrame:
-    """Video frame-sampling stage (stub): requires ffmpeg bindings."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg bindings not present in this "
-        "environment; plumbing mirrors decode_image_meta (one binary "
-        "row in → many frame rows out via mapInPandas)."
-    )
+def resize_images(
+    images: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize stage: binary in → binary out with updated metadata.
+
+    Fake-codec semantics (deterministic, re-derivable by the oracle):
+    the header is rewritten with the target dimensions (channels kept)
+    and the pixel body is truncated to at most width*height*channels
+    bytes. Invalid payloads pass through unchanged — a real pipeline
+    routes them to a dead-letter sink instead of crashing the stage.
+    """
+    _gate(codec, "resize", "an image library (PIL/opencv)")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def resize(b):
+            ok, _w, _h, c, body = _parse_image_header(b)
+            if not ok:
+                return b
+            header = b"|".join(
+                [FAKE_MAGIC, str(width).encode(), str(height).encode(),
+                 str(c).encode()]
+            ) + b"|"
+            return header + body[: width * height * c]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "payload": pdf["payload"].map(resize)}
+            )
+
+    return images.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, every_n: int, codec: str = "fake") -> DataFrame:
+    """Video frame-sampling stage: one payload row → many frame rows.
+
+    Exercises the one-to-many ``mapInPandas`` fan-out a real ffmpeg
+    stage needs: each valid FAKEVID payload emits a row per sampled
+    frame index (0, every_n, 2·every_n, … < n_frames) with the frame
+    dimensions; invalid payloads emit nothing (dead-letter route).
+    """
+    _gate(codec, "frame sampling", "ffmpeg bindings")
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ws, hs = [], [], [], []
+            for item_id, b in zip(pdf["item_id"], pdf["payload"]):
+                if b is None or not bytes(b).startswith(FAKE_VIDEO_MAGIC):
+                    continue
+                parts = bytes(b).split(b"|", 4)
+                try:
+                    n_frames, w, h = int(parts[1]), int(parts[2]), int(parts[3])
+                except (IndexError, ValueError):
+                    continue
+                for f in range(0, n_frames, every_n):
+                    ids.append(item_id)
+                    idxs.append(f)
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {"item_id": ids, "frame_idx": idxs, "width": ws, "height": hs}
+            )
+
+    return videos.mapInPandas(kernel, schema=FRAMES_SCHEMA)
 
 
 def shard_for_decode(images: DataFrame, n_shards: int = 256) -> DataFrame:

@@ -554,6 +554,101 @@ def multi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic fake image payloads (shared by the
+    multimodal stage queries; dims re-derivable analytically by the
+    oracle: width = doc_id%64+16, height = doc_id%48+16, 3 channels,
+    body = first 64 chars of text as UTF-8 bytes)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = (F.col("doc_id") % 64 + 16).cast("int")
+    h = (F.col("doc_id") % 48 + 16).cast("int")
+    payload = F.concat(
+        F.lit("FAKEIMG|"), w.cast("string"), F.lit("|"),
+        h.cast("string"), F.lit("|3|"), F.substring("text", 1, 64),
+    ).cast("binary")
+    return d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+
+
+@register(
+    "multi_extract_features",
+    oracle="""
+SELECT doc_id AS item_id,
+       [CAST(doc_id % 64 + 16 AS DOUBLE),
+        CAST(doc_id % 48 + 16 AS DOUBLE),
+        3.0,
+        CAST(octet_length(encode(
+          'FAKEIMG|' || CAST(doc_id % 64 + 16 AS VARCHAR) || '|'
+                     || CAST(doc_id % 48 + 16 AS VARCHAR) || '|3|'
+                     || substr(text, 1, 64))) AS DOUBLE),
+        CAST(doc_id % 64 + 16 AS DOUBLE) / CAST(doc_id % 48 + 16 AS DOUBLE)
+       ] AS features
+FROM documents
+""",
+    doc="Multimodal feature-extract stage: binary payload → "
+    "array<double> embedding column via the Arrow-batched mapInPandas "
+    "kernel (a vision model's slot at scale). The fake codec's "
+    "descriptor is analytic over the header, so the oracle re-derives "
+    "the exact vector — checking batch plumbing and the array schema.",
+)
+def multi_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = _fake_images(spark, sf_dir)
+    return multimodal.extract_features(
+        multimodal.shard_for_decode(images, n_shards=32)
+    )
+
+
+@register(
+    "multi_resize_meta",
+    oracle="""
+SELECT doc_id AS item_id,
+       CAST(octet_length(encode('FAKEIMG|4|4|3|'))
+            + least(octet_length(encode(substr(text, 1, 64))), 48)
+            AS INT) AS byte_len,
+       TRUE AS is_valid, 4 AS width, 4 AS height, 3 AS channels
+FROM documents
+""",
+    doc="Multimodal resize stage: binary in → binary out with the "
+    "header rewritten to the target dims and the body truncated to "
+    "width*height*channels bytes, then re-decoded. The oracle "
+    "recomputes the post-resize byte length analytically, so the "
+    "binary-to-binary kernel is value-checked, not just shape-checked.",
+)
+def multi_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = _fake_images(spark, sf_dir)
+    resized = multimodal.resize_images(images, 4, 4)
+    meta = multimodal.decode_image_meta(resized)
+    return meta.select(
+        "item_id", "byte_len", "is_valid", "width", "height",
+        F.col("channels").cast("int").alias("channels"),
+    )
+
+
+@register(
+    "multi_frame_sample",
+    oracle="""
+SELECT doc_id AS item_id, CAST(f AS INT) AS frame_idx,
+       32 AS width, 24 AS height
+FROM documents, unnest(generate_series(0, CAST(doc_id % 10 AS BIGINT), 3)) AS t(f)
+""",
+    doc="Multimodal frame-sample stage: one FAKEVID payload row fans "
+    "out to one row per sampled frame (every 3rd of n_frames = "
+    "doc_id%10+1) via mapInPandas — the one-to-many batch shape an "
+    "ffmpeg stage needs. Oracle = generate_series over the same "
+    "analytic frame counts.",
+)
+def multi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n_frames = (F.col("doc_id") % 10 + 1).cast("int")
+    payload = F.concat(
+        F.lit("FAKEVID|"), n_frames.cast("string"), F.lit("|32|24|"),
+        F.substring("text", 1, 32),
+    ).cast("binary")
+    videos = d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    return multimodal.sample_frames(
+        multimodal.shard_for_decode(videos, n_shards=32), every_n=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes)
 # ---------------------------------------------------------------------------

@@ -40,9 +40,51 @@ def test_real_codecs_are_gated(spark, images):
     with pytest.raises(NotImplementedError):
         mm.decode_image_meta(images, codec="pil")
     with pytest.raises(NotImplementedError):
-        mm.resize_images(images, 32, 32)
+        mm.extract_features(images, codec="resnet")
     with pytest.raises(NotImplementedError):
-        mm.sample_frames(images, 10)
+        mm.resize_images(images, 32, 32, codec="pil")
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(images, 10, codec="ffmpeg")
+
+
+def test_extract_features_fake_descriptor(spark, images):
+    got = {r.item_id: r.features for r in mm.extract_features(images).collect()}
+    img1 = mm.make_fake_image(1, 64, 48)
+    assert got[1] == [64.0, 48.0, 3.0, float(len(img1)), 64 / 48]
+    assert got[3] is None and got[4] is None  # invalid → NULL route
+
+
+def test_resize_rewrites_header_and_truncates_body(spark, images):
+    resized = mm.resize_images(images, 4, 4)
+    meta = {r.item_id: r for r in mm.decode_image_meta(resized).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].channels) == (4, 4, 3)
+    # body capped at 4*4*3 = 48 < the original 64 body bytes
+    header = len(b"FAKEIMG|4|4|3|")
+    assert meta[1].byte_len == header + 48
+    # channels preserved from the source payload (item 2 is 1-channel)
+    assert meta[2].channels == 1
+    # invalid payloads pass through unchanged
+    raw = {r.item_id: r.payload for r in resized.collect()}
+    assert bytes(raw[3]) == b"not an image" and raw[4] is None
+
+
+def test_sample_frames_fan_out(spark):
+    rows = [
+        (1, mm.make_fake_video(1, 7, 32, 24)),
+        (2, mm.make_fake_video(2, 1, 16, 16)),
+        (3, b"junk"),
+        (4, None),
+    ]
+    videos = spark.createDataFrame(rows, "item_id bigint, payload binary")
+    got = mm.sample_frames(videos, every_n=3).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.item_id, []).append((r.frame_idx, r.width, r.height))
+    assert sorted(by_id[1]) == [(0, 32, 24), (3, 32, 24), (6, 32, 24)]
+    assert by_id[2] == [(0, 16, 16)]
+    assert 3 not in by_id and 4 not in by_id  # invalid rows emit nothing
+    with pytest.raises(ValueError):
+        mm.sample_frames(videos, every_n=0)
 
 
 def test_shard_for_decode_partitioning(spark, images):
