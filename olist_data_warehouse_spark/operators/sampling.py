@@ -1,0 +1,118 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+A 100 TB corpus needs reproducible sampling: `df.sample()` reshuffles
+membership on every partition-layout change, which silently leaks
+held-out data between runs. Every operator here instead derives
+membership from a content hash of a stable key — the same row lands in
+the same split/sample on any cluster, any partitioning, any engine
+(the hash is the portable md5-based 32-bit family shared with
+`operators/textops.py`, so DuckDB oracles can re-derive membership
+exactly).
+
+All operators are pure Catalyst column expressions — no shuffle is
+added by split/sample membership itself (it's a filter/withColumn);
+only `per_group_sample` shuffles, once, on the group key (the same
+exchange a per-group top-k needs). Scale posture: membership tests are
+scans with a codegen'd predicate — they pipeline into whatever reads
+the data next and prune columns/partitions as usual.
+
+No analog in the reference (a SQL Server DW has no train/test split);
+this is part of the engine's LLM-pipeline surface (north star:
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olist_data_warehouse_spark.operators.textops import portable_hash32
+
+# Membership granularity: hash buckets in [0, 10_000) → fractions are
+# exact to 0.01%. Coarse enough that bucket boundaries are stable
+# under float weights, fine enough for real split ratios.
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from a salted content
+    hash of ``key``. Changing the salt resamples independently —
+    distinct salts give (approximately) independent assignments."""
+    return (
+        portable_hash32(F.concat_ws("|", F.lit(salt), key.cast("string")))
+        % N_BUCKETS
+    )
+
+
+def hash_split(
+    df: DataFrame, key: Column, weights: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test'/...) by hashing
+    ``key`` into cumulative weight ranges. Deterministic: a row's split
+    depends only on (key, salt, weights), never on partitioning or
+    row order — re-runs and backfills can't leak held-out rows.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = hash_bucket(key, salt)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name] / total * N_BUCKETS
+        cond = b < int(round(hi))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by content hash — the reproducible
+    replacement for ``df.sample(fraction)``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_bucket(key, salt) < int(round(fraction * N_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column,
+    key: Column,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible
+    ``df.sampleBy``): each stratum value gets its own keep-fraction,
+    e.g. downsample dominant languages while keeping the tail intact.
+    The threshold map compiles to a codegen'd CASE — no join, no
+    shuffle, works on any cardinality of strata listed explicitly."""
+    thr = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        thr = F.when(strata == value, int(round(frac * N_BUCKETS))).otherwise(thr)
+    return df.filter(hash_bucket(key, salt) < thr)
+
+
+def per_group_sample(
+    df: DataFrame, group_cols: list[str], key: Column, n: int, salt: str = "pergroup"
+) -> DataFrame:
+    """Exactly ≤n rows per group, chosen by hash order — a
+    deterministic reservoir sample. One hash shuffle on the group key
+    (same exchange as a per-group top-k; no global sort), so it scales
+    to any number of groups; per-group state is a running count."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(hash_bucket(key, salt).asc(), key.cast("string").asc())
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from olist_data_warehouse_spark.operators import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     textops,
 )
@@ -720,3 +721,83 @@ FROM ranked WHERE rn <= 10
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / train-test splitting (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of sampling.hash_bucket: salted portable 32-bit hash mod
+# the bucket count.
+def _bucket_sql(salt: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {sampling.N_BUCKETS}"
+    )
+
+
+@register(
+    "samp_hash_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_bucket_sql("split", "doc_id")} AS b FROM documents)
+""",
+    doc="Deterministic 80/10/10 train/val/test split by salted content "
+    "hash of the key — membership is independent of partitioning and "
+    "row order, so re-runs and backfills cannot leak held-out rows. "
+    "Pure codegen'd column expression; no shuffle.",
+)
+def samp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    split = sampling.hash_split(
+        d, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.select("doc_id", "split")
+
+
+@register(
+    "samp_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_bucket_sql("strat", "doc_id")} AS b FROM documents)
+WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
+""",
+    doc="Deterministic stratified sampling (reproducible sampleBy): "
+    "per-language keep-fractions rebalance a corpus — downsample "
+    "dominant en/zh, keep the tail whole. Threshold map compiles to a "
+    "codegen'd CASE; no join, no shuffle.",
+)
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    kept = sampling.stratified_sample(
+        d, F.col("lang"), F.col("doc_id"),
+        {"en": 0.25, "zh": 0.5}, default_fraction=1.0,
+    )
+    return kept.select("doc_id", "lang")
+
+
+@register(
+    "samp_per_group_topn",
+    oracle=f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_bucket_sql("pergroup", "doc_id")}, CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
+    doc="Deterministic fixed-size per-group sample (reservoir-style): "
+    "exactly <=5 docs per language, chosen by hash order. One hash "
+    "shuffle on the group key, no global sort — the per-group top-k "
+    "exchange shape at any group cardinality.",
+)
+def samp_per_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    got = sampling.per_group_sample(d, ["lang"], F.col("doc_id"), n=5)
+    return got.select("doc_id", "lang")

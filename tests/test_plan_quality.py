@@ -81,3 +81,12 @@ def test_dw_fact_scan_prunes_year_partition(spark):
     plan = plan_of(spark, "q1_top_units_dw")
     assert "PartitionFilters" in plan and "yr" in plan
     assert "= 1998" in plan
+
+
+def test_sampling_membership_is_catalyst_only(spark):
+    """Split/stratified membership is a codegen'd predicate: no
+    Python eval, no shuffle added by the membership test itself."""
+    for name in ("samp_hash_split", "samp_stratified"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan

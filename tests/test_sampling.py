@@ -1,0 +1,94 @@
+"""Deterministic sampling/splitting: membership must depend only on
+(key, salt, params) — never on partitioning, row order, or run count —
+and the membership predicates must stay pure Catalyst expressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "zh", "es", "de", "fr"][i % 5]) for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def test_hash_split_is_partitioning_invariant(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(docs, F.col("doc_id"), w)
+    b = sampling.hash_split(
+        docs.repartition(13, "lang").sortWithinPartitions(F.desc("doc_id")),
+        F.col("doc_id"), w,
+    )
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == sorted(
+        map(tuple, b.select("doc_id", "split").collect())
+    )
+
+
+def test_hash_split_ratios_and_exhaustiveness(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    counts = dict(
+        sampling.hash_split(docs, F.col("doc_id"), w)
+        .groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000  # exhaustive, no dropped rows
+    assert 700 <= counts["train"] <= 900  # ~80% of 1000
+    assert counts["val"] + counts["test"] <= 300
+
+
+def test_hash_split_rejects_degenerate_weights(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, F.col("doc_id"), {"a": 0.0})
+
+
+def test_deterministic_sample_fraction_and_stability(spark, docs):
+    kept = sampling.deterministic_sample(docs, F.col("doc_id"), 0.3)
+    n = kept.count()
+    assert 220 <= n <= 380  # ~30% of 1000
+    # same salt → identical membership on a re-run
+    again = sampling.deterministic_sample(docs, F.col("doc_id"), 0.3)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # different salt → a genuinely different (still ~30%) draw
+    other = sampling.deterministic_sample(docs, F.col("doc_id"), 0.3, salt="s2")
+    assert sorted(r.doc_id for r in other.collect()) != sorted(
+        r.doc_id for r in kept.collect()
+    )
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, F.col("doc_id"), 1.5)
+
+
+def test_stratified_sample_per_stratum_fractions(spark, docs):
+    kept = sampling.stratified_sample(
+        docs, F.col("lang"), F.col("doc_id"),
+        {"en": 0.0, "zh": 0.5}, default_fraction=1.0,
+    )
+    counts = dict(kept.groupBy("lang").count().collect())
+    assert "en" not in counts  # fraction 0 → stratum fully dropped
+    assert 60 <= counts["zh"] <= 140  # ~50% of 200
+    for tail in ("es", "de", "fr"):
+        assert counts[tail] == 200  # default 1.0 keeps the tail whole
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(
+            docs, F.col("lang"), F.col("doc_id"), {"en": 2.0}
+        )
+
+
+def test_per_group_sample_exact_size_and_determinism(spark, docs):
+    got = sampling.per_group_sample(docs, ["lang"], F.col("doc_id"), n=7)
+    counts = dict(got.groupBy("lang").count().collect())
+    assert all(c == 7 for c in counts.values()) and len(counts) == 5
+    again = sampling.per_group_sample(
+        docs.repartition(17), ["lang"], F.col("doc_id"), n=7
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+    # groups smaller than n survive whole
+    tiny = sampling.per_group_sample(
+        docs.filter("doc_id < 3"), ["lang"], F.col("doc_id"), n=7
+    )
+    assert tiny.count() == 3
