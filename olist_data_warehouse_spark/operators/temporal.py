@@ -1,0 +1,149 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are composed from existing DataFrame ops (task contract: prefer
+composition over UDFs), with plan shapes chosen for 100 TB:
+
+- **as-of join** (latest right row with ts <= left ts, per key) uses
+  the union-merge trick: tag both sides, union, one window over
+  (key, ts) carrying the last right-side values forward, filter back
+  to left rows. ONE hash shuffle on the key — never a per-key
+  collect, never a nested-loop. This is how kdb/Flink-style as-of
+  semantics map onto a shuffle engine.
+- **range join** (left interval [ts, ts+len) × right points) would
+  plan as BroadcastNestedLoopJoin if written as a raw inequality
+  join — quadratic per key at scale. `range_join_binned` instead
+  buckets time into bins of the interval length: each left interval
+  lands in at most 2 bins (explode factor ≤ ceil(len/bin)+1 = 2),
+  each right point in exactly 1, and the join becomes an EQUI-join
+  on (key, bin) with the exact range predicate applied post-join.
+  Catalyst plans it as a hash join; the bin key co-locates only
+  plausible pairs.
+
+No analog in the reference (T-SQL has neither operator); part of the
+engine's beyond-reference surface. DuckDB's native ASOF JOIN is the
+oracle for `asof_join` — an independent algorithm agreeing on the
+same answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "matched_",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``by`` key (NULLs when no
+    right row precedes). Right rows are first deduplicated to one per
+    (key, ts) — keeping the max ``tie_col`` — so the match is unique
+    and deterministic.
+
+    Plan: dedup window + union-merge window = two exchanges on the
+    key, both reused by AQE; no join node at all, so there is nothing
+    to skew or nested-loop. Equal timestamps match (<=): the right row
+    sorts before the left row at the same ts.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in by and c != right_ts
+    ]
+    if tie_col is None:
+        tie_col = right_cols[0]
+
+    dw = Window.partitionBy(*by, right_ts).orderBy(F.col(tie_col).desc())
+    r1 = (
+        right.withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    lcols = [c for c in left.columns if c not in by and c != left_ts]
+    l_tagged = left.select(
+        *by,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_r"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(r1.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+        F.lit(None).cast(r1.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = r1.select(
+        *by,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+
+    # right rows sort before left rows at equal ts so `<=` matches
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_ts").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    for c in right_cols:
+        merged = merged.withColumn(
+            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    merged = merged.withColumn("_r_ts", F.last("_r_ts", ignorenulls=True).over(w))
+
+    out = merged.filter(F.col("_is_r") == 0).select(
+        *by,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        F.col("_r_ts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_r_{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def range_join_binned(
+    intervals: DataFrame,
+    points: DataFrame,
+    by: list[str],
+    start_col: str,
+    length: Column,
+    point_ts: str = "ts",
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Equi-join-shaped range join: pairs every interval
+    ``[start, start+length)`` with the right-side points falling
+    inside it (same ``by`` key). ``length`` must be a literal
+    interval; ``bin_seconds`` defaults to the interval length so each
+    interval spans at most 2 bins.
+
+    Returns interval rows joined (inner) to their contained points —
+    callers aggregate as needed. The join key is (by..., time bin), so
+    Catalyst plans a hash join; the exact predicate
+    ``start <= point_ts < start + length`` filters bin-edge pairs.
+    """
+    if bin_seconds is None:
+        raise ValueError("bin_seconds is required (set it to the window length)")
+
+    def binno(ts: Column) -> Column:
+        return (ts.cast("long") / bin_seconds).cast("long")
+
+    iv = intervals.withColumn("_end", F.col(start_col) + length)
+    # an interval of len <= bin_seconds overlaps bin(start) and bin(end)
+    iv = iv.withColumn(
+        "_bin", F.explode(F.array_distinct(F.array(
+            binno(F.col(start_col)), binno(F.col("_end"))
+        )))
+    )
+    pt = points.withColumn("_bin", binno(F.col(point_ts)))
+
+    joined = iv.join(pt, on=[*by, "_bin"], how="inner").filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col("_end"))
+    )
+    return joined.drop("_bin", "_end")

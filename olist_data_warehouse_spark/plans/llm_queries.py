@@ -24,6 +24,7 @@ from olist_data_warehouse_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    temporal,
     textops,
 )
 from olist_data_warehouse_spark.plans.queries import _t, register
@@ -801,3 +802,97 @@ def samp_per_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     got = sampling.per_group_sample(d, ["lang"], F.col("doc_id"), n=5)
     return got.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of join, binned range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tj_asof_purchase_click",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+r0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+r1 AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
+SELECT l.user_id, l.ts, l.event_id, l.value,
+       r1.ts AS matched_ts, r1.event_id AS matched_event_id,
+       r1.value AS matched_value
+FROM l ASOF LEFT JOIN r1 ON l.user_id = r1.user_id AND r1.ts <= l.ts
+""",
+    doc="As-of join (operator Spark lacks): each purchase gets the "
+    "latest preceding click of the same user. Implemented as the "
+    "union-merge window — one hash shuffle on the key, no join node, "
+    "nothing to nested-loop. Oracle is DuckDB's NATIVE ASOF LEFT JOIN: "
+    "an independent algorithm agreeing on the same answer.",
+)
+def tj_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return temporal.asof_join(
+        purchases, clicks, by=["user_id"],
+        right_cols=["event_id", "value"], tie_col="event_id",
+    )
+
+
+@register(
+    "tj_range_error_clicks",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id,
+       count(c.ts) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 2) AS click_value
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 30 MINUTE
+GROUP BY e.event_id, e.user_id
+""",
+    doc="Range join (interval x points) without a nested loop: clicks "
+    "within 30 minutes after each error, same user. Binned form — "
+    "intervals explode to <=2 half-hour bins, points to 1, equi-join "
+    "on (user, bin) + exact range filter — so Catalyst plans a hash "
+    "join where the naive inequality join would be a "
+    "BroadcastNestedLoopJoin. Oracle is DuckDB's inequality join.",
+)
+def tj_range_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "value"
+    )
+    paired = temporal.range_join_binned(
+        errors, clicks, by=["user_id"], start_col="ts",
+        length=F.expr("INTERVAL 30 MINUTES"), point_ts="click_ts",
+        bin_seconds=1800,
+    )
+    return (
+        paired.groupBy("event_id", "user_id")
+        .agg(
+            F.count("click_ts").alias("n_clicks"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2)
+            .alias("click_value"),
+        )
+        # inner pair join drops errors with zero clicks; restore them
+        .join(errors.select("event_id", "user_id"), ["event_id", "user_id"],
+              "right_outer")
+        .fillna({"n_clicks": 0, "click_value": 0.0})
+    )

@@ -1,0 +1,123 @@
+"""As-of join and binned range join: semantics on hand-built edge
+cases (equal timestamps, no-match rows, dedup ties, bin boundaries)
+and the plan shapes that make them scale."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.operators import temporal
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),   # matches r@09:59
+            (1, _ts("2024-01-01 09:00:00"), "b"),   # no earlier right → NULL
+            (1, _ts("2024-01-01 09:30:00"), "c"),   # equal ts matches (<=)
+            (2, _ts("2024-01-01 10:00:00"), "d"),   # other key, own stream
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100),
+            (1, _ts("2024-01-01 09:59:00"), 200),
+            (1, _ts("2024-01-01 10:01:00"), 300),   # future: never matches
+            (2, _ts("2024-01-01 08:00:00"), 400),
+        ],
+        "k bigint, ts timestamp, v int",
+    )
+    got = {
+        r.tag: r.matched_v
+        for r in temporal.asof_join(left, right, by=["k"], right_cols=["v"]).collect()
+    }
+    assert got == {"a": 200, "b": None, "c": 100, "d": 400}
+
+
+def test_asof_join_dedups_right_ties_by_tie_col(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "k bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 7), (1, _ts("2024-01-01 09:00:00"), 9)],
+        "k bigint, ts timestamp, v int",
+    )
+    got = temporal.asof_join(left, right, by=["k"], right_cols=["v"]).collect()
+    assert got[0].matched_v == 9  # max tie_col survives the dedup
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01"))], "k bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01"), 1)], "k bigint, ts timestamp, v int"
+    )
+    plan = _plan(temporal.asof_join(left, right, by=["k"], right_cols=["v"]))
+    assert "Join" not in plan  # union-merge: windows only, no join node
+
+
+def test_range_join_binned_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))], "k bigint, iid int, start timestamp"
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1),    # inclusive start
+            (1, _ts("2024-01-01 10:29:59"), 2),    # inside
+            (1, _ts("2024-01-01 10:30:00"), 3),    # exclusive end
+            (1, _ts("2024-01-01 09:59:59"), 4),    # before
+            (2, _ts("2024-01-01 10:10:00"), 5),    # other key
+        ],
+        "k bigint, ts timestamp, pid int",
+    )
+    got = temporal.range_join_binned(
+        iv, pts, by=["k"], start_col="start",
+        length=F.expr("INTERVAL 30 MINUTES"), bin_seconds=1800,
+    )
+    assert sorted(r.pid for r in got.collect()) == [1, 2]
+
+
+def test_range_join_binned_crosses_bin_edge(spark):
+    # interval starts mid-bin: its points span two bins and must all pair
+    iv = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:15:00"))], "k bigint, iid int, start timestamp"
+    )
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:20:00"), 1), (1, _ts("2024-01-01 10:40:00"), 2)],
+        "k bigint, ts timestamp, pid int",
+    )
+    got = temporal.range_join_binned(
+        iv, pts, by=["k"], start_col="start",
+        length=F.expr("INTERVAL 30 MINUTES"), bin_seconds=1800,
+    )
+    assert sorted(r.pid for r in got.collect()) == [1, 2]
+
+
+def test_range_join_binned_plans_hash_join_not_nested_loop(spark):
+    iv = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:15:00"))], "k bigint, iid int, start timestamp"
+    )
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:20:00"), 1)], "k bigint, ts timestamp, pid int"
+    )
+    df = temporal.range_join_binned(
+        iv, pts, by=["k"], start_col="start",
+        length=F.expr("INTERVAL 30 MINUTES"), bin_seconds=1800,
+    )
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
