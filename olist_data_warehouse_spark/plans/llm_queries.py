@@ -24,6 +24,7 @@ from olist_data_warehouse_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    sketches,
     temporal,
     textops,
 )
@@ -895,4 +896,113 @@ def tj_range_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(errors.select("event_id", "user_id"), ["event_id", "user_id"],
               "right_outer")
         .fillna({"n_clicks": 0, "click_value": 0.0})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable sketches (operators/sketches.py): HLL distinct, histogram quantiles
+# ---------------------------------------------------------------------------
+
+_HLL_NUM = sketches.HLL_ALPHA * sketches.HLL_M * sketches.HLL_M * (
+    1 << sketches.HLL_RANK_MAX
+)
+
+
+@register(
+    "sk_hll_distinct_users",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+parts AS (
+  SELECT event_type,
+         CAST(floor(h / {1 << sketches.HLL_RANK_BITS}.0) AS BIGINT) AS bucket,
+         h % {1 << sketches.HLL_RANK_BITS} AS w
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN {sketches.HLL_RANK_MAX}
+                  ELSE {sketches.HLL_RANK_MAX} - length(bin(w)) END) AS register
+  FROM parts GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         SUM(CAST(power(2, {sketches.HLL_RANK_MAX} - register) AS BIGINT))
+           AS sum_occupied,
+         COUNT(*) AS n_occupied
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         {_HLL_NUM!r} / (sum_occupied
+            + ({sketches.HLL_M} - n_occupied) * {1 << sketches.HLL_RANK_MAX}) AS raw,
+         CAST({sketches.HLL_M} - n_occupied AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN raw <= {2.5 * sketches.HLL_M!r} AND zeros > 0
+                  THEN {float(sketches.HLL_M)!r} * ln({float(sketches.HLL_M)!r} / zeros)
+                  ELSE raw END, 4) AS approx_distinct,
+       zeros AS n_zero_registers
+FROM est
+""",
+    doc="Approximate COUNT(DISTINCT) via a portable HyperLogLog "
+    "(m=64): register file built relationally from the portable hash "
+    "— rank is integer bit-length, the harmonic sum an exact scaled "
+    "BIGINT — so unlike approx_count_distinct the estimate is "
+    "bit-reproducible on any engine and the oracle hash-checks it. "
+    "Per-(group,bucket) max is a map-side partial agg: the shuffle "
+    "carries <=64 rows per group at any input size.",
+)
+def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return sketches.hll_distinct(ev, ["event_type"], F.col("user_id"))
+
+
+@register(
+    "sk_hist_quantiles",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(value) AS n
+  FROM v GROUP BY 1
+),
+binned AS (
+  SELECT v.event_type, b.lo, b.hi, b.n,
+         least(CAST(floor((value - lo) / ((hi - lo) / 100)) AS BIGINT), 99)
+           AS bin
+  FROM v JOIN bounds b USING (event_type)
+),
+counts AS (
+  SELECT event_type, lo, hi, n, bin, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT event_type, lo, hi, n, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM counts
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT event_type, q AS quantile,
+       round(lo + min(bin) * (hi - lo) / 100, 4) AS value_est
+FROM cum CROSS JOIN qs
+WHERE cumc >= n * q
+GROUP BY event_type, q, lo, hi
+""",
+    doc="Approximate quantiles from an equi-width histogram sketch: "
+    "bounded-cardinality partial agg on (group,bin) + a window over "
+    "<=100 rows per group — no global sort, unlike exact percentile, "
+    "and bit-reproducible across engines (unlike percentile_approx, "
+    "which no oracle can check).",
+)
+def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return sketches.histogram_quantiles(
+        ev, ["event_type"], F.col("value"), quantiles=[0.5, 0.9, 0.99]
     )
