@@ -23,6 +23,7 @@ from olist_data_warehouse_spark.operators import (
     dedup,
     multimodal,
     sampling,
+    scd,
     similarity,
     sketches,
     temporal,
@@ -1005,4 +1006,121 @@ def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     return sketches.histogram_quantiles(
         ev, ["event_type"], F.col("value"), quantiles=[0.5, 0.9, 0.99]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Semi-structured extraction: pull a typed field out of a JSON "
+    "string column (events.props) and aggregate it — "
+    "get_json_object stays JVM-side (no UDF), and at scale the parse "
+    "happens once per row in the same codegen stage as the aggregate's "
+    "map side. The schema-on-read path for log/props payloads.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_supplier_merge",
+    oracle="""
+WITH dim0 AS (
+  SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal,
+         DATE '1995-01-01' AS effective_from
+  FROM supplier
+),
+upd AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 = 0 THEN s_nationkey + 1
+              ELSE s_nationkey END AS s_nationkey,
+         round(s_acctbal, 2) AS acctbal
+  FROM supplier WHERE s_suppkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_nationkey, round(s_acctbal, 2)
+  FROM supplier WHERE s_suppkey % 3 = 2
+)
+SELECT d.s_suppkey, d.s_nationkey, d.acctbal, d.effective_from,
+       CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+FROM dim0 d LEFT JOIN upd u USING (s_suppkey)
+WHERE u.s_suppkey IS NULL
+   OR (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+UNION ALL
+SELECT d.s_suppkey, d.s_nationkey, d.acctbal, d.effective_from,
+       DATE '1998-06-01', FALSE
+FROM dim0 d JOIN upd u USING (s_suppkey)
+WHERE NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+UNION ALL
+SELECT u.s_suppkey, u.s_nationkey, u.acctbal, DATE '1998-06-01',
+       CAST(NULL AS DATE), TRUE
+FROM upd u LEFT JOIN dim0 d USING (s_suppkey)
+WHERE d.s_suppkey IS NULL
+   OR NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+""",
+    doc="SCD Type-2 merge: an update snapshot against a supplier "
+    "dimension — changed keys close their open row at the batch date "
+    "and insert a new version, new keys insert, unchanged/absent keys "
+    "survive untouched. Upgrades the reference's rebuild-from-scratch "
+    "dims (Olist DW.sql:55-131) to effective-dated history. One "
+    "full-outer shuffle join; history rows pass through.",
+)
+def scd2_supplier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")["supplier"]
+    dim0 = sup.select(
+        "s_suppkey", "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").cast("date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        sup.filter(F.col("s_suppkey") % 3 < 2)
+        .select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 3 == 0, F.col("s_nationkey") + 1)
+            .otherwise(F.col("s_nationkey")).alias("s_nationkey"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 3 == 2).select(
+                (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+                "s_nationkey",
+                F.round("s_acctbal", 2).alias("acctbal"),
+            )
+        )
+    )
+    return scd.scd2_apply(
+        dim0, upd,
+        key_cols=["s_suppkey"], tracked_cols=["s_nationkey", "acctbal"],
+        batch_ts=F.lit("1998-06-01").cast("date"),
     )
