@@ -40,6 +40,14 @@ BENCH_QUERIES = [
     "stream_sessionize",
     "text_rolling_fingerprint",
     "multi_decode_meta",
+    # temporal joins, sketches, sampling (operator families beyond the
+    # reference; each is the family's heaviest representative)
+    "tj_asof_purchase_click",
+    "tj_range_error_clicks",
+    "sk_hll_distinct_users",
+    "sk_hist_quantiles",
+    "samp_hash_split",
+    "scd2_supplier_merge",
 ]
 
 

@@ -33,6 +33,30 @@ def read_csv(
     return spark.read.csv(path, header=header, schema=schema)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines ingestion — the interchange format of document/event
+    pipelines. Explicit schema only (same rule as CSV): schema
+    inference costs a full extra pass at 100 TB and lets types drift
+    between days of a feed. Corrupt lines land in a `_corrupt_record`
+    column instead of failing the batch (dead-letter route).
+    """
+    # fresh StructType: .add() would mutate the caller's schema object
+    full = T.StructType(
+        [f for f in schema.fields if f.name != "_corrupt_record"]
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return spark.read.json(path, schema=full, mode="PERMISSIVE",
+                           columnNameOfCorruptRecord="_corrupt_record")
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink, one object per line — newline-delimited so
+    downstream consumers can split files on line boundaries."""
+    df.write.mode("overwrite").json(path)
+
+
 def load_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:

@@ -77,3 +77,33 @@ def test_pandas_udf_cosine_matches_native(spark):
         # numpy's pairwise summation vs left-to-right fold: identical to
         # ~1e-15 relative; never compare through round() at a boundary.
         assert abs(r.native - r.arrow) < 1e-9
+
+
+def test_jsonl_roundtrip_and_corrupt_line_route(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from olist_data_warehouse_spark.sources import readers
+
+    p = str(tmp_path / "docs.jsonl")
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], "doc_id bigint, text string"
+    )
+    readers.write_jsonl(df, p)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = readers.read_jsonl(spark, p, schema)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "hello"), (2, "world")
+    ]
+    # corrupt lines route to _corrupt_record instead of failing the read
+    bad = str(tmp_path / "bad.jsonl")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("not json at all\n")
+    got = readers.read_jsonl(spark, bad, schema)
+    rows = got.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0].doc_id is None
