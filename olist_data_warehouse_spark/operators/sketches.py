@@ -159,3 +159,66 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_build(
+    df: DataFrame, key: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(r, c, cnt): the depth×width count-min counter matrix. The
+    groupBy is a bounded-cardinality partial aggregate (≤ depth·width
+    rows survive per partition), so shuffle volume is fixed at any
+    input size — the sketch property. Counters are BIGINTs: every
+    estimate is integer-exact and engine-portable."""
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (portable_hash32(
+                F.concat_ws("|", F.lit(str(i)), key.cast("string"))
+            ) % width).alias("c"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    candidates: DataFrame,
+    key: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimated frequency (min over the depth counters) for each
+    candidate key. Overestimates only — never undercounts — so top-k
+    by estimate is a superset-safe heavy-hitter query. The sketch side
+    is ≤ depth·width rows: always broadcastable."""
+    probes = candidates.select(
+        key.alias("key"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("r"),
+                (portable_hash32(
+                    F.concat_ws("|", F.lit(str(i)), key.cast("string"))
+                ) % width).alias("c"),
+            )
+            for i in range(depth)
+        ])).alias("cell"),
+    ).select("key", "cell.r", "cell.c")
+    return (
+        probes.join(F.broadcast(cms), ["r", "c"], "inner")
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )

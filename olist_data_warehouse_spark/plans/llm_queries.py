@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_data_warehouse_spark.operators import (
+    bloom,
     dedup,
     multimodal,
     sampling,
@@ -1124,3 +1125,92 @@ def scd2_supplier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["s_suppkey"], tracked_cols=["s_nationkey", "acctbal"],
         batch_ts=F.lit("1998-06-01").cast("date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction + count-min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_prefilter_lineitem",
+    oracle=f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderdate >= DATE '1998-01-01'
+),
+hashes AS (SELECT unnest([0, 1, 2]) AS i),
+pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                              || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+           % {bloom.M_BITS_DEFAULT} AS p
+  FROM build CROSS JOIN hashes
+)
+SELECT count(*) AS n_pass,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem
+WHERE NOT EXISTS (
+  SELECT 1 FROM hashes h
+  WHERE ('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|'
+                             || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          % {bloom.M_BITS_DEFAULT}
+        NOT IN (SELECT p FROM pos)
+)
+""",
+    doc="Bloom semi-join reduction: an 8 KB bitset over 1998 order "
+    "keys filters the lineitem scan map-side — no shuffle of the fact "
+    "to probe the keyset; the surviving ~x% flow into the real join "
+    "(false positives only, never negatives). The oracle recomputes "
+    "membership from the same hash family, so the result — false "
+    "positives included — matches bit-for-bit.",
+)
+def bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    build = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    )
+    words = bloom.bloom_build(build, F.col("o_orderkey"))
+    li = t["lineitem"].filter(
+        bloom.bloom_might_contain(F.col("l_orderkey"), words)
+    )
+    return li.agg(
+        F.count("*").alias("n_pass"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+@register(
+    "sk_cms_heavy_hitters",
+    oracle=f"""
+WITH cells AS (
+  SELECT i.i AS r,
+         ('0x' || substr(md5(CAST(i.i AS VARCHAR) || '|'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {sketches.CMS_WIDTH} AS c
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+),
+cms AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+cand AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id AS key, i.i AS r,
+         ('0x' || substr(md5(CAST(i.i AS VARCHAR) || '|'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {sketches.CMS_WIDTH} AS c
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+)
+SELECT p.key, min(cms.cnt) AS est
+FROM probes p JOIN cms ON p.r = cms.r AND p.c = cms.c
+GROUP BY p.key
+""",
+    doc="Count-min heavy hitters: per-user event frequencies from a "
+    "4x1024 counter matrix — a bounded-cardinality partial aggregate "
+    "whose shuffle volume is fixed at any input size, and the sketch "
+    "side always broadcastable. Integer counters: estimates are exact "
+    "across engines, so even the overestimates hash-match.",
+)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    cms = sketches.cms_build(ev, F.col("user_id"))
+    cand = ev.select("user_id").distinct()
+    return sketches.cms_estimate(cms, cand, F.col("user_id"))
