@@ -270,3 +270,97 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid refinement (the IVF production path)
+# ---------------------------------------------------------------------------
+
+KM_SCALE = 1_000_000  # fixed-point quantization: 1e-6 resolution
+
+
+def _quantize(emb: Column) -> Column:
+    """array<float> → array<bigint> at 1e-6 resolution. Quantizing
+    makes every centroid sum an exact integer — partial aggregation
+    order stops mattering, so the result is identical on any partition
+    layout AND any engine (float sums are neither)."""
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * KM_SCALE).cast("long")
+    )
+
+
+def _dequant(q: Column) -> Column:
+    return F.transform(q, lambda v: v / F.lit(float(KM_SCALE)))
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a[i]-b[i])² with left-to-right double accumulation (matches
+    DuckDB's list_reduce order for reproducible floats)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_refine(
+    embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means on quantized vectors: ``iters`` rounds of
+    assign-to-nearest + recompute-centroid, from the same
+    deterministic seeds as :func:`ivf_assign`. Returns the final
+    assignment (vec_id, centroid_id, sq_dist rounded 4).
+
+    Scale shape per iteration: assignment is one broadcast of C
+    centroid rows against a streaming corpus pass (argmin via
+    row_number over C candidates); the update is posexplode →
+    groupBy (centroid, dim) — a bounded partial aggregate of exact
+    BIGINT sums (≤ C·dim rows survive per partition), reassembled into
+    C arrays. Nothing collects beyond the C×dim centroid table. An
+    empty cluster drops out (standard Lloyd behavior), kept identical
+    in the oracle.
+    """
+    q = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("qe")
+    ).localCheckpoint()
+
+    centroids = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), _dequant("qe").alias("c_emb")
+    )
+
+    assign = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "qe", "centroid_id",
+            _sq_dist(_dequant("qe"), F.col("c_emb")).alias("sq_dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("sq_dist"), F.asc("centroid_id")
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qe", "centroid_id", "sq_dist")
+        )
+        # centroid update: exact integer per-dimension sums
+        sums = (
+            assign.select(
+                "centroid_id", F.posexplode("qe").alias("d", "v")
+            )
+            .groupBy("centroid_id", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        centroids = (
+            sums.withColumn("val", F.col("s") / F.col("n") / KM_SCALE)
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "val"))),
+                    lambda s: s["val"],
+                ).alias("c_emb")
+            )
+        )
+
+    return assign.select(
+        "vec_id", "centroid_id", F.round("sq_dist", 4).alias("sq_dist")
+    )

@@ -141,24 +141,26 @@ def histogram_quantiles(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    out = None
-    for q in quantiles:
-        hit = (
-            cum.filter(F.col("_cum") >= F.col("_n") * q)
-            .groupBy(*group_cols, "_lo", "_hi")
-            .agg(F.min("_bin").alias("_qbin"))
-            .select(
-                *group_cols,
-                F.lit(q).alias("quantile"),
-                F.round(
-                    F.col("_lo")
-                    + F.col("_qbin") * (F.col("_hi") - F.col("_lo")) / n_bins,
-                    4,
-                ).alias("value_est"),
-            )
+    # all quantiles in ONE pass over the cumulative histogram: explode
+    # the quantile list per bin row (≤ n_bins·|qs| rows per group) and
+    # take min bin per (group, q) — a per-q union would recompute the
+    # window once per quantile
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in quantiles]))
+    return (
+        cum.withColumn("quantile", qcol)
+        .filter(F.col("_cum") >= F.col("_n") * F.col("quantile"))
+        .groupBy(*group_cols, "_lo", "_hi", "quantile")
+        .agg(F.min("_bin").alias("_qbin"))
+        .select(
+            *group_cols,
+            "quantile",
+            F.round(
+                F.col("_lo")
+                + F.col("_qbin") * (F.col("_hi") - F.col("_lo")) / n_bins,
+                4,
+            ).alias("value_est"),
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

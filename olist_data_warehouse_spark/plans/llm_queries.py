@@ -1214,3 +1214,65 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = sketches.cms_build(ev, F.col("user_id"))
     cand = ev.select("user_id").distinct()
     return sketches.cms_estimate(cms, cand, F.col("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# K-means refinement (iterative algorithm, fixed-point exact)
+# ---------------------------------------------------------------------------
+
+_KM_ASSIGN_SQL = """
+SELECT * FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sq_dist, centroid_id) AS rn
+  FROM (
+    SELECT q.vec_id, q.qe, c.centroid_id,
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, 64),
+               j -> (q.qe[j] / 1000000.0 - c.c_emb[j])
+                  * (q.qe[j] / 1000000.0 - c.c_emb[j]))),
+             (a, x) -> a + x) AS sq_dist
+    FROM q CROSS JOIN {cent} c
+  ) s
+) WHERE rn = 1
+""".strip()
+
+
+@register(
+    "sim_kmeans_refine",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(qe, v -> v / 1000000.0) AS c_emb
+  FROM q WHERE vec_id < 8
+),
+a1 AS ({_KM_ASSIGN_SQL.format(cent="c0")}),
+sums AS (
+  SELECT centroid_id, j AS d, sum(qe[j]) AS s, count(*) AS n
+  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) jj
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT centroid_id, list(s / n / 1000000.0 ORDER BY d) AS c_emb
+  FROM sums GROUP BY 1
+),
+a2 AS ({_KM_ASSIGN_SQL.format(cent="c1")})
+SELECT vec_id, centroid_id, round(sq_dist, 4) AS sq_dist FROM a2
+""",
+    doc="Iterative k-means (2 Lloyd rounds) refining the IVF seed "
+    "centroids on FIXED-POINT vectors: quantizing to 1e-6 makes every "
+    "centroid sum an exact BIGINT, so partial-aggregation order stops "
+    "mattering and the iteration is bit-reproducible on any partition "
+    "layout and any engine — the trick that lets an iterative ML "
+    "algorithm pass a cross-engine hash gate. Per round: broadcast of "
+    "C centroids + one corpus pass, then a bounded (C x dim) integer "
+    "partial aggregate.",
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.kmeans_refine(e, n_centroids=8, iters=2)

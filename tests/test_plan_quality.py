@@ -90,3 +90,36 @@ def test_sampling_membership_is_catalyst_only(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_kmeans_refine_assignment_is_partitioning_invariant(spark):
+    """Fixed-point sums make the iteration exact: any partition layout
+    must give the identical assignment."""
+    from olist_data_warehouse_spark.operators import similarity
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    e = load_testdata(spark, SF, ("embeddings",))["embeddings"]
+    a = similarity.kmeans_refine(e, n_centroids=8, iters=2).collect()
+    b = similarity.kmeans_refine(
+        e.repartition(13), n_centroids=8, iters=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_refine_improves_within_cluster_distance(spark):
+    """Lloyd's guarantee: mean squared distance is non-increasing
+    across refinement rounds."""
+    from olist_data_warehouse_spark.operators import similarity
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+    from pyspark.sql import functions as F
+
+    e = load_testdata(spark, SF, ("embeddings",))["embeddings"]
+    d1 = (
+        similarity.kmeans_refine(e, n_centroids=8, iters=1)
+        .agg(F.sum("sq_dist")).collect()[0][0]
+    )
+    d2 = (
+        similarity.kmeans_refine(e, n_centroids=8, iters=2)
+        .agg(F.sum("sq_dist")).collect()[0][0]
+    )
+    assert d2 <= d1 + 1e-6
