@@ -26,6 +26,7 @@ from olist_data_warehouse_spark.operators import (
     sampling,
     scd,
     similarity,
+    skew,
     sketches,
     temporal,
     textops,
@@ -1276,3 +1277,34 @@ SELECT vec_id, centroid_id, round(sq_dist, 4) AS sq_dist FROM a2
 def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.kmeans_refine(e, n_centroids=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT e.user_id, u.n_events AS user_total,
+       count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) u
+  ON e.user_id = u.user_id
+GROUP BY e.user_id, u.n_events
+""",
+    doc="Salted join for hot-key skew: the fact side's shuffle key "
+    "gets a salt in [0,8), the dim side is replicated once per salt, "
+    "so one hot key spreads over 8 reducers instead of serializing on "
+    "one. The oracle runs the UNSALTED join — salting must be "
+    "row-identical to it, which is the operator's contract.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    joined = skew.salted_join(ev, per_user, on=["user_id"], n_salts=8)
+    return (
+        joined.groupBy("user_id", F.col("n_events").alias("user_total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

@@ -60,3 +60,30 @@ def delete_where(spark: SparkSession, table: str, predicate: Column) -> None:
     # lakehouse format (Delta/Iceberg) would make this a real DELETE.
     kept = kept.localCheckpoint(eager=True)
     kept.write.mode("overwrite").saveAsTable(table)
+
+
+def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Compact a parquet directory's small files toward
+    ``target_file_bytes`` per output file. Returns the file count
+    written.
+
+    Streaming sinks and incremental appends accrete one file per
+    micro-batch/run; at 100 TB the resulting file-count explosion
+    dominates scan planning time and kills row-group locality. This is
+    the plain-parquet form of OPTIMIZE/rewriteDataFiles: size-based
+    repartition, atomic overwrite. Runs as maintenance, not in the
+    query path.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path).repartition(n_files).localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    return n_files

@@ -1,0 +1,65 @@
+"""Salted join correctness (row-identical to the plain join, salt in
+the shuffle key) and small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.operators import skew
+from olist_data_warehouse_spark.sources import writers
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (0) with 5000 rows, 50 cold keys
+    rows = [(0, i) for i in range(5000)] + [(k, k) for k in range(1, 51)]
+    big = spark.createDataFrame(rows, "k bigint, v bigint")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(51)], "k bigint, name string"
+    )
+    return big, small
+
+
+def test_salted_join_row_identical_to_plain_join(spark, skewed):
+    big, small = skewed
+    plain = big.join(small, "k").select("k", "v", "name")
+    salted = skew.salted_join(big, small, ["k"]).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_left_join_preserves_unmatched_rows(spark, skewed):
+    big, small = skewed
+    small_missing = small.filter(F.col("k") != 0)   # hot key unmatched
+    out = skew.salted_join(big, small_missing, ["k"], how="left")
+    assert out.count() == big.count()
+    assert out.filter(F.col("k") == 0).filter(F.col("name").isNull()).count() == 5000
+    with pytest.raises(ValueError):
+        skew.salted_join(big, small, ["k"], how="full_outer")
+
+
+def test_salted_join_shuffles_on_salted_key(spark, skewed):
+    big, small = skewed
+    df = skew.salted_join(big, small, ["k"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "_salt" in buf.getvalue()  # the salt is part of the join key
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    p = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("x", F.col("id") * 2)
+    df.repartition(64).write.parquet(p)   # simulate 64 tiny appended files
+    assert len(glob.glob(f"{p}/*.parquet")) == 64
+    n = writers.compact(spark, p, target_file_bytes=1 << 30)
+    assert n == 1 and len(glob.glob(f"{p}/*.parquet")) == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 10000
+    assert back.agg(F.sum("x")).collect()[0][0] == 9999 * 10000
