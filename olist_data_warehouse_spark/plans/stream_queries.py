@@ -82,3 +82,30 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT event_id) AS n_unique,
+       sum(CAST(user_id AS BIGINT)) AS user_sum
+FROM events
+GROUP BY event_type
+""",
+    doc="Batch twin of the streaming exactly-once dedup "
+    "(dropDuplicatesWithinWatermark): first occurrence per event_id "
+    "wins, state bounded by the watermark. The pytest side replays the "
+    "source twice and asserts the stream still emits each id once; "
+    "this twin pins the deduped aggregate.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("event_id").alias("n_unique"),
+            F.sum(F.col("user_id").cast("long")).alias("user_sum"),
+        )
+    )

@@ -87,3 +87,20 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
     df = spark.read.parquet(path).repartition(n_files).localCheckpoint(eager=True)
     df.write.mode("overwrite").parquet(path)
     return n_files
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join
+    key. Two tables bucketed the same way join with ZERO exchange —
+    each task reads matching bucket files from both sides — which
+    deletes the big-big shuffle that dominates fact-to-fact joins at
+    100 TB. The bucket count is a layout decision: pick it so one
+    bucket of the larger table fits an executor's memory.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

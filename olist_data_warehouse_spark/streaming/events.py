@@ -205,3 +205,19 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once dedup: first occurrence of each key wins;
+    replays and at-least-once source duplicates are dropped.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    key's event time ages past the watermark — bounded state, unlike a
+    plain dropDuplicates on a stream, which would grow forever. The
+    batch twin is dropDuplicates on the same keys.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -63,3 +63,35 @@ def test_compact_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 10000
     assert back.agg(F.sum("x")).collect()[0][0] == 9999 * 10000
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The 100 TB lever: co-bucketed tables join shuffle-free."""
+    from olist_data_warehouse_spark.sources import writers as W
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    spark.catalog.setCurrentDatabase("bktest")
+    orders = spark.range(10000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_attr")
+    )
+    items = spark.range(30000).select(
+        (F.col("id") % 10000).alias("o_key"), F.col("id").alias("i_id")
+    )
+    W.write_bucketed(orders, "bktest.o_b", ["o_key"], 8)
+    W.write_bucketed(items, "bktest.i_b", ["o_key"], 8)
+    # disable broadcast so the plan shows what happens when BOTH sides
+    # are fact-sized (the case bucketing exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bktest.o_b").join(spark.table("bktest.i_b"), "o_key")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan      # co-located: no shuffle at all
+        assert joined.count() == 30000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.catalog.setCurrentDatabase("default")

@@ -96,3 +96,26 @@ def test_apply_in_pandas_with_state_matches_batch(spark):
     )
     cols = ("user_id", "n_events", "total_value")
     assert rows(got, *cols) == rows(batch, *cols)
+
+
+def test_streaming_dedup_drops_replayed_duplicates(spark):
+    """Streaming dedup-within-watermark sees each event_id once even
+    when the source replays; agrees with the batch dropDuplicates."""
+    events = load_testdata(spark, SF, ("events",))["events"]
+    batch_n = events.dropDuplicates(["event_id"]).count()
+
+    # simulate an at-least-once source: the same file delivered twice
+    base = ev.read_events_stream(spark, SF)
+    doubled = base.union(base)
+    stream = ev.dedup_stream(doubled, ["event_id"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    assert got.count() == batch_n
+    assert got.select("event_id").distinct().count() == batch_n
