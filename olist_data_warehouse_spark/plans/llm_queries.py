@@ -1308,3 +1308,101 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("user_id", F.col("n_events").alias("user_total"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function family (beyond per-group top-N) + CUBE + k-fold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_running_total",
+    oracle="""
+SELECT event_id, user_id,
+       SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS running_value
+FROM events
+""",
+    doc="Running total per user over event time (frame: unbounded "
+    "preceding). DECIMAL accumulation: exact, so the window's "
+    "summation tree shape (Spark incremental vs DuckDB segment tree) "
+    "cannot drift the low bits. One hash shuffle on user_id; frames "
+    "never cross partitions.",
+)
+def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .alias("running_value"),
+    )
+
+
+@register(
+    "w3_lag_delta",
+    oracle="""
+SELECT event_id, user_id,
+       date_diff('second', lag(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), ts) AS secs_since_prev
+FROM events
+""",
+    doc="LAG: integer seconds since the user's previous event (NULL "
+    "for the first) — the sessionization primitive as a standalone "
+    "window query.",
+)
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id", "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev))
+        .cast("bigint").alias("secs_since_prev"),
+    )
+
+
+@register(
+    "a11_cube",
+    oracle="""
+SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+    doc="CUBE: all 2^2 grouping sets over (lang, source) in one pass "
+    "(Expand + single aggregate — not 4 scans).",
+)
+def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.cube("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+@register(
+    "samp_kfold",
+    oracle=f"""
+SELECT doc_id,
+       CAST(({_bucket_sql("kfold", "doc_id")}) % 5 AS INT) AS fold
+FROM documents
+""",
+    doc="K-fold cross-validation assignment (k=5) from the same "
+    "salted content hash as hash_split — folds are partitioning- and "
+    "run-invariant, so every training job sees the same folds.",
+)
+def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        (sampling.hash_bucket(F.col("doc_id"), "kfold") % 5)
+        .cast("int").alias("fold"),
+    )

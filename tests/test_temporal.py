@@ -121,3 +121,65 @@ def test_range_join_binned_plans_hash_join_not_nested_loop(spark):
     )
     plan = _plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property test: asof_join vs brute-force reference on generated inputs
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _row = st.tuples(
+        st.integers(min_value=1, max_value=3),      # key: few → collisions
+        st.integers(min_value=0, max_value=20),     # coarse ts → ties
+    )
+    _rrow = st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=9),      # value / tie-breaker
+    )
+
+    @given(
+        left=st.lists(_row, min_size=1, max_size=8),
+        right=st.lists(_rrow, min_size=0, max_size=8),
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_asof_join_matches_bruteforce(spark, left, right):
+        from datetime import datetime, timezone
+
+        def ts(i):
+            return datetime(2024, 1, 1, 0, 0, i, tzinfo=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        ldf = spark.createDataFrame(
+            [(k, ts(t), i) for i, (k, t) in enumerate(left)],
+            "k bigint, ts timestamp, lid bigint",
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts(t), v) for (k, t, v) in right],
+            "k bigint, ts timestamp, v bigint",
+        )
+        got = {
+            r.lid: r.matched_v
+            for r in temporal.asof_join(
+                ldf, rdf, by=["k"], right_cols=["v"]
+            ).collect()
+        }
+        for i, (k, t) in enumerate(left):
+            # reference semantics: dedupe right per (k, ts) keeping max
+            # v, then match the latest ts <= t
+            cand = {}
+            for rk, rt, rv in right:
+                if rk == k and rt <= t:
+                    cand[rt] = max(cand.get(rt, -1), rv)
+            expect = cand[max(cand)] if cand else None
+            assert got[i] == expect, (i, k, t, got[i], expect)
+
+except ImportError:  # hypothesis not installed: property test is optional
+    pass
