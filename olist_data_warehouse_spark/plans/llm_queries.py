@@ -1406,3 +1406,72 @@ def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sampling.hash_bucket(F.col("doc_id"), "kfold") % 5)
         .cast("int").alias("fold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Final coverage: ntile, distinct union, contains-predicate pushdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w4_ntile_quartiles",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS INT) AS quartile
+FROM events
+""",
+    doc="NTILE(4): equal-frequency value quartiles per event type — "
+    "the bucketing used for quality-score banding in training-data "
+    "curation. Deterministic via the event_id tiebreak.",
+)
+def w4_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="UNION (distinct) — completes the set-op family next to "
+    "UNION ALL / INTERSECT / EXCEPT: union + one dedup shuffle.",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "p11_contains_filter",
+    oracle="""
+SELECT lang, count(*) AS n
+FROM documents
+WHERE text LIKE '%the%'
+GROUP BY lang
+""",
+    doc="Substring-predicate scan: LIKE '%s%' compiles to a "
+    "StringContains filter that Spark pushes into the parquet reader "
+    "(row-group stats + predicate evaluation at the scan), so the "
+    "filter runs before any row reaches the aggregate.",
+)
+def p11_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.filter(F.col("text").contains("the"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
