@@ -217,3 +217,63 @@ def shard_for_decode(images: DataFrame, n_shards: int = 256) -> DataFrame:
     """Repartition payload rows by id-hash shard so decode tasks are
     uniform under payload-size skew (the expensive stage at scale)."""
     return images.repartition(n_shards, F.pmod(F.hash("item_id"), F.lit(n_shards)))
+
+
+# Fake audio payload: b"FAKEAUD|<sample_rate>|<n_samples>|<channels>|" + pcm
+FAKE_AUDIO_MAGIC = b"FAKEAUD"
+
+AUDIO_META_SCHEMA = (
+    "item_id bigint, byte_len int, is_valid boolean, "
+    "sample_rate int, n_samples int, channels int, duration_ms bigint"
+)
+
+
+def make_fake_audio(
+    item_id: int, sample_rate: int, n_samples: int, channels: int = 1
+) -> bytes:
+    header = b"|".join(
+        [FAKE_AUDIO_MAGIC, str(sample_rate).encode(), str(n_samples).encode(),
+         str(channels).encode()]
+    ) + b"|"
+    body = bytes((item_id * 13 + i) % 256 for i in range(min(n_samples, 64)))
+    return header + body
+
+
+def decode_audio_meta(audio: DataFrame, codec: str = "fake") -> DataFrame:
+    """Audio decode stage: payload → (sample_rate, n_samples,
+    channels, duration_ms). Same Arrow-batched mapInPandas contract as
+    the image/video stages; a real pipeline puts soundfile/torchaudio
+    in this slot. duration_ms is integer math (n_samples·1000 //
+    rate): engine-portable."""
+    _gate(codec, "audio decode", "an audio library (soundfile/torchaudio)")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def parse(b):
+            if b is None:
+                return (0, False, 0, 0, 0, 0)
+            bb = bytes(b)
+            if not bb.startswith(FAKE_AUDIO_MAGIC):
+                return (len(bb), False, 0, 0, 0, 0)
+            parts = bb.split(b"|", 4)
+            try:
+                rate, n, ch = int(parts[1]), int(parts[2]), int(parts[3])
+            except (IndexError, ValueError):
+                return (len(bb), False, 0, 0, 0, 0)
+            dur = n * 1000 // rate if rate > 0 else 0
+            return (len(bb), True, rate, n, ch, dur)
+
+        for pdf in batches:
+            parsed = pdf["payload"].map(parse)
+            yield pd.DataFrame({
+                "item_id": pdf["item_id"],
+                "byte_len": parsed.map(lambda t: t[0]),
+                "is_valid": parsed.map(lambda t: t[1]),
+                "sample_rate": parsed.map(lambda t: t[2]),
+                "n_samples": parsed.map(lambda t: t[3]),
+                "channels": parsed.map(lambda t: t[4]),
+                "duration_ms": parsed.map(lambda t: t[5]),
+            })
+
+    return audio.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)

@@ -1475,3 +1475,43 @@ def p11_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "multi_audio_meta",
+    oracle="""
+SELECT doc_id AS item_id,
+       CAST(octet_length(encode(
+         'FAKEAUD|16000|' || CAST(doc_id % 48000 + 8000 AS VARCHAR) || '|1|'
+         || substr(text, 1, 64))) AS INT) AS byte_len,
+       TRUE AS is_valid,
+       16000 AS sample_rate,
+       CAST(doc_id % 48000 + 8000 AS INT) AS n_samples,
+       1 AS channels,
+       CAST((doc_id % 48000 + 8000) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+""",
+    doc="Audio decode stage (completes the image/audio/video triad): "
+    "fake 16 kHz payloads decoded to sample count / channel / "
+    "duration metadata via the same Arrow-batched mapInPandas "
+    "contract; duration is integer math so the oracle re-derives it "
+    "exactly.",
+)
+def multi_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n = (F.col("doc_id") % 48000 + 8000).cast("int")
+    payload = F.concat(
+        F.lit("FAKEAUD|16000|"), n.cast("string"), F.lit("|1|"),
+        F.substring("text", 1, 64),
+    ).cast("binary")
+    audio = d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    meta = multimodal.decode_audio_meta(
+        multimodal.shard_for_decode(audio, n_shards=32)
+    )
+    return meta.select(
+        "item_id", "byte_len", "is_valid",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.col("channels").cast("int").alias("channels"),
+        "duration_ms",
+    )

@@ -92,3 +92,21 @@ def test_shard_for_decode_partitioning(spark, images):
     assert sharded.rdd.getNumPartitions() == 4
     # payload content unchanged by the repartition
     assert sharded.count() == images.count()
+
+
+def test_decode_audio_meta(spark):
+    rows = [
+        (1, mm.make_fake_audio(1, 16000, 32000)),           # 2.0 s mono
+        (2, mm.make_fake_audio(2, 44100, 44100, channels=2)),
+        (3, b"static noise"),
+        (4, None),
+    ]
+    audio = spark.createDataFrame(rows, "item_id bigint, payload binary")
+    got = {r.item_id: r for r in mm.decode_audio_meta(audio).collect()}
+    assert got[1].is_valid and got[1].sample_rate == 16000
+    assert got[1].duration_ms == 2000
+    assert got[2].channels == 2 and got[2].duration_ms == 1000
+    assert not got[3].is_valid and not got[4].is_valid
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        mm.decode_audio_meta(audio, codec="torchaudio")
