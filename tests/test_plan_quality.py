@@ -123,3 +123,13 @@ def test_kmeans_refine_improves_within_cluster_distance(spark):
         .agg(F.sum("sq_dist")).collect()[0][0]
     )
     assert d2 <= d1 + 1e-6
+
+
+def test_range_join_registry_query_never_nested_loops(spark):
+    plan = plan_of(spark, "tj_range_error_clicks")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_json_extraction_stays_jvm_side(spark):
+    plan = plan_of(spark, "json_props_extract")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
