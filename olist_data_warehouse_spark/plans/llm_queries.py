@@ -1515,3 +1515,34 @@ def multi_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").cast("int").alias("channels"),
         "duration_ms",
     )
+
+
+@register(
+    "text_word_count",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+words AS (SELECT unnest(toks) AS word FROM tok),
+counted AS (
+  SELECT word, COUNT(*) AS n FROM words
+  WHERE word != '' AND word NOT IN ({_STOPWORDS_SQL})
+  GROUP BY word
+)
+SELECT word, n FROM counted ORDER BY n DESC, word LIMIT 20
+""",
+    doc="Corpus word-frequency top-k (explode -> filter stopwords -> "
+    "count -> top-k): the canonical text-pipeline generator op. "
+    "Explode happens map-side before the shuffle, so shuffle volume "
+    "is (word, partial_count) pairs after partial aggregation, not "
+    "the exploded token stream; top-k is TakeOrderedAndProject, no "
+    "global sort. Tiebroken by word for deterministic k-boundary.",
+)
+def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(F.explode(textops.tokens("text")).alias("word"))
+        .filter((F.col("word") != "") & ~F.col("word").isin(*textops.STOPWORDS))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

@@ -1049,6 +1049,106 @@ def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a12_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    doc="Grouping-sets extension: arbitrary grouping sets beyond "
+    "ROLLUP/CUBE (SURVEY §2.4 'not present' list — engine provides). "
+    "One Expand + one hash aggregate; shuffle volume is |sets| x "
+    "group cardinality, not |sets| x input.",
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+               COUNT(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@register(
+    "a13_median_percentile",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT l_returnflag,
+       median(price_cents) / 100.0 AS median_price,
+       quantile_cont(price_cents, 0.9) / 100.0 AS p90_price,
+       COUNT(*) AS n
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (median + p90) per group — the "
+    "distributional profiling the reference lacks. Computed over "
+    "integer cents so the interpolation midpoints are bit-identical "
+    "doubles in both engines (raw-double medians straddle ROUND "
+    "boundaries — seen at sf0.001). At scale swap for "
+    "`approx_percentile` (t-digest, bounded memory).",
+)
+def a13_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return (
+        cents.groupBy("l_returnflag")
+        .agg(
+            (F.median("price_cents") / 100.0).alias("median_price"),
+            (F.percentile("price_cents", F.lit(0.9)) / 100.0).alias(
+                "p90_price"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "w5_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="first_value/last_value with an explicit full-partition frame "
+    "(the default frame stops at CURRENT ROW — the classic "
+    "last_value trap). Tiebroken by o_orderkey for determinism; one "
+    "shuffle on o_custkey, per-customer partitions are tiny.",
+)
+def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
 # Extended LLM-pipeline and streaming operators register themselves into
 # REGISTRY on import (sibling modules keep this file reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
