@@ -133,3 +133,40 @@ def test_range_join_registry_query_never_nested_loops(spark):
 def test_json_extraction_stays_jvm_side(spark):
     plan = plan_of(spark, "json_props_extract")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted explain prints each node twice (tree line + "(id) Node"
+    # detail header); count the detail headers, one per physical node.
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_word_count_combines_before_shuffle_and_takeordered(spark):
+    """The exploded token stream must be partially aggregated map-side:
+    the shuffle carries (word, partial_count) pairs, not raw tokens,
+    and the top-20 never plans a global sort."""
+    plan = plan_of(spark, "text_word_count")
+    # tree is top-down: Generate under the Exchange = explode happens
+    # map-side, before the shuffle
+    assert plan.index("Exchange") < plan.index("Generate")
+    assert "partial_count" in plan, "map-side combine must precede the shuffle"
+    assert _n_exchanges(plan) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouping_sets_single_exchange(spark):
+    """GROUPING SETS = one Expand + partial/final agg around exactly one
+    shuffle; shuffle volume is |sets| x group cardinality, not input size."""
+    plan = plan_of(spark, "a12_grouping_sets")
+    assert "Expand" in plan
+    assert "partial_sum" in plan
+    assert _n_exchanges(plan) == 1
+
+
+def test_first_last_window_single_shuffle(spark):
+    plan = plan_of(spark, "w5_first_last")
+    assert _n_exchanges(plan) == 1
+    assert "Window" in plan
