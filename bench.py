@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "sim_bruteforce_topk",
     "stream_sessionize",
     "text_rolling_fingerprint",
+    "text_word_count",
+    "a13_median_percentile",
     "multi_decode_meta",
     # temporal joins, sketches, sampling (operator families beyond the
     # reference; each is the family's heaviest representative)
