@@ -7,8 +7,8 @@ Prints ONE JSON line:
 The reference's benchmark is its three paired OLTP-vs-DW top-5 queries
 measured with SET STATISTICS IO/TIME (`Olist DW.sql:211-279`); ours is
 the same query set (both forms) plus the incremental-delta plan, wall-
-clock per query with the action being a count+collect of the (small)
-result.
+clock per query with a no-op sink write as the action (all columns
+computed, nothing persisted, no driver transfer).
 """
 
 from __future__ import annotations
@@ -70,7 +70,7 @@ def main() -> None:
     # DW-form queries then measure query-on-warehouse, not the build.
     from olist_data_warehouse_spark.plans.queries import warehouse_tables
 
-    warehouse_tables(spark, sf_dir)["sales_fact"].count()
+    warehouse_tables(spark, sf_dir, groups=("sales", "events"))["sales_fact"].count()
 
     # Best-of-N per query: the VM is shared, and single-shot timings
     # showed multi-second noise unrelated to the plan. The minimum is
@@ -86,9 +86,11 @@ def main() -> None:
         for _ in range(runs):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
-            # One execution: count() materializes the full result
-            # without pulling wide rows to the driver.
-            df.count()
+            # One execution through the no-op sink: every output column
+            # is computed and serialized but nothing is written. count()
+            # would let Catalyst prune the projections being measured
+            # (a per-row fingerprint column, say, costs 0 under count).
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -127,19 +127,27 @@ def range_join_binned(
     callers aggregate as needed. The join key is (by..., time bin), so
     Catalyst plans a hash join; the exact predicate
     ``start <= point_ts < start + length`` filters bin-edge pairs.
+
+    Correct for ANY ``bin_seconds``: each interval explodes to the full
+    ``sequence(bin(start), bin(end))`` of bins it overlaps, so a bin
+    smaller than the interval still covers every point (it just raises
+    the explode factor — size bins near the interval length to keep it
+    at ≤ 2 rows per interval).
     """
     if bin_seconds is None:
-        raise ValueError("bin_seconds is required (set it to the window length)")
+        raise ValueError(
+            "bin_seconds is required; the interval length (in seconds) is "
+            "the usual choice — it caps the per-interval explode factor at 2"
+        )
 
     def binno(ts: Column) -> Column:
         return (ts.cast("long") / bin_seconds).cast("long")
 
     iv = intervals.withColumn("_end", F.col(start_col) + length)
-    # an interval of len <= bin_seconds overlaps bin(start) and bin(end)
+    # every bin the interval overlaps, inclusive of both edge bins
     iv = iv.withColumn(
-        "_bin", F.explode(F.array_distinct(F.array(
-            binno(F.col(start_col)), binno(F.col("_end"))
-        )))
+        "_bin",
+        F.explode(F.sequence(binno(F.col(start_col)), binno(F.col("_end")))),
     )
     pt = points.withColumn("_bin", binno(F.col(point_ts)))
 

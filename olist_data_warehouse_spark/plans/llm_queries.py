@@ -363,8 +363,8 @@ votes AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-         AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """,
     doc="SimHash (32-bit): per-token bit votes; near-dups land within "
@@ -578,28 +578,39 @@ def _fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multi_extract_features",
     oracle="""
-SELECT doc_id AS item_id,
-       [CAST(doc_id % 64 + 16 AS DOUBLE),
-        CAST(doc_id % 48 + 16 AS DOUBLE),
-        3.0,
-        CAST(octet_length(encode(
-          'FAKEIMG|' || CAST(doc_id % 64 + 16 AS VARCHAR) || '|'
-                     || CAST(doc_id % 48 + 16 AS VARCHAR) || '|3|'
-                     || substr(text, 1, 64))) AS DOUBLE),
-        CAST(doc_id % 64 + 16 AS DOUBLE) / CAST(doc_id % 48 + 16 AS DOUBLE)
-       ] AS features
-FROM documents
+WITH vecs AS (
+  SELECT doc_id AS item_id,
+         [CAST(doc_id % 64 + 16 AS DOUBLE),
+          CAST(doc_id % 48 + 16 AS DOUBLE),
+          3.0,
+          CAST(octet_length(encode(
+            'FAKEIMG|' || CAST(doc_id % 64 + 16 AS VARCHAR) || '|'
+                       || CAST(doc_id % 48 + 16 AS VARCHAR) || '|3|'
+                       || substr(text, 1, 64))) AS DOUBLE),
+          CAST(doc_id % 64 + 16 AS DOUBLE) / CAST(doc_id % 48 + 16 AS DOUBLE)
+         ] AS features
+  FROM documents
+)
+SELECT item_id,
+       CAST(unnest(generate_series(1, len(features))) - 1 AS INT) AS dim_idx,
+       unnest(features) AS value
+FROM vecs
 """,
     doc="Multimodal feature-extract stage: binary payload → "
     "array<double> embedding column via the Arrow-batched mapInPandas "
     "kernel (a vision model's slot at scale). The fake codec's "
     "descriptor is analytic over the header, so the oracle re-derives "
-    "the exact vector — checking batch plumbing and the array schema.",
+    "the exact vector. Registered output is the vector exploded to "
+    "(item_id, dim_idx, value) rows — scalar cells hash portably; the "
+    "array form itself is pinned in tests/test_multimodal.py.",
 )
 def multi_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _fake_images(spark, sf_dir)
-    return multimodal.extract_features(
+    feats = multimodal.extract_features(
         multimodal.shard_for_decode(images, n_shards=32)
+    )
+    return feats.select(
+        "item_id", F.posexplode("features").alias("dim_idx", "value")
     )
 
 
@@ -1021,7 +1032,7 @@ def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -1149,7 +1160,7 @@ pos AS (
   FROM build CROSS JOIN hashes
 )
 SELECT count(*) AS n_pass,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE NOT EXISTS (
   SELECT 1 FROM hashes h
@@ -1374,7 +1385,7 @@ def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a11_cube",
     oracle="""
-SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents
 GROUP BY CUBE (lang, source)
 """,

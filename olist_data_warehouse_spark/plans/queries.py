@@ -60,29 +60,46 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return load_testdata(spark, sf_dir, names or None)
 
 
-def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Build the full star (dims + facts) over a testdata dir."""
-    t = _t(
-        spark, sf_dir, "orders", "lineitem", "part", "supplier", "nation", "region",
-        "events",
-    )
-    product_dim = star.build_product_dim(t["part"])
-    location_dim = star.build_location_dim(t["nation"], t["region"])
-    time_period = star.build_time_period(t["orders"])
-    sales_fact = star.build_sales_fact(
-        t["orders"], t["lineitem"], t["part"], t["supplier"], t["nation"],
-        t["region"], product_dim, location_dim, time_period,
-    )
-    conversions = star.build_conversions_fact(t["events"])
-    return {
-        **t,
-        "product_dim": product_dim,
-        "location_dim": location_dim,
-        "time_period": time_period,
-        "time_period_events": star.build_calendar(t["events"], "ts"),
-        "sales_fact": sales_fact,
-        "conversions": conversions,
-    }
+def star_tables(
+    spark: SparkSession, sf_dir: str, groups: tuple[str, ...] = ("sales", "events")
+) -> dict[str, DataFrame]:
+    """Build the star (dims + facts) over a testdata dir.
+
+    ``groups`` selects which side of the star to build: the sales side
+    reads the 6 TPC-H-ish OLTP tables; the events side reads only
+    ``events.parquet``. Queries that touch one side must not pay the
+    other side's scan I/O (at 100 TB loading an unused fact input is
+    real money, and locally it coupled every DW query to the nanos
+    timestamp quirk of events.parquet).
+    """
+    out: dict[str, DataFrame] = {}
+    if "sales" in groups:
+        t = _t(
+            spark, sf_dir,
+            "orders", "lineitem", "part", "supplier", "nation", "region",
+        )
+        product_dim = star.build_product_dim(t["part"])
+        location_dim = star.build_location_dim(t["nation"], t["region"])
+        time_period = star.build_time_period(t["orders"])
+        sales_fact = star.build_sales_fact(
+            t["orders"], t["lineitem"], t["part"], t["supplier"], t["nation"],
+            t["region"], product_dim, location_dim, time_period,
+        )
+        out.update(
+            t,
+            product_dim=product_dim,
+            location_dim=location_dim,
+            time_period=time_period,
+            sales_fact=sales_fact,
+        )
+    if "events" in groups:
+        te = _t(spark, sf_dir, "events")
+        out.update(
+            te,
+            time_period_events=star.build_calendar(te["events"], "ts"),
+            conversions=star.build_conversions_fact(te["events"]),
+        )
+    return out
 
 
 # Materialized-warehouse memo, keyed by (session, sf_dir). One build per
@@ -90,14 +107,16 @@ def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # (`Olist DW.sql:39-186`) before its benchmark queries read it
 # (`:228-279`) — the star's whole point is that queries hit the small
 # pre-aggregated fact, not the 8-way OLTP join.
-_WAREHOUSE_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
-_WAREHOUSE_TABLES = (
-    "product_dim", "location_dim", "time_period", "time_period_events",
-    "sales_fact", "conversions",
-)
+_WAREHOUSE_MEMO: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
+_WAREHOUSE_GROUP_TABLES = {
+    "sales": ("product_dim", "location_dim", "time_period", "sales_fact"),
+    "events": ("time_period_events", "conversions"),
+}
 
 
-def warehouse_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def warehouse_tables(
+    spark: SparkSession, sf_dir: str, groups: tuple[str, ...] = ("sales",)
+) -> dict[str, DataFrame]:
     """The star, materialized to parquet once per (session, sf_dir).
 
     DW-form queries read these instead of re-deriving the fact inline:
@@ -111,31 +130,34 @@ def warehouse_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import hashlib
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key not in _WAREHOUSE_MEMO:
-        s = star_tables(spark, sf_dir)
-        base = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            ".cache",
-            "star_%s" % hashlib.md5(("%s|%s" % key).encode()).hexdigest()[:12],
-        )
-        out: dict[str, DataFrame] = dict(s)
-        for name in _WAREHOUSE_TABLES:
-            p = os.path.join(base, name)
-            w = s[name].write.mode("overwrite")
-            if name == "sales_fact":
-                # Partition the fact by year (yr = date_key div 10000):
-                # year-scoped queries then read one partition directory
-                # instead of the whole fact — the Parquet analog of the
-                # reference's date_key covering index (Olist DW.sql:
-                # 202-207), and the pruning lever at 100 TB.
-                w = s[name].withColumn(
-                    "yr", (F.col("date_key") / 10000).cast("int")
-                ).write.mode("overwrite").partitionBy("yr")
-            w.parquet(p)
-            out[name] = spark.read.parquet(p)
-        _WAREHOUSE_MEMO[key] = out
-    return _WAREHOUSE_MEMO[key]
+    merged: dict[str, DataFrame] = {}
+    for group in groups:
+        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), group)
+        if key not in _WAREHOUSE_MEMO:
+            s = star_tables(spark, sf_dir, groups=(group,))
+            base = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                ".cache",
+                "star_%s" % hashlib.md5(("%s|%s|%s" % key).encode()).hexdigest()[:12],
+            )
+            out: dict[str, DataFrame] = dict(s)
+            for name in _WAREHOUSE_GROUP_TABLES[group]:
+                p = os.path.join(base, name)
+                w = s[name].write.mode("overwrite")
+                if name == "sales_fact":
+                    # Partition the fact by year (yr = date_key div 10000):
+                    # year-scoped queries then read one partition directory
+                    # instead of the whole fact — the Parquet analog of the
+                    # reference's date_key covering index (Olist DW.sql:
+                    # 202-207), and the pruning lever at 100 TB.
+                    w = s[name].withColumn(
+                        "yr", (F.col("date_key") / 10000).cast("int")
+                    ).write.mode("overwrite").partitionBy("yr")
+                w.parquet(p)
+                out[name] = spark.read.parquet(p)
+            _WAREHOUSE_MEMO[key] = out
+        merged.update(_WAREHOUSE_MEMO[key])
+    return merged
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +528,7 @@ LIMIT 5
     "conversions fact + MIN re-agg (A5) + T2.",
 )
 def q3_conversion_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = warehouse_tables(spark, sf_dir)
+    s = warehouse_tables(spark, sf_dir, groups=("events",))
     agg = (
         s["conversions"]
         .join(F.broadcast(s["time_period_events"]), "date_key")
@@ -939,13 +961,15 @@ EXCEPT
 SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12
 """,
     doc="Set op: EXCEPT — the declarative twin of the anti-join family "
-    "(J7/J8).",
+    "(J7/J8). subtract() is EXCEPT DISTINCT: any row present in b is "
+    "removed regardless of multiplicity in a (exceptAll().distinct() "
+    "would keep rows appearing more times in a than in b).",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")["nation"]
     a = n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name")
     b = n.filter(F.col("n_nationkey") < 12).select("n_nationkey", "n_name")
-    return a.exceptAll(b).distinct()
+    return a.distinct().subtract(b)
 
 
 @register(

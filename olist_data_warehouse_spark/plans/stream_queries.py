@@ -89,7 +89,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(DISTINCT event_id) AS n_unique,
-       sum(CAST(user_id AS BIGINT)) AS user_sum
+       CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS user_sum
 FROM events
 GROUP BY event_type
 """,

@@ -60,7 +60,15 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 def load_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
-    """Load the driver's parquet tables for ``sf_dir`` as DataFrames."""
+    """Load the driver's parquet tables for ``sf_dir`` as DataFrames.
+
+    The nanos conf is (re)applied here, at the read boundary, because
+    callers may hand us *any* SparkSession — not necessarily one built
+    by our ``session.py`` (the correctness driver builds its own).
+    ``events.parquet`` carries TIMESTAMP(NANOS) columns which Spark
+    refuses to read unless ``nanosAsLong`` is set; it is runtime-settable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in tables or TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,54 @@
+"""Every oracle's result schema must be portable to the driver's hasher.
+
+The driver compares Spark and DuckDB results by hashing canonicalized
+cells, which breaks in two known ways:
+
+- DuckDB silently promotes SUM(BIGINT) → HUGEINT (int128); Spark has no
+  int128, so the hash differs even when every value matches
+  (CORRECTNESS_r01: dedup_simhash had 0/5000 differing rows yet
+  hash_match=false).
+- Nested cells (LIST/STRUCT/MAP) are unhashable in the driver's pandas
+  canonicalizer (multi_extract_features crashed it with array<double>).
+
+This test DESCRIBEs every registered oracle against the real testdata
+views and rejects both classes before the driver ever sees them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from olist_data_warehouse_spark.plans.queries import REGISTRY
+from tests.oracle_check import duckdb_conn
+
+# int128s Spark can't mirror; DECIMALs above Spark's precision ceiling
+_BANNED_SUBSTR = ("HUGEINT", "INT128")
+# nested types the driver's canonicalizer can't sort/hash
+_BANNED_PREFIX = ("STRUCT", "MAP", "UNION")
+
+WITH_ORACLE = sorted(n for n, rq in REGISTRY.items() if rq.oracle is not None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_output_types_portable(sf_dir, name):
+    con = duckdb_conn(sf_dir)
+    try:
+        rows = con.execute("DESCRIBE " + REGISTRY[name].oracle).fetchall()
+    finally:
+        con.close()
+    assert rows, f"{name}: DESCRIBE returned no columns"
+    for col, typ, *_ in rows:
+        u = typ.upper()
+        assert not any(b in u for b in _BANNED_SUBSTR), (
+            f"{name}.{col} is {typ}: DuckDB int128 never hash-matches Spark "
+            f"— CAST the outer aggregate to BIGINT in the oracle SQL"
+        )
+        assert not u.endswith("[]") and not u.startswith(_BANNED_PREFIX), (
+            f"{name}.{col} is {typ}: nested cells break the driver's "
+            f"canonicalizer — explode/serialize to scalar columns"
+        )
+        if u.startswith("DECIMAL("):
+            prec = int(u.split("(")[1].split(",")[0])
+            assert prec <= 38, (
+                f"{name}.{col} is {typ}: exceeds Spark's DECIMAL(38) ceiling"
+            )
