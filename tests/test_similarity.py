@@ -1,0 +1,90 @@
+"""ANN quality tests: multi-probe recall and bucketed near-dup dedup.
+
+Recall@10 is measured against the exact brute-force neighbors on the
+real testdata embeddings — approximate ops must (a) never invent
+results the exact op wouldn't produce, and (b) buy recall monotonically
+as probes widen. Floors are empirical at sf0.001 with margin; they
+exist to catch a probe-selection regression, not to certify a recall
+level.
+"""
+
+from __future__ import annotations
+
+from olist_data_warehouse_spark.operators import similarity
+from olist_data_warehouse_spark.sources.readers import load_testdata
+
+SF = "/root/testdata/sf0.001"
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _embeddings(spark):
+    return load_testdata(spark, SF, ("embeddings",))["embeddings"]
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx, exact):
+    total = sum(len(v) for v in exact.values())
+    hits = sum(len(approx.get(q, set()) & v) for q, v in exact.items())
+    return hits / total
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    e = _embeddings(spark)
+    exact = _topk_sets(similarity.brute_force_topk(e, QUERY_IDS, k=10))
+    r1 = _recall(
+        _topk_sets(similarity.ivf_topk(e, QUERY_IDS, k=10, probes=1)), exact
+    )
+    r2 = _recall(
+        _topk_sets(similarity.ivf_topk(e, QUERY_IDS, k=10, probes=2)), exact
+    )
+    assert r2 >= r1, f"probe widening lost recall: {r1} -> {r2}"
+    assert r2 >= 0.85  # empirically 0.90 at sf0.001
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    e = _embeddings(spark)
+    exact = _topk_sets(similarity.brute_force_topk(e, QUERY_IDS, k=10))
+    r1 = _recall(
+        _topk_sets(similarity.lsh_topk(e, QUERY_IDS, k=10, probes=1)), exact
+    )
+    r3 = _recall(
+        _topk_sets(similarity.lsh_topk(e, QUERY_IDS, k=10, probes=3)), exact
+    )
+    assert r3 >= r1, f"probe widening lost recall: {r1} -> {r3}"
+    assert r3 >= 0.10  # empirically 0.12 (8 planes over 500 vecs = tiny buckets)
+
+
+def test_lsh_probe_buckets_distinct_and_sized(spark):
+    """probes buckets per query, all distinct (base + single-bit flips)."""
+    from pyspark.sql import functions as F
+
+    e = _embeddings(spark).limit(20)
+    got = e.select(
+        similarity.lsh_probe_buckets(F.col("embedding"), 8, 3).alias("b")
+    ).collect()
+    for r in got:
+        assert len(r.b) == 3
+        assert len(set(r.b)) == 3
+
+
+def test_banded_lsh_near_dup_is_exact_subset_with_recall(spark):
+    """The bucketed dedup is discovery + EXACT verify: precision 1.0
+    against the all-pairs baseline by construction, recall from the
+    band collision probability (1-(1-p^4)^4)."""
+    e = _embeddings(spark)
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in similarity.cosine_near_dup_pairs(e, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in similarity.lsh_near_dup_pairs(e, threshold=0.35).collect()
+    }
+    assert lsh <= exact, "bucketed op produced a pair the exact op doesn't"
+    assert len(lsh) / max(len(exact), 1) >= 0.4  # empirically 0.48
