@@ -32,8 +32,11 @@ BENCH_QUERIES = [
     "q3_conversion_oltp",
     "q3_conversion_dw",
     "j7_incremental_delta",
+    "j7_merge_upsert",
     # extended LLM-pipeline headliners
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "sim_ivf_topk_mp",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_bruteforce_topk",

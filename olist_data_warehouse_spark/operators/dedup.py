@@ -265,32 +265,29 @@ def minhash_lsh_candidates(
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): bit-vote over per-token portable hashes.
 
-    Relational: token (with multiplicity) × bit-index explode →
-    sum(±1) per bit → reassemble. Near-dup docs agree on most bits.
+    ONE groupBy over token rows with ``bits`` sum expressions — each
+    bit's ±1 vote is a column, not an exploded row, so the shuffle
+    carries |tokens| rows instead of |tokens|×bits (the 32× inflation
+    the naive relational form pays). Partial aggregation then reduces
+    map-side to one row per (partition, doc): what actually crosses the
+    wire is ~|docs|×partitions tiny rows. Near-dup docs agree on most
+    bits.
     """
     toks = docs.select(
         "doc_id",
         F.explode(textops.tokens("text")).alias("token"),
     ).withColumn("h", textops.portable_hash32("token"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # shiftright/shiftleft take SQL expressions for the shift amount
-    # only via F.expr (the Python API insists on a literal int).
-    votes = (
-        toks.select("doc_id", "h", bit)
-        .withColumn(
-            "vote",
-            F.when(
-                F.expr("shiftright(h, CAST(bit AS INT))") % 2 == 1, 1
-            ).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", out.alias("simhash"))

@@ -207,3 +207,14 @@ def test_ivf_multiprobe_corpus_stays_single_bucketed(spark):
     plan = plan_of(spark, "sim_ivf_topk_mp")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_votes_are_map_side(spark):
+    """SimHash's bit votes are agg COLUMNS, not exploded rows: the only
+    Generate node is the token explode, and the vote sums combine
+    map-side before the single doc_id shuffle."""
+    plan = plan_of(spark, "dedup_simhash")
+    assert "partial_sum" in plan
+    # one Generate node (tree + details = 2 mentions); the bits-explode
+    # form had two
+    assert plan.count("Generate") <= 2
