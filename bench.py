@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "sim_ivf_topk_mp",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_hamming",
+    "pipe_corpus_curation",
     "sim_bruteforce_topk",
     "stream_sessionize",
     "text_rolling_fingerprint",

@@ -291,3 +291,69 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
             F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", out.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """COMPLETE hamming-≤k near-dup pairs over SimHash signatures.
+
+    Pigeonhole banding: split the ``bits``-bit signature into
+    ``n_bands`` equal bands; two signatures within hamming distance
+    k < n_bands must agree EXACTLY on at least one band, so an
+    equi-join on (band, band_value) finds every qualifying pair — this
+    is exact search, not LSH approximation. Verify = popcount of the
+    XOR on candidates.
+
+    Scale shape: the join shuffles (doc_id, signature, band, value)
+    rows — 8+8 bytes of payload, |docs|×n_bands rows; the signature
+    rides along so the verify needs no second join. Candidate count is
+    bounded by band-bucket occupancy, tunable via bits/n_bands.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"completeness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -37,6 +37,15 @@ from olist_data_warehouse_spark.plans.queries import _t, register
 # Shared oracle fragments
 # ---------------------------------------------------------------------------
 
+# DuckDB twin of sampling.hash_bucket: salted portable 32-bit hash mod
+# the bucket count.
+def _bucket_sql(salt: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {sampling.N_BUCKETS}"
+    )
+
+
 SQL_NORM_TOKENS = r"""
 norm AS (
   SELECT doc_id, lang,
@@ -213,6 +222,80 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe_corpus_curation",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+scored AS (
+  SELECT doc_id, t, toks,
+       {_SCORE_COLS}
+  FROM tok
+),
+feats AS (
+  SELECT doc_id, t,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL})))
+                    AS BIGINT) / CAST(len(toks) AS DOUBLE), 4)
+           AS stopword_ratio,
+         {_LANG_CASE} AS lang_pred,
+         md5(t) AS fingerprint
+  FROM scored
+),
+kept AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 30 AND stopword_ratio >= 0.03 AND lang_pred = 'en'
+),
+canon AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                 ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT doc_id, n_tokens, lang_pred,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *, {_bucket_sql("split", "doc_id")} AS b FROM canon)
+""",
+    doc="The LLM-data pipeline end-to-end, as ONE composed plan: "
+    "quality filter (length + stopword ratio) → language filter "
+    "(lang_id = en) → exact dedup (min doc_id per content digest) → "
+    "deterministic train/val/test split. Everything before the dedup "
+    "window is a codegen'd narrow pass over the corpus — one shuffle "
+    "total (on the digest), split membership is partition-invariant, "
+    "and each stage is the already-oracle-verified operator reused "
+    "unchanged. This is the composition a 100 TB curation job runs.",
+)
+def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = textops.quality_features("text")
+    scored = d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        textops.lang_id("text").alias("lang_pred"),
+        textops.fingerprint("text").alias("fingerprint"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("stopword_ratio") >= 0.03)
+        & (F.col("lang_pred") == "en")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split = sampling.hash_split(
+        canon, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.select("doc_id", "n_tokens", "lang_pred", "split")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -379,6 +462,74 @@ FROM votes GROUP BY doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     return dedup.simhash(d, bits=32)
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' extra trailing words appended here' AS text
+  FROM documents WHERE doc_id < 50
+),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM all_docs
+),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+tokens_flat AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM tokens_flat
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS val
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+    doc="COMPLETE hamming-<=3 SimHash near-dup search via pigeonhole "
+    "banding: signatures within hamming k < n_bands must agree exactly "
+    "on >=1 of the 4 byte-bands, so the (band, value) equi-join finds "
+    "every qualifying pair — exact search in hash-join shape, no "
+    "nested loop, no approximation. Exercised on a corpus with seeded "
+    "near-dups (docs 0-49 re-appended with a short suffix under "
+    "shifted ids); the signature rides the join so verify needs no "
+    "second lookup.",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    with_dups = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                "text", F.lit(" extra trailing words appended here")
+            ).alias("text"),
+        )
+    )
+    return dedup.simhash_hamming_pairs(with_dups, max_hamming=3, n_bands=4)
 
 
 # ---------------------------------------------------------------------------
@@ -843,13 +994,6 @@ def sim_ivf_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic sampling / train-test splitting (operators/sampling.py)
 # ---------------------------------------------------------------------------
 
-# DuckDB twin of sampling.hash_bucket: salted portable 32-bit hash mod
-# the bucket count.
-def _bucket_sql(salt: str, key: str) -> str:
-    return (
-        f"('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 8))"
-        f"::BIGINT % {sampling.N_BUCKETS}"
-    )
 
 
 @register(

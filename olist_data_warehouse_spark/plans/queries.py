@@ -1234,7 +1234,7 @@ DRIVER_PRIORITY = [
     "dedup_simhash", "multi_extract_features",
     # 2: new / changed this round
     "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
     # 3: never driver-evaluated (r1 positions 51-80)
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup",
@@ -1251,8 +1251,7 @@ DRIVER_PRIORITY = [
     "set_union_distinct", "p11_contains_filter",
     # 4: r1-green headliners re-confirmed inside the cap
     "q1_top_units_oltp", "q2_top_revenue_oltp", "s1_scan_project_alias",
-    "dedup_minhash_lsh", "sim_bruteforce_topk", "dedup_exact",
-    "text_token_stats",
+    "dedup_minhash_lsh", "sim_bruteforce_topk",
 ]
 
 

@@ -218,3 +218,22 @@ def test_simhash_votes_are_map_side(spark):
     # one Generate node (tree + details = 2 mentions); the bits-explode
     # form had two
     assert plan.count("Generate") <= 2
+
+
+def test_simhash_hamming_pigeonhole_stays_hash_join(spark):
+    """Hamming-<=k search via pigeonhole bands: candidate generation is
+    an equi-join on (band, value) — never a nested loop over signature
+    pairs — and the whole pipeline stays UDF-free."""
+    plan = plan_of(spark, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_curation_pipeline_single_shuffle(spark):
+    """quality filter + lang-ID + split are narrow codegen'd
+    expressions; the only exchange in the whole pipeline is the dedup
+    window's fingerprint shuffle."""
+    plan = plan_of(spark, "pipe_corpus_curation")
+    assert _n_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

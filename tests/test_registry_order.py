@@ -18,7 +18,7 @@ MUST_PROVE = {
     "dedup_simhash", "multi_extract_features",
     # new or behavior-changed this round
     "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
     # never evaluated in r1 (cap cut at 50)
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "tj_asof_purchase_click", "tj_range_error_clicks",
