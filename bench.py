@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_hamming",
     "pipe_corpus_curation",
+    "decon_ngram_overlap",
+    "text_pii_redact",
+    "samp_domain_mixture",
     "sim_bruteforce_topk",
     "stream_sessionize",
     "text_rolling_fingerprint",

@@ -357,3 +357,58 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def benchmark_contamination(
+    train: DataFrame, bench: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-document benchmark-contamination score: the fraction of a
+    training document's distinct k-word shingles that also occur in a
+    held-out benchmark/eval corpus.
+
+    This is the decontamination pass every training-data pipeline runs
+    before finalizing a corpus (drop or flag documents that leak eval
+    content). Scale shape: benchmark corpora are tiny relative to the
+    corpus (millions of shingles vs. trillions of rows), so the bench
+    shingle set is a **broadcast** build side; the training side is a
+    narrow explode whose per-doc dedup happens in array land
+    (``array_distinct``, no exchange) and whose groupBy collapses
+    map-side (a doc's shingles are co-located by construction) — the
+    one shuffle carries a single row per document.
+
+    Returns (doc_id, n_shingles, n_hits, contamination) for every
+    training document; callers threshold as policy dictates.
+    """
+    tsh = train.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textops.word_shingles("text", k))
+        ).alias("shingle"),
+    )
+    bsh = (
+        bench.select(
+            F.explode(
+                F.array_distinct(textops.word_shingles("text", k))
+            ).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        tsh.join(F.broadcast(bsh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.col("n_shingles").cast("double"), 4
+        ).alias("contamination"),
+    )

@@ -116,3 +116,62 @@ def per_group_sample(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain: Column | str,
+    key: Column,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample to a target domain mixture.
+
+    Training corpora are blended to target proportions (so much web, so
+    much code, per-language shares...). Given relative ``weights`` per
+    domain value, this keeps the **largest subset achievable without
+    upsampling**: total size S = min_g(n_g / w_g), per-domain keep-rate
+    r_g = w_g * S / n_g, membership by salted content hash — so the
+    blend is reproducible on any partitioning and any engine.
+
+    Scale shape: the group-count aggregate touches one row per domain
+    (partial agg map-side), the min-over-groups window runs on that
+    domain-cardinality table (thousands of rows at most), and the rate
+    table joins back as a **broadcast** — the corpus itself is only
+    scanned, filtered by a codegen'd predicate, never shuffled. Domains
+    missing from ``weights`` are dropped (weight 0).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    dom = F.col(domain) if isinstance(domain, str) else domain
+    wexpr: Column | None = None
+    for value, w in weights.items():
+        lit = F.lit(w / total).cast("double")
+        wexpr = (
+            F.when(F.col("_dom") == value, lit)
+            if wexpr is None
+            else wexpr.when(F.col("_dom") == value, lit)
+        )
+    counts = (
+        df.groupBy(dom.alias("_dom"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", wexpr)
+        .filter(F.col("_w").isNotNull())
+    )
+    counts = counts.withColumn(
+        "_S", F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy())
+    )
+    rates = counts.select(
+        "_dom",
+        F.floor(F.col("_w") * F.col("_S") / F.col("_n") * N_BUCKETS)
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), dom == F.col("_dom"), "inner")
+        .filter(hash_bucket(key, salt) < F.col("_thr"))
+        .drop("_dom", "_thr")
+    )

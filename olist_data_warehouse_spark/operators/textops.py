@@ -144,6 +144,52 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+# PII patterns, deliberately restricted to syntax shared by Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded repeats, \d, \b.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-doc PII occurrence counts (emails, phone-shaped numbers) as
+    Catalyst ``regexp_count`` expressions — the scan stays codegen'd."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Text with emails → ``<EMAIL>`` and phone-shaped numbers →
+    ``<PHONE>``. Order matters (emails first: a phone regex can never
+    match inside an email with these patterns, but fixing the order
+    keeps the twin byte-identical)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def repetition_features(col: Column | str) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher-style quality
+    filter): fraction of duplicate tokens and duplicate 3-word
+    shingles. Pure array expressions — no explode, no shuffle; each
+    document is scored independently inside codegen."""
+    toks = tokens(col)
+    sh = word_shingles(col, 3)
+    return {
+        "dup_token_ratio": F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks).cast("double"),
+            4,
+        ),
+        "dup_shingle_ratio": F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)) / F.size(sh).cast("double"),
+            4,
+        ),
+    }
+
+
 def shingles_from_tokens(toks: Column, norm: Column, k: int = 3) -> Column:
     """Contiguous k-word shingles from a *materialized* tokens column.
 

@@ -223,6 +223,108 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES}
+SELECT s.doc_id,
+       round(1.0 - len(list_distinct(k.toks))
+                   / CAST(len(k.toks) AS DOUBLE), 4) AS dup_token_ratio,
+       round(1.0 - len(list_distinct(s.shingles))
+                   / CAST(len(s.shingles) AS DOUBLE), 4) AS dup_shingle_ratio
+FROM shingled s JOIN tok k USING (doc_id)
+""",
+    doc="Within-document repetition quality filter (Gopher-style): "
+    "fraction of duplicate tokens and duplicate 3-word shingles per "
+    "doc. Pure array expressions (array_distinct over the token/"
+    "shingle arrays) — no explode, no shuffle; pipelines into the "
+    "corpus scan at any scale.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = textops.repetition_features("text")
+    return d.select(
+        "doc_id",
+        feats["dup_token_ratio"].alias("dup_token_ratio"),
+        feats["dup_shingle_ratio"].alias("dup_shingle_ratio"),
+    )
+
+
+# Deterministic PII injection shared by the Spark and oracle sides of
+# text_pii_redact: the synthetic corpus contains no PII, so both
+# engines append the same emails/phones to the same rows, then the
+# operator under test must find and redact them identically.
+_PII_INJECT_SQL = """
+injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+                THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com'
+              WHEN doc_id % 7 = 0
+                THEN text || ' call 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' now'
+              ELSE text END AS t
+  FROM documents
+)
+""".strip()
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH {_PII_INJECT_SQL}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{textops.EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '{textops.PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(t, '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{textops.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM injected
+""",
+    doc="PII detection + redaction: regexp_count/regexp_replace over "
+    "email and phone patterns restricted to Java-regex/RE2-shared "
+    "syntax, verified via md5 of the redacted text. Seeded PII "
+    "(deterministic per-doc_id injection, identical on both engines) "
+    "exercises the match path. Narrow codegen'd pass, no shuffle.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                "text",
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                "text",
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    counts = textops.pii_counts("t")
+    return injected.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(textops.pii_redact("t")).alias("redacted_fp"),
+    )
+
+
+@register(
     "pipe_corpus_curation",
     oracle=f"""
 WITH {SQL_NORM_TOKENS},
@@ -530,6 +632,40 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.simhash_hamming_pairs(with_dups, max_hamming=3, n_bands=4)
+
+
+@register(
+    "decon_ngram_overlap",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       round(n_hits / CAST(n_shingles AS DOUBLE), 4) AS contamination
+FROM hits
+""",
+    doc="Benchmark decontamination: per-training-doc fraction of "
+    "distinct 3-word shingles that also occur in a held-out benchmark "
+    "set (docs with doc_id % 97 == 0 stand in for the eval corpus). "
+    "Bench shingles broadcast (eval corpora are tiny vs. the corpus); "
+    "per-doc shingle dedup happens in array land with no exchange; the "
+    "one shuffle carries a single row per document after map-side "
+    "partial agg.",
+)
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_contamination(train, bench, k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1016,6 +1152,52 @@ def samp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return split.select("doc_id", "split")
+
+
+# Exact-in-binary mixture weights (0.5 + 4×0.125 sums to exactly 1.0
+# as doubles), so the Spark-side normalized weights and these SQL
+# literals are the same 64-bit values and floor() agrees bit-for-bit.
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in _MIX_WEIGHTS.items()
+)
+
+
+@register(
+    "samp_domain_mixture",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY lang
+),
+wa AS (
+  SELECT dom, n, w FROM (
+    SELECT dom, n, CASE dom {_MIX_CASE} END AS w FROM counts
+  ) WHERE w IS NOT NULL
+),
+rates AS (
+  SELECT dom,
+         CAST(floor(w * (SELECT min(n / w) FROM wa) / n * {sampling.N_BUCKETS})
+              AS BIGINT) AS thr
+  FROM wa
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.dom
+WHERE {_bucket_sql("mix", "d.doc_id")} < r.thr
+""",
+    doc="Domain-mixture sampling: deterministically downsample to a "
+    "target per-language blend (en 50%, others 12.5% each) — the "
+    "largest subset achievable without upsampling (S = min n_g/w_g). "
+    "Group counts aggregate map-side to one row per domain; the rate "
+    "table joins back as a broadcast; the corpus itself is scanned "
+    "once and filtered by a codegen'd hash predicate — never shuffled.",
+)
+def samp_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    kept = sampling.domain_mixture(
+        d, "lang", F.col("doc_id"), _MIX_WEIGHTS
+    )
+    return kept.select("doc_id", "lang")
 
 
 @register(

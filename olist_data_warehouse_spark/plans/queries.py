@@ -1235,6 +1235,8 @@ DRIVER_PRIORITY = [
     # 2: new / changed this round
     "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
+    "decon_ngram_overlap", "text_pii_redact", "text_repetition_ratio",
+    "samp_domain_mixture",
     # 3: never driver-evaluated (r1 positions 51-80)
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup",
@@ -1250,8 +1252,7 @@ DRIVER_PRIORITY = [
     "w2_running_total", "w3_lag_delta", "w4_ntile_quartiles", "a11_cube",
     "set_union_distinct", "p11_contains_filter",
     # 4: r1-green headliners re-confirmed inside the cap
-    "q1_top_units_oltp", "q2_top_revenue_oltp", "s1_scan_project_alias",
-    "dedup_minhash_lsh", "sim_bruteforce_topk",
+    "q1_top_units_oltp", "dedup_minhash_lsh",
 ]
 
 

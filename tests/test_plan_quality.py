@@ -237,3 +237,36 @@ def test_corpus_curation_pipeline_single_shuffle(spark):
     plan = plan_of(spark, "pipe_corpus_curation")
     assert _n_exchanges(plan) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_and_pii_are_shuffle_free(spark):
+    """Per-doc repetition and PII scoring are narrow codegen'd passes —
+    zero exchanges, zero Python."""
+    for name in ("text_repetition_ratio", "text_pii_redact"):
+        plan = plan_of(spark, name)
+        assert _n_exchanges(plan) == 0, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_bench_shingles(spark):
+    """The benchmark shingle set is the broadcast build side; the
+    training corpus is never nested-loop-joined or re-shuffled beyond
+    the per-doc aggregate."""
+    plan = plan_of(spark, "decon_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_mixture_corpus_not_shuffled(spark):
+    """Only the domain-cardinality rate table shuffles (counts agg +
+    its min-window); the corpus side joins the rates by broadcast and
+    is filtered in place."""
+    plan = plan_of(spark, "samp_domain_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges touch only the tiny counts table: groupBy + single-
+    # partition window, never the corpus scan
+    assert _n_exchanges(plan) <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
