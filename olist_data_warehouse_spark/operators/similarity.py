@@ -54,13 +54,23 @@ def brute_force_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            l2_norm(F.col("embedding")).alias("_q_nrm"),
         )
     )
-    pairs = embeddings.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    corpus = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    # dot / (q_norm * corpus_norm) — cosine() with both norms hoisted
+    # out of the per-pair loop (computed once per vector, not per pair).
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("_q_nrm") * F.col("_nrm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -141,7 +151,47 @@ def _plane_weight(p: int, j: Column) -> Column:
     ) / F.lit(float(LSH_MOD)) - F.lit(0.5)
 
 
-def lsh_bucket(emb: Column, n_planes: int = LSH_N_PLANES) -> Column:
+def _plane_weights(p: int, dim: int) -> list[float]:
+    """Literal plane weights — the exact doubles the expression form
+    computes (integer hash < 2^31 divided by 2^31, minus 0.5: every
+    step exact in binary), precomputed once in Python instead of per
+    element per row on the executors."""
+    return [
+        ((p * 1024 + j) * LSH_MULT % LSH_MOD) / float(LSH_MOD) - 0.5
+        for j in range(dim)
+    ]
+
+
+def _emb_dim(embeddings: DataFrame) -> int | None:
+    """Embedding dimensionality from one row (None on empty input) —
+    the one tiny job that lets every plane become a literal array."""
+    row = embeddings.select(F.size("embedding").alias("d")).head(1)
+    return row[0]["d"] if row else None
+
+
+def _plane_dot(emb: Column, p: int, dim: int | None = None) -> Column:
+    """dot(emb, plane_p) with left-to-right double accumulation. With
+    ``dim`` known the plane is a literal array (zip_with against
+    constants); without it the weights are computed per element in the
+    expression — same values either way."""
+    if dim is None:
+        def weighted(x, j):
+            return x.cast("double") * _plane_weight(p, j)
+
+        return F.aggregate(
+            F.transform(emb, weighted), F.lit(0.0), lambda acc, x: acc + x
+        )
+    w = F.array(*[F.lit(v) for v in _plane_weights(p, dim)])
+    return F.aggregate(
+        F.zip_with(emb, w, lambda x, wv: x.cast("double") * wv),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(
+    emb: Column, n_planes: int = LSH_N_PLANES, dim: int | None = None
+) -> Column:
     """Random-hyperplane signature, bit-packed into a bucket id.
 
     Bit p = sign(dot(emb, plane_p)); two vectors collide in a bucket
@@ -151,17 +201,9 @@ def lsh_bucket(emb: Column, n_planes: int = LSH_N_PLANES) -> Column:
     (multi-probe = flip low-confidence bits). Pure Catalyst expressions;
     one corpus pass, no shuffle, no UDF.
     """
-    def weighted(p: int):
-        # closure (not a default arg): PySpark reads the lambda arity.
-        return lambda x, j: x.cast("double") * _plane_weight(p, j)
-
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        dot_p = F.aggregate(
-            F.transform(emb, weighted(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot_p = _plane_dot(emb, p, dim)
         bucket = bucket + (dot_p >= 0).cast("long") * F.lit(1 << p)
     return bucket
 
@@ -169,21 +211,16 @@ def lsh_bucket(emb: Column, n_planes: int = LSH_N_PLANES) -> Column:
 def lsh_assign(embeddings: DataFrame, n_planes: int = LSH_N_PLANES) -> DataFrame:
     """(vec_id, bucket) assignment under random-hyperplane LSH."""
     return embeddings.select(
-        "vec_id", lsh_bucket(F.col("embedding"), n_planes).alias("bucket")
+        "vec_id",
+        lsh_bucket(
+            F.col("embedding"), n_planes, dim=_emb_dim(embeddings)
+        ).alias("bucket"),
     )
 
 
-def _plane_dot(emb: Column, p: int) -> Column:
-    """dot(emb, plane_p) with left-to-right double accumulation."""
-    def weighted(x, j):
-        return x.cast("double") * _plane_weight(p, j)
-
-    return F.aggregate(
-        F.transform(emb, weighted), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def lsh_probe_buckets(emb: Column, n_planes: int, probes: int) -> Column:
+def lsh_probe_buckets(
+    emb: Column, n_planes: int, probes: int, dim: int | None = None
+) -> Column:
     """Multi-probe bucket set: the base bucket plus the buckets reached
     by flipping the (probes-1) LOWEST-CONFIDENCE bits — the planes whose
     |dot| is smallest, i.e. where the vector sits closest to the
@@ -195,7 +232,7 @@ def lsh_probe_buckets(emb: Column, n_planes: int, probes: int) -> Column:
     out, so the join cost scales with probes × bucket size, never with
     corpus².
     """
-    dots = [_plane_dot(emb, p) for p in range(n_planes)]
+    dots = [_plane_dot(emb, p, dim) for p in range(n_planes)]
     base = F.lit(0).cast("long")
     for p in range(n_planes):
         base = base + (dots[p] >= 0).cast("long") * F.lit(1 << p)
@@ -240,14 +277,21 @@ def lsh_topk(
     (:func:`lsh_probe_buckets`) — recall rises, the corpus side stays
     single-bucketed, and only the broadcast query side fans out.
     """
-    corpus = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes))
+    dim = _emb_dim(embeddings)
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("_nrm"),
+        lsh_bucket(F.col("embedding"), n_planes, dim).alias("bucket"),
+    )
     queries = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            l2_norm(F.col("embedding")).alias("_q_nrm"),
             F.explode(
-                lsh_probe_buckets(F.col("embedding"), n_planes, probes)
+                lsh_probe_buckets(F.col("embedding"), n_planes, probes, dim)
             ).alias("bucket"),
         )
     )
@@ -259,7 +303,11 @@ def lsh_topk(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("_q_nrm") * F.col("_nrm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -270,7 +318,10 @@ def lsh_topk(
 
 
 def lsh_band_buckets(
-    emb: Column, n_bands: int = 4, planes_per_band: int = 4
+    emb: Column,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int | None = None,
 ) -> Column:
     """Per-band bucket ids (array<long>, one per band). Band b packs the
     signs of planes [b·r, b·r+r) — the OR-amplification construction:
@@ -281,7 +332,7 @@ def lsh_band_buckets(
         bucket = F.lit(0).cast("long")
         for i in range(planes_per_band):
             p = b * planes_per_band + i
-            bucket = bucket + (_plane_dot(emb, p) >= 0).cast("long") * F.lit(1 << i)
+            bucket = bucket + (_plane_dot(emb, p, dim) >= 0).cast("long") * F.lit(1 << i)
         out.append(bucket)
     return F.array(*out)
 
@@ -307,7 +358,10 @@ def lsh_near_dup_pairs(
     buckets = embeddings.select(
         "vec_id",
         F.posexplode(
-            lsh_band_buckets(F.col("embedding"), n_bands, planes_per_band)
+            lsh_band_buckets(
+                F.col("embedding"), n_bands, planes_per_band,
+                dim=_emb_dim(embeddings),
+            )
         ).alias("band", "bucket"),
     )
     a = buckets.select(
@@ -356,26 +410,86 @@ def lsh_near_dup_pairs(
     )
 
 
+def _seed_centroids(
+    embeddings: DataFrame, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Collect the deterministic seed centroids (first ``n_centroids``
+    vec_ids) to the driver. Centroids are *model parameters*, not data
+    — C×dim floats, the same thing MLlib's k-means ships to executors —
+    so collecting them is the scale-correct move: scoring then compiles
+    to a narrow per-row expression with zero joins and zero shuffles
+    over the corpus."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((r.vec_id, [float(x) for x in r.embedding]) for r in rows)
+
+
+def _py_l2_norm(xs: list[float]) -> float:
+    """Python twin of :func:`l2_norm`: left-to-right double sum of
+    squares then IEEE sqrt — the identical 64-bit result, computed once
+    at plan-build time instead of per row."""
+    import math
+
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _centroid_scores(
+    emb: Column, nrm: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<cos_sim,centroid_id>> scoring ``emb`` against every
+    literal centroid — same arithmetic/order as :func:`cosine` against
+    a float32-sourced column (dot / (norm_row * norm_centroid), row
+    norm first), so values match the crossJoin form and the oracle
+    bit-for-bit. ``nrm`` is the row's precomputed :func:`l2_norm`;
+    centroid norms are plan-time literals."""
+    return F.array(*[
+        F.struct(
+            F.round(
+                dot(emb, F.array(*[F.lit(x) for x in c_emb]))
+                / (nrm * F.lit(_py_l2_norm(c_emb))),
+                4,
+            ).alias("cos_sim"),
+            F.lit(cid).cast("long").alias("centroid_id"),
+        )
+        for cid, c_emb in cents
+    ])
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) seed centroid.
 
     Deterministic seeding: centroids are the first ``n_centroids``
     vec_ids. Returns (vec_id, centroid_id, cos_sim rounded 4).
+
+    Scale shape: centroids are literals in a narrow projection — the
+    argmax runs inside the corpus scan; no crossJoin row inflation, no
+    window shuffle, nothing moves. Tie-break (equal cos_sim → lowest
+    centroid_id) is encoded by maximizing struct(cos_sim, -centroid_id).
     """
-    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
+    cents = _seed_centroids(embeddings, n_centroids)
+    normed = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
     )
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+    scores = _centroid_scores(F.col("embedding"), F.col("_nrm"), cents)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                s["cos_sim"].alias("cos_sim"),
+                (-s["centroid_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    return normed.select(
         "vec_id",
-        "centroid_id",
-        F.round(cosine(F.col("embedding"), F.col("c_emb")), 4).alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "cos_sim")
+        (-best["neg_id"]).alias("centroid_id"),
+        best["cos_sim"].alias("cos_sim"),
     )
 
 
@@ -391,23 +505,34 @@ def ivf_probe_assign(
     true neighbor near a Voronoi boundary sits in a bucket whose
     centroid is the query's 2nd/3rd nearest. ``subject`` restricts
     which vectors get assigned (centroids always come from the full
-    ``embeddings`` seed rows)."""
-    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
+    ``embeddings`` seed rows).
+
+    Same narrow literal-centroid shape as :func:`ivf_assign`: the
+    top-``probes`` centroids come from array_sort over the per-row
+    score array (desc cos_sim, asc centroid_id) — no join, no window.
+    """
+    cents = _seed_centroids(embeddings, n_centroids)
+    base = subject if subject is not None else embeddings
+    normed = base.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
     )
-    scored = (subject if subject is not None else embeddings).crossJoin(
-        F.broadcast(centroids)
-    ).select(
+    scores = _centroid_scores(F.col("embedding"), F.col("_nrm"), cents)
+    ranked = F.array_sort(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                (-s["cos_sim"]).alias("neg_cos"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
+        )
+    )
+    return normed.select(
         "vec_id",
-        "centroid_id",
-        F.round(cosine(F.col("embedding"), F.col("c_emb")), 4).alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= probes)
-        .select("vec_id", "centroid_id")
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, probes), lambda s: s["centroid_id"]
+            )
+        ).alias("centroid_id"),
     )
 
 
@@ -424,30 +549,59 @@ def ivf_topk(
     probes × bucket size. Returns the same shape as
     :func:`brute_force_topk`.
     """
-    assign = ivf_assign(embeddings, n_centroids)
-    corpus = embeddings.join(assign.select("vec_id", "centroid_id"), "vec_id")
-    q_assign = ivf_probe_assign(
-        embeddings, n_centroids, probes,
-        subject=embeddings.filter(F.col("vec_id").isin(query_ids)),
+    cents = _seed_centroids(embeddings, n_centroids)
+    normed = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
     )
-    queries = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
-        .join(q_assign, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("centroid_id"),
+    scores = _centroid_scores(F.col("embedding"), F.col("_nrm"), cents)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                s["cos_sim"].alias("cos_sim"),
+                (-s["centroid_id"]).alias("neg_id"),
+            ),
         )
+    )
+    # Corpus assignment is a narrow literal-centroid expression — the
+    # centroid id materializes inside the scan, no join, no shuffle.
+    # The norm rides along so the verify divides by it instead of
+    # re-traversing the embedding per candidate pair.
+    corpus = normed.select(
+        "vec_id", "embedding", "_nrm", (-best["neg_id"]).alias("centroid_id")
+    )
+    ranked = F.array_sort(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                (-s["cos_sim"]).alias("neg_cos"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
+        )
+    )
+    queries = normed.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_nrm").alias("_q_nrm"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, probes), lambda s: s["centroid_id"])
+        ).alias("centroid_id"),
     )
     pairs = corpus.join(
         F.broadcast(queries),
         (F.col("vec_id") != F.col("query_id"))
         & (corpus.centroid_id == queries.centroid_id),
     )
+    # dot / (q_norm * corpus_norm): identical expression order to
+    # cosine(q_emb, embedding), norms just precomputed.
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("_q_nrm") * F.col("_nrm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
