@@ -58,7 +58,10 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 
 def load_testdata(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+    heal=None,
 ) -> dict[str, DataFrame]:
     """Load the driver's parquet tables for ``sf_dir`` as DataFrames.
 
@@ -67,15 +70,43 @@ def load_testdata(
     by our ``session.py`` (the correctness driver builds its own).
     ``events.parquet`` carries TIMESTAMP(NANOS) columns which Spark
     refuses to read unless ``nanosAsLong`` is set; it is runtime-settable.
+
+    ``heal`` picks which tables get the single-file repartition fix
+    (see ``_heal_partitioning``): ``None`` applies the default policy
+    (only ``documents``/``embeddings`` — their consumers do expensive
+    per-row text/vector work, where parallelism beats the one-off
+    shuffle); ``True`` heals every table over the size threshold
+    (right for per-row-heavy relational work, e.g. exact percentiles);
+    ``False`` heals nothing (right for map-side-combinable aggs, where
+    the extra shuffle is pure cost); an iterable heals exactly those
+    table names. Measured at sf0.1: blanket healing costs +0.3..0.7 s
+    on each simple events/lineitem agg and saves 1..5 s on each
+    text/vector op — hence per-table policy, not a global switch.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if heal is None:
+        heal_set = _PERROW_HEAVY_TABLES
+    elif heal is True or heal == "all":
+        heal_set = None  # every table (size threshold still applies)
+    elif heal is False:
+        heal_set = frozenset()
+    else:
+        heal_set = frozenset(heal)
     out = {}
     for name in tables or TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             df = _normalize_nanos_timestamps(spark.read.parquet(p))
-            out[name] = _heal_partitioning(spark, df, p)
+            if heal_set is None or name in heal_set:
+                df = _heal_partitioning(spark, df, p)
+            out[name] = df
     return out
+
+
+# Consumers of these tables run expensive per-row expressions (shingle
+# explosion, minhash, vector math) — parallelism always beats the one
+# repartition shuffle for them.
+_PERROW_HEAVY_TABLES = frozenset({"documents", "embeddings"})
 
 
 # Files below this size stay unsplit — repartitioning a dim table costs
@@ -94,6 +125,8 @@ def _heal_partitioning(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     1 and 32 cores doing the work. Catalyst still pushes filters and
     pruning through the repartition, so scan pushdown is preserved.
     """
+    if os.environ.get("SPARK_GRAFT_NO_HEAL"):
+        return df
     target = spark.sparkContext.defaultParallelism
     try:
         size = os.path.getsize(path)
