@@ -1,0 +1,99 @@
+"""Connected components over near-duplicate candidate edges.
+
+Pair-level dedup (MinHash-LSH, SimHash, n-gram Jaccard) emits *edges*;
+corpus curation needs *clusters*: if A~B and B~C, then {A, B, C} is one
+duplicate group and exactly one member survives. That closure is
+connected components on the candidate graph — the step every
+large-corpus dedup pipeline (and the reference's conceptual
+"keep one row per key" loads, `Olist DW.sql:60-141`) runs between pair
+discovery and the keep-filter.
+
+Algorithm: **hash-min label propagation**. Every node starts labeled
+with its own id; each round every node takes the min of its own label
+and its neighbors' labels; at fixpoint each component is labeled by its
+minimum member id. Rounds needed = graph diameter, and near-dup graphs
+are short chains / dense blobs (duplicates of duplicates), so a handful
+of rounds closes 100 TB-scale graphs.
+
+The 100 TB shape per round: one shuffle join (edges ⋈ labels on node
+id) + one groupBy-min — both partial-aggregated map-side, both on
+compact (long, long) rows; the document text never enters the graph.
+Lineage is truncated with ``localCheckpoint`` every round, otherwise
+the iterated plan nests ``max_iter`` joins deep and planning time
+dominates (the standard iterative-DataFrame pitfall). Convergence is
+checked with a cheap aggregate on the (tiny) label-change count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id reachable from ``node``.
+
+    Nodes with no edges are by definition singleton components and are
+    not emitted — callers union them back if they need full coverage
+    (the dedup keep-filter only cares about multi-member groups).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component_id, n_members, is_canonical) cluster view of
+    the candidate-pair graph: the transitive closure of pairwise
+    near-duplication, sized, with the min-id member flagged as the
+    survivor. ``filter(~is_canonical)`` is the delete-list."""
+    comp = connected_components(edges, src, dst)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("component_id"),
+            "n_members",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )

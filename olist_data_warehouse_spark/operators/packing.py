@@ -1,0 +1,106 @@
+"""Sequence packing: concat-and-chunk documents into training windows.
+
+LLM pretraining consumes fixed-length token windows, not documents: the
+corpus is laid out as one long token stream (documents in a canonical
+order) and sliced every ``ctx`` tokens; each document therefore maps to
+the chunk range its token interval overlaps. This operator computes
+that mapping — (doc_id, chunk_id, span) — from per-document token
+counts alone; the tokens themselves never move.
+
+The hard part at scale is the **global prefix sum**: each document's
+stream offset is the total token count of every document before it in
+the canonical order. A bare ``Window.orderBy(...)`` computes that on a
+single partition — the classic scale cliff. Instead the standard
+two-pass distributed prefix sum:
+
+1. hash-bucket documents into ``n_buckets`` groups; canonical order is
+   (bucket, doc_id) — an order we are free to *define*, since packing
+   only needs determinism, not semantics;
+2. per-bucket token totals (tiny agg: one row per bucket), prefix-sum
+   those ``n_buckets`` rows on one partition — trivially small;
+3. broadcast the bucket offsets back and cumsum *within* each bucket
+   (``Window.partitionBy(bucket)``) — every partition bounded at
+   ~|corpus|/n_buckets rows.
+
+Chunk assignment is then pure per-row math: document spans
+[cum − n, cum) overlap chunks floor(start/ctx) … floor((end−1)/ctx),
+exploded with ``sequence()`` — ≤ ⌈n/ctx⌉+1 rows per document.
+
+Everything is Catalyst expressions over (long, long) rows; the oracle
+reproduces the identical layout with one window sum ordered by
+(bucket, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olist_data_warehouse_spark.operators.textops import portable_hash32
+
+
+def concat_chunks(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    ctx: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, chunk_id, tok_start, tok_end, span_len): which training
+    windows each document lands in under concat-and-chunk packing.
+
+    ``tok_start``/``tok_end`` are the document's global token-stream
+    interval; ``span_len`` is how many of its tokens fall in this
+    chunk. Zero-token documents occupy no chunk and are dropped.
+    """
+    if ctx <= 0:
+        raise ValueError("ctx must be positive")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), n_tokens.cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    d = d.withColumn(
+        "bucket", portable_hash32(F.col("doc_id").cast("string")) % n_buckets
+    )
+    # Pass 1: per-bucket totals — n_buckets rows, map-side combined.
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("_btot"))
+    # Prefix over the bucket totals: single-partition window over
+    # n_buckets rows (thousands at most) — deliberately tiny.
+    w_prefix = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0)).alias("_boff"),
+    )
+    # Pass 2: within-bucket cumsum; bucket offsets join as a broadcast.
+    w_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "tok_end", F.col("_boff") + F.sum("n_tokens").over(w_bucket)
+        )
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
+    chunked = d.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / ctx),
+                F.floor((F.col("tok_end") - 1) / ctx),
+            )
+        ),
+    )
+    span_start = F.greatest(F.col("tok_start"), F.col("chunk_id") * ctx)
+    span_end = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * ctx)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "tok_start",
+        "tok_end",
+        (span_end - span_start).cast("long").alias("span_len"),
+    )

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 from olist_data_warehouse_spark.operators import (
     bloom,
+    components,
     dedup,
     multimodal,
+    packing,
     sampling,
     scd,
     similarity,
@@ -1193,7 +1195,9 @@ WHERE {_bucket_sql("mix", "d.doc_id")} < r.thr
     "once and filtered by a codegen'd hash predicate — never shuffled.",
 )
 def samp_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # heal=False: the keep-predicate is one cheap hash per row; the
+    # default documents repartition costs more than it parallelizes.
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
     kept = sampling.domain_mixture(
         d, "lang", F.col("doc_id"), _MIX_WEIGHTS
     )
@@ -1974,7 +1978,10 @@ SELECT word, n FROM counted ORDER BY n DESC, word LIMIT 20
     "global sort. Tiebroken by word for deterministic k-boundary.",
 )
 def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # heal=False: partial aggregation collapses the exploded tokens
+    # map-side, so the shuffle is tiny either way and the default
+    # documents repartition is pure overhead (measured +0.2 s at sf0.1).
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
     return (
         d.select(F.explode(textops.tokens("text")).alias("word"))
         .filter((F.col("word") != "") & ~F.col("word").isin(*textops.STOPWORDS))
@@ -1982,4 +1989,115 @@ def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "word")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster closure and sequence packing
+# ---------------------------------------------------------------------------
+
+_SQL_LSH_EDGES = """
+buckets AS (
+  SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
+           AS band_digest
+  FROM signatures
+  GROUP BY doc_id, CAST(hash_idx // 4 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_digest = b.band_digest
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+)
+""".strip()
+
+
+@register(
+    "dedup_cc_groups",
+    oracle=f"""
+WITH RECURSIVE {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH},
+{_SQL_LSH_EDGES},
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+  FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT component_id, COUNT(*) AS n_members FROM comp GROUP BY component_id
+)
+SELECT c.doc_id, c.component_id, s.n_members,
+       c.doc_id = c.component_id AS is_canonical
+FROM comp c JOIN sizes s USING (component_id)
+""",
+    doc="Transitive closure of MinHash-LSH candidate pairs into "
+    "duplicate clusters via hash-min label propagation "
+    "(operators/components.py): if A~B and B~C then {A,B,C} is one "
+    "group with one canonical survivor — the pairs->clusters step "
+    "every corpus dedup needs. Per round: one (long,long) shuffle "
+    "join + groupBy-min, lineage cut by localCheckpoint; rounds = "
+    "graph diameter (near-dup graphs are shallow). Oracle: recursive-"
+    "CTE reachability, same min-id labeling.",
+)
+def dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    edges = dedup.minhash_lsh_candidates(d, num_hashes=16, rows_per_band=4, k=3)
+    return components.duplicate_clusters(edges)
+
+
+@register(
+    "pack_concat_chunks",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+           AS bucket
+  FROM tok WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS tok_end
+  FROM n
+),
+s AS (
+  SELECT doc_id, n_tokens, tok_end, tok_end - n_tokens AS tok_start FROM c
+),
+ch AS (
+  SELECT doc_id, tok_start, tok_end,
+         unnest(generate_series(tok_start // 2048, (tok_end - 1) // 2048))
+           AS chunk_id
+  FROM s
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, tok_start, tok_end,
+       CAST(least(tok_end, (chunk_id + 1) * 2048)
+            - greatest(tok_start, chunk_id * 2048) AS BIGINT) AS span_len
+FROM ch
+""",
+    doc="Concat-and-chunk sequence packing: documents laid out as one "
+    "token stream in canonical (hash-bucket, doc_id) order, sliced "
+    "into 2048-token training windows; output is each doc's (chunk, "
+    "span) coverage. The global prefix sum is the two-pass distributed "
+    "form (operators/packing.py): per-bucket totals -> tiny "
+    "64-row prefix -> broadcast offsets -> within-bucket window — no "
+    "single-partition global sort anywhere. Oracle: one window sum "
+    "ordered by (bucket, doc_id), identical layout.",
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return packing.concat_chunks(
+        d, "doc_id", textops.token_count("text"), ctx=2048, n_buckets=64
     )

@@ -56,8 +56,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
-    return load_testdata(spark, sf_dir, names or None)
+def _t(
+    spark: SparkSession, sf_dir: str, *names: str, heal=None
+) -> dict[str, DataFrame]:
+    return load_testdata(spark, sf_dir, names or None, heal=heal)
 
 
 def star_tables(
@@ -1160,7 +1162,10 @@ ORDER BY l_returnflag
     "`approx_percentile` (t-digest, bounded memory).",
 )
 def a13_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # heal=True: exact percentiles build per-group value→count maps in
+    # the partial aggregate — per-row-heavy, so parallelizing the scan
+    # beats the one repartition shuffle (measured -0.5 s at sf0.1).
+    li = _t(spark, sf_dir, "lineitem", heal=True)["lineitem"]
     cents = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0)
@@ -1236,7 +1241,7 @@ DRIVER_PRIORITY = [
     "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
     "decon_ngram_overlap", "text_pii_redact", "text_repetition_ratio",
-    "samp_domain_mixture",
+    "samp_domain_mixture", "dedup_cc_groups", "pack_concat_chunks",
     # 3: never driver-evaluated (r1 positions 51-80)
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup",
@@ -1251,8 +1256,6 @@ DRIVER_PRIORITY = [
     "text_word_count",
     "w2_running_total", "w3_lag_delta", "w4_ntile_quartiles", "a11_cube",
     "set_union_distinct", "p11_contains_filter",
-    # 4: r1-green headliners re-confirmed inside the cap
-    "q1_top_units_oltp", "dedup_minhash_lsh",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Connected components (duplicate clusters) and sequence packing.
+
+Components: min-label fixpoint must equal true transitive closure on
+chains, cliques, and disjoint unions — including chains longer than one
+propagation hop. Packing: the chunk layout must be a partition of the
+token stream (spans tile every chunk exactly), invariant to input
+partitioning, and each doc's spans must sum to its token count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.operators import components, packing
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+
+
+def test_cc_chain_closes_transitively(spark):
+    # 0-1-2-3-4-5: a 6-node path — needs multiple propagation rounds.
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    got = {
+        (r.node, r.component)
+        for r in components.connected_components(e).collect()
+    }
+    assert got == {(i, 0) for i in range(6)}
+
+
+def test_cc_disjoint_clusters_and_sizes(spark):
+    # {1,2,3} triangle, {10,11} pair, {20,21,22} chain.
+    e = _edges(
+        spark, [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)]
+    )
+    rows = components.duplicate_clusters(e).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.doc_id)
+        assert r.is_canonical == (r.doc_id == r.component_id)
+    assert by_comp == {1: {1, 2, 3}, 10: {10, 11}, 20: {20, 21, 22}}
+    sizes = {r.component_id: r.n_members for r in rows}
+    assert sizes == {1: 3, 10: 2, 20: 3}
+
+
+def test_cc_partitioning_invariant(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(0, 40, 2)] + [(0, 38)])
+    a = sorted(map(tuple, components.connected_components(e).collect()))
+    b = sorted(
+        map(
+            tuple,
+            components.connected_components(
+                e.repartition(7, "doc_b")
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def token_docs(spark):
+    # Doc i has (i % 7) * 3 + 1 tokens; 200 docs → multi-chunk stream.
+    rows = [(i, (i % 7) * 3 + 1) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id bigint, n bigint")
+
+
+def test_pack_spans_partition_the_stream(spark, token_docs):
+    ctx = 64
+    out = packing.concat_chunks(
+        token_docs, "doc_id", F.col("n"), ctx=ctx, n_buckets=8
+    ).collect()
+    total = sum(r.n for r in token_docs.collect())
+    # Spans tile the stream: per-chunk sums are ctx except the tail.
+    per_chunk = {}
+    for r in out:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.span_len
+    n_chunks = (total + ctx - 1) // ctx
+    assert set(per_chunk) == set(range(n_chunks))
+    for cid, tok in per_chunk.items():
+        assert tok == (ctx if cid < n_chunks - 1 else total - ctx * (n_chunks - 1))
+    # Per-doc spans sum to the doc's token count; intervals are coherent.
+    per_doc = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.span_len
+        assert r.tok_end - r.tok_start > 0
+    n_by_id = {r.doc_id: r.n for r in token_docs.collect()}
+    assert per_doc == n_by_id
+
+
+def test_pack_partitioning_invariant_and_zero_drop(spark):
+    rows = [(1, 10), (2, 0), (3, 5), (4, 2048), (5, 4097)]
+    d = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    a = sorted(
+        map(
+            tuple,
+            packing.concat_chunks(d, "doc_id", F.col("n"), ctx=2048).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            packing.concat_chunks(
+                d.repartition(3).sortWithinPartitions(F.desc("doc_id")),
+                "doc_id",
+                F.col("n"),
+                ctx=2048,
+            ).collect(),
+        )
+    )
+    assert a == b
+    ids = {t[0] for t in a}
+    assert 2 not in ids  # zero-token doc occupies no chunk
+    # doc 5 (4097 tokens) must span at least 3 chunks.
+    assert sum(1 for t in a if t[0] == 5) >= 3
+
+
+def test_pack_rejects_bad_ctx(spark, token_docs):
+    with pytest.raises(ValueError):
+        packing.concat_chunks(token_docs, "doc_id", F.col("n"), ctx=0)
