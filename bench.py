@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "j7_merge_upsert",
     # extended LLM-pipeline headliners
     "dedup_minhash_lsh",
+    "dedup_cc_groups",
+    "pack_concat_chunks",
     "dedup_embedding_lsh",
     "sim_ivf_topk_mp",
     "dedup_ngram_jaccard",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from olist_data_warehouse_spark.operators import (
     bloom,
     components,
+    corpus,
     dedup,
     multimodal,
     packing,
@@ -2101,3 +2102,81 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.concat_chunks(
         d, "doc_id", textops.token_count("text"), ctx=2048, n_buckets=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level text statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+tks AS (
+  SELECT doc_id, unnest(toks) AS token FROM tok
+),
+tkf AS (SELECT doc_id, token FROM tks WHERE token != ''),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tkf GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM freq),
+lp AS (
+  SELECT token,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
+           AS lp_micro
+  FROM freq CROSS JOIN tot
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(lp.lp_micro) AS BIGINT) / COUNT(*) / 1000000, 4)
+         AS neg_logprob
+FROM tkf t JOIN lp USING (token)
+GROUP BY t.doc_id
+""",
+    doc="Unigram-LM quality score: average per-token -ln p(token) "
+    "under the corpus's own unigram distribution — the perplexity "
+    "proxy used to rank fluent vs. junk documents. Portability: the "
+    "transcendental runs once per VOCABULARY entry on identical "
+    "integer (cnt, total) arguments, floored to integer micro-nats; "
+    "per-doc aggregation is then an exact BIGINT sum (double sums "
+    "drift with partial-agg order; see operators/corpus.py).",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return corpus.unigram_logprob(d)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+tks AS (
+  SELECT doc_id, unnest(toks) AS token FROM tok
+),
+tkf AS (SELECT doc_id, token FROM tks WHERE token != ''),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tkf GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token AS term, tf.tf, dfreq.df,
+         tf.tf * nd.n_docs / dfreq.df AS s
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY s DESC, term ASC
+  ) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(s, 4) AS score
+FROM rn WHERE rn <= 3
+""",
+    doc="Top-3 characteristic terms per document by tf x N/df (linear "
+    "inverse document frequency: one correctly-rounded IEEE division, "
+    "bit-identical across engines, where log-idf's last ulp is libm-"
+    "dependent — see operators/corpus.py). Frequency tables are map-"
+    "side-combinable groupBys; the per-doc top-k is one window over "
+    "(doc, term) rows, tiebroken by term.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return corpus.tfidf_top_terms(d, k=3)

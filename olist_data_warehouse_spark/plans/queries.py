@@ -1242,6 +1242,7 @@ DRIVER_PRIORITY = [
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
     "decon_ngram_overlap", "text_pii_redact", "text_repetition_ratio",
     "samp_domain_mixture", "dedup_cc_groups", "pack_concat_chunks",
+    "text_unigram_logprob", "text_tfidf_topk",
     # 3: never driver-evaluated (r1 positions 51-80)
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup",
@@ -1255,7 +1256,9 @@ DRIVER_PRIORITY = [
     "samp_kfold",
     "text_word_count",
     "w2_running_total", "w3_lag_delta", "w4_ntile_quartiles", "a11_cube",
-    "set_union_distinct", "p11_contains_filter",
+    # set_union_distinct / p11_contains_filter moved past the cap: their
+    # operator families (set ops, substring filters) have r1 driver
+    # evidence via siblings; new-family headliners take the slots.
 ]
 
 

@@ -270,3 +270,27 @@ def test_domain_mixture_corpus_not_shuffled(spark):
     # partition window, never the corpus scan
     assert _n_exchanges(plan) <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_packing_has_no_global_sort_and_broadcasts_offsets(spark):
+    """The packing prefix sum must be the two-pass form: the corpus-
+    side window partitions by bucket (never a bare global orderBy over
+    the corpus), and bucket offsets join back as a broadcast."""
+    plan = plan_of(spark, "pack_concat_chunks")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # The only single-partition exchange allowed is the n_buckets-row
+    # offsets prefix; the corpus-side window must carry the bucket in
+    # its partition spec (partition cols lead the windowspecdefinition).
+    import re
+
+    assert re.search(
+        r"windowspecdefinition\(bucket#\d+L?, doc_id#\d+L? ASC", plan
+    )
+
+
+def test_cc_edges_join_is_hash_not_nested_loop(spark):
+    plan = plan_of(spark, "dedup_cc_groups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -21,6 +21,7 @@ MUST_PROVE = {
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
     "decon_ngram_overlap", "text_pii_redact", "text_repetition_ratio",
     "samp_domain_mixture", "dedup_cc_groups", "pack_concat_chunks",
+    "text_unigram_logprob", "text_tfidf_topk",
     # never evaluated in r1 (cap cut at 50)
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "tj_asof_purchase_click", "tj_range_error_clicks",
