@@ -43,6 +43,9 @@ def connected_components(
     not emitted — callers union them back if they need full coverage
     (the dedup keep-filter only cares about multi-member groups).
     """
+    # Both union branches read ``edges``: persist it or the upstream
+    # pair-discovery plan (an LSH self-join, typically) runs twice.
+    edges = edges.persist()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

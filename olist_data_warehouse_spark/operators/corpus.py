@@ -114,3 +114,38 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .select("doc_id", "term", "tf", "df", F.round("_s", 4).alias("score"))
     )
+
+
+def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus inventory: document counts, token and
+    character totals, token-length mean — the summary a curation run
+    reports before/after each filter stage.
+
+    One map-side-combinable groupBy; every aggregate is an exact
+    integer sum (the mean is a single end division), so the profile is
+    engine-reproducible and cheap at any scale.
+    """
+    per_doc = docs.select(
+        "lang",
+        "source",
+        textops.token_count(text_col).alias("_nt"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.sum("_nc").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+                "avg_tokens"
+            ),
+        )
+    )

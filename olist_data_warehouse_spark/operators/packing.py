@@ -104,3 +104,42 @@ def concat_chunks(
         "tok_end",
         (span_end - span_start).cast("long").alias("span_len"),
     )
+
+
+def sliding_windows(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    win: int = 256,
+    stride: int = 128,
+) -> DataFrame:
+    """(doc_id, win_idx, tok_start, tok_end, win_len): overlapping
+    fixed-stride windows *within* each document — the long-document
+    segmentation pass (embedding contexts, extraction windows),
+    complementary to :func:`concat_chunks` which packs *across*
+    documents.
+
+    Windows start every ``stride`` tokens while inside the document;
+    the last window truncates at the document end. Pure per-row
+    ``sequence``/``explode`` arithmetic — no shuffle, no state, scale-
+    free: a document with n tokens yields ⌈n/stride⌉ rows regardless
+    of partitioning.
+    """
+    if win <= 0 or stride <= 0:
+        raise ValueError("win and stride must be positive")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), n_tokens.cast("long").alias("_n")
+    ).filter(F.col("_n") > 0)
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((F.col("_n") - 1) / stride))
+    )
+    out = d.withColumn("win_idx", idx)
+    start = F.col("win_idx") * stride
+    end = F.least(start + win, F.col("_n"))
+    return out.select(
+        "doc_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        start.cast("long").alias("tok_start"),
+        end.cast("long").alias("tok_end"),
+        (end - start).cast("long").alias("win_len"),
+    )

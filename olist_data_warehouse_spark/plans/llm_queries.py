@@ -2180,3 +2180,64 @@ FROM rn WHERE rn <= 3
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     return corpus.tfidf_top_terms(d, k=3)
+
+
+@register(
+    "pack_sliding_windows",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tok
+  WHERE len(toks) > 0
+),
+w AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, (n - 1) // 128)) AS win_idx
+  FROM n
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(win_idx * 128 AS BIGINT) AS tok_start,
+       CAST(least(win_idx * 128 + 256, n) AS BIGINT) AS tok_end,
+       CAST(least(win_idx * 128 + 256, n) - win_idx * 128 AS BIGINT)
+         AS win_len
+FROM w
+""",
+    doc="Intra-document sliding windows (win 256, stride 128): the "
+    "long-document segmentation pass for embedding contexts and "
+    "extraction, complementary to pack_concat_chunks' cross-document "
+    "packing. Pure per-row sequence/explode arithmetic over token "
+    "counts — no shuffle, no state, scale-free (operators/packing.py).",
+)
+def pack_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return packing.sliding_windows(
+        d, "doc_id", textops.token_count("text"), win=256, stride=128
+    )
+
+
+@register(
+    "corpus_profile",
+    oracle=r"""
+WITH per AS (
+  SELECT lang, source,
+         CAST(len(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+         )) AS BIGINT) AS nt,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       round(CAST(SUM(nt) AS BIGINT) / COUNT(*), 4) AS avg_tokens
+FROM per GROUP BY lang, source
+""",
+    doc="Per-(lang, source) corpus inventory — doc counts, token and "
+    "char totals, token mean — the before/after report every curation "
+    "stage prints. Exact integer sums (one end division for the "
+    "mean), map-side combined; shuffle volume is the group "
+    "cardinality, not the corpus (operators/corpus.py).",
+)
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return corpus.corpus_profile(d)

@@ -118,3 +118,34 @@ def test_pack_partitioning_invariant_and_zero_drop(spark):
 def test_pack_rejects_bad_ctx(spark, token_docs):
     with pytest.raises(ValueError):
         packing.concat_chunks(token_docs, "doc_id", F.col("n"), ctx=0)
+
+
+def test_sliding_windows_cover_and_truncate(spark):
+    rows = [(1, 1), (2, 128), (3, 129), (4, 256), (5, 300), (6, 0)]
+    d = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    out = packing.sliding_windows(d, "doc_id", F.col("n"), win=256, stride=128)
+    got = {r.doc_id: [] for r in out.collect()}
+    for r in out.collect():
+        got[r.doc_id].append((r.win_idx, r.tok_start, r.tok_end, r.win_len))
+        assert r.tok_end <= dict(rows)[r.doc_id]
+        assert r.win_len == r.tok_end - r.tok_start
+    assert 6 not in got  # zero-token doc yields nothing
+    assert len(got[1]) == 1 and got[1][0] == (0, 0, 1, 1)
+    assert len(got[2]) == 1  # n == stride: second window would be empty
+    assert len(got[3]) == 2  # one token past the stride boundary
+    assert len(got[5]) == 3  # starts at 0, 128, 256
+    # Every token position of doc 5 is covered by some window.
+    covered = set()
+    for _, s, e, _ in got[5]:
+        covered |= set(range(s, e))
+    assert covered == set(range(300))
+
+
+def test_sliding_windows_rejects_bad_params(spark):
+    d = spark.createDataFrame([(1, 10)], "doc_id bigint, n bigint")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        packing.sliding_windows(d, "doc_id", F.col("n"), win=0)
+    with _pt.raises(ValueError):
+        packing.sliding_windows(d, "doc_id", F.col("n"), stride=0)
