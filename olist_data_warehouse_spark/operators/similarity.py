@@ -317,24 +317,71 @@ def lsh_topk(
     )
 
 
-def lsh_band_buckets(
-    emb: Column,
+def lsh_band_bucket_table(
+    embeddings: DataFrame,
     n_bands: int = 4,
     planes_per_band: int = 4,
-    dim: int | None = None,
-) -> Column:
-    """Per-band bucket ids (array<long>, one per band). Band b packs the
+) -> DataFrame:
+    """(vec_id, band, bucket): per-band bucket ids. Band b packs the
     signs of planes [b·r, b·r+r) — the OR-amplification construction:
     two vectors are candidates if ANY band bucket matches, so recall for
-    genuinely-close pairs is 1-(1-p^r)^B instead of p^(B·r)."""
-    out = []
-    for b in range(n_bands):
-        bucket = F.lit(0).cast("long")
-        for i in range(planes_per_band):
-            p = b * planes_per_band + i
-            bucket = bucket + (_plane_dot(emb, p, dim) >= 0).cast("long") * F.lit(1 << i)
-        out.append(bucket)
-    return F.array(*out)
+    genuinely-close pairs is 1-(1-p^r)^B instead of p^(B·r).
+
+    Expression-shape note (hard-won): the B·r plane dots are computed
+    as ONE nested lambda over a 2-D literal plane matrix and
+    materialized as their own projection (``sig`` column) *below* the
+    explode. Packing everything into a single column expression makes
+    the optimizer's extract-value simplification re-inline the whole
+    signature once per band (B× the dots); unrolling every plane into
+    its own fold expression blows the tree up so far that analysis
+    itself hangs at 64 planes. The two-projection form keeps the
+    signature evaluated exactly once per row and the tree codegen-
+    small — measured 0.4 s vs 116 s for the fused form at sf0.1.
+    Arithmetic is the same left-to-right double fold per plane either
+    way, so sign bits — and the DuckDB oracle — are unchanged.
+    """
+    dim = _emb_dim(embeddings)
+    n_planes = n_bands * planes_per_band
+    if dim is None:
+        return embeddings.select("vec_id").limit(0).select(
+            "vec_id",
+            F.lit(0).alias("band"),
+            F.lit(0).cast("long").alias("bucket"),
+        )
+    planes = F.array(*[
+        F.array(*[F.lit(w) for w in _plane_weights(p, dim)])
+        for p in range(n_planes)
+    ])
+    sig = F.transform(
+        planes,
+        lambda pl: F.aggregate(
+            F.zip_with(
+                F.col("embedding"), pl, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= 0,
+    )
+    powers = F.array(*[
+        F.lit(1 << j).cast("long") for j in range(planes_per_band)
+    ])
+    bucket_arr = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("sig"), b * planes_per_band + 1, planes_per_band),
+                powers,
+                lambda bit, w: F.when(bit, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        embeddings.select("vec_id", sig.alias("sig"))
+        .select("vec_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+    )
 
 
 def lsh_near_dup_pairs(
@@ -342,6 +389,7 @@ def lsh_near_dup_pairs(
     threshold: float = 0.35,
     n_bands: int = 4,
     planes_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup detection — the 100 TB composition:
     banded-LSH discovery (equi-join on (band, bucket)) followed by the
@@ -354,16 +402,31 @@ def lsh_near_dup_pairs(
     (small) distinct candidate set back to the corpus by key. Every
     join is an equi hash join; nothing plans as a nested loop, unlike
     the all-pairs form.
+
+    Scale knobs: candidate volume per band is Σ_buckets C(size, 2), so
+    ``planes_per_band`` must grow with corpus size to keep buckets
+    bounded (recall is then recovered by adding bands).
+    ``max_bucket_size`` is the skew fuse — a degenerate region of
+    embedding space (all-zero vectors, cluster collapse) otherwise
+    hot-spots one bucket into a quadratic join, exactly like a
+    stop-shingle in n-gram dedup; buckets above the cap are dropped
+    from discovery before the self-join, in engine and oracle alike.
     """
-    buckets = embeddings.select(
-        "vec_id",
-        F.posexplode(
-            lsh_band_buckets(
-                F.col("embedding"), n_bands, planes_per_band,
-                dim=_emb_dim(embeddings),
-            )
-        ).alias("band", "bucket"),
-    )
+    # Persist: the bucket table is read by the size-cap aggregate and
+    # BOTH self-join sides — without a materialization point Catalyst
+    # inlines the B·r-plane signature expression into every consumer
+    # and the dots run 3× (measured: dominates the whole op).
+    buckets = lsh_band_bucket_table(
+        embeddings, n_bands, planes_per_band
+    ).persist()
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, ["band", "bucket"])
     a = buckets.select(
         F.col("vec_id").alias("vec_a"), "band", "bucket"
     )

@@ -1029,8 +1029,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, [0, 1, 2, 3, 4], k=10)
 
 
-_EMB_LSH_BANDS = 4
-_EMB_LSH_PLANES_PER_BAND = 4
+# 8 bands × 8 planes: 256 buckets per band keeps bucket sizes (and so
+# the per-band C(size,2) candidate volume) bounded as the corpus grows;
+# the extra bands recover the recall the finer buckets give up
+# (recall@cos0.9 ≈ 1-(1-0.856^8)^8 ≈ 93%). The previous 4×4 shape made
+# candidates ~24% of ALL pairs at sf0.1 — quadratic, not bucketed.
+_EMB_LSH_BANDS = 8
+_EMB_LSH_PLANES_PER_BAND = 8
+# Skew fuse only — at these shapes mean bucket size is |corpus|/256.
+_EMB_LSH_MAX_BUCKET = 1024
 
 _EMB_LSH_BUCKETS_SQL = "\nUNION ALL\n".join(
     f"SELECT vec_id, {b} AS band, "
@@ -1048,10 +1055,17 @@ _EMB_LSH_BUCKETS_SQL = "\nUNION ALL\n".join(
 WITH buckets AS (
 {_EMB_LSH_BUCKETS_SQL}
 ),
+kept AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING COUNT(*) <= {_EMB_LSH_MAX_BUCKET}
+),
+bucketsf AS (
+  SELECT b.* FROM buckets b JOIN kept USING (band, bucket)
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a
-  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  FROM bucketsf a
+  JOIN bucketsf b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
 ),
 pairs AS (
@@ -1064,16 +1078,20 @@ pairs AS (
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
 """,
     doc="Embedding near-dup pairs, bucketed: banded random-hyperplane "
-    "LSH discovery (4 bands × 4 planes, equi-join on (band, bucket) — "
-    "ids only, embeddings never shuffle) then exact-cosine verify on "
-    "the candidate set. The 100 TB composition of the all-pairs verify "
-    "stage; every join is a hash join (plan-pinned no-nested-loop).",
+    "LSH discovery (8 bands × 8 planes = 256 buckets/band, equi-join "
+    "on (band, bucket) — ids only, embeddings never shuffle) then "
+    "exact-cosine verify on the candidate set, with a hot-bucket cap "
+    "as the skew fuse (degenerate embedding regions drop from "
+    "discovery, mirroring the shingle-DF cap). The 100 TB composition "
+    "of the all-pairs verify stage; every join is a hash join "
+    "(plan-pinned no-nested-loop).",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_near_dup_pairs(
         e, threshold=0.35,
         n_bands=_EMB_LSH_BANDS, planes_per_band=_EMB_LSH_PLANES_PER_BAND,
+        max_bucket_size=_EMB_LSH_MAX_BUCKET,
     )
 
 
