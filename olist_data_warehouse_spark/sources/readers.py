@@ -65,11 +65,14 @@ def load_testdata(
 ) -> dict[str, DataFrame]:
     """Load the driver's parquet tables for ``sf_dir`` as DataFrames.
 
-    The nanos conf is (re)applied here, at the read boundary, because
+    Session confs are (re)applied here, at the read boundary, because
     callers may hand us *any* SparkSession — not necessarily one built
     by our ``session.py`` (the correctness driver builds its own).
-    ``events.parquet`` carries TIMESTAMP(NANOS) columns which Spark
-    refuses to read unless ``nanosAsLong`` is set; it is runtime-settable.
+    ``nanosAsLong`` covers TIMESTAMP(NANOS) producers (older testdata
+    generations); the UTC timezone pin makes the NTZ→LTZ timestamp
+    normalization below value-preserving and DST-free, so timestamp
+    arithmetic matches the DuckDB oracle's naive semantics exactly.
+    Both confs are runtime-settable.
 
     ``heal`` picks which tables get the single-file repartition fix
     (see ``_heal_partitioning``): ``None`` applies the default policy
@@ -84,6 +87,7 @@ def load_testdata(
     text/vector op — hence per-table policy, not a global switch.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if heal is None:
         heal_set = _PERROW_HEAVY_TABLES
     elif heal is True or heal == "all":
@@ -96,7 +100,7 @@ def load_testdata(
     for name in tables or TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            df = _normalize_nanos_timestamps(spark.read.parquet(p))
+            df = _normalize_timestamps(spark.read.parquet(p))
             if heal_set is None or name in heal_set:
                 df = _heal_partitioning(spark, df, p)
             out[name] = df
@@ -137,20 +141,33 @@ def _heal_partitioning(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     return df
 
 
-def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as LongType nanos under
-    ``spark.sql.legacy.parquet.nanosAsLong``; convert to TimestampType.
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp flavor the testdata generator has
+    produced to plain ``TimestampType`` (LTZ), the engine's working
+    type:
 
-    Integer ``DIV`` (not ``/``) keeps the nanos→micros conversion exact —
-    float division loses precision above 2^53 ns (~1970+104 days).
-    DuckDB truncates nanos→micros the same way, so the oracle agrees.
+    - TIMESTAMP(NANOS) arrives as LongType nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (older generations of
+      ``events.parquet``). Integer ``DIV`` (not ``/``) keeps the
+      nanos→micros conversion exact — float division loses precision
+      above 2^53 ns. DuckDB truncates nanos→micros the same way.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+      TIMESTAMP_NTZ under Spark 4's ``inferTimestampNTZ`` (current
+      generation). Cast to LTZ under the UTC session pin is
+      value-preserving (identity on the stored micros), so downstream
+      epoch arithmetic (``cast("long")``, ``unix_timestamp``, windowed
+      binning) equals DuckDB's naive arithmetic.
     """
     from pyspark.sql import functions as F
 
-    ts_cols = [f.name for f in df.schema.fields if f.name in ("ts",) and
-               f.dataType.simpleString() == "bigint"]
-    for c in ts_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    for f in df.schema.fields:
+        simple = f.dataType.simpleString()
+        if f.name == "ts" and simple == "bigint":
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` DIV 1000"))
+            )
+        elif simple == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 
 from olist_data_warehouse_spark.schemas import TESTDATA
 
-# The parquet file source needs an explicit schema; ts arrives as
-# TIMESTAMP(NANOS) → long under nanosAsLong (see sources.readers).
+# The parquet file source needs an explicit schema. Requesting plain
+# TIMESTAMP (LTZ) over the file's TIMESTAMP(MICROS, NTZ) physical type
+# reads the stored micros verbatim — value-preserving under the UTC
+# session pin (see sources.readers).
 EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -36,12 +38,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with availableNow; a directory of arriving files in production)."""
     # Glob, not bare file path: the streaming file source requires its
     # basePath to be a directory (a glob's parent qualifies).
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .load(f"{sf_dir}/events.parquet*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
