@@ -1779,16 +1779,21 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_running_total",
     oracle="""
 SELECT event_id, user_id,
-       SUM(CAST(value AS DECIMAL(18,2))) OVER (
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS UNBOUNDED PRECEDING) AS running_value
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM events
 """,
     doc="Running total per user over event time (frame: unbounded "
-    "preceding). DECIMAL accumulation: exact, so the window's "
-    "summation tree shape (Spark incremental vs DuckDB segment tree) "
-    "cannot drift the low bits. One hash shuffle on user_id; frames "
-    "never cross partitions.",
+    "preceding). Accumulated in integer cents (BIGINT): exact, so the "
+    "window's summation tree shape (Spark incremental vs DuckDB "
+    "segment tree) cannot drift the low bits, and — unlike the DECIMAL "
+    "form this replaced — the output survives DuckDB's pandas "
+    "conversion, which degrades every DECIMAL to float64 and can "
+    "therefore never hash-match Spark's Decimal objects "
+    "(CORRECTNESS_r02/r03: w2 had 0 divergent cells yet "
+    "hash_match=false). One hash shuffle on user_id; frames never "
+    "cross partitions.",
 )
 def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1799,10 +1804,10 @@ def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.select(
         "event_id", "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
-        .alias("running_value"),
+        F.sum(cents).over(w).alias("running_cents"),
     )
 
 

@@ -21,7 +21,7 @@ import pytest
 from olist_data_warehouse_spark.plans.queries import REGISTRY
 from tests.oracle_check import duckdb_conn
 
-# int128s Spark can't mirror; DECIMALs above Spark's precision ceiling
+# int128s Spark cannot mirror (DECIMAL is banned separately below)
 _BANNED_SUBSTR = ("HUGEINT", "INT128")
 # nested types the driver's canonicalizer can't sort/hash
 _BANNED_PREFIX = ("STRUCT", "MAP", "UNION")
@@ -47,8 +47,11 @@ def test_oracle_output_types_portable(sf_dir, name):
             f"{name}.{col} is {typ}: nested cells break the driver's "
             f"canonicalizer — explode/serialize to scalar columns"
         )
-        if u.startswith("DECIMAL("):
-            prec = int(u.split("(")[1].split(",")[0])
-            assert prec <= 38, (
-                f"{name}.{col} is {typ}: exceeds Spark's DECIMAL(38) ceiling"
-            )
+        assert not u.startswith("DECIMAL"), (
+            f"{name}.{col} is {typ}: DuckDB's pandas conversion degrades "
+            f"every DECIMAL to float64 while Spark hands the driver "
+            f"decimal.Decimal objects, so the hash can NEVER match even on "
+            f"identical values (w2_running_total was red for two rounds on "
+            f"exactly this). Accumulate in integer cents (BIGINT) or emit "
+            f"DOUBLE instead."
+        )
