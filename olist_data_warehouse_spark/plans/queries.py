@@ -1233,32 +1233,40 @@ from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # 1: fixed reds
-    "q1_top_units_dw", "q2_top_revenue_dw", "q3_conversion_oltp",
-    "q3_conversion_dw", "j7_incremental_delta", "f3_datediff_hours",
-    "dedup_simhash", "multi_extract_features",
-    # 2: new / changed this round
-    "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
-    "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
-    "decon_ngram_overlap", "text_pii_redact", "text_repetition_ratio",
-    "samp_domain_mixture", "dedup_cc_groups", "pack_concat_chunks",
-    "text_unigram_logprob", "text_tfidf_topk",
-    # 3: never driver-evaluated (r1 positions 51-80)
+    # 1: must-prove — the only entries with no driver-green row anywhere
+    #    in r1-r3: w2 was red twice (DECIMAL hash, fixed to integer
+    #    cents this round); the other four were never evaluated (always
+    #    past the 50-entry cap).
+    "w2_running_total",
+    "set_union_distinct", "p11_contains_filter",
+    "pack_sliding_windows", "corpus_profile",
+    # 2: behavior touched this round — streaming reader now pins UTC
+    #    itself; embedding-LSH candidate stage re-planned.
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
-    "stream_dedup",
-    "tj_asof_purchase_click", "tj_range_error_clicks",
-    "sk_hll_distinct_users", "sk_hist_quantiles", "sk_cms_heavy_hitters",
-    "scd2_supplier_merge", "bloom_prefilter_lineitem", "skew_salted_join",
-    "json_props_extract", "sim_kmeans_refine",
-    "multi_resize_meta", "multi_frame_sample", "multi_audio_meta",
-    "sim_lsh_assign", "sim_lsh_topk",
-    "samp_hash_split", "samp_stratified", "samp_per_group_topn",
-    "samp_kfold",
-    "text_word_count",
-    "w2_running_total", "w3_lag_delta", "w4_ntile_quartiles", "a11_cube",
-    # set_union_distinct / p11_contains_filter moved past the cap: their
-    # operator families (set ops, substring filters) have r1 driver
-    # evidence via siblings; new-family headliners take the slots.
+    "stream_dedup", "dedup_embedding_lsh",
+    # 3: flagship pairs re-confirmed every round (the OLTP forms are
+    #    r1-only evidence so far).
+    "q1_top_units_oltp", "q1_top_units_dw",
+    "q2_top_revenue_oltp", "q2_top_revenue_dw",
+    "q3_conversion_oltp", "q3_conversion_dw",
+    # 4: r1-only evidence — re-confirm under the current (MICROS-NTZ)
+    #    testdata generation, most substantive first. Trivial scans /
+    #    filters (s1, p2, p3, p4_p9, a2, a6, t3) stay past the cap:
+    #    their operators are exercised inside every flagship.
+    "a13_median_percentile", "a8_count_distinct", "a9_rollup",
+    "a10_pivot", "a12_grouping_sets", "a5_min_agg",
+    "w1_window_topn_per_group", "w5_first_last",
+    "set_union_all", "set_intersect", "set_except",
+    "p5_j8_not_in_anti", "j8_customers_without_orders",
+    "p6_range_timestamp", "p10_j6_lookup_split", "j3_composite_key_join",
+    "f1_f2_date_key_roundtrip", "f7_surrogate_keys", "s2_sql_text_entry",
+    "text_token_stats", "text_rolling_fingerprint", "text_quality",
+    "text_lang_id",
+    "dedup_exact", "dedup_exact_groups",
+    "dedup_minhash_signatures", "dedup_minhash_lsh",
+    "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_topk",
+    "multi_decode_meta",
+    "j7_incremental_delta", "f3_datediff_hours",
 ]
 
 
