@@ -87,13 +87,21 @@ def main() -> None:
     # the standard low-noise estimator of actual plan cost (the
     # reference's STATISTICS TIME benchmark is likewise run repeatedly
     # and read by eye).
+    #
+    # Repetitions run ROUND-ROBIN across queries, not back-to-back: a
+    # contention burst on this shared VM lasts on the order of a minute,
+    # so back-to-back repetitions put all N runs of whichever query it
+    # lands on inside the burst and best-of-N cannot reject it (round 3
+    # manufactured phantom 23x "regressions" exactly this way). Spreading
+    # a query's runs ~a full sweep apart means a burst poisons at most
+    # one run of each affected query, and the min recovers. Raw per-run
+    # times are published so a regression can be told from noise without
+    # a re-run: real regressions move every run, noise spikes a few.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in REGISTRY:
-            continue
-        best = float("inf")
-        for _ in range(runs):
+    bench_names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    raw: dict[str, list[float]] = {n: [] for n in bench_names}
+    for _ in range(runs):
+        for name in bench_names:
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
             # One execution through the no-op sink: every output column
@@ -101,8 +109,15 @@ def main() -> None:
             # would let Catalyst prune the projections being measured
             # (a per-row fingerprint column, say, costs 0 under count).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            raw[name].append(round(time.perf_counter() - t0, 3))
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {n: min(ts) for n, ts in raw.items()}
+    medians = {n: round(_median(ts), 3) for n, ts in raw.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +127,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_raw": raw,
                 "sf": sf,
             }
         )

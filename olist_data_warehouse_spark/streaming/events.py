@@ -36,6 +36,14 @@ EVENTS_RAW_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file = one batch
     with availableNow; a directory of arriving files in production)."""
+    # Pin UTC exactly like the batch reader (sources.readers
+    # load_testdata): the NTZ micros are read verbatim into LTZ, so all
+    # downstream rendering (date_format on window starts, session-gap
+    # arithmetic) is session-timezone-dependent. Without the pin, a
+    # foreign non-UTC session would diverge from the batch twins and the
+    # oracle. Session-global side effect, same contract as the batch
+    # path.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Glob, not bare file path: the streaming file source requires its
     # basePath to be a directory (a glob's parent qualifies).
     return (

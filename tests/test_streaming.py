@@ -98,6 +98,34 @@ def test_apply_in_pandas_with_state_matches_batch(spark):
     assert rows(got, *cols) == rows(batch, *cols)
 
 
+def test_streaming_parity_under_non_utc_session(spark):
+    """read_events_stream must pin UTC itself (mirroring the batch
+    reader): on a foreign session left at a non-UTC timezone, the NTZ
+    micros would otherwise render window starts shifted by the zone
+    offset and diverge from the batch twin / oracle."""
+    # Batch twin first — load_testdata pins UTC, so these rows are the
+    # canonical UTC rendering. Materialize before changing the zone.
+    batch = ev.tumbling_counts(load_testdata(spark, SF, ("events",))["events"])
+    cols = ("window_start", "event_type", "n_events", "total_value")
+    want = rows(batch, *cols)
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        stream = ev.tumbling_counts(ev.read_events_stream(spark, SF))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tumbling_nonutc")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert rows(spark.table("tumbling_nonutc"), *cols) == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
 def test_streaming_dedup_drops_replayed_duplicates(spark):
     """Streaming dedup-within-watermark sees each event_id once even
     when the source replays; agrees with the batch dropDuplicates."""
