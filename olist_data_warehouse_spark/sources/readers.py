@@ -157,6 +157,11 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
       value-preserving (identity on the stored micros), so downstream
       epoch arithmetic (``cast("long")``, ``unix_timestamp``, windowed
       binning) equals DuckDB's naive arithmetic.
+
+    Only top-level fields are inspected — the testdata schemas are flat.
+    A timestamp_ntz nested inside a struct/array in some future
+    generation would pass through un-normalized; extend to a recursive
+    rewrite if that ever appears.
     """
     from pyspark.sql import functions as F
 

@@ -25,17 +25,31 @@ from olist_data_warehouse_spark.schemas import TESTDATA
 
 # The parquet file source needs an explicit schema. Requesting plain
 # TIMESTAMP (LTZ) over the file's TIMESTAMP(MICROS, NTZ) physical type
-# reads the stored micros verbatim — value-preserving under the UTC
-# session pin (see sources.readers).
+# (current testdata generation) reads the stored micros verbatim —
+# value-preserving under the UTC session pin (see sources.readers).
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
+)
+# Older testdata generations wrote TIMESTAMP(NANOS), which Spark only
+# surfaces as INT64 nanos under spark.sql.legacy.parquet.nanosAsLong —
+# the batch reader's legacy branch (sources.readers
+# _normalize_timestamps). Same columns, ts as raw nanos.
+EVENTS_RAW_SCHEMA_NANOS = EVENTS_RAW_SCHEMA.replace(
+    "ts timestamp", "ts bigint"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file = one batch
-    with availableNow; a directory of arriving files in production)."""
+    with availableNow; a directory of arriving files in production).
+
+    Generation-aware, mirroring the batch reader exactly: supports the
+    current TIMESTAMP(MICROS, NTZ) testdata and the older
+    TIMESTAMP(NANOS) generation (detected from the parquet footer via a
+    one-off batch schema probe — metadata read only, no data scan), so
+    batch and stream can never disagree about which files they accept.
+    """
     # Pin UTC exactly like the batch reader (sources.readers
     # load_testdata): the NTZ micros are read verbatim into LTZ, so all
     # downstream rendering (date_format on window starts, session-gap
@@ -44,13 +58,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle. Session-global side effect, same contract as the batch
     # path.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    probe = spark.read.parquet(path).schema
+    nanos = any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint"
+        for f in probe.fields
+    )
     # Glob, not bare file path: the streaming file source requires its
     # basePath to be a directory (a glob's parent qualifies).
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw = (
+        spark.readStream.schema(
+            EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA
+        )
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet*")
+        .load(path + "*")
     )
+    if nanos:
+        # Integer DIV keeps nanos→micros exact (float loses precision
+        # above 2^53 ns); identical to the batch normalization.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -126,6 +126,47 @@ def test_streaming_parity_under_non_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", orig)
 
 
+def test_stream_reads_legacy_nanos_generation(spark, tmp_path):
+    """Older testdata generations wrote TIMESTAMP(NANOS); the streaming
+    reader must accept them exactly like the batch reader's legacy
+    branch does (no batch-vs-stream generation asymmetry)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(
+        idx, "ts", t.column("ts").cast(pa.timestamp("ns"))
+    )
+    nanos_dir = tmp_path / "nanos_gen"
+    nanos_dir.mkdir()
+    # store_schema + version 2.6 keep the physical type at NANOS
+    # instead of coercing back to micros on write.
+    pq.write_table(
+        t, nanos_dir / "events.parquet", version="2.6",
+        coerce_timestamps=None, store_schema=False,
+    )
+    assert (
+        pq.read_schema(nanos_dir / "events.parquet").field("ts").type
+        == pa.timestamp("ns")
+    )
+
+    batch = ev.tumbling_counts(
+        load_testdata(spark, str(nanos_dir), ("events",))["events"]
+    )
+    stream = ev.tumbling_counts(ev.read_events_stream(spark, str(nanos_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_nanos")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ("window_start", "event_type", "n_events", "total_value")
+    assert rows(spark.table("tumbling_nanos"), *cols) == rows(batch, *cols)
+
+
 def test_streaming_dedup_drops_replayed_duplicates(spark):
     """Streaming dedup-within-watermark sees each event_id once even
     when the source replays; agrees with the batch dropDuplicates."""
