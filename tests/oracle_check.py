@@ -8,6 +8,7 @@ noise must be fixed in the query by rounding/casting, not here).
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 
@@ -42,11 +43,32 @@ def _norm_cell(v):
     return v
 
 
-def _norm_rows(cols, rows):
+def _spark_ts_to_utc(v):
+    """Reverse PySpark's host-local TimestampType rendering.
+
+    ``collect()`` materializes TimestampType via
+    ``datetime.fromtimestamp(micros/1e6)`` — naive, in the *Python
+    process's* OS timezone. On a UTC host (the driver) that equals the
+    stored micros; on any other host it is shifted by the zone offset
+    even though the instant is correct. Round-trip through the epoch
+    (``fromtimestamp`` sets ``fold``, ``timestamp()`` respects it, so
+    DST-ambiguous renderings reverse exactly) and re-render in UTC so
+    the comparison sees what a UTC-host driver sees. DuckDB naive
+    timestamps are storage values and are never touched.
+    """
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return _dt.datetime.fromtimestamp(
+            v.timestamp(), tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    return v
+
+
+def _norm_rows(cols, rows, spark_side=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(repr(_norm_cell(r[i])) for i in order))
+        vals = [_spark_ts_to_utc(r[i]) if spark_side else r[i] for i in order]
+        out.append(tuple(repr(_norm_cell(v)) for v in vals))
     return sorted(out)
 
 
@@ -76,7 +98,7 @@ def compare_query(spark, sf_dir: str, name: str):
     if len(srows) != len(orows):
         problems.append(f"row count differs: spark={len(srows)} oracle={len(orows)}")
     if not problems:
-        sn = _norm_rows(scols, srows)
+        sn = _norm_rows(scols, srows, spark_side=True)
         on = _norm_rows(ocols, orows)
         if sn != on:
             diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]

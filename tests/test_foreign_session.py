@@ -1,0 +1,78 @@
+"""Full-registry oracle replica under a FOREIGN session.
+
+The driver does not use our session factory: it builds its own
+SparkSession with its own (unknown) confs and the machine's timezone.
+Every registered query must therefore self-heal — load_testdata pins
+UTC and the nanos conf at read time, the streaming reader pins its own
+timezone — rather than rely on anything tests/conftest.py happens to
+set.
+
+This test replicates that posture exactly, in a subprocess so the
+session-scoped pytest SparkSession can't bleed confs into it: a bare
+``SparkSession.builder`` (no engine confs beyond master/memory) under
+``TZ=America/New_York`` (harsher than the driver's likely UTC host),
+running EVERY registry entry against its DuckDB oracle at sf0.01 — the
+driver's actual gate scale.
+
+Marked slow (~5-10 min): run with ``pytest -m slow``.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("foreign_session_replica")
+    .config("spark.driver.memory", "8g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from olist_data_warehouse_spark.plans.queries import REGISTRY
+from tests.oracle_check import compare_query
+
+sf = "/root/testdata/sf0.01"
+bad = []
+for name in REGISTRY:
+    try:
+        ok, detail = compare_query(spark, sf, name)
+    except Exception as exc:  # noqa: BLE001 - report, don't mask siblings
+        ok, detail = False, f"raised {type(exc).__name__}: {exc}"
+    if not ok:
+        bad.append((name, detail))
+        print(f"FAIL {name}: {detail}", flush=True)
+print(f"done: {len(REGISTRY) - len(bad)}/{len(REGISTRY)} ok", flush=True)
+sys.exit(1 if bad else 0)
+"""
+
+
+@pytest.mark.slow
+def test_full_registry_under_foreign_non_utc_session():
+    env = dict(os.environ)
+    env["TZ"] = "America/New_York"
+    # Scrub knobs our own tooling might have exported so the subprocess
+    # session is genuinely foreign.
+    for k in list(env):
+        if k.startswith("SPARK_GRAFT_"):
+            env.pop(k)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    assert proc.returncode == 0, (
+        f"foreign-session replica failed:\n{tail}\n{proc.stderr[-2000:]}"
+    )
