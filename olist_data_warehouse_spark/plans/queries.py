@@ -1240,8 +1240,9 @@ DRIVER_PRIORITY = [
     "w2_running_total",
     "set_union_distinct", "p11_contains_filter",
     "pack_sliding_windows", "corpus_profile",
-    # 2: behavior touched this round — streaming reader now pins UTC
-    #    itself; embedding-LSH candidate stage re-planned.
+    # 2: new or behavior-touched this round — stream-stream interval
+    #    join is new; the streaming reader now pins UTC itself.
+    "stream_purchase_click_join",
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (the OLTP forms are

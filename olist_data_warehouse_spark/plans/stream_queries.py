@@ -109,3 +109,32 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("user_id").cast("long")).alias("user_sum"),
         )
     )
+
+
+@register(
+    "stream_purchase_click_join",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_before
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 60 MINUTES AND c.ts < p.ts
+""",
+    doc="Batch twin of the watermarked stream-stream interval join "
+    "(streaming/events.py purchase_click_interval_join): purchases "
+    "matched to same-user clicks in the preceding hour. Batch plan is "
+    "one shuffle on user_id with the interval predicate evaluated "
+    "inside the join; the streaming form replaces the shuffle with "
+    "watermark-bounded two-sided state. The pytest side runs the real "
+    "two-stream join (availableNow) and asserts row-identical output.",
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks, purchases = ev.split_clicks_purchases(e)
+    # Batch DataFrames ignore withWatermark, so the streaming operator
+    # body runs unchanged on batch inputs — one code path, two engines.
+    return ev.purchase_click_interval_join(clicks, purchases)

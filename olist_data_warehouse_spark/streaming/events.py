@@ -182,6 +182,67 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def purchase_click_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to
+    the same user's clicks in the preceding ``lookback_minutes``.
+
+    The canonical two-stream stateful operator the batch as-of/range
+    joins (operators/temporal.py) upgrade to: both sides buffer rows in
+    state, the time-interval condition plus the two watermarks bound
+    that state (click state older than watermark + lookback is evicted,
+    purchase state older than watermark), and matches emit in append
+    mode as soon as the watermark passes — no unbounded buffering at
+    any scale. Takes the two streams as arguments; both may derive from
+    the same source stream (self-join of one reader is fine).
+
+    Output: one row per (purchase, qualifying click) with the seconds
+    the click preceded the purchase — the attribution primitive.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND "
+            f"click_ts >= purchase_ts - INTERVAL {int(lookback_minutes)} "
+            f"MINUTES AND click_ts < purchase_ts"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("bigint").alias("secs_before"),
+    )
+
+
+def split_clicks_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Filter the raw events (stream or batch) into the two join sides."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return clicks, purchases
+
+
 STATEFUL_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATEFUL_STATE_SCHEMA = "n bigint, total double"
 

@@ -9,28 +9,18 @@ from olist_data_warehouse_spark.plans.queries import (
     ordered_registry,
 )
 
-# Entries with no green driver row yet (red in r1, new, or never
-# evaluated) — these MUST sit inside the evaluated prefix.
+# Entries with no green driver row yet (fixed-this-round, new, or never
+# evaluated) — these MUST sit inside the evaluated prefix. Keep in sync
+# with the union of CORRECTNESS_r*.json: an entry leaves this set when
+# a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # r1 reds, now fixed
-    "q1_top_units_dw", "q2_top_revenue_dw", "q3_conversion_oltp",
-    "q3_conversion_dw", "j7_incremental_delta", "f3_datediff_hours",
-    "dedup_simhash", "multi_extract_features",
-    # new or behavior-changed this round
-    "j7_merge_upsert", "dedup_embedding_lsh", "sim_ivf_topk_mp",
-    "dedup_ngram_jaccard", "dedup_simhash_hamming", "pipe_corpus_curation",
-    "decon_ngram_overlap", "text_pii_redact", "text_repetition_ratio",
-    "samp_domain_mixture", "dedup_cc_groups", "pack_concat_chunks",
-    "text_unigram_logprob", "text_tfidf_topk",
-    # never evaluated in r1 (cap cut at 50)
-    "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
-    "stream_dedup", "tj_asof_purchase_click", "tj_range_error_clicks",
-    "sk_hll_distinct_users", "sk_hist_quantiles", "sk_cms_heavy_hitters",
-    "scd2_supplier_merge", "bloom_prefilter_lineitem", "skew_salted_join",
-    "json_props_extract", "sim_kmeans_refine", "multi_resize_meta",
-    "multi_frame_sample", "multi_audio_meta", "sim_lsh_assign",
-    "sim_lsh_topk", "samp_hash_split", "samp_stratified",
-    "samp_per_group_topn", "samp_kfold", "text_word_count",
+    # red in r2/r3 (DECIMAL hash), fixed to integer cents in r4
+    "w2_running_total",
+    # never inside the 50-entry cap in any round
+    "set_union_distinct", "p11_contains_filter",
+    "pack_sliding_windows", "corpus_profile",
+    # new in r4
+    "stream_purchase_click_join",
 }
 
 

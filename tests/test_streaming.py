@@ -126,6 +126,30 @@ def test_streaming_parity_under_non_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", orig)
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream interval join (purchases x clicks in
+    the preceding hour) emits exactly the batch join's rows."""
+    events = load_testdata(spark, SF, ("events",))["events"]
+    batch = ev.purchase_click_interval_join(
+        *ev.split_clicks_purchases(events)
+    )
+    cols = ("user_id", "purchase_id", "click_id", "secs_before")
+    want = rows(batch, *cols)
+    assert want, "batch twin produced no rows — test would be vacuous"
+
+    src = ev.read_events_stream(spark, SF)
+    stream = ev.purchase_click_interval_join(*ev.split_clicks_purchases(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj_purchase_clicks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert rows(spark.table("ssj_purchase_clicks"), *cols) == want
+
+
 def test_stream_reads_legacy_nanos_generation(spark, tmp_path):
     """Older testdata generations wrote TIMESTAMP(NANOS); the streaming
     reader must accept them exactly like the batch reader's legacy
