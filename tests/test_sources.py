@@ -107,3 +107,70 @@ def test_jsonl_roundtrip_and_corrupt_line_route(spark, tmp_path):
     assert len(rows) == 2
     corrupt = [r for r in rows if r._corrupt_record is not None]
     assert len(corrupt) == 1 and corrupt[0].doc_id is None
+
+
+def test_bucketed_join_is_shuffle_free_and_correct(spark):
+    """write_bucketed's contract: two tables bucketed on the join key
+    join with ZERO exchange — the layout that deletes the big-big
+    shuffle at 100 TB. Plan-pinned (no Exchange node) and value-checked
+    against the plain shuffled join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+    from olist_data_warehouse_spark.sources.writers import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    li = load_testdata(spark, sf, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_testdata(spark, sf, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "bt_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(o, "bt_orders", ["o_orderkey"], 8, ["o_orderkey"])
+
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+    want_rows = {tuple(r) for r in want.collect()}
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the join strategy decision to layout, not size: with
+        # broadcast off, an unbucketed join MUST shuffle both sides, so
+        # an Exchange-free plan can only come from the bucketing.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("bt_lineitem")
+            .join(
+                spark.table("bt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("qty"),
+            )
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            "bucketed join must not shuffle (and the groupBy on the "
+            "bucket key must reuse the bucketing too)"
+        )
+        assert {tuple(r) for r in j.collect()} == want_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
