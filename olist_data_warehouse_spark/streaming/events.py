@@ -148,6 +148,67 @@ def run_streaming_incremental(
     )
 
 
+def run_streaming_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Continuously-maintained rollup (the "hypertable rollup" /
+    incremental materialized view): per micro-batch, UPSERT the updated
+    windows into the target — late rows within the watermark *revise*
+    an already-written window instead of being skipped.
+
+    The complement of :func:`run_streaming_incremental` (anti-join
+    insert = "late item for a loaded date is skipped", the reference's
+    SSIS policy): this is the streaming twin of the batch MERGE
+    (``j7_merge_upsert``). Update-mode aggregation re-emits a window's
+    *cumulative* totals whenever a batch touches it, so replacing the
+    target's rows for exactly the emitted keys converges to the full
+    batch aggregate — a window split across micro-batches is first
+    written partial, then revised complete.
+
+    Copy-on-write upsert on plain parquet (anti-join keys + union);
+    Delta/Iceberg would make the merge a real MERGE INTO with the same
+    call shape.
+    """
+    agg = tumbling_counts(read_events_stream(spark, sf_dir), watermark)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        # Stabilize the micro-batch before it is read twice (keys +
+        # union) and before overwriting a table it derives from.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not spark_l.catalog.tableExists(target_table):
+            batch_df.write.saveAsTable(target_table)
+            return
+        keys = batch_df.select("window_start", "event_type").distinct()
+        kept = spark_l.table(target_table).join(
+            F.broadcast(keys), ["window_start", "event_type"], "left_anti"
+        )
+        out = kept.unionByName(batch_df).localCheckpoint(eager=True)
+        out.write.mode("overwrite").saveAsTable(target_table)
+        # The overwrite replaced the table's files; drop the cached
+        # file listing so the next micro-batch's anti-join read doesn't
+        # chase deleted part files.
+        spark_l.catalog.refreshTable(target_table)
+
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # foreachBatch runs under a cloned session whose refresh doesn't
+    # reach the caller's catalog cache — refresh here too so the
+    # caller's next read of the target sees the rewritten files.
+    if spark.catalog.tableExists(target_table):
+        spark.catalog.refreshTable(target_table)
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: a new session starts after a > gap idle period.
 

@@ -212,3 +212,74 @@ def test_streaming_dedup_drops_replayed_duplicates(spark):
     got = spark.table("dedup_stream")
     assert got.count() == batch_n
     assert got.select("event_id").distinct().count() == batch_n
+
+
+def test_streaming_rollup_revises_boundary_windows(spark, tmp_path):
+    """Continuous-aggregate maintenance: events arrive as three
+    time-ordered files, the rollup runs after each arrival (one
+    checkpoint — restart-resume each time), and a window split across
+    arrivals is first written PARTIAL then revised to its full total.
+    Final table == full batch aggregate; the anti-join-insert policy
+    (run_streaming_incremental) would have frozen the partial row."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    src = src.take(pc.sort_indices(src, sort_keys=[("ts", "ascending")]))
+    n = src.num_rows
+
+    # Cut so at least one arrival boundary splits a (window, type)
+    # group: find an adjacent same-hour same-type pair near each third
+    # and cut between its rows. (At this SF hourly windows are near
+    # singletons, so a blind N/3 cut almost never splits one.)
+    hours = [
+        (ts.replace(minute=0, second=0, microsecond=0), et)
+        for ts, et in zip(
+            src.column("ts").to_pylist(), src.column("event_type").to_pylist()
+        )
+    ]
+
+    def cut_near(target):
+        order = sorted(range(1, n), key=lambda i: abs(i - target))
+        for i in order:
+            if hours[i - 1] == hours[i]:
+                return i
+        return target
+
+    cuts = sorted({0, cut_near(n // 3), cut_near(2 * n // 3), n})
+    assert len(cuts) == 4, "degenerate cuts — testdata too small"
+
+    data_dir = tmp_path / "roll"
+    events_dir = data_dir / "events.parquet"
+    events_dir.mkdir(parents=True)
+    ckpt = str(tmp_path / "ckpt")
+    target = "stream_test.rollup_counts"
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_test")
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+
+    batch = ev.tumbling_counts(load_testdata(spark, SF, ("events",))["events"])
+    cols = ("window_start", "event_type", "n_events", "total_value")
+    want = rows(batch, *cols)
+
+    snapshots = []
+    for i in range(3):
+        chunk = src.slice(cuts[i], cuts[i + 1] - cuts[i])
+        pq.write_table(chunk, events_dir / f"part-{i:03d}.parquet")
+        ev.run_streaming_rollup(spark, str(data_dir), target, ckpt)
+        snapshots.append(rows(spark.table(target), *cols))
+
+    assert snapshots[-1] == want
+
+    # The revision actually happened: after the first arrival at least
+    # one (window, type) row carried a partial total that the final
+    # table contradicts — i.e. upsert rewrote it, insert-only wouldn't.
+    final = {(r[0], r[1]): r for r in snapshots[0] | snapshots[1] | snapshots[2]}
+    first = {(r[0], r[1]): r for r in snapshots[0]}
+    final_by_key = {(r[0], r[1]): r for r in want}
+    revised = [
+        k for k, r in first.items() if final_by_key.get(k) not in (None, r)
+    ]
+    assert revised, (
+        "no boundary window was revised — split points landed on hour "
+        "boundaries and the test is vacuous"
+    )
