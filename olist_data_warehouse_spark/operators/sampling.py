@@ -100,6 +100,28 @@ def stratified_sample(
     return df.filter(hash_bucket(key, salt) < thr)
 
 
+def weighted_sample(
+    df: DataFrame, key: Column, weight: Column, cap: int, salt: str = "wpps"
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sampling: keep a row
+    with probability ``min(weight, cap) / cap`` from an INTEGER weight
+    column (token count, byte length, dup-cluster size...). The corpus
+    move "sample long documents proportionally more" without a sort.
+
+    Membership is the pure-integer inequality
+    ``hash_bucket * cap < min(weight, cap) * N_BUCKETS`` — no float
+    round/pow anywhere, so assignment is bit-identical on any engine,
+    partitioning, or row order (float thresholds flip rows whose
+    probability lands within an ulp of the boundary; integers can't).
+    Codegen'd filter, no shuffle.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    b = hash_bucket(key, salt)
+    w = F.least(weight.cast("long"), F.lit(int(cap)).cast("long"))
+    return df.filter(b * int(cap) < w * N_BUCKETS)
+
+
 def per_group_sample(
     df: DataFrame, group_cols: list[str], key: Column, n: int, salt: str = "pergroup"
 ) -> DataFrame:

@@ -1873,6 +1873,32 @@ def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "samp_weighted_pps",
+    oracle=f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE ({_bucket_sql("wpps", "doc_id")}) * 2048
+      < least(CAST(length(text) AS BIGINT), 2048) * {sampling.N_BUCKETS}
+""",
+    doc="Probability-proportional-to-size sampling: keep probability "
+    "min(len, 2048)/2048 per document from its character length — the "
+    "corpus 'long documents carry more tokens' downsample, without a "
+    "sort or a size histogram. Membership is a pure-integer "
+    "inequality on the salted content hash (no float round/pow), so "
+    "assignment is bit-identical across engines, partitionings, and "
+    "row orders. Codegen'd scan filter; zero shuffle.",
+)
+def samp_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    kept = sampling.weighted_sample(
+        d, F.col("doc_id"), F.length("text"), cap=2048, salt="wpps"
+    )
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Final coverage: ntile, distinct union, contains-predicate pushdown
 # ---------------------------------------------------------------------------

@@ -1241,8 +1241,9 @@ DRIVER_PRIORITY = [
     "set_union_distinct", "p11_contains_filter",
     "pack_sliding_windows", "corpus_profile",
     # 2: new or behavior-touched this round — stream-stream interval
-    #    join is new; the streaming reader now pins UTC itself.
-    "stream_purchase_click_join",
+    #    join and PPS sampling are new; the streaming reader now pins
+    #    UTC itself.
+    "stream_purchase_click_join", "samp_weighted_pps",
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (the OLTP forms are

@@ -92,3 +92,45 @@ def test_per_group_sample_exact_size_and_determinism(spark, docs):
         docs.filter("doc_id < 3"), ["lang"], F.col("doc_id"), n=7
     )
     assert tiny.count() == 3
+
+
+def test_weighted_sample_pps_properties(spark, docs):
+    """PPS membership: partition/order invariant, monotone in weight
+    (capped rows always kept when bucket < N_BUCKETS... i.e. weight
+    >= cap means certain keep only when the hash allows — verify the
+    exact integer rule instead), and matches a row-level recompute."""
+    import pytest
+
+    from olist_data_warehouse_spark.operators.sampling import (
+        N_BUCKETS,
+        hash_bucket,
+    )
+
+    # synthetic integer weight spanning [0, 100): below, at, above cap
+    d = docs.withColumn("wt", (F.col("doc_id") % 100).cast("long"))
+    w = F.col("wt")
+    kept = sampling.weighted_sample(d, F.col("doc_id"), w, cap=64)
+    got = sorted(r.doc_id for r in kept.select("doc_id").collect())
+
+    # invariant under partitioning/order
+    again = sampling.weighted_sample(
+        d.repartition(13), F.col("doc_id"), w, cap=64
+    )
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == got
+
+    # row-level recompute of the integer rule
+    ref = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "wpps").alias("b"),
+        F.least(F.col("wt"), F.lit(64).cast("long")).alias("w"),
+    ).collect()
+    want = sorted(r.doc_id for r in ref if r.b * 64 < r.w * N_BUCKETS)
+    assert got == want
+
+    # weight >= cap rows keep with probability 1 in expectation terms:
+    # every such row's threshold is the full bucket range
+    certain = [r.doc_id for r in ref if r.w >= 64]
+    assert set(certain) <= set(got)
+
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(d, F.col("doc_id"), w, cap=0)
