@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "samp_domain_mixture",
     "sim_bruteforce_topk",
     "stream_sessionize",
+    "stream_purchase_click_join",
     "text_rolling_fingerprint",
     "text_word_count",
     "a13_median_percentile",

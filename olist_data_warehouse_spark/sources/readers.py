@@ -57,6 +57,28 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC ingestion — the other columnar lake format (Hive-lineage
+    warehouses feed it). Column pruning and predicate pushdown work
+    exactly as for parquet (ORC carries stripe-level min/max stats), so
+    every plan property the engine pins on parquet scans holds here.
+    Schema optional because ORC files are self-describing like parquet;
+    pass one to pin reader types against producer drift.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — atomic overwrite, one commit per save (same
+    durability contract as the parquet sink)."""
+    df.write.mode("overwrite").orc(path)
+
+
 def load_testdata(
     spark: SparkSession,
     sf_dir: str,

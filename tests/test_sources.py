@@ -174,3 +174,37 @@ def test_bucketed_join_is_shuffle_free_and_correct(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_orc_roundtrip_preserves_values_and_pushdown(spark, tmp_path):
+    """ORC source/sink: values round-trip exactly and filters reach the
+    ORC scan (PushedFilters), matching the parquet scan contract."""
+    import io
+    from contextlib import redirect_stdout
+
+    from olist_data_warehouse_spark.sources import readers
+
+    src = load_testdata_orders(spark)
+    p = str(tmp_path / "orders.orc")
+    readers.write_orc(src, p)
+    back = readers.read_orc(spark, p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    q = back.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def load_testdata_orders(spark):
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    return load_testdata(spark, "/root/testdata/sf0.001", ("orders",))[
+        "orders"
+    ].select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
