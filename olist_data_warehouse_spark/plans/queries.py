@@ -1215,6 +1215,42 @@ def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w6_rolling_1h",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Rolling 1-hour per-user event count and value total — a "
+    "RANGE frame over event time (value-based, so ts-peers share a "
+    "frame), the windowed form of 'activity in the trailing hour'. "
+    "Both engines order by integer epoch MICROS with an integer range "
+    "bound, so the frame boundary can't straddle a float or a "
+    "second-truncation; the sum is integer cents. One shuffle on "
+    "user_id; frame state is a sliding deque per partition, never the "
+    "whole history.",
+)
+def w6_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents).over(w).alias("cents_1h"),
+    )
+
+
 # Extended LLM-pipeline and streaming operators register themselves into
 # REGISTRY on import (sibling modules keep this file reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
@@ -1243,7 +1279,7 @@ DRIVER_PRIORITY = [
     # 2: new or behavior-touched this round — stream-stream interval
     #    join and PPS sampling are new; the streaming reader now pins
     #    UTC itself.
-    "stream_purchase_click_join", "samp_weighted_pps",
+    "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (the OLTP forms are

@@ -20,7 +20,7 @@ MUST_PROVE = {
     "set_union_distinct", "p11_contains_filter",
     "pack_sliding_windows", "corpus_profile",
     # new in r4
-    "stream_purchase_click_join", "samp_weighted_pps",
+    "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
 }
 
 
