@@ -294,3 +294,41 @@ def test_cc_edges_join_is_hash_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_pps_is_shuffle_free_scan_filter(spark):
+    """PPS membership must stay a codegen'd scan filter: no exchange,
+    no UDF — the whole point of hash-derived membership at 100 TB."""
+    plan = plan_of(spark, "samp_weighted_pps")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_join_twin_is_equi_join_with_pushdown(spark):
+    """The interval-join batch twin must plan as an equi join on
+    user_id (interval as residual), with the event_type filters pushed
+    to the scans — never a nested loop over the cross product."""
+    plan = plan_of(spark, "stream_purchase_click_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_rolling_range_window_single_user_shuffle(spark):
+    """w6's RANGE frame: one hash partitioning on user_id, no global
+    sort, no UDF."""
+    plan = plan_of(spark, "w6_rolling_1h")
+    # formatted mode: one Exchange node in the tree + its detail header
+    assert plan.count("Exchange") == 2, plan
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bench_queries_all_registered():
+    """bench.py's list must reference real registry entries — a typo
+    would silently drop a query from every future BENCH_r*.json."""
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
+    assert not missing, f"bench names not in REGISTRY: {missing}"
