@@ -1216,6 +1216,41 @@ def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_unpivot",
+    oracle="""
+SELECT measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(val * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM (
+  SELECT * FROM lineitem
+  UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount,
+                               l_tax))
+)
+GROUP BY measure
+""",
+    doc="UNPIVOT/melt — the inverse of A10's pivot: four measure "
+    "columns become (measure, value) rows, then a per-measure "
+    "integer-cents profile. Spark's unpivot is a zero-shuffle "
+    "generator (each input row emits 4 narrow rows map-side); the "
+    "only exchange is the 4-group aggregate. The wide-to-long step "
+    "every per-feature statistics job needs.",
+)
+def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    melted = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    cents = F.round(F.col("val") * 100, 0).cast("long")
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+    )
+
+
+@register(
     "w6_rolling_1h",
     oracle="""
 SELECT event_id, user_id,
@@ -1280,6 +1315,7 @@ DRIVER_PRIORITY = [
     #    join and PPS sampling are new; the streaming reader now pins
     #    UTC itself.
     "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
+    "a14_unpivot",
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (the OLTP forms are
