@@ -1330,6 +1330,33 @@ def w6_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w7_percent_rank",
+    oracle="""
+SELECT event_id, event_type,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+    doc="percent_rank + cume_dist: relative standing of each event's "
+    "value within its type — the normalized score used for "
+    "cross-group quality thresholds ('keep the top 20% per type'). "
+    "Both are ratios of integers ((rank-1)/(n-1), rank/n), so the "
+    "doubles are bit-identical across engines; the event_id tiebreak "
+    "makes ranks unique. One shuffle on event_type.",
+)
+def w7_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 # Extended LLM-pipeline and streaming operators register themselves into
 # REGISTRY on import (sibling modules keep this file reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
@@ -1359,7 +1386,7 @@ DRIVER_PRIORITY = [
     #    join and PPS sampling are new; the streaming reader now pins
     #    UTC itself.
     "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
-    "a14_unpivot", "dq_orders_profile",
+    "a14_unpivot", "dq_orders_profile", "w7_percent_rank",
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (the OLTP forms are

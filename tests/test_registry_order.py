@@ -21,7 +21,7 @@ MUST_PROVE = {
     "pack_sliding_windows", "corpus_profile",
     # new in r4
     "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
-    "a14_unpivot", "dq_orders_profile",
+    "a14_unpivot", "dq_orders_profile", "w7_percent_rank",
 }
 
 
