@@ -1874,6 +1874,43 @@ def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_global_fixed",
+    oracle=f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('gfix|' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT AS h
+  FROM documents
+)
+ORDER BY h, doc_id
+LIMIT 100
+""",
+    doc="Global fixed-size deterministic sample: exactly k rows chosen "
+    "by salted-hash order — the reservoir-sample replacement whose "
+    "membership survives re-runs, backfills, and cluster resizes. "
+    "Plans as TakeOrderedAndProject (per-partition top-k, then a "
+    "k-row merge on one reducer): no global sort, no full shuffle, "
+    "the same plan shape as the reference's TOP-N queries. Full "
+    "32-bit hash + key tiebreak makes the order total, so the k-set "
+    "is unique.",
+)
+def samp_global_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.operators.textops import portable_hash32
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    h = portable_hash32(
+        F.concat_ws("|", F.lit("gfix"), F.col("doc_id").cast("string"))
+    )
+    return (
+        d.select("doc_id", "lang", h.alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(100)
+        .drop("_h")
+    )
+
+
+@register(
     "samp_weighted_pps",
     oracle=f"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

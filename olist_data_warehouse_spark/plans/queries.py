@@ -1387,6 +1387,7 @@ DRIVER_PRIORITY = [
     #    UTC itself.
     "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
     "a14_unpivot", "dq_orders_profile", "w7_percent_rank",
+    "samp_global_fixed",
     "stream_tumbling_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (the OLTP forms are

@@ -22,6 +22,7 @@ MUST_PROVE = {
     # new in r4
     "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
     "a14_unpivot", "dq_orders_profile", "w7_percent_rank",
+    "samp_global_fixed",
 }
 
 
