@@ -55,3 +55,32 @@ def test_oracle_output_types_portable(sf_dir, name):
             f"exactly this). Accumulate in integer cents (BIGINT) or emit "
             f"DOUBLE instead."
         )
+
+
+def test_money_columns_are_two_decimal_contract(spark):
+    """Every integer-cents oracle (w2, w6, a13, a14, dq, ...) assumes
+    money-like columns carry <= 2 decimals, so round(x*100) never lands
+    on an exact .5 — the one case where Spark (HALF_UP) and DuckDB
+    (half away from zero vs half even) could disagree. Pin the data
+    contract: if a future testdata generation adds precision, this
+    fails loudly instead of a hash mismatch appearing downstream."""
+    from pyspark.sql import functions as F
+
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    sf = "/root/testdata/sf0.001"
+    checks = {
+        "events": ["value"],
+        "lineitem": ["l_extendedprice", "l_discount", "l_tax", "l_quantity"],
+        "orders": ["o_totalprice"],
+    }
+    for table, cols in checks.items():
+        df = load_testdata(spark, sf, (table,))[table]
+        for c in cols:
+            off = df.filter(
+                F.abs(F.col(c) * 100 - F.round(F.col(c) * 100, 0)) > 1e-6
+            ).count()
+            assert off == 0, (
+                f"{table}.{c} has values with >2 decimals ({off} rows) — "
+                f"integer-cents oracles are no longer exact"
+            )
