@@ -297,6 +297,62 @@ def purchase_click_interval_join(
     )
 
 
+def attributed_purchases_hourly(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback_minutes: int = 60,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """CHAINED stateful streaming: the stream-stream interval join
+    feeding a watermarked tumbling aggregation — hourly counts of
+    (purchase, preceding-click) attribution pairs.
+
+    Two stateful operators in one query (join state + window state):
+    the join emits matches as the watermark passes, the downstream
+    window closes and emits in append mode once the global watermark
+    (min across both inputs) clears its end. The pattern for any
+    "join then aggregate" continuous pipeline; state in both operators
+    stays watermark-bounded. Runs identically on batch inputs
+    (withWatermark is a no-op there; the aggregation is a plain
+    windowed groupBy), which is what the parity test exploits.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    j = p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND "
+            f"click_ts >= purchase_ts - INTERVAL {int(lookback_minutes)} "
+            f"MINUTES AND click_ts < purchase_ts"
+        ),
+        "inner",
+    )
+    return (
+        j.groupBy(F.window("purchase_ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "n_pairs",
+        )
+    )
+
+
 def split_clicks_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Filter the raw events (stream or batch) into the two join sides."""
     clicks = events.filter(F.col("event_type") == "click")

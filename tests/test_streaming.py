@@ -150,6 +150,47 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert rows(spark.table("ssj_purchase_clicks"), *cols) == want
 
 
+def test_chained_stateful_join_then_window_agg(spark):
+    """Two chained stateful operators (stream-stream join -> windowed
+    agg): emitted windows carry exactly the batch twin's counts; only
+    windows the final watermark hasn't cleared may be withheld."""
+    import datetime as dt
+
+    events = load_testdata(spark, SF, ("events",))["events"]
+    clicks_b, purchases_b = ev.split_clicks_purchases(events)
+    batch = ev.attributed_purchases_hourly(clicks_b, purchases_b)
+    cols = ("window_start", "window_end", "n_pairs")
+    want = {r[0]: tuple(r) for r in batch.select(*cols).collect()}
+    assert want, "batch twin empty — vacuous test"
+
+    src = ev.read_events_stream(spark, SF)
+    stream = ev.attributed_purchases_hourly(*ev.split_clicks_purchases(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("chained_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r[0]: tuple(r) for r in spark.table("chained_attrib").select(*cols).collect()}
+
+    # every emitted window matches the batch value exactly
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+
+    # the global watermark is min(max click ts, max purchase ts) with 0
+    # delay; windows strictly before it MUST have been emitted (the
+    # boundary window itself may legitimately be withheld).
+    mx = events.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    maxes = {r.event_type: r.m for r in mx}
+    cutoff = min(maxes["click"], maxes["purchase"])
+    for k, v in want.items():
+        end = dt.datetime.strptime(v[1], "%Y-%m-%d %H:%M:%S")
+        if end < cutoff.replace(tzinfo=None):
+            assert k in got, f"closed window {k} (end {end}) not emitted"
+
+
 def test_stream_reads_legacy_nanos_generation(spark, tmp_path):
     """Older testdata generations wrote TIMESTAMP(NANOS); the streaming
     reader must accept them exactly like the batch reader's legacy
