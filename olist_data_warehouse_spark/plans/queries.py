@@ -1219,43 +1219,39 @@ def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_orders_profile",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(o_custkey) AS BIGINT) AS n_custkey,
-       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkey_distinct,
-       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status_distinct,
-       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
-       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+       CAST(count(o_custkey) AS BIGINT) AS n_o_custkey,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_o_custkey,
+       CAST(count(o_orderstatus) AS BIGINT) AS n_o_orderstatus,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+         AS n_distinct_o_orderstatus,
        CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS min_price_cents,
+         AS min_cents_o_totalprice,
        CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS max_price_cents,
+         AS max_cents_o_totalprice,
        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS sum_price_cents
+         AS sum_cents_o_totalprice,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_o_orderdate,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_o_orderdate
 FROM orders
 """,
-    doc="Single-pass data-quality profile of a table: row/non-null/"
-    "distinct counts, value ranges, and an integer-cents checksum — "
-    "the pre-ingestion validation every pipeline runs before trusting "
-    "a feed. One scan; the distinct counts are the only expansion and "
-    "Spark plans them with partial aggregation (expand + two-level "
-    "agg), so the shuffle carries distinct keys, not rows. At 100 TB "
-    "swap exact distinct for the HLL sketch entry if approximate "
-    "suffices.",
+    doc="Single-pass data-quality profile of a table "
+    "(operators/profiling.py): row/non-null/distinct counts, value "
+    "ranges, and an integer-cents checksum — the pre-ingestion "
+    "validation every pipeline runs before trusting a feed. One scan; "
+    "the distinct counts are the only expansion and Spark plans them "
+    "with partial aggregation (expand + two-level agg), so the "
+    "shuffle carries distinct keys, not rows. At 100 TB swap exact "
+    "distinct for the HLL sketch entry if approximate suffices.",
 )
 def dq_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.operators import profiling
+
     o = _t(spark, sf_dir, "orders")["orders"]
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    return o.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("o_custkey").alias("n_custkey"),
-        F.countDistinct("o_custkey").alias("n_custkey_distinct"),
-        F.countDistinct("o_orderstatus").alias("n_status_distinct"),
-        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
-        .alias("min_date"),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
-        .alias("max_date"),
-        F.min(cents).alias("min_price_cents"),
-        F.max(cents).alias("max_price_cents"),
-        F.sum(cents).alias("sum_price_cents"),
+    return profiling.profile(
+        o,
+        key_cols=["o_custkey", "o_orderstatus"],
+        money_cols=["o_totalprice"],
+        ts_cols=["o_orderdate"],
     )
 
 

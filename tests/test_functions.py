@@ -69,3 +69,28 @@ def test_surrogate_key_continue_sequence(spark):
     appended = surrogate_key(new, "k", ["name"], start=mx + 1)
     got = {(r.name, r.k) for r in appended.collect()}
     assert got == {("y", 1002), ("z", 1003)}
+
+
+def test_profile_operator_counts_ranges_checksum(spark):
+    """Generic single-pass profiler: counts nulls correctly, distincts
+    exactly, cents checksums exactly, timestamp ranges rendered."""
+    from olist_data_warehouse_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.25, "2024-01-01 10:00:00"),
+            (2, "a", 2.75, "2024-03-05 00:30:00"),
+            (3, None, 0.50, "2023-12-31 23:59:59"),
+            (4, "b", None, None),
+        ],
+        "id bigint, k string, price double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = profiling.profile(
+        df, key_cols=["k"], money_cols=["price"], ts_cols=["ts"]
+    ).collect()[0]
+    assert row.n_rows == 4
+    assert row.n_k == 3 and row.n_distinct_k == 2
+    assert row.min_cents_price == 50 and row.max_cents_price == 275
+    assert row.sum_cents_price == 450
+    assert row.min_ts == "2023-12-31 23:59:59"
+    assert row.max_ts == "2024-03-05 00:30:00"
