@@ -84,3 +84,50 @@ def test_merge_upsert_idempotent(spark):
     assert {(r.k, r.v) for r in once.collect()} == {
         (r.k, r.v) for r in twice.collect()
     }
+
+
+def test_refresh_fact_partitions_touches_only_delta_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: the delta's partitions are replaced
+    wholesale, every other partition's files stay byte-identical."""
+    import os
+
+    from olist_data_warehouse_spark.plans.incremental import (
+        refresh_fact_partitions,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(19960101, 10), (19960102, 20), (19970101, 30), (19980101, 40)],
+        "date_key int, units bigint",
+    ).withColumn("yr", (F.col("date_key") / 10000).cast("int"))
+    base.write.mode("overwrite").partitionBy("yr").parquet(path)
+
+    def files_of(yr):
+        d = os.path.join(path, f"yr={yr}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_96, before_98 = files_of(1996), files_of(1998)
+
+    # corrected 1997 partition: revised units + a new date
+    delta = spark.createDataFrame(
+        [(19970101, 35), (19970202, 5)], "date_key int, units bigint"
+    ).withColumn("yr", (F.col("date_key") / 10000).cast("int"))
+    refresh_fact_partitions(spark, path, delta)
+
+    assert files_of(1996) == before_96
+    assert files_of(1998) == before_98
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("date_key", "units").collect())
+    )
+    assert got == [
+        (19960101, 10), (19960102, 20), (19970101, 35), (19970202, 5),
+        (19980101, 40),
+    ]
+    # static mode restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    )
