@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the compact driver contract as the LAST line of stdout, alone:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-run raw timings and medians (the noise-adjudication detail that in
+round 4 overgrew the driver's tail capture when inlined into the contract
+line) go to BENCH_DETAIL.json next to this script instead.
 
 The reference's benchmark is its three paired OLTP-vs-DW top-5 queries
 measured with SET STATISTICS IO/TIME (`Olist DW.sql:211-279`); ours is
@@ -100,6 +104,16 @@ def main() -> None:
     # a re-run: real regressions move every run, noise spikes a few.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     bench_names = [n for n in BENCH_QUERIES if n in REGISTRY]
+
+    # One untimed warm-up sweep over the full query set: round 4's first
+    # timed sweep was uniformly cold (shuffle-file and code caches empty,
+    # e.g. dedup_embedding_lsh ran [10.5, 11.0, 4.3]), which left the
+    # published medians 2-3x above steady state on the heavy queries. The
+    # warm-up pays that cost once, outside the measurement.
+    for name in bench_names:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
     raw: dict[str, list[float]] = {n: [] for n in bench_names}
     for _ in range(runs):
         for name in bench_names:
@@ -121,6 +135,30 @@ def main() -> None:
     medians = {n: round(_median(ts), 3) for n, ts in raw.items()}
 
     total = round(sum(timings.values()), 3)
+
+    # Noise-adjudication detail goes to a side file, NOT the contract
+    # line: in round 4 the inlined raw arrays grew the single JSON line
+    # past the driver's tail-capture window and the headline number was
+    # lost (BENCH_r04.json parsed:null). The driver reads stdout's tail;
+    # humans read the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "queries_median": medians,
+                "queries_raw": raw,
+                "runs": runs,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+
+    spark.stop()
+    # Contract line last, alone, after spark.stop() so no late JVM logs
+    # can interleave after it.
     print(
         json.dumps(
             {
@@ -128,13 +166,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "queries_raw": raw,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
