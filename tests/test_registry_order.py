@@ -14,15 +14,17 @@ from olist_data_warehouse_spark.plans.queries import (
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # red in r2/r3 (DECIMAL hash), fixed to integer cents in r4
-    "w2_running_total",
-    # never inside the 50-entry cap in any round
-    "set_union_distinct", "p11_contains_filter",
-    "pack_sliding_windows", "corpus_profile",
-    # new in r4
-    "stream_purchase_click_join", "samp_weighted_pps", "w6_rolling_1h",
-    "a14_unpivot", "dq_orders_profile", "w7_percent_rank",
-    "samp_global_fixed",
+    # r4 went 50/50 green, so nothing is red; the round-5 must-prove
+    # set is the 11 entries whose only driver evidence predates the
+    # MICROS-NTZ testdata migration (r1)...
+    "s1_scan_project_alias", "p2_select_star", "p3_filter_neq",
+    "p4_p9_filter_notnull_neq", "a2_integer_avg", "a6_distinct",
+    "t3_limit",
+    "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_topk",
+    "multi_decode_meta",
+    # ...plus the entry whose plan construction changed this round
+    # (plane matrix now a JVM-parsed literal).
+    "dedup_embedding_lsh",
 }
 
 
