@@ -109,17 +109,55 @@ def star_tables(
 # (`Olist DW.sql:39-186`) before its benchmark queries read it
 # (`:228-279`) — the star's whole point is that queries hit the small
 # pre-aggregated fact, not the 8-way OLTP join.
-_WAREHOUSE_MEMO: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
+_WAREHOUSE_MEMO: dict[tuple[str, ...], dict[str, DataFrame]] = {}
 _WAREHOUSE_GROUP_TABLES = {
     "sales": ("product_dim", "location_dim", "time_period", "sales_fact"),
     "events": ("time_period_events", "conversions"),
 }
 
 
+def _star_build_src_hash() -> str:
+    """Hash of the sources that define the star build — part of the
+    on-disk cache key, so a code change invalidates cached warehouses
+    instead of silently serving parquet built by older semantics."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("star.py", "queries.py"):
+        with open(os.path.join(here, fname), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _sweep_stale_star_dirs(cache_root: str, keep: set[str]) -> None:
+    """Remove ``star_*`` dirs that are not in ``keep`` and are older
+    than a day — previous sessions'/commits' builds. Age-gated so a
+    concurrently running session's fresh build is never deleted."""
+    import os
+    import shutil
+    import time
+
+    if not os.path.isdir(cache_root):
+        return
+    cutoff = time.time() - 86400
+    for d in os.listdir(cache_root):
+        p = os.path.join(cache_root, d)
+        if (
+            d.startswith("star_")
+            and d not in keep
+            and os.path.isdir(p)
+            and os.path.getmtime(p) < cutoff
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def warehouse_tables(
     spark: SparkSession, sf_dir: str, groups: tuple[str, ...] = ("sales",)
 ) -> dict[str, DataFrame]:
-    """The star, materialized to parquet once per (session, sf_dir).
+    """The star, materialized to parquet once per (sf_dir, group,
+    build-source version) and REUSED across sessions.
 
     DW-form queries read these instead of re-deriving the fact inline:
     scans then start from the pre-aggregated fact (with parquet min/max
@@ -128,34 +166,60 @@ def warehouse_tables(
     fact a real on-disk layout — at cluster scale this is the
     `saveAsTable` boundary between the E2 build pipeline and the E1
     query path (SURVEY.md §3).
+
+    The on-disk key is content-derived (sf_dir + group + source hash),
+    not applicationId, so repeat sessions skip the rebuild when the
+    parquet is already complete (every table dir carries a _SUCCESS
+    marker) and stale dirs from older code versions age out after a
+    day. Two sessions racing the FIRST build of the same key can still
+    collide (both see no marker and write) — the driver and test lanes
+    here run serially, and at cluster scale this boundary is a real
+    table in a catalog with atomic commit anyway.
     """
-    import hashlib
     import os
 
     merged: dict[str, DataFrame] = {}
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+    )
+    src_hash = _star_build_src_hash()
     for group in groups:
-        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), group)
+        disk_key = (os.path.abspath(sf_dir), group, src_hash)
+        # The in-memory memo stays session-scoped (DataFrames are bound
+        # to their session); only the parquet on disk is shared.
+        key = (spark.sparkContext.applicationId, *disk_key)
         if key not in _WAREHOUSE_MEMO:
-            s = star_tables(spark, sf_dir, groups=(group,))
-            base = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-                ".cache",
-                "star_%s" % hashlib.md5(("%s|%s|%s" % key).encode()).hexdigest()[:12],
+            import hashlib
+
+            dirname = "star_%s" % hashlib.md5(
+                ("%s|%s|%s" % disk_key).encode()
+            ).hexdigest()[:12]
+            base = os.path.join(cache_root, dirname)
+            _sweep_stale_star_dirs(cache_root, keep={dirname})
+            table_names = _WAREHOUSE_GROUP_TABLES[group]
+            complete = all(
+                os.path.exists(os.path.join(base, name, "_SUCCESS"))
+                for name in table_names
             )
-            out: dict[str, DataFrame] = dict(s)
-            for name in _WAREHOUSE_GROUP_TABLES[group]:
+            out: dict[str, DataFrame] = dict(
+                star_tables(spark, sf_dir, groups=(group,))
+            )
+            for name in table_names:
                 p = os.path.join(base, name)
-                w = s[name].write.mode("overwrite")
-                if name == "sales_fact":
-                    # Partition the fact by year (yr = date_key div 10000):
-                    # year-scoped queries then read one partition directory
-                    # instead of the whole fact — the Parquet analog of the
-                    # reference's date_key covering index (Olist DW.sql:
-                    # 202-207), and the pruning lever at 100 TB.
-                    w = s[name].withColumn(
-                        "yr", (F.col("date_key") / 10000).cast("int")
-                    ).write.mode("overwrite").partitionBy("yr")
-                w.parquet(p)
+                if not complete:
+                    w = out[name].write.mode("overwrite")
+                    if name == "sales_fact":
+                        # Partition the fact by year (yr = date_key div
+                        # 10000): year-scoped queries then read one
+                        # partition directory instead of the whole fact —
+                        # the Parquet analog of the reference's date_key
+                        # covering index (Olist DW.sql:202-207), and the
+                        # pruning lever at 100 TB.
+                        w = out[name].withColumn(
+                            "yr", (F.col("date_key") / 10000).cast("int")
+                        ).write.mode("overwrite").partitionBy("yr")
+                    w.parquet(p)
                 out[name] = spark.read.parquet(p)
             _WAREHOUSE_MEMO[key] = out
         merged.update(_WAREHOUSE_MEMO[key])
