@@ -39,9 +39,10 @@ spark = (
 from olist_data_warehouse_spark.plans.queries import REGISTRY
 from tests.oracle_check import compare_query
 
-sf = "/root/testdata/sf0.01"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+names = sys.argv[2].split(",") if len(sys.argv) > 2 else list(REGISTRY)
 bad = []
-for name in REGISTRY:
+for name in names:
     try:
         ok, detail = compare_query(spark, sf, name)
     except Exception as exc:  # noqa: BLE001 - report, don't mask siblings
@@ -49,13 +50,31 @@ for name in REGISTRY:
     if not ok:
         bad.append((name, detail))
         print(f"FAIL {name}: {detail}", flush=True)
-print(f"done: {len(REGISTRY) - len(bad)}/{len(REGISTRY)} ok", flush=True)
+print(f"done: {len(names) - len(bad)}/{len(names)} ok", flush=True)
 sys.exit(1 if bad else 0)
 """
 
+# The conf-sensitive sentinels: one entry per way a foreign session's
+# confs can corrupt results — raw-timestamp scans and arithmetic
+# (session timezone), the streaming reader's own pin, date-key
+# round-trips, money (cents-contract), windows over event time, the
+# multimodal Arrow path, and a literal-heavy LSH plan. If a session
+# conf regresses, at least one of these goes red.
+SMOKE_ENTRIES = [
+    "p6_range_timestamp",
+    "f1_f2_date_key_roundtrip",
+    "f3_datediff_hours",
+    "stream_tumbling_counts",
+    "stream_purchase_click_join",
+    "w6_rolling_1h",
+    "q2_top_revenue_dw",
+    "w2_running_total",
+    "multi_decode_meta",
+    "dedup_embedding_lsh",
+]
 
-@pytest.mark.slow
-def test_full_registry_under_foreign_non_utc_session():
+
+def _run_replica(sf: str, names: list[str] | None, timeout: int):
     env = dict(os.environ)
     env["TZ"] = "America/New_York"
     # Scrub knobs our own tooling might have exported so the subprocess
@@ -64,14 +83,30 @@ def test_full_registry_under_foreign_non_utc_session():
         if k.startswith("SPARK_GRAFT_"):
             env.pop(k)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
-        cwd=repo,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=1800,
+    argv = [sys.executable, "-c", _SCRIPT, sf]
+    if names is not None:
+        argv.append(",".join(names))
+    return subprocess.run(
+        argv, cwd=repo, env=env, capture_output=True, text=True,
+        timeout=timeout,
     )
+
+
+def test_foreign_session_smoke():
+    """Fast (~1 min) foreign-session gate in the DEFAULT suite: the
+    ten most conf-sensitive entries at sf0.001 under a bare non-UTC
+    subprocess session — catches session-conf drift before the driver
+    does, without the full replica's 5-10 min cost."""
+    proc = _run_replica("/root/testdata/sf0.001", SMOKE_ENTRIES, 600)
+    tail = "\n".join(proc.stdout.splitlines()[-15:])
+    assert proc.returncode == 0, (
+        f"foreign-session smoke failed:\n{tail}\n{proc.stderr[-2000:]}"
+    )
+
+
+@pytest.mark.slow
+def test_full_registry_under_foreign_non_utc_session():
+    proc = _run_replica("/root/testdata/sf0.01", None, 1800)
     tail = "\n".join(proc.stdout.splitlines()[-25:])
     assert proc.returncode == 0, (
         f"foreign-session replica failed:\n{tail}\n{proc.stderr[-2000:]}"
