@@ -15,6 +15,8 @@ profile is constant-size per partition.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,9 +30,9 @@ def cents(col: Column | str) -> Column:
 
 def profile(
     df: DataFrame,
-    key_cols: list[str] = (),
-    money_cols: list[str] = (),
-    ts_cols: list[str] = (),
+    key_cols: Sequence[str] = (),
+    money_cols: Sequence[str] = (),
+    ts_cols: Sequence[str] = (),
 ) -> DataFrame:
     """One-row, one-scan data-quality profile.
 

@@ -128,6 +128,20 @@ def refresh_fact_partitions(
     partitions wholesale (recompute-the-partition semantics — simpler
     and more scalable than row diffs when a partition fits a task,
     which the whole-date grain guarantees here).
+
+    Constraints:
+
+    - ``delta_fact`` must NOT be derived from reading ``fact_path``
+      itself: Spark refuses (or, with lazy file listing, corrupts)
+      writes that overwrite their own input. Recompute the delta from
+      upstream staging, or ``localCheckpoint()`` it first to sever the
+      lineage before calling this.
+    - The overwrite-mode conf save/restore is session-global and not
+      concurrency-safe: two jobs flipping ``partitionOverwriteMode`` on
+      one session can race and leak the wrong mode into an unrelated
+      write. Serialize maintenance per session (at cluster scale this
+      boundary is a catalog table with atomic commit — Delta/Iceberg
+      ``replaceWhere`` — where the problem disappears).
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -55,8 +55,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream rendering (date_format on window starts, session-gap
     # arithmetic) is session-timezone-dependent. Without the pin, a
     # foreign non-UTC session would diverge from the batch twins and the
-    # oracle. Session-global side effect, same contract as the batch
-    # path.
+    # oracle. CALLER-VISIBLE SIDE EFFECT, deliberately not restored:
+    # both confs stay set on the session after this returns (the same
+    # contract as load_testdata, so batch and stream can never disagree
+    # mid-session). In particular nanosAsLong=true makes ANY later
+    # parquet read in this session surface TIMESTAMP(NANOS) columns as
+    # raw bigint nanos — it is a session-wide legacy conf with no
+    # per-reader option to scope it; a caller mixing other nanos
+    # parquet sources must normalize them the way _normalize_timestamps
+    # does, or reset the conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"

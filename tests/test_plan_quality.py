@@ -319,9 +319,11 @@ def test_rolling_range_window_single_user_shuffle(spark):
     """w6's RANGE frame: one hash partitioning on user_id, no global
     sort, no UDF."""
     plan = plan_of(spark, "w6_rolling_1h")
-    # formatted mode: one Exchange node in the tree + its detail header
-    assert plan.count("Exchange") == 2, plan
+    # Semantic pins, not substring counts (explain-text layout varies
+    # across Spark versions): the window partitions by user_id via hash,
+    # and there is no global range partitioning / sort and no Python.
     assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
