@@ -324,3 +324,65 @@ def test_streaming_rollup_revises_boundary_windows(spark, tmp_path):
         "no boundary window was revised — split points landed on hour "
         "boundaries and the test is vacuous"
     )
+
+
+def test_streaming_fact_maintenance_partition_scoped(spark, tmp_path):
+    """CDC-style continuous fact maintenance: events arrive as three
+    time-ordered files; each arrival rewrites ONLY the day-partitions
+    it touches (dynamic partition overwrite). Final fact == full batch
+    aggregate, and at least one early partition's data files are
+    physically untouched (same path + mtime) across the later runs."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    src = src.take(pc.sort_indices(src, sort_keys=[("ts", "ascending")]))
+    n = src.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+
+    data_dir = tmp_path / "cdc"
+    events_dir = data_dir / "events.parquet"
+    events_dir.mkdir(parents=True)
+    ckpt = str(tmp_path / "ckpt")
+    fact_path = str(tmp_path / "fact")
+
+    def part_files():
+        out = {}
+        for root, _dirs, files in os.walk(fact_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    snapshots = []
+    for i in range(3):
+        chunk = src.slice(cuts[i], cuts[i + 1] - cuts[i])
+        pq.write_table(chunk, events_dir / f"part-{i:03d}.parquet")
+        ev.run_streaming_fact_maintenance(
+            spark, str(data_dir), fact_path, ckpt
+        )
+        snapshots.append(part_files())
+
+    batch = ev.tumbling_counts(load_testdata(spark, SF, ("events",))["events"])
+    cols = ("window_start", "event_type", "n_events", "total_value")
+    got = spark.read.parquet(fact_path)
+    assert rows(got, *cols) == rows(batch, *cols)
+
+    # Partition scoping: data files of days untouched by later arrivals
+    # survive runs 2 and 3 verbatim. (Time-ordered arrivals guarantee
+    # run 1 wrote days the later chunks never revisit.)
+    survived = [
+        p for p, m in snapshots[0].items()
+        if snapshots[-1].get(p) == m
+    ]
+    assert survived, "every run-1 data file was rewritten by later runs"
+    # And maintenance did not balloon the fact: every batch aggregate
+    # row lives in exactly one pday partition dir.
+    assert got.filter(
+        F.col("pday") != F.date_format(
+            F.to_timestamp("window_start"), "yyyyMMdd"
+        ).cast("int")
+    ).count() == 0
