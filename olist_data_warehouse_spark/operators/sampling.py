@@ -197,3 +197,70 @@ def domain_mixture(
         .filter(hash_bucket(key, salt) < F.col("_thr"))
         .drop("_dom", "_thr")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    size: Column,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-group token-budget selection: walk each group's rows in
+    salted-hash order and keep rows while the running ``size`` total
+    (inclusive) stays within ``budget`` — "take ~N tokens per source",
+    the unit corpora are actually blended in, rather than row counts
+    (`per_group_sample`) or rates (`domain_mixture`).
+
+    Membership is deterministic: a row's fate depends only on (key,
+    salt, the group's other keys/sizes), never on partitioning or
+    arrival order. Adds a ``cum_size`` column (the inclusive running
+    total) so callers can audit how full each group's budget ran.
+
+    Scale shape: ONE hash shuffle on the group key, running-sum window
+    state is a single long per group — the same exchange budget as any
+    per-group top-k. No sort beyond the per-partition window order, no
+    collect, no second pass.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(hash_bucket(key, salt).asc(), key.cast("string").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_size", F.sum(size.cast("long")).over(w))
+        .filter(F.col("cum_size") <= budget)
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    salt: str = "balance",
+) -> DataFrame:
+    """Class-rebalancing undersample: keep exactly min-class-size rows
+    per ``group_col`` value, chosen by salted-hash order — the
+    deterministic version of "downsample every class to the rarest
+    class" used to de-skew labeled training sets.
+
+    Scale shape: the class-size aggregate is map-side combined (one row
+    per class), its global min is a one-row broadcast, and the pick is
+    the same one-shuffle row_number window as `per_group_sample` —
+    the corpus shuffles once on the class key, small side broadcast,
+    never collected.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    floor = counts.agg(F.min("_n").alias("_m"))
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key, salt).asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(floor))
+        .filter(F.col("_rn") <= F.col("_m"))
+        .drop("_rn", "_m")
+    )

@@ -805,3 +805,46 @@ def kmeans_refine(
     return assign.select(
         "vec_id", "centroid_id", F.round("sq_dist", 4).alias("sq_dist")
     )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification by majority vote: for each query vector, the
+    modal label of its k nearest (cosine) corpus neighbors, ties to the
+    smallest label — the label-propagation / auto-labeling primitive
+    (predict a quality tier or topic for unlabeled items from labeled
+    neighbors).
+
+    Returns (query_id, knn_label, votes). Composes the exact top-k
+    scorer with a key-join back to the label table: the scored top-k
+    is tiny (|queries|·k rows), so the label join and the vote count
+    are driver-free small-data stages; only the corpus scan is big,
+    and it is the same single broadcast-join scan as
+    :func:`brute_force_topk`. Swap that stage for the IVF/LSH variants
+    when the corpus outgrows brute force.
+    """
+    topk = brute_force_topk(embeddings, query_ids, k=k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col(label_col)
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(w))
+        .filter(F.col("_vr") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).alias("knn_label"),
+            "votes",
+        )
+    )

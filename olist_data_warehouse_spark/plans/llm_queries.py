@@ -2327,3 +2327,189 @@ FROM per GROUP BY lang, source
 def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     return corpus.corpus_profile(d)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: budget/balance sampling, kNN labeling, windowed sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "samp_token_budget",
+    oracle=r"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+         )) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 10000 AS hb,
+         CAST(doc_id AS VARCHAR) AS ks
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY hb, ks
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_size
+  FROM sized
+)
+SELECT doc_id, source, n_tokens, cum_size
+FROM cum WHERE cum_size <= 800
+""",
+    doc="Per-source token-budget selection (~800 tokens each): walk "
+    "each source's docs in salted-hash order, keep while the running "
+    "token total fits — corpora are blended in token units, not row "
+    "counts. Deterministic on any partitioning; ONE hash shuffle on "
+    "source, window state one long per group "
+    "(operators/sampling.py token_budget_sample).",
+)
+def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sized = d.select(
+        "doc_id", "source", textops.token_count("text").alias("n_tokens")
+    )
+    return sampling.token_budget_sample(
+        sized, ["source"], F.col("doc_id"), F.col("n_tokens"),
+        budget=800, salt="budget",
+    ).select("doc_id", "source", "n_tokens", "cum_size")
+
+
+@register(
+    "samp_label_balance",
+    oracle=r"""
+WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+m AS (SELECT MIN(n) AS m FROM c),
+r AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY ('0x' || substr(md5('balance|' || CAST(vec_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 10000,
+                    CAST(vec_id AS VARCHAR)
+         ) AS rn
+  FROM embeddings
+)
+SELECT vec_id, label FROM r, m WHERE rn <= m.m
+""",
+    doc="Class-rebalancing undersample: every label downsampled to the "
+    "rarest label's count, membership by salted-hash order — the "
+    "deterministic de-skew for labeled training sets. Class sizes are "
+    "a map-side-combined aggregate (one row per class), the floor a "
+    "one-row broadcast, the pick one row_number shuffle on the class "
+    "key (operators/sampling.py balanced_sample).",
+)
+def samp_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return sampling.balanced_sample(
+        e.select("vec_id", "label"), "label", F.col("vec_id"),
+        salt="balance",
+    ).select("vec_id", "label")
+
+
+@register(
+    "sim_knn_label_vote",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (100, 101, 102, 103, 104, 105, 106, 107, 108, 109)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes
+  FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes
+)
+SELECT query_id, CAST(label AS INT) AS knn_label,
+       CAST(votes AS BIGINT) AS votes
+FROM best WHERE vr = 1
+""",
+    doc="kNN classification (k=5, majority vote, ties to smallest "
+    "label): the label-propagation / auto-labeling primitive — "
+    "predict a tier or topic for unlabeled items from labeled "
+    "neighbors. Exact top-k scorer (queries broadcast, corpus "
+    "streams once) then tiny label-join + vote stages "
+    "(operators/similarity.py knn_label_vote); swap the scorer for "
+    "IVF/LSH when the corpus outgrows brute force.",
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.knn_label_vote(
+        e, query_ids=list(range(100, 110)), k=5
+    ).select(
+        "query_id",
+        F.col("knn_label").cast("int").alias("knn_label"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
+@register(
+    "sk_hll_daily_users",
+    oracle=f"""
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+parts AS (
+  SELECT day,
+         CAST(floor(h / {1 << sketches.HLL_RANK_BITS}.0) AS BIGINT) AS bucket,
+         h % {1 << sketches.HLL_RANK_BITS} AS w
+  FROM h
+),
+regs AS (
+  SELECT day, bucket,
+         max(CASE WHEN w = 0 THEN {sketches.HLL_RANK_MAX}
+                  ELSE {sketches.HLL_RANK_MAX} - length(bin(w)) END) AS register
+  FROM parts GROUP BY 1, 2
+),
+agg AS (
+  SELECT day,
+         SUM(CAST(power(2, {sketches.HLL_RANK_MAX} - register) AS BIGINT))
+           AS sum_occupied,
+         COUNT(*) AS n_occupied
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT day,
+         {_HLL_NUM!r} / (sum_occupied
+            + ({sketches.HLL_M} - n_occupied) * {1 << sketches.HLL_RANK_MAX}) AS raw,
+         CAST({sketches.HLL_M} - n_occupied AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT day,
+       round(CASE WHEN raw <= {2.5 * sketches.HLL_M!r} AND zeros > 0
+                  THEN {float(sketches.HLL_M)!r} * ln({float(sketches.HLL_M)!r} / zeros)
+                  ELSE raw END, 4) AS approx_distinct,
+       zeros AS n_zero_registers
+FROM est
+""",
+    doc="Daily-active-users via the portable HyperLogLog, grouped by "
+    "event day: the time-partitioned form of sk_hll_distinct_users "
+    "that demonstrates what makes sketches the 100 TB answer — "
+    "per-day register files are MERGEABLE partial aggregates (64 "
+    "rows/day cross the shuffle however many billion events a day "
+    "holds), and rolling any date range up is a max over registers, "
+    "never a re-scan.",
+)
+def sk_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return sketches.hll_distinct(daily, ["day"], F.col("user_id"))

@@ -1355,6 +1355,60 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a15_pricing_summary",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 10000, 0) AS BIGINT) AS disc_bp
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty_c) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(price_c) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(price_c * (10000 - disc_bp)) AS BIGINT) AS sum_disc_e6,
+       round(SUM(qty_c) / (COUNT(*) * 100.0), 4) AS avg_qty,
+       round(SUM(price_c) / (COUNT(*) * 100.0), 4) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="The TPC-H Q1 pricing-summary shape — multi-measure fact-grain "
+    "rollup per (returnflag, linestatus) — in cross-engine-exact "
+    "integer arithmetic: quantities/prices as cents, discount as "
+    "basis points, so the discounted sum is an exact BIGINT in "
+    "cents·1e-4 units (a 2-decimal money × 4-decimal rate product is "
+    "exact by construction; float SUMs differ across engines by "
+    "accumulation order). One map-side-combined aggregate over a "
+    "3-column scan. Headroom note: Σ price_cents·1e4 stays inside "
+    "int64 below ~90 B rows per group; past that, the lakehouse swap "
+    "is DECIMAL(38) / two-level (cents, overflow) accumulators.",
+)
+def a15_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    c = li.select(
+        "l_returnflag", "l_linestatus",
+        qty_c.alias("qty_c"), price_c.alias("price_c"),
+        disc_bp.alias("disc_bp"),
+    )
+    n = F.count(F.lit(1))
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_c").alias("sum_qty_cents"),
+        F.sum("price_c").alias("sum_base_cents"),
+        F.sum(F.col("price_c") * (F.lit(10000) - F.col("disc_bp"))).alias(
+            "sum_disc_e6"
+        ),
+        F.round(F.sum("qty_c") / (n * 100.0), 4).alias("avg_qty"),
+        F.round(F.sum("price_c") / (n * 100.0), 4).alias("avg_price"),
+        n.alias("n"),
+    )
+
+
+@register(
     "w6_rolling_1h",
     oracle="""
 SELECT event_id, user_id,
@@ -1447,8 +1501,12 @@ DRIVER_PRIORITY = [
     "t3_limit",
     "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_topk",
     "multi_decode_meta",
-    # 2: behavior-touched this round — the plane matrix now ships as a
-    #    JVM-parsed literal (values bit-identical, but re-prove it).
+    # 2: NEW this round — token-budget + class-balance sampling, kNN
+    #    label vote, daily HLL, the Q1-shape pricing summary — plus the
+    #    behavior-touched embedding LSH (plane matrix now ships as a
+    #    JVM-parsed literal; values bit-identical, but re-prove it).
+    "samp_token_budget", "samp_label_balance", "sim_knn_label_vote",
+    "sk_hll_daily_users", "a15_pricing_summary",
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

@@ -23,8 +23,11 @@ MUST_PROVE = {
     "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_topk",
     "multi_decode_meta",
     # ...plus the entry whose plan construction changed this round
-    # (plane matrix now a JVM-parsed literal).
+    # (plane matrix now a JVM-parsed literal)...
     "dedup_embedding_lsh",
+    # ...plus the entries new in round 5.
+    "samp_token_budget", "samp_label_balance", "sim_knn_label_vote",
+    "sk_hll_daily_users", "a15_pricing_summary",
 }
 
 
