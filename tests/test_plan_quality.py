@@ -334,3 +334,41 @@ def test_bench_queries_all_registered():
 
     missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
     assert not missing, f"bench names not in REGISTRY: {missing}"
+
+
+def test_token_budget_sample_single_exchange_no_global_sort(spark):
+    """samp_token_budget: one hash shuffle on source for the running
+    sum; no range partitioning (global sort) and no Python."""
+    plan = plan_of(spark, "samp_token_budget")
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_balance_floor_is_broadcast(spark):
+    """samp_label_balance: the one-row class-size floor joins by
+    broadcast — the corpus never shuffles for it (only the row_number
+    window's hash partitioning on label)."""
+    plan = plan_of(spark, "samp_label_balance")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "hashpartitioning(label" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_partial_agg_no_expand(spark):
+    """a15: map-side combined hash aggregate over a narrow scan — no
+    window, no sort, 3 measure columns + 2 keys read."""
+    plan = plan_of(spark, "a15_pricing_summary")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "l_shipdate" not in plan  # column pruning: unused cols absent
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_daily_shuffle_is_register_file(spark):
+    """sk_hll_daily_users: the shuffle key is (day, bucket) — the
+    register file, bounded at 64 rows/day — never the raw events."""
+    plan = plan_of(spark, "sk_hll_daily_users")
+    assert "hashpartitioning(day" in plan
+    assert "BatchEvalPython" not in plan
