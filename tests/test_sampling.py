@@ -134,3 +134,67 @@ def test_weighted_sample_pps_properties(spark, docs):
 
     with pytest.raises(ValueError):
         sampling.weighted_sample(d, F.col("doc_id"), w, cap=0)
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # deterministic pseudo-random sizes 10..109 tokens per doc
+    rows = [
+        (i, ["en", "zh", "es", "de", "fr"][i % 5], 10 + (i * 37) % 100)
+        for i in range(1000)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens bigint"
+    )
+
+
+def test_token_budget_respects_budget_and_is_invariant(spark, sized_docs):
+    got = sampling.token_budget_sample(
+        sized_docs, ["lang"], F.col("doc_id"), F.col("n_tokens"), budget=500
+    )
+    # per-group totals never exceed the budget
+    totals = dict(
+        got.groupBy("lang").agg(F.sum("n_tokens")).collect()
+    )
+    assert totals and all(t <= 500 for t in totals.values())
+    # the selection is maximal in hash order: the largest cum_size plus
+    # the next (unkept) row's size must overshoot — i.e. at least one
+    # row was excluded per group (budget 500 << per-group token total)
+    kept_per_group = dict(got.groupBy("lang").count().collect())
+    all_per_group = dict(sized_docs.groupBy("lang").count().collect())
+    assert all(kept_per_group[g] < all_per_group[g] for g in all_per_group)
+    # partitioning-invariant
+    again = sampling.token_budget_sample(
+        sized_docs.repartition(13), ["lang"], F.col("doc_id"),
+        F.col("n_tokens"), budget=500,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_token_budget_first_row_larger_than_budget_drops_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 999)], "doc_id bigint, lang string, n_tokens bigint"
+    )
+    got = sampling.token_budget_sample(
+        df, ["lang"], F.col("doc_id"), F.col("n_tokens"), budget=100
+    )
+    assert got.count() == 0
+    with pytest.raises(ValueError):
+        sampling.token_budget_sample(
+            df, ["lang"], F.col("doc_id"), F.col("n_tokens"), budget=0
+        )
+
+
+def test_balanced_sample_equalizes_to_min_class(spark):
+    rows = [(i, i % 3) for i in range(90)] + [(1000 + i, 3) for i in range(7)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int")
+    got = sampling.balanced_sample(df, "label", F.col("vec_id"))
+    counts = dict(got.groupBy("label").count().collect())
+    assert counts == {0: 7, 1: 7, 2: 7, 3: 7}
+    # invariant under partitioning
+    again = sampling.balanced_sample(df.repartition(11), "label", F.col("vec_id"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )
