@@ -88,3 +88,31 @@ def test_banded_lsh_near_dup_is_exact_subset_with_recall(spark):
     }
     assert lsh <= exact, "bucketed op produced a pair the exact op doesn't"
     assert len(lsh) / max(len(exact), 1) >= 0.4  # empirically 0.48
+
+
+def test_knn_label_vote_one_row_per_query_and_tie_break(spark):
+    """Each query yields exactly one (knn_label, votes) row; with a
+    forced 1-1-1-1-1 vote split the tie breaks to the smallest label."""
+    from olist_data_warehouse_spark.operators.similarity import knn_label_vote
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    e = load_testdata(spark, SF, ("embeddings",))["embeddings"]
+    qids = list(range(100, 110))
+    got = knn_label_vote(e, qids, k=5).collect()
+    assert sorted(r["query_id"] for r in got) == qids
+    assert all(1 <= r["votes"] <= 5 for r in got)
+
+    # synthetic: 5 neighbors with 5 distinct labels → votes all 1, the
+    # winner must be the smallest label among the top-5 neighbors
+    import pyspark.sql.functions as F
+    rows = [(0, [1.0, 0.0], 9)] + [
+        # neighbors at slightly different angles, distinct labels
+        (i, [1.0, 0.01 * i], 5 - i) for i in range(1, 6)
+    ]
+    tiny = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = knn_label_vote(tiny, [0], k=5).collect()
+    assert len(out) == 1
+    assert out[0]["votes"] == 1
+    assert out[0]["knn_label"] == 0  # labels {4,3,2,1,0} tie → min
