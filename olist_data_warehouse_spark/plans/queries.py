@@ -1409,6 +1409,75 @@ def a15_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a16_measure_correlation",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+         CAST(round(l_discount * 10000, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n), 6) AS cov_xy,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS corr_xy
+FROM s
+""",
+    doc="Per-group covariance/correlation of (quantity, discount) from "
+    "EXACT integer second moments: the five sums (Σx, Σy, Σx², Σy², "
+    "Σxy over cents × basis points) are BIGINT-exact partial "
+    "aggregates — map-side combined, order-independent, "
+    "cross-engine-identical — and only the final one-row-per-group "
+    "statistic drops to float (same expression shape both engines, so "
+    "the rounded doubles hash-match). Spark's covar_pop/corr stream "
+    "floats and differ by accumulation order across engines and "
+    "partitionings; this is the distributed-exact form. Headroom: "
+    "Σx² ≤ int64 to ~3.7e11 rows/group at these operand widths.",
+)
+def a16_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    y = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    c = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / (nd * F.col("n")), 6).alias("cov_xy"),
+        F.round(
+            num
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_xy"),
+    )
+
+
+@register(
     "w6_rolling_1h",
     oracle="""
 SELECT event_id, user_id,
@@ -1507,6 +1576,7 @@ DRIVER_PRIORITY = [
     #    JVM-parsed literal; values bit-identical, but re-prove it).
     "samp_token_budget", "samp_label_balance", "sim_knn_label_vote",
     "sk_hll_daily_users", "a15_pricing_summary",
+    "a16_measure_correlation", "stream_attributed_hourly",
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

@@ -138,3 +138,36 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch DataFrames ignore withWatermark, so the streaming operator
     # body runs unchanged on batch inputs — one code path, two engines.
     return ev.purchase_click_interval_join(clicks, purchases)
+
+
+@register(
+    "stream_attributed_hourly",
+    oracle="""
+WITH pairs AS (
+  SELECT p.ts AS purchase_ts
+  FROM events p
+  JOIN events c
+    ON p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 60 MINUTES AND c.ts < p.ts
+)
+SELECT strftime(date_trunc('hour', purchase_ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       strftime(date_trunc('hour', purchase_ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(*) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+""",
+    doc="Batch twin of the CHAINED stateful streaming pipeline "
+    "(streaming/events.py attributed_purchases_hourly): the "
+    "stream-stream interval join feeding a watermarked hourly "
+    "aggregation — join state + window state in one query, both "
+    "watermark-bounded. The operator body runs unchanged on batch "
+    "inputs (withWatermark is a no-op there); the pytest side runs "
+    "the real two-stream chained query and asserts parity.",
+)
+def stream_attributed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks, purchases = ev.split_clicks_purchases(e)
+    return ev.attributed_purchases_hourly(clicks, purchases)

@@ -28,6 +28,7 @@ MUST_PROVE = {
     # ...plus the entries new in round 5.
     "samp_token_budget", "samp_label_balance", "sim_knn_label_vote",
     "sk_hll_daily_users", "a15_pricing_summary",
+    "a16_measure_correlation", "stream_attributed_hourly",
 }
 
 
