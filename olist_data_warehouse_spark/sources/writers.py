@@ -104,3 +104,39 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def delete_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: list,
+) -> int:
+    """Metadata-only DELETE for partition-aligned predicates: drop the
+    listed partition directories of a ``partition_col``-partitioned
+    parquet dataset without reading or rewriting a single row. Returns
+    the number of partitions removed.
+
+    The scale counterpart of :func:`delete_where` (copy-on-write row
+    rewrite): when the predicate is exactly a partition-column
+    membership test — retention windows ("drop days older than X"),
+    GDPR-by-tenant, backfill resets — the delete cost is file-system
+    metadata, independent of data volume. This is what Delta/Iceberg
+    ``DELETE WHERE <partition pred>`` compiles to (a metadata commit);
+    plain parquet makes it a directory remove + catalog refresh.
+    Non-partition-aligned predicates must keep using ``delete_where``
+    — this function never inspects row contents.
+    """
+    import os
+    import shutil
+
+    removed = 0
+    for v in values:
+        p = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            removed += 1
+    # Drop cached file listings so subsequent reads don't chase the
+    # deleted directories.
+    spark.catalog.refreshByPath(path)
+    return removed
