@@ -41,18 +41,30 @@ def asof_join(
     right_cols: list[str] | None = None,
     prefix: str = "matched_",
     tie_col: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``by`` key (NULLs when no
-    right row precedes). Right rows are first deduplicated to one per
-    (key, ts) — keeping the max ``tie_col`` — so the match is unique
-    and deterministic.
+    """For each left row, attach the nearest right row in the same
+    ``by`` key: with ``direction="backward"`` (default) the latest row
+    with ``right_ts <= left_ts``; with ``"forward"`` the earliest row
+    with ``right_ts >= left_ts`` (pandas ``merge_asof`` parity).
+    ``tolerance_seconds`` bounds the match distance — rows whose only
+    match lies further away keep their left columns with NULL match
+    columns, exactly like merge_asof's ``tolerance``. Right rows are
+    first deduplicated to one per (key, ts) — keeping the max
+    ``tie_col`` — so the match is unique and deterministic.
 
     Plan: dedup window + union-merge window = two exchanges on the
     key, both reused by AQE; no join node at all, so there is nothing
-    to skew or nested-loop. Equal timestamps match (<=): the right row
-    sorts before the left row at the same ts.
+    to skew or nested-loop — direction only flips which frame edge the
+    carry reads from (last-over-preceding vs first-over-following),
+    and tolerance is a post-carry conditional NULL, so neither knob
+    changes the exchange count. Equal timestamps match in both
+    directions: the right row sorts into the readable side of the
+    frame at the same ts.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     right_cols = right_cols or [
         c for c in right.columns if c not in by and c != right_ts
     ]
@@ -85,18 +97,42 @@ def asof_join(
         F.col(right_ts).alias("_r_ts"),
     )
 
-    # right rows sort before left rows at equal ts so `<=` matches
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("_ts").asc(), F.col("_is_r").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     merged = l_tagged.unionByName(r_tagged)
-    for c in right_cols:
-        merged = merged.withColumn(
-            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts so `<=` matches
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_ts").asc(), F.col("_is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    merged = merged.withColumn("_r_ts", F.last("_r_ts", ignorenulls=True).over(w))
+        def carry(col):
+            return F.last(col, ignorenulls=True).over(w)
+    else:
+        # forward: left rows sort before right rows at equal ts, and
+        # the carry reads the FIRST right value at/after the row
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_ts").asc(), F.col("_is_r").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        def carry(col):
+            return F.first(col, ignorenulls=True).over(w)
+
+    for c in right_cols:
+        merged = merged.withColumn(f"_r_{c}", carry(f"_r_{c}"))
+    merged = merged.withColumn("_r_ts", carry("_r_ts"))
+
+    if tolerance_seconds is not None:
+        # merge_asof tolerance: the left row survives, the match nulls.
+        gap = F.abs(
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_r_ts"))
+        )
+        ok = gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+        for c in right_cols:
+            merged = merged.withColumn(
+                f"_r_{c}", F.when(ok, F.col(f"_r_{c}"))
+            )
+        merged = merged.withColumn("_r_ts", F.when(ok, F.col("_r_ts")))
 
     out = merged.filter(F.col("_is_r") == 0).select(
         *by,

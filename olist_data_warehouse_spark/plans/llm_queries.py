@@ -2513,3 +2513,56 @@ def sk_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     daily = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     return sketches.hll_distinct(daily, ["day"], F.col("user_id"))
+
+
+@register(
+    "tj_asof_forward_tol",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+r1 AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
+m AS (
+  SELECT l.user_id, l.ts, l.event_id, l.value,
+         r1.ts AS m_ts, r1.event_id AS m_eid, r1.value AS m_val
+  FROM l ASOF LEFT JOIN r1 ON l.user_id = r1.user_id AND r1.ts >= l.ts
+)
+SELECT user_id, ts, event_id, value,
+       CASE WHEN epoch_us(m_ts) - epoch_us(ts) <= 1800000000
+            THEN m_ts END AS matched_ts,
+       CASE WHEN epoch_us(m_ts) - epoch_us(ts) <= 1800000000
+            THEN m_eid END AS matched_event_id,
+       CASE WHEN epoch_us(m_ts) - epoch_us(ts) <= 1800000000
+            THEN m_val END AS matched_value
+FROM m
+""",
+    doc="FORWARD as-of join with tolerance (pandas merge_asof parity): "
+    "each click gets the EARLIEST same-user purchase at/after it, "
+    "nulled when it lies more than 30 minutes ahead. Same union-merge "
+    "window as the backward form — direction flips which frame edge "
+    "the carry reads (first-over-following), tolerance is a "
+    "post-carry conditional NULL; neither adds an exchange "
+    "(operators/temporal.py asof_join).",
+)
+def tj_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return temporal.asof_join(
+        clicks, purchases, by=["user_id"],
+        right_cols=["event_id", "value"], tie_col="event_id",
+        direction="forward", tolerance_seconds=1800,
+    ).select(
+        "user_id", "ts", "event_id", "value",
+        "matched_ts", "matched_event_id", "matched_value",
+    )

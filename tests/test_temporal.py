@@ -183,3 +183,57 @@ try:
 
 except ImportError:  # hypothesis not installed: property test is optional
     pass
+
+
+def test_asof_forward_and_tolerance_semantics(spark):
+    """Forward picks the EARLIEST right row at/after the left ts; a
+    match further than the tolerance nulls the match columns but keeps
+    the left row; equal timestamps match in both directions."""
+    from olist_data_warehouse_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100),
+         (1, "2024-01-01 12:00:00", 101),
+         (2, "2024-01-01 10:00:00", 102)],
+        "user_id bigint, ts string, event_id bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 10:10:00", 900, 5.0),
+         (1, "2024-01-01 10:20:00", 901, 6.0),
+         (2, "2024-01-01 10:00:00", 902, 7.0)],
+        "user_id bigint, ts string, event_id bigint, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {
+        r_["event_id"]: (r_["matched_event_id"], r_["matched_value"])
+        for r_ in asof_join(
+            l, r, by=["user_id"], right_cols=["event_id", "value"],
+            tie_col="event_id", direction="forward",
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    # earliest at/after, not latest: 10:10 wins over 10:20
+    assert got[100] == (900, 5.0)
+    # no purchase within 30 min after 12:00 -> nulls, row kept
+    assert got[101] == (None, None)
+    # equal timestamps match forward
+    assert got[102] == (902, 7.0)
+
+    # backward with tolerance: 12:00 click is 100+ min after the last
+    # purchase -> nulled; 10:00 user-2 equal-ts still matches
+    back = {
+        r_["event_id"]: r_["matched_event_id"]
+        for r_ in asof_join(
+            l, r, by=["user_id"], right_cols=["event_id", "value"],
+            tie_col="event_id", direction="backward",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert back[100] is None       # nothing before 10:00
+    assert back[101] is None       # 10:20 is 100 min before 12:00 > tol
+    assert back[102] == 902
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(l, r, by=["user_id"], direction="sideways")
