@@ -198,3 +198,20 @@ def test_balanced_sample_equalizes_to_min_class(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_token_budget_monotone_in_budget(spark, sized_docs):
+    """A larger budget keeps a SUPERSET of a smaller budget's rows —
+    the hash-order walk means raising the budget can only extend each
+    group's kept prefix, never reshuffle it (what makes incremental
+    budget raises safe in production)."""
+    kept = {}
+    for b in (200, 500, 900):
+        kept[b] = {
+            r["doc_id"]
+            for r in sampling.token_budget_sample(
+                sized_docs, ["lang"], F.col("doc_id"), F.col("n_tokens"),
+                budget=b,
+            ).collect()
+        }
+    assert kept[200] < kept[500] < kept[900]
