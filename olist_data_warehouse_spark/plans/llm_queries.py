@@ -2566,3 +2566,68 @@ def tj_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value",
         "matched_ts", "matched_event_id", "matched_value",
     )
+
+
+@register(
+    "w8_forward_fill",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+FROM events
+""",
+    doc="Forward fill (LOCF): carry each user's most recent purchase "
+    "value onto every subsequent event — the gap-fill primitive for "
+    "sparse observations (sensor panels, sessionized attributes). "
+    "last(col, ignorenulls) over an unbounded-preceding frame: one "
+    "hash shuffle on user_id, constant per-row state, no self-join — "
+    "the same carry the as-of join builds on.",
+)
+def w8_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id", "user_id", "event_type",
+        F.last(carried, ignorenulls=True).over(w).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+@register(
+    "p12_prefix_filter",
+    oracle="""
+SELECT p_brand, count(*) AS n,
+       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS retail_cents
+FROM part
+WHERE p_name LIKE 'a%'
+GROUP BY p_brand
+""",
+    doc="Prefix-predicate scan: LIKE 'a%' compiles to StringStartsWith, "
+    "which Spark pushes into the parquet reader where row-group min/max "
+    "string stats can skip whole row groups — the third pushdown class "
+    "pinned (equality/range via s1/p6, contains via p11). Plan test "
+    "asserts the filter reaches PushedFilters.",
+)
+def p12_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(F.col("p_name").startswith("a"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("p_retailprice") * 100, 0).cast("long")
+            ).alias("retail_cents"),
+        )
+    )

@@ -372,3 +372,21 @@ def test_hll_daily_shuffle_is_register_file(spark):
     plan = plan_of(spark, "sk_hll_daily_users")
     assert "hashpartitioning(day" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prefix_filter_pushdown_reaches_scan(spark):
+    """p12: LIKE 'a%' must reach the parquet reader as a
+    StringStartsWith pushed filter, with unused columns pruned."""
+    plan = plan_of(spark, "p12_prefix_filter")
+    assert "StringStartsWith(p_name,a)" in plan, plan
+    assert "p_size" not in plan  # pruning
+
+
+def test_forward_fill_single_shuffle_no_join(spark):
+    """w8: LOCF is one window over user_id — no join node, no global
+    sort, no Python."""
+    plan = plan_of(spark, "w8_forward_fill")
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

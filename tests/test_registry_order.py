@@ -29,7 +29,7 @@ MUST_PROVE = {
     "samp_token_budget", "samp_label_balance", "sim_knn_label_vote",
     "sk_hll_daily_users", "a15_pricing_summary",
     "a16_measure_correlation", "stream_attributed_hourly",
-    "tj_asof_forward_tol",
+    "tj_asof_forward_tol", "w8_forward_fill", "p12_prefix_filter",
 }
 
 
