@@ -140,3 +140,34 @@ def delete_partitions(
     # deleted directories.
     spark.catalog.refreshByPath(path)
     return removed
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Write parquet clustered by ``cluster_cols``: range-partition
+    across files, sort within files. Every row group then covers a
+    narrow, (near-)disjoint slice of the cluster key, so parquet
+    min/max stats let a point/range predicate skip whole row groups
+    and whole files — the single biggest scan lever after partition
+    pruning at 100 TB (the single-column form of Delta/Iceberg
+    OPTIMIZE ZORDER; for one key, a total range-sort IS optimal
+    clustering, no space-filling curve needed).
+
+    The range partitioner samples key quantiles, so output files are
+    balanced even under key skew. Layout maintenance, not a query-path
+    operator — pair with :func:`compact` on streaming-accreted data.
+    """
+    w = df
+    if n_files is not None:
+        w = w.repartitionByRange(n_files, *cluster_cols)
+    else:
+        w = w.repartitionByRange(*cluster_cols)
+    (
+        w.sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -95,3 +95,50 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_write_clustered_tightens_row_group_stats(spark, tmp_path):
+    """Clustered layout: file-level key ranges are (near-)disjoint and
+    narrow, so a range predicate prunes most files via stats; an
+    unsorted write leaves every file covering ~the whole key range.
+    Checked directly on parquet footer min/max — the stats the scan's
+    skipping actually uses."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from olist_data_warehouse_spark.sources.writers import write_clustered
+
+    df = spark.range(100_000).selectExpr(
+        "cast(hash(id) % 10000 as bigint) AS key", "id AS payload"
+    )
+    flat = str(tmp_path / "flat")
+    clustered = str(tmp_path / "clustered")
+    df.repartition(8).write.parquet(flat)
+    write_clustered(df, clustered, ["key"], n_files=8)
+
+    def spans(path):
+        out = []
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    assert col.path_in_schema == "key"
+                    st = col.statistics
+                    out.append((st.min, st.max))
+        return out
+
+    full = 10000 + 9999  # key spans [-9999, 9999] under hash % 10000
+    flat_spans = spans(flat)
+    clu_spans = spans(clustered)
+    # unsorted: every row group covers nearly the whole key domain
+    assert all((hi - lo) > 0.9 * full for lo, hi in flat_spans)
+    # clustered: each row group covers a narrow slice...
+    assert all((hi - lo) < 0.2 * full for lo, hi in clu_spans)
+    # ...and a 5%-of-domain range predicate could skip most row groups
+    q_lo, q_hi = 0, 0.05 * full - 9999
+    overlapping = [1 for lo, hi in clu_spans if hi >= q_lo and lo <= q_hi]
+    assert len(overlapping) <= max(2, len(clu_spans) // 4)
