@@ -94,3 +94,49 @@ def test_profile_operator_counts_ranges_checksum(spark):
     assert row.sum_cents_price == 450
     assert row.min_ts == "2023-12-31 23:59:59"
     assert row.max_ts == "2024-03-05 00:30:00"
+
+
+def test_measure_correlation_partitioning_invariant(spark):
+    """a16's five BIGINT second moments are exact partial aggregates,
+    so the final statistics are bit-identical under any partition
+    layout — the property float-streaming covar_pop/corr lacks."""
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    base = REGISTRY["a16_measure_correlation"].fn(spark, sf)
+    rows_a = sorted(map(tuple, base.collect()))
+
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+    from pyspark.sql import functions as F
+
+    li = load_testdata(spark, sf, ("lineitem",))["lineitem"].repartition(17)
+    x = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    y = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    c = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    rows_b = sorted(
+        map(
+            tuple,
+            s.select(
+                "l_returnflag", "n",
+                F.round(num / (nd * F.col("n")), 6).alias("cov_xy"),
+                F.round(
+                    num / (
+                        F.sqrt(nd * F.col("sxx")
+                               - F.col("sx").cast("double") * F.col("sx"))
+                        * F.sqrt(nd * F.col("syy")
+                                 - F.col("sy").cast("double") * F.col("sy"))
+                    ), 6,
+                ).alias("corr_xy"),
+            ).collect(),
+        )
+    )
+    assert rows_a == rows_b
