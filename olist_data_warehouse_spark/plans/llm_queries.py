@@ -2631,3 +2631,45 @@ def p12_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retail_cents"),
         )
     )
+
+
+@register(
+    "dedup_affix_groups",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(array_to_string(t[1:8], ' ')) AS prefix_fp
+  FROM tok
+)
+SELECT prefix_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+FROM fp
+GROUP BY prefix_fp
+HAVING COUNT(*) >= 2
+""",
+    doc="Affix (shared-prefix) grouping: documents whose first 8 "
+    "normalized tokens are identical — the template/boilerplate-header "
+    "detector (scraped pages sharing a banner, form letters, license "
+    "headers) that complements whole-doc fingerprints: it catches "
+    "near-copies whose tails diverge. One md5 per doc, one "
+    "map-side-combined groupBy on the fingerprint — the text itself "
+    "never shuffles, same shape as dedup_exact_groups.",
+)
+def dedup_affix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fp = F.md5(F.concat_ws(" ", F.slice(textops.tokens("text"), 1, 8)))
+    return (
+        d.select("doc_id", fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
