@@ -860,3 +860,85 @@ def knn_label_vote(
             "votes",
         )
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame, bits: int = 8
+) -> DataFrame:
+    """Scalar (symmetric max-abs) quantization of the embedding column:
+    per-vector scale = max|x| / qmax, components → round(x/scale) in
+    [-qmax, qmax]. At 100 TB this is the storage/bandwidth lever for
+    vector corpora — int8 cuts the column 4× vs float32 and the
+    candidate-scoring dot becomes pure integer arithmetic (exact,
+    engine-portable), with the float re-rank reserved for the few
+    surviving candidates. Returns (vec_id, qvec array<int>, qscale).
+    Zero vectors quantize to all-zero with qscale NULL.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    maxabs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(maxabs > 0, maxabs / F.lit(float(qmax)))
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.when(
+                scale.isNull(), F.lit(0)
+            ).otherwise(
+                F.round(x.cast("double") / scale, 0).cast("int")
+            ),
+        ).alias("qvec"),
+        scale.alias("qscale"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Top-k by INTEGER quantized dot product — the cheap first-pass
+    ranker over int8 vectors. The dot is a BIGINT (exact on any
+    engine); ordering by (qdot·scales) ≈ cosine numerator, and since
+    per-query ranking shares the query scale, ordering by
+    qdot·neighbor_scale alone is equivalent. Same broadcast-query /
+    one-corpus-pass shape as :func:`brute_force_topk`; swap-in
+    candidate generator for it when vectors live quantized on disk.
+    Returns (query_id, neighbor_id, rank, qdot).
+    """
+    q = quantize_embeddings(embeddings)
+    queries = (
+        q.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+        )
+    )
+    pairs = q.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("q_qvec"), F.col("qvec"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # neighbor scale breaks the pure-integer ordering tie toward the
+    # genuinely longer vector; qdot stays the exact integer output.
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        qdot.alias("qdot"),
+        (qdot.cast("double") * F.col("qscale")).alias("_mag"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_mag"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )

@@ -2673,3 +2673,58 @@ def dedup_affix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "sim_quantized_topk",
+    oracle="""
+WITH q0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, e,
+         list_aggregate(list_transform(e, x -> abs(x)), 'max') AS maxabs
+  FROM q0
+),
+qt AS (
+  SELECT vec_id,
+         CASE WHEN maxabs > 0 THEN maxabs / 127.0 END AS qscale,
+         CASE WHEN maxabs > 0
+              THEN list_transform(
+                     e, x -> round(x / (maxabs / 127.0), 0))
+              ELSE list_transform(e, x -> 0.0) END AS qvec
+  FROM sc
+),
+qq AS (
+  SELECT vec_id AS query_id, qvec AS q_qvec FROM qt
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT qq.query_id, t.vec_id AS neighbor_id,
+         CAST(list_dot_product(qq.q_qvec, t.qvec) AS BIGINT) AS qdot,
+         list_dot_product(qq.q_qvec, t.qvec) * t.qscale AS mag
+  FROM qt t CROSS JOIN qq
+  WHERE t.vec_id != qq.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY mag DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, qdot
+FROM ranked WHERE rn <= 10
+""",
+    doc="Top-10 by int8-quantized dot product: symmetric max-abs "
+    "scalar quantization (4x smaller vectors than float32), candidate "
+    "scoring in exact BIGINT integer arithmetic — the cheap "
+    "first-pass ranker a 100 TB vector corpus runs over its "
+    "quantized-on-disk column, with float re-rank reserved for "
+    "survivors (recall-vs-exact pinned in tests). Same broadcast-"
+    "query one-corpus-pass shape as sim_bruteforce_topk "
+    "(operators/similarity.py quantize_embeddings / quantized_topk).",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.quantized_topk(e, [0, 1, 2, 3, 4], k=10)

@@ -30,7 +30,7 @@ MUST_PROVE = {
     "sk_hll_daily_users", "a15_pricing_summary",
     "a16_measure_correlation", "stream_attributed_hourly",
     "tj_asof_forward_tol", "w8_forward_fill", "p12_prefix_filter",
-    "dedup_affix_groups",
+    "dedup_affix_groups", "sim_quantized_topk",
 }
 
 

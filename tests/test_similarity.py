@@ -116,3 +116,33 @@ def test_knn_label_vote_one_row_per_query_and_tie_break(spark):
     assert len(out) == 1
     assert out[0]["votes"] == 1
     assert out[0]["knn_label"] == 0  # labels {4,3,2,1,0} tie → min
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantized ranking must recover most of the exact top-10:
+    recall@10 >= 0.7 averaged over the query set (scalar quantization
+    at dim 64 loses little), and qdot must be integer-exact under
+    repartitioning."""
+    from olist_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    e = load_testdata(spark, SF, ("embeddings",))["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(e, qids, k=10).collect()
+    quant = quantized_topk(e, qids, k=10).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    by_q_quant = {}
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(by_q_exact[q] & by_q_quant[q]) / 10 for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    again = quantized_topk(e.repartition(13), qids, k=10).collect()
+    assert sorted(map(tuple, quant)) == sorted(map(tuple, again))
