@@ -183,25 +183,37 @@ def warehouse_tables(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
     )
+    import hashlib
+
     src_hash = _star_build_src_hash()
-    for group in groups:
+
+    def _dirname(group: str) -> str:
         disk_key = (os.path.abspath(sf_dir), group, src_hash)
+        return "star_%s" % hashlib.md5(
+            ("%s|%s|%s" % disk_key).encode()
+        ).hexdigest()[:12]
+
+    # One sweep per call, keeping every requested group's dir — a
+    # per-group sweep could delete a sibling group's still-valid dir.
+    _sweep_stale_star_dirs(cache_root, keep={_dirname(g) for g in groups})
+    for group in groups:
         # The in-memory memo stays session-scoped (DataFrames are bound
         # to their session); only the parquet on disk is shared.
-        key = (spark.sparkContext.applicationId, *disk_key)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), group, src_hash,
+        )
         if key not in _WAREHOUSE_MEMO:
-            import hashlib
-
-            dirname = "star_%s" % hashlib.md5(
-                ("%s|%s|%s" % disk_key).encode()
-            ).hexdigest()[:12]
-            base = os.path.join(cache_root, dirname)
-            _sweep_stale_star_dirs(cache_root, keep={dirname})
+            base = os.path.join(cache_root, _dirname(group))
             table_names = _WAREHOUSE_GROUP_TABLES[group]
             complete = all(
                 os.path.exists(os.path.join(base, name, "_SUCCESS"))
                 for name in table_names
             )
+            if complete:
+                # Touch on reuse: an actively-used cache never ages
+                # into the sweep window.
+                os.utime(base)
             out: dict[str, DataFrame] = dict(
                 star_tables(spark, sf_dir, groups=(group,))
             )
