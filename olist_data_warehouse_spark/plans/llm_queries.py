@@ -2728,3 +2728,48 @@ FROM ranked WHERE rn <= 10
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.quantized_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "samp_epoch_shard_shuffle",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT AS hk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hk % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
+                               ORDER BY hk, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM h
+""",
+    doc="Deterministic epoch shuffle-to-shards: every training epoch "
+    "needs the corpus in a fresh pseudo-random order, split into "
+    "reader shards — salting the content hash with the epoch number "
+    "re-shuffles reproducibly (same epoch = same order on any "
+    "cluster, any partitioning; no df.sample/orderBy(rand()) "
+    "nondeterminism). Scale shape: shard = hash mod S is a free "
+    "scan-side expression; within-shard position is a row_number over "
+    "the SHARD key — one hash shuffle, never a global sort, state one "
+    "counter per shard. The global-order equivalent would "
+    "rangepartition the whole corpus; sharded readers don't need it.",
+)
+def samp_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from olist_data_warehouse_spark.operators.textops import portable_hash32
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    hk = portable_hash32(
+        F.concat_ws("|", F.lit("epoch1"), F.col("doc_id").cast("string"))
+    )
+    shard = (hk % 8).cast("int")
+    w = Window.partitionBy(shard).orderBy(hk.asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
