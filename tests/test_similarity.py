@@ -146,3 +146,24 @@ def test_quantized_topk_recall_vs_exact(spark):
 
     again = quantized_topk(e.repartition(13), qids, k=10).collect()
     assert sorted(map(tuple, quant)) == sorted(map(tuple, again))
+
+
+def test_quantize_embeddings_zero_vector_and_range(spark):
+    """Zero vectors quantize to all-zero with NULL scale; all
+    components stay inside [-127, 127] and the max-abs component maps
+    to exactly +/-127."""
+    from olist_data_warehouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5]), (2, [-4.0, 2.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[0]["qvec"] == [0, 0, 0] and rows[0]["qscale"] is None
+    assert rows[1]["qvec"] == [64, -127, 32]   # round(1/ (2/127)) = 63.5 -> 64
+    assert max(abs(x) for x in rows[2]["qvec"]) == 127
+    assert all(
+        abs(x) <= 127 for r in rows.values() for x in r["qvec"]
+    )
