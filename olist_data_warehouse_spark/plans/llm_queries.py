@@ -2773,3 +2773,43 @@ def samp_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+@register(
+    "p13_above_customer_avg",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              OVER (PARTITION BY o_custkey) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_cents
+FROM c
+WHERE price_cents * n > sum_cents
+""",
+    doc="The correlated-subquery pattern (orders above their own "
+    "customer's average) de-correlated the way Catalyst itself would: "
+    "a windowed sum/count per customer instead of a per-row rescan. "
+    "The comparison is cross-multiplied integer cents "
+    "(price*n > sum), so no division, no float boundary — a row "
+    "exactly AT the average is excluded identically on every engine. "
+    "One hash shuffle on the correlation key.",
+)
+def p13_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_custkey")
+    c = o.select(
+        "o_orderkey", "o_custkey",
+        cents.alias("price_cents"),
+        F.sum(cents).over(w).alias("sum_cents"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return c.filter(
+        F.col("price_cents") * F.col("n") > F.col("sum_cents")
+    ).select("o_orderkey", "o_custkey", "price_cents")

@@ -31,7 +31,7 @@ MUST_PROVE = {
     "a16_measure_correlation", "stream_attributed_hourly",
     "tj_asof_forward_tol", "w8_forward_fill", "p12_prefix_filter",
     "dedup_affix_groups", "sim_quantized_topk",
-    "samp_epoch_shard_shuffle",
+    "samp_epoch_shard_shuffle", "p13_above_customer_avg",
 }
 
 
