@@ -942,3 +942,47 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qdot")
     )
+
+
+def write_ivf_layout(
+    embeddings: DataFrame,
+    table: str,
+    n_centroids: int = 8,
+) -> None:
+    """Materialize the IVF index AS the storage layout: embeddings
+    written bucketed by their centroid assignment, one bucket per
+    centroid. This is the "assignment becomes the partitioning key"
+    step of the scale path — a probe then reads 1/C of the files
+    instead of scanning the corpus (see :func:`ivf_probe`), and a
+    bucketed centroid-keyed join needs no exchange. Rebuild cadence is
+    a layout decision (centroids drift slowly; re-cluster offline like
+    any OPTIMIZE job)."""
+    assigned = ivf_assign(embeddings, n_centroids).select(
+        "vec_id", "centroid_id"
+    )
+    (
+        assigned.join(embeddings, "vec_id")
+        .write.mode("overwrite")
+        .bucketBy(n_centroids, "centroid_id")
+        .saveAsTable(table)
+    )
+
+
+def ivf_probe(spark, table: str, centroid_id: int) -> DataFrame:
+    """Read ONE centroid bucket of a :func:`write_ivf_layout` table.
+
+    Sets ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    on the session and leaves it set (same caller-visible-conf posture
+    as the streaming reader): with auto bucketed scan ON, Spark
+    rewrites a bucketed scan that feeds no join/agg into a plain scan
+    and silently LOSES filter-based bucket pruning — the plan then
+    reads all C buckets. With it off, the probe plans
+    ``SelectedBucketsCount: 1 out of C`` (pinned in tests): file
+    listing and IO touch 1/C of the corpus, which is the entire point
+    of the IVF layout."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    return spark.table(table).filter(
+        F.col("centroid_id") == int(centroid_id)
+    )

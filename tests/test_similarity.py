@@ -167,3 +167,40 @@ def test_quantize_embeddings_zero_vector_and_range(spark):
     assert all(
         abs(x) <= 127 for r in rows.values() for x in r["qvec"]
     )
+
+
+def test_ivf_layout_probe_prunes_buckets(spark):
+    """write_ivf_layout + ivf_probe: the probe's plan must read ONE
+    bucket (SelectedBucketsCount: 1 out of 8) and return exactly the
+    probed centroid's vectors."""
+    import io
+    from contextlib import redirect_stdout
+
+    from olist_data_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        write_ivf_layout,
+    )
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    e = load_testdata(spark, SF, ("embeddings",))["embeddings"]
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_test")
+    spark.sql("DROP TABLE IF EXISTS sim_test.ivf_layout")
+    write_ivf_layout(e, "sim_test.ivf_layout", n_centroids=8)
+    try:
+        probe = ivf_probe(spark, "sim_test.ivf_layout", 3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probe.explain("formatted")
+        assert "SelectedBucketsCount: 1 out of 8" in buf.getvalue()
+        want = {
+            r["vec_id"]
+            for r in ivf_assign(e, 8).filter("centroid_id = 3").collect()
+        }
+        got = {r["vec_id"] for r in probe.collect()}
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sim_test.ivf_layout")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
