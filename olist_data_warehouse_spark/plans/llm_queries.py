@@ -2813,3 +2813,72 @@ def p13_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.col("price_cents") * F.col("n") > F.col("sum_cents")
     ).select("o_orderkey", "o_custkey", "price_cents")
+
+
+@register(
+    "decon_bloom_prefilter",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hashes AS (SELECT unnest([0, 1, 2]) AS i),
+pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 8))
+           ::BIGINT % {bloom.M_BITS_DEFAULT} AS p
+  FROM bench CROSS JOIN hashes
+),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+tested AS (
+  SELECT doc_id,
+         NOT EXISTS (
+           SELECT 1 FROM hashes h
+           WHERE ('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|'
+                                     || shingle), 1, 8))::BIGINT
+                   % {bloom.M_BITS_DEFAULT} NOT IN (SELECT p FROM pos)
+         ) AS might
+  FROM train
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       round(sum(CASE WHEN might THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS contamination_ub
+FROM tested
+GROUP BY doc_id
+""",
+    doc="Bloom-accelerated decontamination: the bench set's shingles "
+    "collapse to an 8 KB bitset (a plan literal, not a broadcast "
+    "join) and every training shingle tests against it INSIDE the "
+    "scan — the per-doc result is an upper bound on contamination "
+    "(false positives only, never negatives), so docs with zero bloom "
+    "hits skip the exact verify (decon_ngram_overlap) entirely. At "
+    "100 TB this is the shape that matters: membership costs zero "
+    "shuffle and the exact join runs on the tiny flagged remainder. "
+    "Portable hash family -> the oracle reproduces every false "
+    "positive bit-for-bit.",
+)
+def decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    bench_sh = dedup.shingle_sets(bench, 3).select("shingle").distinct()
+    words = bloom.bloom_build(bench_sh, F.col("shingle"))
+    train_sh = dedup.shingle_sets(train, 3)
+    hit = F.when(
+        bloom.bloom_might_contain(F.col("shingle"), words), 1
+    ).otherwise(0)
+    return (
+        train_sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).alias("n_bloom_hits"),
+        )
+        .withColumn(
+            "contamination_ub",
+            F.round(
+                F.col("n_bloom_hits") / F.col("n_shingles").cast("double"), 4
+            ),
+        )
+    )

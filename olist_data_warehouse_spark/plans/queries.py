@@ -1592,6 +1592,7 @@ DRIVER_PRIORITY = [
     "tj_asof_forward_tol", "w8_forward_fill", "p12_prefix_filter",
     "dedup_affix_groups", "sim_quantized_topk",
     "samp_epoch_shard_shuffle", "p13_above_customer_avg",
+    "decon_bloom_prefilter",
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

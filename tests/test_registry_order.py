@@ -32,6 +32,7 @@ MUST_PROVE = {
     "tj_asof_forward_tol", "w8_forward_fill", "p12_prefix_filter",
     "dedup_affix_groups", "sim_quantized_topk",
     "samp_epoch_shard_shuffle", "p13_above_customer_avg",
+    "decon_bloom_prefilter",
 }
 
 
