@@ -2882,3 +2882,327 @@ def decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: IVM agg merge, reconciliation audit, span dedup,
+# bigram heavy hitters, window completeness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_agg_merge",
+    oracle="""
+SELECT o_custkey,
+       CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m') AS INT) AS month_key,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Incremental view maintenance for distributive aggregates: the "
+    "monthly revenue rollup is maintained as partial aggregates — a "
+    "BASE agg over history plus a DELTA agg over the new batch, "
+    "merged by summing partials (SUM and COUNT are associative and "
+    "commutative, so merge(agg(A), agg(B)) == agg(A union B) exactly "
+    "in integer cents). The oracle computes the full rollup in one "
+    "pass and must match bit-for-bit. At 100 TB this is THE refresh "
+    "shape: the nightly job scans only the delta (days, not years), "
+    "merges into the materialized rollup with dynamic partition "
+    "overwrite on the touched months, and never rereads the fact. "
+    "Algebraic aggregates (avg) derive from (sum, count); holistic "
+    "ones (exact median) do not merge — those recompute or use "
+    "mergeable sketches (sk_hist_quantiles).",
+)
+def ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cut = F.lit("1996-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyyMM").cast("int").alias(
+                "month_key"
+            ),
+        ).agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey", "month_key")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "j9_reconcile_orders_lines",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders
+),
+b AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT
+  CAST(count(*) FILTER (WHERE a.o_orderkey IS NOT NULL
+                          AND b.l_orderkey IS NOT NULL) AS BIGINT)
+    AS matched,
+  CAST(count(*) FILTER (WHERE b.l_orderkey IS NULL) AS BIGINT)
+    AS orders_without_lines,
+  CAST(count(*) FILTER (WHERE a.o_orderkey IS NULL) AS BIGINT)
+    AS orphan_line_orders,
+  CAST(COALESCE(SUM(b.n_lines), 0) AS BIGINT) AS total_lines,
+  CAST(count(*) FILTER (WHERE a.price_cents = b.line_cents) AS BIGINT)
+    AS price_exact_matches
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.l_orderkey
+""",
+    doc="Cross-table reconciliation audit — the data-quality gate every "
+    "warehouse load runs after ingest (the reference's SSIS package "
+    "implies it between its OLTP extract and DW load): orders vs the "
+    "per-order rollup of lineitem, FULL OUTER JOIN on the key, "
+    "classifying matched / header-without-lines / orphan-lines and "
+    "counting exact integer-cents price agreement. Scale shape: each "
+    "side map-side-combines to order grain first (lineitem collapses "
+    "~4:1 before the join), one shuffle on o_orderkey, then the "
+    "classification folds to a single row with a map-side-combined "
+    "global aggregate — output size is O(1) regardless of input size.",
+)
+def j9_reconcile_orders_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    a = t["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    b = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("line_cents"),
+        )
+    )
+    j = a.join(b, a.o_orderkey == b.l_orderkey, "full_outer")
+    both = F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    return j.agg(
+        F.count(F.when(both, 1)).alias("matched"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias(
+            "orders_without_lines"
+        ),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+            "orphan_line_orders"
+        ),
+        F.coalesce(F.sum("n_lines"), F.lit(0)).alias("total_lines"),
+        F.count(
+            F.when(F.col("price_cents") == F.col("line_cents"), 1)
+        ).alias("price_exact_matches"),
+    )
+
+
+SPAN_W = 8  # words per span chunk
+
+
+@register(
+    "dedup_span_chunks",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+ch AS (
+  SELECT doc_id,
+         generate_subscripts(chs, 1) - 1 AS idx,
+         unnest(chs) AS chunk
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             range(0, len(toks) // {SPAN_W}),
+             i -> array_to_string(
+                    toks[i * {SPAN_W} + 1 : i * {SPAN_W} + {SPAN_W}], ' ')
+           ) AS chs
+    FROM tok WHERE len(toks) >= {SPAN_W}
+  )
+),
+occ AS (
+  SELECT doc_id, md5(chunk) AS h, doc_id * 100000 + idx AS k
+  FROM ch
+),
+mins AS (SELECT h, MIN(k) AS mk FROM occ GROUP BY h)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN o.k = m.mk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN o.k = m.mk THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS retained_ratio
+FROM occ o JOIN mins m ON o.h = m.h
+GROUP BY 1
+""",
+    doc="Paragraph-granularity exact dedup (the Dolma / RefinedWeb "
+    "'dedupe paragraphs, keep documents' pass), adapted to the "
+    "synthetic corpus's newline-free text as fixed 8-word spans: "
+    "every non-overlapping span is kept only at its globally first "
+    "occurrence (min doc_id, then min position — an integer-packed "
+    "key so the tie-break is one MIN, not a struct ordering), and "
+    "each document reports how much of it survives. Scale shape: "
+    "spans are md5'd IMMEDIATELY so the shuffle moves 32-hex keys, "
+    "never text; first-occurrence is a single window MIN partitioned "
+    "by the hash (one exchange), and the per-doc rollup partially "
+    "aggregates map-side. 128-bit keys make collisions negligible at "
+    "any corpus size (~1e-18 at 10^12 spans).",
+)
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    W = SPAN_W
+    toks = d.select(
+        "doc_id", textops.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= W)
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.size("toks") / W).cast("int") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * W + 1, W), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    occ = chunks.select(
+        "doc_id",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("k"),
+    )
+    wmin = Window.partitionBy("h")
+    kept = F.when(F.col("k") == F.min("k").over(wmin), 1).otherwise(0)
+    return (
+        occ.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .withColumn(
+            "retained_ratio",
+            F.round(F.col("n_kept") / F.col("n_chunks").cast("double"), 4),
+        )
+    )
+
+
+@register(
+    "text_bigram_topk",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+bi AS (
+  SELECT unnest(list_transform(
+           range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM tok WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bi GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    doc="Corpus-level bigram heavy hitters — the exact-count companion "
+    "to sk_cms_heavy_hitters and the building block for boilerplate "
+    "and template detection (a bigram appearing in millions of "
+    "documents is navigation chrome, not language). Bigrams are "
+    "formed JVM-side with zip_with over two shifted slices (no "
+    "Python, no self-join), counted with one map-side-combined "
+    "shuffle on the bigram, and the top-k is TakeOrderedAndProject "
+    "(count DESC, bigram ASC — the T4 tie convention), so only 20 "
+    "rows ever reach the driver. At 100 TB the exact count is one "
+    "shuffle of partial counts (vocabulary-bounded, not corpus-"
+    "bounded); if even that is too wide, the CMS sketch twin "
+    "estimates the same list in O(1) memory.",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = d.select(textops.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n1 = F.size("toks") - 1
+    bi = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n1),
+                F.slice(F.col("toks"), 2, n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "w9_cume_dist_nth",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT c_custkey, c_nationkey, bal_cents,
+       round(cume_dist() OVER w, 4) AS cume_frac,
+       nth_value(c_custkey, 2) OVER (
+         PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_lowest_key
+FROM c
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
+""",
+    doc="Window-function completeness: cume_dist and nth_value over the "
+    "per-nation balance ordering. The ORDER BY is made unique with "
+    "the key tie-break, so cume_dist degenerates to rank/n — an "
+    "exact small-integer division that rounds identically on both "
+    "engines — and nth_value(2) (explicit full-frame, since the "
+    "default frame would return NULL for the partition's first row) "
+    "is deterministic. One hash exchange on c_nationkey + an "
+    "in-partition sort; no global sort. Single-customer nations "
+    "yield NULL second_lowest_key on both engines.",
+)
+def w9_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    wb = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    wf = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_cents",
+        F.round(F.cume_dist().over(wb), 4).alias("cume_frac"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_lowest_key"),
+    )

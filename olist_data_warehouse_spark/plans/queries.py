@@ -1593,6 +1593,8 @@ DRIVER_PRIORITY = [
     "dedup_affix_groups", "sim_quantized_topk",
     "samp_epoch_shard_shuffle", "p13_above_customer_avg",
     "decon_bloom_prefilter",
+    "ivm_agg_merge", "j9_reconcile_orders_lines", "dedup_span_chunks",
+    "text_bigram_topk", "w9_cume_dist_nth",
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

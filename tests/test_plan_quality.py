@@ -390,3 +390,62 @@ def test_forward_fill_single_shuffle_no_join(spark):
     assert "Join" not in plan
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivm_merge_aggs_are_map_side_combined(spark):
+    """ivm_agg_merge: both partial aggs and the merge agg must
+    map-side combine (partial HashAggregate under each Exchange), and
+    nothing joins — the merge is union + re-aggregate."""
+    plan = plan_of(spark, "ivm_agg_merge")
+    assert "Join" not in plan
+    assert "partial_sum" in plan or "Partial" in plan or plan.count(
+        "HashAggregate"
+    ) > _n_exchanges(plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_reconcile_full_outer_is_sort_merge_not_nested(spark):
+    """j9: FULL OUTER between two fact-scale sides must be a sort-merge
+    equi-join (broadcast cannot do full-outer on a large side; nested
+    loop must never appear), with the lineitem side pre-collapsed to
+    order grain before the join."""
+    plan = plan_of(spark, "j9_reconcile_orders_lines")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # lineitem aggregates to order grain BEFORE the join: its partial
+    # HashAggregate sits below the SMJ in the tree.
+    assert plan.index("SortMergeJoin") < plan.index("Scan parquet")
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """dedup_span_chunks: exactly two exchanges (window over the span
+    hash + per-doc rollup); the window exchange partitions by the md5
+    hash column, so text never crosses the wire; no Python, no join."""
+    plan = plan_of(spark, "dedup_span_chunks")
+    assert _n_exchanges(plan) == 2
+    assert "hashpartitioning(h" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_topk_single_exchange_takeordered(spark):
+    """text_bigram_topk: one map-side-combined shuffle on the bigram,
+    top-20 as TakeOrderedAndProject (never a global sort), zip_with
+    stays in Catalyst."""
+    plan = plan_of(spark, "text_bigram_topk")
+    assert _n_exchanges(plan) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cume_dist_nth_merge_into_one_window_exchange(spark):
+    """w9: cume_dist (running frame) and nth_value (full frame) share
+    partition+order, so Catalyst must plan ONE exchange on the nation
+    key — no second shuffle, no global sort, no join."""
+    plan = plan_of(spark, "w9_cume_dist_nth")
+    assert _n_exchanges(plan) == 1
+    assert "hashpartitioning(c_nationkey" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan

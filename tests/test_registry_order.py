@@ -33,6 +33,8 @@ MUST_PROVE = {
     "dedup_affix_groups", "sim_quantized_topk",
     "samp_epoch_shard_shuffle", "p13_above_customer_avg",
     "decon_bloom_prefilter",
+    "ivm_agg_merge", "j9_reconcile_orders_lines", "dedup_span_chunks",
+    "text_bigram_topk", "w9_cume_dist_nth",
 }
 
 
