@@ -3206,3 +3206,173 @@ def w9_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wb), 4).alias("cume_frac"),
         F.nth_value("c_custkey", 2).over(wf).alias("second_lowest_key"),
     )
+
+
+@register(
+    "p14_exists_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND CAST(round(o.o_totalprice * 100, 0) AS BIGINT) > 45000000
+)
+""",
+    doc="Positive EXISTS — the semi-join complement of the NOT IN "
+    "anti-join pair (p5/j8): customers with at least one order above "
+    "450k, planned as LEFT SEMI so each customer row emits at most "
+    "once no matter how many orders qualify (an INNER join + "
+    "DISTINCT would shuffle the fan-out first and dedup after — the "
+    "semi join never materializes the multiplicity). The price "
+    "filter pushes below the join, so the build side carries only "
+    "qualifying orders; integer-cents comparison keeps the boundary "
+    "row identical on both engines.",
+)
+def p14_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") > 45000000
+    )
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+# Packed argmax key: n_tokens * 1e7 - doc_id (doc_id in [0, 1e7)), so
+# one integer MAX picks (max n_tokens, tie -> min doc_id) and both
+# fields decode back exactly: nt = (packed + 9999999) // 1e7,
+# id = nt * 1e7 - packed.
+_KEEP_BEST_PACK = 10_000_000
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         t[1 : greatest(8, len(t) // 2)] AS t
+  FROM base WHERE doc_id < 50
+),
+fp AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         md5(array_to_string(t[1:8], ' ')) AS prefix_fp
+  FROM corpus WHERE len(t) >= 8
+),
+grp AS (
+  SELECT prefix_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MAX(n_tokens * {_KEEP_BEST_PACK} + ({_KEEP_BEST_PACK} - 1)
+             - doc_id) AS packed
+  FROM fp GROUP BY prefix_fp HAVING COUNT(*) >= 2
+)
+SELECT prefix_fp, n_docs,
+       CAST((packed + {_KEEP_BEST_PACK} - 1) // {_KEEP_BEST_PACK}
+            AS BIGINT) AS kept_n_tokens,
+       CAST((packed + {_KEEP_BEST_PACK} - 1) // {_KEEP_BEST_PACK}
+            * {_KEEP_BEST_PACK} + ({_KEEP_BEST_PACK} - 1) - packed
+            AS BIGINT) AS kept_doc_id
+FROM grp
+""",
+    doc="Quality-aware dedup: within a duplicate group keep the BEST "
+    "exemplar, not the first seen — the curation policy real corpora "
+    "use (among a page and its truncated syndicated copies, keep the "
+    "longest). Near-copies are synthesized by re-adding the first 50 "
+    "docs truncated to half length (same 8-token prefix -> same "
+    "group, fewer tokens -> loses). The argmax is a PACKED INTEGER "
+    "MAX — n_tokens*1e7 + (1e7-1-doc_id), so one plain aggregate "
+    "yields (max tokens, tie -> min doc_id) and both fields decode "
+    "exactly — which map-side combines like any MAX; no window, no "
+    "sort, no join, and the md5 group key means text never shuffles. "
+    "Contrast w1_window_topn_per_group: a windowed row_number needs "
+    "a per-group sort; the packed MAX is the shape that survives a "
+    "billion groups.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    P = _KEEP_BEST_PACK
+    base = d.select("doc_id", textops.tokens(F.col("text")).alias("t"))
+    trunc = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.slice(
+            F.col("t"), 1, F.greatest(F.lit(8), F.expr("size(t) div 2"))
+        ).alias("t"),
+    )
+    corpus = base.unionByName(trunc).filter(F.size("t") >= 8)
+    fp = corpus.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), 1, 8))).alias(
+            "prefix_fp"
+        ),
+    )
+    packed_col = (
+        F.col("n_tokens") * P + F.lit(P - 1) - F.col("doc_id")
+    )
+    grp = (
+        fp.groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(packed_col).alias("packed"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    kept_nt = F.expr(f"(packed + {P - 1}) div {P}")
+    return grp.select(
+        "prefix_fp",
+        "n_docs",
+        kept_nt.alias("kept_n_tokens"),
+        (kept_nt * P + F.lit(P - 1) - F.col("packed")).alias("kept_doc_id"),
+    )
+
+
+@register(
+    "sim_centroid_outlier",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS cos_sim
+  FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, centroid_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, cos_sim
+FROM ranked WHERE rn = 1 AND cos_sim < 0.05
+""",
+    doc="Embedding-space outlier pruning (the SemDeDup-style curation "
+    "complement of dedup: drop points that sit far from EVERY "
+    "cluster center — noise, encoding failures, off-distribution "
+    "junk): vectors whose best-centroid cosine falls below 0.05 "
+    "(~the 4th percentile here). Same zero-join scan shape as "
+    "sim_ivf_assign — centroids are plan-time literals, the argmax "
+    "and the threshold test both run inside the scan projection, so "
+    "the filter is shuffle-FREE at any corpus size (unlike per-"
+    "cluster bottom-k, which would need a C-partition window sort). "
+    "The 4dp round happens before the compare, so the boundary row "
+    "is identical on both engines.",
+)
+def sim_centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    assigned = similarity.ivf_assign(e, n_centroids=8)
+    return assigned.filter(F.col("cos_sim") < 0.05).select(
+        "vec_id", "centroid_id", "cos_sim"
+    )

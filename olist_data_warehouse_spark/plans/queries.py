@@ -1595,6 +1595,7 @@ DRIVER_PRIORITY = [
     "decon_bloom_prefilter",
     "ivm_agg_merge", "j9_reconcile_orders_lines", "dedup_span_chunks",
     "text_bigram_topk", "w9_cume_dist_nth",
+    "p14_exists_semi", "dedup_keep_best", "sim_centroid_outlier",
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

@@ -449,3 +449,34 @@ def test_cume_dist_nth_merge_into_one_window_exchange(spark):
     assert "hashpartitioning(c_nationkey" in plan
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_exists_semi_plans_left_semi_with_pushdown(spark):
+    """p14: EXISTS compiles to a LEFT SEMI join (one output row per
+    customer regardless of order fan-out) with the price filter pushed
+    below the join; never inner-join + distinct."""
+    plan = plan_of(spark, "p14_exists_semi")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan and "distinct" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_keep_best_is_single_agg_no_window_no_join(spark):
+    """dedup_keep_best: the packed-integer argmax must stay a plain
+    map-side-combinable aggregate — one exchange on the group
+    fingerprint, no Window sort, no join, no Python."""
+    plan = plan_of(spark, "dedup_keep_best")
+    assert _n_exchanges(plan) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_outlier_is_shuffle_free_scan(spark):
+    """sim_centroid_outlier: centroids are plan-time literals, so the
+    assignment argmax + threshold both run inside the scan projection
+    — zero exchanges, zero joins, at any corpus size."""
+    plan = plan_of(spark, "sim_centroid_outlier")
+    assert _n_exchanges(plan) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

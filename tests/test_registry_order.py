@@ -35,6 +35,7 @@ MUST_PROVE = {
     "decon_bloom_prefilter",
     "ivm_agg_merge", "j9_reconcile_orders_lines", "dedup_span_chunks",
     "text_bigram_topk", "w9_cume_dist_nth",
+    "p14_exists_semi", "dedup_keep_best", "sim_centroid_outlier",
 }
 
 
