@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "text_word_count",
     "a13_median_percentile",
     "multi_decode_meta",
+    # round-5 additions: span dedup, bigram heavy hitters, IVM merge,
+    # reconciliation audit (all lightweight; keeps the driver's per-
+    # round perf record covering the new families)
+    "dedup_span_chunks",
+    "text_bigram_topk",
+    "ivm_agg_merge",
+    "j9_reconcile_orders_lines",
     # temporal joins, sketches, sampling (operator families beyond the
     # reference; each is the family's heaviest representative)
     "tj_asof_purchase_click",

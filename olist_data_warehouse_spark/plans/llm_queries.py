@@ -3376,3 +3376,229 @@ def sim_centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.filter(F.col("cos_sim") < 0.05).select(
         "vec_id", "centroid_id", "cos_sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics family over the events stream: date-spine gap fill,
+# sequential funnel, cohort retention, typed histogram serialization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_gapfill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, min(d) AS f, max(d) AS l FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(f, l, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+)
+SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+       COALESCE(dd.n, 0) AS n_events
+FROM spine s LEFT JOIN daily dd ON s.user_id = dd.user_id AND s.d = dd.d
+""",
+    doc="Time-series gap filling with a generated date spine: every "
+    "user gets a dense row per calendar day of their own active span, "
+    "zero-filled where no events landed — the shape every retention/"
+    "forecasting job needs before window math (a LAG over sparse days "
+    "silently skips the gaps). The spine is sequence()-generated from "
+    "per-user (min, max) bounds — rows are MANUFACTURED by the plan, "
+    "not read — then equi-left-joined back to the daily counts. Scale "
+    "shape: daily counts map-side combine; the spine is output-"
+    "bounded (sum of active spans, the size the report needs anyway); "
+    "the join is on (user, day) so AQE handles it like any fact join. "
+    "Day keys are strings on both engines (the events-table oracle "
+    "convention), so no DATE-encoding hash drift.",
+)
+def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(f, l, interval 1 day)")).alias("d"),
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY 1
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(count(t1) AS BIGINT) AS n_step_view,
+  CAST(count(t2) AS BIGINT) AS n_step_click,
+  CAST(count(t3) AS BIGINT) AS n_step_purchase
+FROM per_user
+""",
+    doc="Strictly-ordered funnel (view -> later click -> later "
+    "purchase): each step's timestamp is the earliest qualifying "
+    "event AFTER the previous step, so out-of-order activity never "
+    "counts — the sequential semantics product funnels actually mean, "
+    "not three independent EXISTS. The chained conditional mins are "
+    "three stacked window aggregates over the SAME partition spec, "
+    "which Catalyst plans as one exchange on user_id with zero extra "
+    "shuffles (pinned); the funnel report then folds to a single row "
+    "map-side. At 100 TB: one hash shuffle of the events, state per "
+    "user is three timestamps, and the same chain extends to any "
+    "step count without new exchanges.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t3", t3)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_step_view"),
+        F.count("t2").alias("n_step_click"),
+        F.count("t3").alias("n_step_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+  FROM events
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', first_day, CAST(ts AS DATE)) // 7 AS BIGINT)
+         AS offset_weeks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM f
+GROUP BY 1, 2
+""",
+    doc="Cohort retention: users grouped by first-seen day, activity "
+    "bucketed into integer week offsets from THAT user's own start "
+    "(pure day arithmetic — no week-of-year convention, so both "
+    "engines bucket identically), counting distinct active users per "
+    "(cohort, offset) cell. Two exchanges: the first-touch window on "
+    "user_id, then the distinct-count aggregate — a single DISTINCT "
+    "column plans as the two-phase partial-dedup (no Expand node, "
+    "pinned), so the second shuffle carries (cohort, offset, user) "
+    "triples already deduped map-side. The cohort matrix is output-"
+    "bounded (days x weeks), tiny at any input scale.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id")
+    f = e.select(
+        "user_id",
+        "ts",
+        F.min(F.to_date("ts")).over(w).alias("first_day"),
+    )
+    return (
+        f.select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7
+            ).alias("offset_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@register(
+    "a18_event_histogram",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       array_to_string(
+         list_sort(list(event_type || ':' || CAST(n AS VARCHAR))),
+         ',') AS histogram,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+""",
+    doc="Nested-type aggregation with a canonical serialization: each "
+    "user's per-event-type counts collapse to ONE deterministic "
+    "'type:count,...' string — collect_list order is partition-"
+    "dependent, so the sort_array BEFORE serializing is what makes "
+    "the result identical on any engine, any layout (the same "
+    "binary-UTF8 ordering the T4 tie convention relies on). This is "
+    "the portable form of a map<string,long> column: feature dicts, "
+    "label histograms, per-doc tag bags all serialize this way when "
+    "engines must agree bit-for-bit. Two map-side-combined exchanges "
+    "(type grain, then user grain); the array never exceeds the "
+    "event-type vocabulary.",
+)
+def a18_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    entry = F.concat_ws(":", F.col("event_type"), F.col("n"))
+    return c.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(entry)), ","
+        ).alias("histogram"),
+        F.sum("n").alias("n_events"),
+    )

@@ -480,3 +480,45 @@ def test_centroid_outlier_is_shuffle_free_scan(spark):
     assert _n_exchanges(plan) == 0
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gapfill_spine_is_generated_not_scanned(spark):
+    """ts_gapfill_daily: the date spine comes from sequence()+explode
+    (a Generate node over the bounds agg) — no extra table scan, no
+    nested loop; the backfill join stays an equi-join."""
+    plan = plan_of(spark, "ts_gapfill_daily")
+    assert "Generate" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_chained_windows_share_one_exchange(spark):
+    """funnel_steps: three sequential conditional-min windows over the
+    SAME partition spec must stack on one user_id exchange — the step
+    chain costs zero extra shuffles (total 2: window + final 1-row
+    fold)."""
+    import re
+
+    plan = plan_of(spark, "funnel_steps")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+    assert _n_exchanges(plan) == 2
+    assert "Join" not in plan
+
+
+def test_cohort_retention_distinct_has_no_expand(spark):
+    """cohort_retention: COUNT(DISTINCT user) over one column plans as
+    two-phase partial dedup — no Expand multiplication, two exchanges
+    total (first-touch window + agg)."""
+    plan = plan_of(spark, "cohort_retention")
+    assert "Expand" not in plan
+    assert _n_exchanges(plan) == 2
+    assert "Join" not in plan
+
+
+def test_event_histogram_serialization_stays_jvm(spark):
+    """a18: collect_list + sort_array + array_join is all Catalyst —
+    no Python, two map-side-combined exchanges."""
+    plan = plan_of(spark, "a18_event_histogram")
+    assert _n_exchanges(plan) == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan

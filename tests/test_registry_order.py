@@ -36,6 +36,8 @@ MUST_PROVE = {
     "ivm_agg_merge", "j9_reconcile_orders_lines", "dedup_span_chunks",
     "text_bigram_topk", "w9_cume_dist_nth",
     "p14_exists_semi", "dedup_keep_best", "sim_centroid_outlier",
+    "ts_gapfill_daily", "funnel_steps", "cohort_retention",
+    "a18_event_histogram",
 }
 
 
