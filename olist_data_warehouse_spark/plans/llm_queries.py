@@ -3602,3 +3602,151 @@ def a18_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("histogram"),
         F.sum("n").alias("n_events"),
     )
+
+
+@register(
+    "dedup_minhash_jaccard_est",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH},
+buckets AS (
+  SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
+           AS band_digest
+  FROM signatures
+  GROUP BY doc_id, CAST(hash_idx // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_digest = b.band_digest
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+             / 16.0, 4) AS est_jaccard
+FROM cand c
+JOIN signatures sa ON sa.doc_id = c.doc_a
+JOIN signatures sb ON sb.doc_id = c.doc_b AND sb.hash_idx = sa.hash_idx
+GROUP BY 1, 2
+""",
+    doc="MinHash Jaccard ESTIMATION on the LSH candidates: the "
+    "fraction of agreeing signature components is an unbiased "
+    "estimator of the true Jaccard (stderr 1/sqrt(H) ~ 0.25 at "
+    "H=16), which ranks/filters candidate pairs WITHOUT touching the "
+    "shingle sets again — the middle rung between free LSH discovery "
+    "and the exact shingle-join verify (dedup_ngram_jaccard). Scale "
+    "shape: signatures are 16 longs per doc, so the pair join "
+    "shuffles 128-byte rows regardless of document size; the "
+    "estimate is a row-local array comparison. The integer minhash "
+    "family is the portable one, so the oracle reproduces every "
+    "component agreement exactly.",
+)
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    H = 16
+    sigs = dedup.minhash_signatures_wide(d, num_hashes=H, k=3).persist()
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=H, rows_per_band=4, k=3
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(H)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(H)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(H)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("long").alias("n_agree"),
+            F.round(agree / float(H), 4).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "samp_negative_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id AND e.label != q.q_label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(label AS INT) AS neg_label,
+       CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 5
+""",
+    doc="Hard-negative mining for contrastive training: for each "
+    "anchor, the top-5 most-SIMILAR vectors with a DIFFERENT label — "
+    "the near-miss negatives that actually move a contrastive loss "
+    "(random negatives are trivially separable). The label-mismatch "
+    "predicate filters before scoring, anchors broadcast, the corpus "
+    "streams once, and per-anchor top-k is a windowed row_number — "
+    "the same plan family as sim_bruteforce_topk. At 100 TB the "
+    "anchor batch still broadcasts (mining runs in anchor batches), "
+    "and the corpus pass swaps to the IVF/LSH bucketed layout: probe "
+    "the anchor's nearest buckets, filter labels there, same "
+    "verify-exactly-on-candidates discipline as the dedup family.",
+)
+def samp_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        similarity.l2_norm(F.col("embedding")).alias("_q_nrm"),
+    )
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        "label",
+        similarity.l2_norm(F.col("embedding")).alias("_nrm"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("q_label")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.round(
+            similarity.dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("_q_nrm") * F.col("_nrm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cos_sim")
+    )

@@ -1597,7 +1597,8 @@ DRIVER_PRIORITY = [
     "text_bigram_topk", "w9_cume_dist_nth",
     "p14_exists_semi", "dedup_keep_best", "sim_centroid_outlier",
     "ts_gapfill_daily", "funnel_steps", "cohort_retention",
-    "a18_event_histogram",
+    "a18_event_histogram", "dedup_minhash_jaccard_est",
+    "samp_negative_mining",
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

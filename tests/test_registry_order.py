@@ -37,7 +37,8 @@ MUST_PROVE = {
     "text_bigram_topk", "w9_cume_dist_nth",
     "p14_exists_semi", "dedup_keep_best", "sim_centroid_outlier",
     "ts_gapfill_daily", "funnel_steps", "cohort_retention",
-    "a18_event_histogram",
+    "a18_event_histogram", "dedup_minhash_jaccard_est",
+    "samp_negative_mining",
 }
 
 
