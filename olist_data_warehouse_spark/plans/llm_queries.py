@@ -3750,3 +3750,106 @@ def samp_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "neg_label", "rank", "cos_sim")
     )
+
+
+@register(
+    "dedup_latest_snapshot",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS latest_order_day,
+       o_orderstatus
+FROM r WHERE rn = 1
+""",
+    doc="CDC snapshot compaction — latest record per key: the dedup "
+    "every change-capture ingest runs to turn an append-only event "
+    "log into current state (the batch analog of the streaming "
+    "dropDuplicates + the MERGE target build). row_number over "
+    "(key ORDER BY ts DESC, id DESC) with the id tie-break makes "
+    "same-timestamp updates deterministic on both engines. One hash "
+    "exchange on the key; at 100 TB this runs per ingested partition "
+    "and merges via refresh_fact_partitions, never over the full "
+    "history. The windowed form beats groupBy+join-back (one shuffle "
+    "vs two) and beats max_by (which has no deterministic tie rule).",
+)
+def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "latest_order_day"
+            ),
+            "o_orderstatus",
+        )
+    )
+
+
+@register(
+    "w10_range_numeric_frame",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_cents,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY price_cents
+         RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING
+       ) AS BIGINT) AS n_within_10k,
+       CAST(sum(price_cents) OVER (
+         PARTITION BY o_custkey ORDER BY price_cents
+         RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING
+       ) AS BIGINT) AS sum_within_10k
+FROM c
+""",
+    doc="Value-based RANGE frame over a NUMERIC ordering (not time): "
+    "for each order, how many of the same customer's orders fall "
+    "within ±$10k of its price, and their sum — the peer-band "
+    "window (price-band comparisons, salary bands, sensor tolerance "
+    "groups) that ROWS frames cannot express because the frame edge "
+    "is a VALUE offset. Integer-cents ordering keys make the frame "
+    "boundary exact on both engines (a float ordering key would "
+    "admit/exclude edge rows differently). Same execution shape as "
+    "the time-based w6: one hash exchange on the partition key, "
+    "in-partition sort, sliding two-pointer frame — no extra "
+    "shuffle vs a plain window.",
+)
+def w10_range_numeric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("price_cents")
+        .rangeBetween(-1000000, 1000000)
+    )
+    return c.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        F.sum("price_cents").over(w).alias("sum_within_10k"),
+    )

@@ -79,6 +79,49 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def read_evolving_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: one DataFrame over parquet generations
+    whose schemas drifted by ADDED columns (the only evolution a lake
+    table should ever make in place — renames/retypes are new tables).
+
+    ``mergeSchema`` unions the footer schemas at plan time; rows from
+    generations that predate a column read it as NULL. This is a
+    footer-metadata operation — no data pass — so it costs the same
+    as a plain scan at any table size, and column pruning/pushdown
+    still reach every file that HAS the pruned column. Writer-side
+    discipline that makes this safe: only additive, nullable columns
+    (enforced by check_additive_evolution).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def check_additive_evolution(
+    old: T.StructType, new: T.StructType
+) -> list[str]:
+    """Validate that ``new`` evolves ``old`` additively: every old
+    column survives with an identical type, and every added column is
+    nullable (rows from old files must be representable). Returns the
+    violation list (empty = safe to write alongside old generations);
+    the writer gate for what read_evolving_parquet assumes.
+    """
+    problems: list[str] = []
+    old_by_name = {f.name: f for f in old.fields}
+    new_by_name = {f.name: f for f in new.fields}
+    for name, f in old_by_name.items():
+        if name not in new_by_name:
+            problems.append(f"dropped column: {name}")
+        elif new_by_name[name].dataType != f.dataType:
+            problems.append(
+                f"retyped column: {name} "
+                f"{f.dataType.simpleString()} -> "
+                f"{new_by_name[name].dataType.simpleString()}"
+            )
+    for name, f in new_by_name.items():
+        if name not in old_by_name and not f.nullable:
+            problems.append(f"added column not nullable: {name}")
+    return problems
+
+
 def load_testdata(
     spark: SparkSession,
     sf_dir: str,

@@ -240,3 +240,77 @@ def test_delete_partitions_is_metadata_only(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 60
     assert sorted(r["part"] for r in got.select("part").distinct().collect()) == [0, 2, 4]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """read_evolving_parquet: generations with added columns read as
+    one DataFrame; pre-evolution rows surface NULL for new columns;
+    pruning a shared column still works."""
+    from pyspark.sql import functions as F
+
+    from olist_data_warehouse_spark.sources.readers import (
+        check_additive_evolution,
+        read_evolving_parquet,
+    )
+
+    g1 = str(tmp_path / "gen1")
+    g2 = str(tmp_path / "gen2")
+    df1 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    df2 = spark.range(3, 6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("tagged").alias("tag"),
+    )
+    df1.write.parquet(g1)
+    df2.write.parquet(g2)
+
+    # validate on the read-back schemas — what future writers/readers
+    # actually see in the files (parquet columns read back nullable)
+    assert (
+        check_additive_evolution(
+            spark.read.parquet(g1).schema, spark.read.parquet(g2).schema
+        )
+        == []
+    )
+
+    merged = read_evolving_parquet(spark, g1, g2)
+    assert set(merged.columns) == {"k", "v", "tag"}
+    rows = {r.k: (r.v, r.tag) for r in merged.collect()}
+    assert rows[0] == (0, None)      # old generation: NULL new column
+    assert rows[5] == (50, "tagged")
+    # shared-column projection still prunes to 2 columns
+    assert merged.select("k", "v").count() == 6
+
+
+def test_schema_evolution_guard_rejects_breaking_changes(spark):
+    from pyspark.sql import types as T
+
+    from olist_data_warehouse_spark.sources.readers import (
+        check_additive_evolution,
+    )
+
+    old = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    dropped = T.StructType([T.StructField("k", T.LongType())])
+    retyped = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    hard_add = T.StructType(
+        old.fields + [T.StructField("req", T.LongType(), nullable=False)]
+    )
+    assert check_additive_evolution(old, dropped) == ["dropped column: v"]
+    assert check_additive_evolution(old, retyped) == [
+        "retyped column: v bigint -> string"
+    ]
+    assert check_additive_evolution(old, hard_add) == [
+        "added column not nullable: req"
+    ]
