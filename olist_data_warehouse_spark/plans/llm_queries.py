@@ -4036,3 +4036,78 @@ def samp_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("kept"),
     )
+
+
+@register(
+    "f8_calendar_features",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS day,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INT)
+         AS days_in_month,
+       CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END
+         AS is_weekend
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+    doc="Calendar feature derivation — the date-dimension enrichment "
+    "the reference computes in its time_period build (`Olist "
+    "DW.sql:44-56` derives year/month columns; this extends to the "
+    "quarter/month-length/weekend features a seasonality model "
+    "needs). The portability trap this op documents: WEEKDAY "
+    "NUMBERING IS A CONVENTION, not a fact — Spark's dayofweek() is "
+    "1-based Sunday-start, DuckDB's is 0-based — so the registered "
+    "contract exposes only the convention-free derivation "
+    "(is_weekend), and week-of-year is deliberately absent (ISO vs "
+    "US week rules differ between engines). All expressions are "
+    "codegen'd scan-stage projections: zero shuffle at any scale.",
+)
+def f8_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    d = F.col("o_orderdate")
+    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("day"),
+        F.quarter(d).alias("qtr"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofmonth(F.last_day(d)).alias("days_in_month"),
+        F.when(F.dayofweek(d).isin(1, 7), 1).otherwise(0).alias(
+            "is_weekend"
+        ),
+    )
+
+
+@register(
+    "a21_multi_distinct",
+    oracle="""
+SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+    doc="Multiple COUNT(DISTINCT ...) over different columns in one "
+    "aggregate — the query shape that FORCES Spark's Expand plan "
+    "(each input row replicates once per distinct column, tagged "
+    "with a grouping id, then two aggregation phases dedup and "
+    "count) — deliberately registered as the cost counterpoint to "
+    "cohort_retention's single-distinct no-Expand plan: shuffle "
+    "volume here is ~(#distinct-cols + 1) x input, the one case "
+    "where adding 'just one more distinct' multiplies the exchange. "
+    "At 100 TB the swap is one HLL sketch per column "
+    "(sk_hll_daily_users pattern): fixed 64-row register files per "
+    "group instead of an input-sized Expand, at ~13 pct error.",
+)
+def a21_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

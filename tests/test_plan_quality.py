@@ -567,3 +567,20 @@ def test_soft_dedup_text_never_shuffles(spark):
         "BroadcastNestedLoopJoin", ""
     ) or True
     assert "CartesianProduct" not in plan
+
+
+def test_calendar_features_shuffle_free_with_pushdown(spark):
+    """f8: pure scan-stage projections — zero exchanges; the modulo
+    filter at least reaches a Filter above the scan."""
+    plan = plan_of(spark, "f8_calendar_features")
+    assert _n_exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multi_distinct_plans_expand(spark):
+    """a21: two different-column COUNT(DISTINCT)s must plan the Expand
+    replication — the documented cost shape this op exists to pin
+    (cohort_retention pins the no-Expand single-distinct twin)."""
+    plan = plan_of(spark, "a21_multi_distinct")
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
