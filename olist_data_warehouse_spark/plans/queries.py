@@ -1600,10 +1600,12 @@ DRIVER_PRIORITY = [
     "a18_event_histogram", "dedup_minhash_jaccard_est",
     "samp_negative_mining",
     # (dedup_latest_snapshot / w10_range_numeric_frame /
-    # sk_hll_set_algebra / samp_soft_dedup, also new this round, sit
-    # past the 50-cap — the prefix is full; rotate them in next
-    # round. All run in the local replica continuously, and the full
-    # sf0.01 replica passed 132/132 this round before they landed.)
+    # sk_hll_set_algebra / samp_soft_dedup / f8_calendar_features /
+    # a21_multi_distinct / stream_funnel_users, also new this round,
+    # sit past the 50-cap — the prefix is full; rotate them in next
+    # round. All run in the local replica continuously, and each was
+    # additionally spot-checked green at the sf0.01 gate scale this
+    # session.)
     "dedup_embedding_lsh",
     # 3: flagship pairs re-confirmed every round (cheap, headline).
     "q1_top_units_oltp", "q1_top_units_dw",

@@ -171,3 +171,45 @@ def stream_attributed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")["events"]
     clicks, purchases = ev.split_clicks_purchases(e)
     return ev.attributed_purchases_hourly(clicks, purchases)
+
+
+@register(
+    "stream_funnel_users",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT user_id, event_type, ts_us, t1,
+         min(CASE WHEN event_type = 'click' AND ts_us > t1
+                  THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+                  THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT user_id,
+       CAST(max(t1) AS BIGINT) AS t1_us,
+       CAST(max(t2) AS BIGINT) AS t2_us,
+       CAST(max(t3) AS BIGINT) AS t3_us
+FROM s3 GROUP BY 1
+""",
+    doc="Per-user ordered funnel step times (BIGINT micros) — batch "
+    "twin of the buffer-and-finalize applyInPandasWithState stream "
+    "operator (streaming/events.py:funnel_stream). The streaming "
+    "form retains (min view, clicks, purchases) per user and "
+    "re-derives the chain each batch, making the result arrival-"
+    "order independent; the pytest side replays the file source and "
+    "asserts min-over-emissions equals this twin.",
+)
+def stream_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return ev.funnel_batch(e)

@@ -522,3 +522,135 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+FUNNEL_OUT_SCHEMA = "user_id bigint, t1_us bigint, t2_us bigint, t3_us bigint"
+FUNNEL_STATE_SCHEMA = (
+    "min_view bigint, clicks array<bigint>, purchases array<bigint>"
+)
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming strictly-ordered funnel (view -> later click -> later
+    purchase) via ``applyInPandasWithState`` — multi-step ORDERED state,
+    which no built-in windowed agg expresses.
+
+    The subtlety vs. monotone aggregates (stateful_user_totals): the
+    step chain is NOT incrementally computable from scalars — a
+    late-arriving EARLIER view lowers t1, which can re-qualify clicks
+    that were previously before the funnel start. The operator is
+    therefore buffer-and-finalize: state retains (min view, click
+    times, purchase times) and re-derives t1/t2/t3 on every batch, so
+    the result is independent of arrival order and equals the batch
+    twin on any replay schedule. Each emission is monotone
+    nonincreasing per step (t1 only lowers; a lower t1 weakly lowers
+    t2; a lower t2 weakly lowers t3), so the final answer is the
+    per-user MIN over update-mode emissions. At scale: state is
+    O(clicks + purchases per user) inside the retention window, and
+    a production deployment prunes buffered times older than the
+    watermark once the preceding step's time is final (t-k below the
+    watermark can no longer change). Times cross the boundary as
+    BIGINT micros — no timezone rendering in Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            min_view, clicks, purchases = state.get
+            clicks = list(clicks or [])
+            purchases = list(purchases or [])
+        else:
+            min_view, clicks, purchases = None, [], []
+        for pdf in pdf_iter:
+            v = pdf.loc[pdf["event_type"] == "view", "ts_us"]
+            if len(v):
+                m = int(v.min())
+                min_view = m if min_view is None else min(min_view, m)
+            clicks += [
+                int(x) for x in pdf.loc[pdf["event_type"] == "click", "ts_us"]
+            ]
+            purchases += [
+                int(x)
+                for x in pdf.loc[pdf["event_type"] == "purchase", "ts_us"]
+            ]
+        t1 = min_view
+        t2 = (
+            min((c for c in clicks if c > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((p for p in purchases if p > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        state.update((min_view, clicks, purchases))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t1_us": [t1],
+                "t2_us": [t2],
+                "t3_us": [t3],
+            }
+        )
+
+    return pre.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`funnel_stream`: per-user ordered step times
+    as BIGINT micros via the chained conditional-min windows (one
+    user_id exchange — same chain as the corpus-level funnel_steps)."""
+    from pyspark.sql.window import Window
+
+    pre = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id")
+    s1 = pre.withColumn(
+        "t1",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") > F.col("t1")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t2")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1_us"),
+        F.max("t2").alias("t2_us"),
+        F.max("t3").alias("t3_us"),
+    )
