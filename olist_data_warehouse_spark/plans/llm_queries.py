@@ -4111,3 +4111,131 @@ def a21_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "w11_ratio_to_report",
+    oracle="""
+WITH c AS (
+  SELECT n_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+g AS (
+  SELECT n_name, CAST(SUM(bal_cents) AS BIGINT) AS nation_cents
+  FROM c GROUP BY 1
+)
+SELECT n_name, nation_cents,
+       round(nation_cents / CAST(SUM(nation_cents) OVER () AS DOUBLE), 4)
+         AS share_of_total
+FROM g
+""",
+    doc="Ratio-to-report — each nation's share of total balance: an "
+    "aggregate followed by an UNPARTITIONED window over the "
+    "aggregate's tiny output. The ordering of the two steps is the "
+    "whole scale story: the global SUM OVER () runs on ~25 "
+    "nation-grain rows (a single-partition exchange of the REPORT, "
+    "which is O(groups)), never on the input — the naive "
+    "one-level form (window over raw rows) would single-partition "
+    "the entire fact. Dim join broadcasts; integer cents make "
+    "numerator and denominator exact, so the 4dp share is identical "
+    "on both engines.",
+)
+def w11_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "customer", "nation")
+    c = t["customer"].join(
+        F.broadcast(t["nation"]),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    g = c.groupBy("n_name").agg(
+        F.sum(
+            F.round(F.col("c_acctbal") * 100, 0).cast("long")
+        ).alias("nation_cents")
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "n_name",
+        "nation_cents",
+        F.round(
+            F.col("nation_cents")
+            / F.sum("nation_cents").over(w).cast("double"),
+            4,
+        ).alias("share_of_total"),
+    )
+
+
+@register(
+    "w12_rank_variants",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c_custkey, c_nationkey, bal_cents,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk
+FROM c
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents DESC, c_custkey)
+""",
+    doc="The three ranking semantics side by side on one ordering — "
+    "row_number (arbitrary-but-deterministic via the key tie-break), "
+    "rank (gaps after ties), dense_rank (no gaps): the distinction "
+    "that silently changes top-k row counts when ties exist, made "
+    "explicit as a single registered contract. All three share one "
+    "window spec, so Catalyst plans ONE exchange + one sort (same "
+    "merge rule the w9 pin covers); the c_custkey tie-break makes "
+    "even row_number engine-exact.",
+)
+def w12_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = (
+        _t(spark, sf_dir, "customer")["customer"]
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_cents",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 1
+""",
+    doc="EXCEPT ALL — multiplicity-aware set difference (each "
+    "occurrence on the right cancels ONE occurrence on the left), "
+    "completing the set-op family beyond the DISTINCT forms "
+    "(set_except): the bag semantics audits need when comparing "
+    "event logs where duplicate rows are legitimate. Spark plans it "
+    "as a counted aggregate on both sides + a generate of the "
+    "surviving multiplicities — one exchange per side on the row "
+    "value, output replicated without ever materializing either "
+    "input twice.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    a = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderpriority")
+    b = o.filter(F.col("o_custkey") % 3 == 1).select("o_orderpriority")
+    return a.exceptAll(b)

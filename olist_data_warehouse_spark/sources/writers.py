@@ -171,3 +171,24 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """ANALYZE TABLE — collect table (and optionally per-column)
+    statistics into the catalog for cost-based optimization: with
+    sizeInBytes/rowCount present, Catalyst's CBO can pick the small
+    side of a join for broadcast without relying on file-size
+    heuristics, and equi-height column histograms improve join
+    cardinality estimates (`spark.sql.cbo.enabled` +
+    `spark.sql.statistics.histogram.enabled`). At 100 TB the stats
+    scan is a one-off O(n) pass amortized over every subsequent plan;
+    a lakehouse table format maintains the same stats transactionally
+    on write. No-op on views; table must be catalog-managed."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )

@@ -314,3 +314,40 @@ def test_schema_evolution_guard_rejects_breaking_changes(spark):
     assert check_additive_evolution(old, hard_add) == [
         "added column not nullable: req"
     ]
+
+
+def test_analyze_table_populates_cbo_statistics(spark):
+    """analyze_table: after ANALYZE, the catalog carries row count +
+    size (table level) and ndv/min/max (column level) — the inputs
+    Catalyst's CBO needs to size joins."""
+    from olist_data_warehouse_spark.sources import writers
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats_test")
+    spark.sql("DROP TABLE IF EXISTS stats_test.nation")
+    n = load_testdata(spark, "/root/testdata/sf0.001", ("nation",))[
+        "nation"
+    ]
+    n.write.saveAsTable("stats_test.nation")
+
+    writers.analyze_table(
+        spark, "stats_test.nation", ["n_nationkey", "n_name"]
+    )
+
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED stats_test.nation"
+        ).collect()
+    }
+    stats = desc.get("Statistics", "")
+    assert "rows" in stats and "bytes" in stats
+
+    col = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED stats_test.nation n_nationkey"
+        ).collect()
+    }
+    assert col.get("distinct_count") == "25"
+    assert col.get("min") == "0" and col.get("max") == "24"
