@@ -3061,10 +3061,12 @@ GROUP BY 1
     "key so the tie-break is one MIN, not a struct ordering), and "
     "each document reports how much of it survives. Scale shape: "
     "spans are md5'd IMMEDIATELY so the shuffle moves 32-hex keys, "
-    "never text; first-occurrence is a single window MIN partitioned "
-    "by the hash (one exchange), and the per-doc rollup partially "
-    "aggregates map-side. 128-bit keys make collisions negligible at "
-    "any corpus size (~1e-18 at 10^12 spans).",
+    "never text; first-occurrence is a map-side-combined MIN per hash "
+    "joined back on h (NOT a window over h: a boilerplate span "
+    "repeated corpus-wide makes h a hot key, and AQE can split a "
+    "skewed join but not a window partition), and the per-doc rollup "
+    "partially aggregates map-side. 128-bit keys make collisions "
+    "negligible at any corpus size (~1e-18 at 10^12 spans).",
 )
 def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -3092,10 +3094,17 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk").alias("h"),
         (F.col("doc_id") * 100000 + F.col("idx")).alias("k"),
     )
-    wmin = Window.partitionBy("h")
-    kept = F.when(F.col("k") == F.min("k").over(wmin), 1).otherwise(0)
+    # First-occurrence via groupBy+join rather than a window MIN over
+    # the hash: same shuffle volume (both hash-partition on h), but a
+    # boilerplate span repeated across the whole corpus makes h a hot
+    # key — AQE can split a skewed JOIN, while a skewed window
+    # partition is one indivisible task. The map-side partial MIN also
+    # collapses the hot key before it ever crosses the wire.
+    mins = occ.groupBy("h").agg(F.min("k").alias("mk"))
+    kept = F.when(F.col("k") == F.col("mk"), 1).otherwise(0)
     return (
-        occ.withColumn("kept", kept)
+        occ.join(mins, "h")
+        .withColumn("kept", kept)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

@@ -419,13 +419,15 @@ def test_reconcile_full_outer_is_sort_merge_not_nested(spark):
 
 
 def test_span_dedup_shuffles_hashes_not_text(spark):
-    """dedup_span_chunks: exactly two exchanges (window over the span
-    hash + per-doc rollup); the window exchange partitions by the md5
-    hash column, so text never crosses the wire; no Python, no join."""
+    """dedup_span_chunks: the first-occurrence MIN is a map-side-
+    combined aggregate joined back as an equi hash join on the md5
+    (AQE-splittable under span skew — a window over h would be an
+    indivisible hot partition); text never crosses the wire; no
+    Python, no sort-merge, no nested loop."""
     plan = plan_of(spark, "dedup_span_chunks")
-    assert _n_exchanges(plan) == 2
     assert "hashpartitioning(h" in plan
-    assert "Join" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
