@@ -412,3 +412,52 @@ def benchmark_contamination(
             F.col("n_hits") / F.col("n_shingles").cast("double"), 4
         ).alias("contamination"),
     )
+
+
+def cdc_chunks(docs: DataFrame, divisor: int = 16) -> DataFrame:
+    """Content-defined chunking (CDC): split each token stream at
+    positions where the token's portable hash ≡ 0 (mod ``divisor``) —
+    chunk boundaries are a pure function of LOCAL content, so an
+    insertion or deletion only redraws the one chunk it touches and
+    every later chunk re-aligns identically (the property fixed-width
+    spans lack: one inserted word shifts every subsequent 8-word span
+    and defeats their dedup). Average chunk length ≈ ``divisor``
+    tokens. The gear-style single-token trigger is the simplest CDC
+    boundary rule; rolling-window variants (Rabin-Karp over the last w
+    tokens, cf. textops.rolling_hash) bound worst-case chunk length
+    the same way production CDC (LBFS, restic, borg) does.
+
+    Returns (doc_id, idx, chunk) — idx is the chunk's position in the
+    document. Entirely Catalyst array expressions: zero shuffle, zero
+    Python; the boundary token closes its chunk.
+    """
+    base = docs.select(
+        "doc_id", textops.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    bounds = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: textops.portable_hash32(
+            F.element_at(F.col("toks"), i)
+        )
+        % divisor
+        == 0,
+    )
+    with_bounds = base.select("doc_id", "toks", bounds.alias("bounds"))
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.col("bounds"), lambda b: b + 1),
+    )
+    ends = F.concat(F.col("bounds"), F.array(F.size("toks")))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.when(
+            e >= s, F.array_join(F.slice(F.col("toks"), s, e - s + 1), " ")
+        ),
+    )
+    return (
+        with_bounds.select(
+            "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+        )
+        .filter(F.col("chunk").isNotNull())
+    )

@@ -4248,3 +4248,82 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderpriority")
     b = o.filter(F.col("o_custkey") % 3 == 1).select("o_orderpriority")
     return a.exceptAll(b)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+b AS (
+  SELECT doc_id, toks,
+         list_filter(generate_series(1, len(toks)),
+                     i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT
+                          % 16 = 0) AS bounds
+  FROM tok WHERE len(toks) >= 1
+),
+se AS (
+  SELECT doc_id, toks,
+         list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+         list_append(bounds, len(toks)) AS ends
+  FROM b
+),
+ch0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(starts)),
+           j -> CASE WHEN ends[j] >= starts[j]
+                     THEN array_to_string(toks[starts[j]:ends[j]], ' ')
+                END) AS chs
+  FROM se
+),
+ch AS (
+  SELECT doc_id, generate_subscripts(chs, 1) - 1 AS idx,
+         unnest(chs) AS chunk
+  FROM ch0
+),
+occ AS (
+  SELECT doc_id, md5(chunk) AS h, doc_id * 100000 + idx AS k
+  FROM ch WHERE chunk IS NOT NULL
+),
+mins AS (SELECT h, MIN(k) AS mk FROM occ GROUP BY h)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN o.k = m.mk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN o.k = m.mk THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS retained_ratio
+FROM occ o JOIN mins m ON o.h = m.h
+GROUP BY 1
+""",
+    doc="Content-defined-chunk dedup — the insertion-robust upgrade of "
+    "dedup_span_chunks: boundaries fall where a token's hash ≡ 0 "
+    "(mod 16), so an edit redraws only the chunk it touches and all "
+    "later chunks realign and still dedup (fixed spans shift and "
+    "miss everything downstream of an insertion — the property test "
+    "pins this difference). Chunking is pure Catalyst array algebra "
+    "in the scan stage; the first-occurrence pass is the same "
+    "skew-splittable aggregate+join-on-md5 as the span form, so the "
+    "shuffle again moves 32-hex keys, never text.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    ch = dedup.cdc_chunks(d, divisor=16)
+    occ = ch.select(
+        "doc_id",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("k"),
+    )
+    mins = occ.groupBy("h").agg(F.min("k").alias("mk"))
+    kept = F.when(F.col("k") == F.col("mk"), 1).otherwise(0)
+    return (
+        occ.join(mins, "h")
+        .withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .withColumn(
+            "retained_ratio",
+            F.round(F.col("n_kept") / F.col("n_chunks").cast("double"), 4),
+        )
+    )

@@ -586,3 +586,16 @@ def test_multi_distinct_plans_expand(spark):
     plan = plan_of(spark, "a21_multi_distinct")
     assert "Expand" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunking_is_scan_stage_array_algebra(spark):
+    """dedup_cdc_chunks: boundary detection + chunk slicing run as
+    Catalyst array expressions in the scan stage (Generate over the
+    computed chunk array, no Python); first-occurrence is the same
+    skew-splittable aggregate+join as the span form."""
+    plan = plan_of(spark, "dedup_cdc_chunks")
+    assert "Generate" in plan
+    assert "hashpartitioning(h" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
