@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "text_bigram_topk",
     "ivm_agg_merge",
     "j9_reconcile_orders_lines",
+    "dedup_cdc_chunks",
+    "funnel_steps",
     # temporal joins, sketches, sampling (operator families beyond the
     # reference; each is the family's heaviest representative)
     "tj_asof_purchase_click",
