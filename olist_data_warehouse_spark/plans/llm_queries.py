@@ -4327,3 +4327,43 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_kept") / F.col("n_chunks").cast("double"), 4),
         )
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       min(json_extract_string(props, '$.k')) AS min_k_str
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Semi-structured extraction via Spark 4's VARIANT type: "
+    "parse_json() decodes the payload ONCE into a binary variant, "
+    "and every variant_get() reads from that decoded form — vs "
+    "get_json_object (json_props_extract), which re-parses the "
+    "string for EACH extracted path. With one field the two tie; "
+    "with the 20-field payloads real event logs carry, parse-once "
+    "is the difference between 1 and 20 JSON scans per row, which "
+    "is why variant is the lakehouse-native semi-structured "
+    "encoding (store the variant column, skip the parse entirely). "
+    "Both a typed bigint and a string extraction come off the same "
+    "parse; string MIN is lexicographic on both engines.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = F.parse_json(F.col("props"))
+    k_long = F.variant_get(v, "$.k", "bigint")
+    k_str = F.variant_get(v, "$.k", "string")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k_long).alias("sum_k"),
+            F.min(k_str).alias("min_k_str"),
+        )
+    )
