@@ -1603,7 +1603,8 @@ DRIVER_PRIORITY = [
     # sk_hll_set_algebra / samp_soft_dedup / f8_calendar_features /
     # a21_multi_distinct / stream_funnel_users / w11_ratio_to_report /
     # w12_rank_variants / set_except_all / dedup_cdc_chunks /
-    # json_variant_extract, also new this round,
+    # json_variant_extract / stream_unattributed_join, also new this
+    # round,
     # sit past the 50-cap — the prefix is full; rotate them in next
     # round. All run in the local replica continuously, and each was
     # additionally spot-checked green at the sf0.01 gate scale this

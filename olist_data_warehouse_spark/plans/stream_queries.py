@@ -213,3 +213,42 @@ FROM s3 GROUP BY 1
 def stream_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")["events"]
     return ev.funnel_batch(e)
+
+
+@register(
+    "stream_unattributed_join",
+    oracle="""
+WITH c AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id,
+       epoch_us(p.purchase_ts) AS purchase_us,
+       c.click_id,
+       CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+         - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS secs_before
+FROM p LEFT JOIN c
+  ON p.user_id = c.c_user
+ AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+ AND c.click_ts < p.purchase_ts
+""",
+    doc="Purchases LEFT OUTER their preceding-hour clicks — batch twin "
+    "of the stream-stream LEFT OUTER interval join "
+    "(streaming/events.py:unattributed_purchases_join), the "
+    "attribution join that also surfaces the misses. In the stream, "
+    "the null-padded rows are only decidable once the click "
+    "watermark passes the purchase's lookback window — outer stream "
+    "joins need the watermark for the ANSWER, not just state "
+    "eviction; the parity test pins stream == batch on exactly the "
+    "closed-window rows (threshold = min of both sides' max event "
+    "time). secs_before uses floor-second arithmetic to match "
+    "unix_timestamp on the Spark side.",
+)
+def stream_unattributed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    cb, pb = ev.split_clicks_purchases(e)
+    return ev.unattributed_purchases_join(cb, pb)

@@ -654,3 +654,58 @@ def funnel_batch(events: DataFrame) -> DataFrame:
         F.max("t2").alias("t2_us"),
         F.max("t3").alias("t3_us"),
     )
+
+
+def unattributed_purchases_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback_minutes: int = 60,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution join
+    that also surfaces the MISSES: every purchase emits, matched rows
+    as soon as they pair, and null-padded rows only once the click
+    watermark has passed the purchase's lookback window (before that,
+    a matching click could still arrive, so "no match" is not yet
+    decidable). This delayed-null emission is the defining semantics
+    of outer stream-stream joins: correctness REQUIRES the watermark,
+    not just for state eviction but for the answer itself. Tail
+    caveat, deliberately documented: rows whose window has not closed
+    when the query stops (the last `watermark + lookback` of event
+    time in a bounded replay) remain unemitted — the parity test
+    bounds the comparison to closed windows.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND "
+            f"click_ts >= purchase_ts - INTERVAL {int(lookback_minutes)} "
+            f"MINUTES AND click_ts < purchase_ts"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias(
+            "purchase_us"
+        ),
+        "click_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("bigint").alias("secs_before"),
+    )

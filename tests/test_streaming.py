@@ -478,3 +478,53 @@ def test_funnel_stream_corrects_late_arriving_views(spark):
         # emitted at least twice
         emits = spark.table("funnel_ooo").groupBy("user_id").count()
         assert emits.filter(F.col("count") >= 2).count() > 0
+
+
+def test_left_outer_interval_join_emits_nulls_below_watermark(spark):
+    """Stream-stream LEFT OUTER interval join: matched rows equal the
+    batch join exactly; null-padded rows emit exactly for purchases
+    whose lookback window CLOSED — purchase_ts strictly below the
+    final global watermark, which is the MIN of both sides' max event
+    time (the click side can lag, freezing closure: the defining
+    outer-join-needs-watermark semantics)."""
+    events = load_testdata(spark, SF, ("events",))["events"]
+    cb, pb = ev.split_clicks_purchases(events)
+    batch = ev.unattributed_purchases_join(cb, pb)
+    cols = ("user_id", "purchase_id", "purchase_us", "click_id",
+            "secs_before")
+    batch_matched = rows(batch.filter(F.col("click_id").isNotNull()), *cols)
+    wm = min(
+        cb.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).collect()[0][0],
+        pb.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).collect()[0][0],
+    )
+    batch_closed_unmatched = rows(
+        batch.filter(
+            F.col("click_id").isNull() & (F.col("purchase_us") < wm)
+        ),
+        *cols,
+    )
+
+    cs, ps = ev.split_clicks_purchases(ev.read_events_stream(spark, SF))
+    stream = ev.unattributed_purchases_join(cs, ps)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("lo_join_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("lo_join_parity")
+    got_matched = rows(got.filter(F.col("click_id").isNotNull()), *cols)
+    got_unmatched = rows(got.filter(F.col("click_id").isNull()), *cols)
+
+    assert got_matched == batch_matched
+    assert batch_closed_unmatched <= got_unmatched
+    # nothing beyond the batch answer ever emits (no phantom nulls for
+    # purchases that DID have a click)
+    batch_all_unmatched = rows(batch.filter(F.col("click_id").isNull()), *cols)
+    assert got_unmatched <= batch_all_unmatched
