@@ -142,3 +142,55 @@ def test_write_clustered_tightens_row_group_stats(spark, tmp_path):
     q_lo, q_hi = 0, 0.05 * full - 9999
     overlapping = [1 for lo, hi in clu_spans if hi >= q_lo and lo <= q_hi]
     assert len(overlapping) <= max(2, len(clu_spans) // 4)
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The claim every skew note in SCALING.md leans on, demonstrated:
+    a join where ~90% of rows share one key plans as SortMergeJoin,
+    and AQE's runtime re-plan marks it skew=true — the hot partition
+    is split across tasks instead of serializing on one. Thresholds
+    are lowered to make the local dataset 'big'; on a cluster the
+    defaults (256 MB) trigger the same way. Verified on the EXECUTED
+    adaptive plan (explain() before execution shows the static plan
+    and would pass vacuously)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())
+        assert n == 275_000  # 270k hot-key rows + 5k tail matches
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -528,3 +528,80 @@ def test_left_outer_interval_join_emits_nulls_below_watermark(spark):
     # purchases that DID have a click)
     batch_all_unmatched = rows(batch.filter(F.col("click_id").isNull()), *cols)
     assert got_unmatched <= batch_all_unmatched
+
+
+def test_checkpoint_recovery_resumes_state_exactly_once(spark):
+    """Kill-and-resume: run the stateful totals over file 1 with a
+    checkpoint, stop, drop file 2 into the source, restart from the
+    SAME checkpoint — the resumed query must process ONLY the new file
+    (the checkpoint's file log dedups), carry the user state forward,
+    and converge to the batch answer over both files. A third restart
+    with nothing new must process nothing."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    events = load_testdata(spark, SF, ("events",))["events"]
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+    def run(src, ckpt, out):
+        stream = ev.stateful_user_totals(
+            spark.readStream.schema(events.schema).parquet(src)
+        )
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def drop_file(df, src, name):
+        with tempfile.TemporaryDirectory() as w:
+            sub = os.path.join(w, "w")
+            df.coalesce(1).write.parquet(sub)
+            f = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            shutil.copy(f, os.path.join(src, name))
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        out = os.path.join(d, "out")
+        os.makedirs(src)
+
+        drop_file(half_a, src, "0001.parquet")
+        run(src, ckpt, out)
+        n_after_first = len(glob.glob(os.path.join(out, "*.parquet")))
+
+        drop_file(half_b, src, "0002.parquet")
+        run(src, ckpt, out)
+
+        got = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+        )
+        cols = ("user_id", "n_events", "total_value")
+        assert rows(got, *cols) == rows(batch, *cols)
+
+        # third run: checkpoint knows both files — nothing re-emits
+        n_before_third = len(glob.glob(os.path.join(out, "*.parquet")))
+        assert n_before_third > n_after_first  # run 2 did emit
+        run(src, ckpt, out)
+        emitted = spark.read.parquet(out).count()
+        run(src, ckpt, out)
+        assert spark.read.parquet(out).count() == emitted
