@@ -58,3 +58,38 @@ def profile(
             F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"max_{c}")
         )
     return df.agg(*aggs)
+
+
+def observe_quality(
+    df: DataFrame,
+    name: str = "dq",
+    key_cols: Sequence[str] = (),
+    money_cols: Sequence[str] = (),
+):
+    """Piggyback data-quality counters on a production job's OWN scan
+    via ``df.observe`` — zero extra pass, zero extra shuffle: the
+    metrics accumulate on executors while the job computes whatever it
+    was going to compute, and surface on the returned ``Observation``
+    after the job's action runs.
+
+    This is the operational complement of :func:`profile`: profile is
+    a dedicated validation scan you run on an untrusted feed;
+    observe_quality is the always-on guardrail a pipeline attaches to
+    every load so row counts and null-key counts are recorded for
+    free. (In Structured Streaming the same ``observe`` call surfaces
+    per-batch via QueryListener — one API, both modes.)
+
+    Returns (observed_df, observation). Use the observed_df in place
+    of df; read observation.get after the first action.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for k in key_cols:
+        metrics.append(
+            F.count(F.when(F.col(k).isNull(), 1)).alias(f"null_{k}")
+        )
+    for m in money_cols:
+        metrics.append(F.sum(cents(m)).alias(f"sum_{m}_cents"))
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -351,3 +351,32 @@ def test_analyze_table_populates_cbo_statistics(spark):
     }
     assert col.get("distinct_count") == "25"
     assert col.get("min") == "0" and col.get("max") == "24"
+
+
+def test_observe_quality_metrics_ride_the_job_scan(spark):
+    """observe_quality: DQ counters surface from the SAME action that
+    ran the business query — no second scan. Values match a dedicated
+    aggregate, and the job's own result is unchanged."""
+    from olist_data_warehouse_spark.operators import profiling
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    o = load_testdata(spark, "/root/testdata/sf0.001", ("orders",))[
+        "orders"
+    ]
+    observed, obs = profiling.observe_quality(
+        o, key_cols=["o_custkey"], money_cols=["o_totalprice"]
+    )
+    # the "business job": revenue by status
+    job = observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = {r.o_orderstatus: r.n for r in job.collect()}
+
+    m = obs.get
+    want_rows = o.count()
+    assert m["n_rows"] == want_rows == sum(got.values())
+    assert m["null_o_custkey"] == 0
+    want_cents = o.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).collect()[0][0]
+    assert m["sum_o_totalprice_cents"] == want_cents
