@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     "j9_reconcile_orders_lines",
     "dedup_cdc_chunks",
     "funnel_steps",
+    # retrieval + analytics + DQ additions (inverted index, BM25,
+    # blocked fuzzy linkage, OHLC bars, exact z-score outliers)
+    "text_inverted_index",
+    "text_bm25_topk",
+    "link_fuzzy_parts",
+    "ts_ohlc_bars",
+    "dq_zscore_outliers",
     # temporal joins, sketches, sampling (operator families beyond the
     # reference; each is the family's heaviest representative)
     "tj_asof_purchase_click",

@@ -4367,3 +4367,392 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(k_str).alias("min_k_str"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval primitives: inverted index and BM25 ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+words AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+postings AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS posting_list
+  FROM words
+  WHERE term != '' AND term NOT IN ({_STOPWORDS_SQL})
+  GROUP BY term
+)
+SELECT term, df, posting_list FROM postings WHERE df >= 2
+""",
+    doc="Inverted-index build (term -> sorted posting list + document "
+    "frequency): the search-engine/RAG-retrieval primitive over a "
+    "corpus. One shuffle: tokens explode map-side and collect_set's "
+    "partial aggregate dedups (doc, term) pairs BEFORE the exchange, "
+    "so shuffle volume is bounded by distinct (term, doc) — never the "
+    "raw token stream. Postings serialize as a canonical "
+    "ascending-id CSV string (the portable array encoding, like "
+    "a18's histogram). At 100 TB the posting list for a stop-like "
+    "term is the classic hot key — the stopword filter here is the "
+    "skew fuse, and a df cap (like dedup's max_shingle_df) is the "
+    "documented knob when the corpus vocabulary is open.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+    return (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+        .filter(
+            (F.col("term") != "") & ~F.col("term").isin(*textops.STOPWORDS)
+        )
+        .groupBy("term")
+        .agg(F.collect_set("doc_id").alias("_docs"))
+        .select(
+            "term",
+            F.size("_docs").cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort("_docs"), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("posting_list"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+# Fixed retrieval query for the BM25 demo: three mid-frequency corpus
+# terms. A real system parameterizes this; a fixed literal keeps the
+# registry entry deterministic and oracle-checkable.
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM base
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(1000000.0 * ln(
+           CAST(2 * s.n_docs + 2 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE)
+         )) AS BIGINT) AS idf_micro,
+         t.tf, t.dl, s.n_docs, s.sum_dl
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+contrib AS (
+  SELECT doc_id,
+         (idf_micro * tf * 22000000) //
+           (10000000 * tf + 3000000 +
+            9 * ((1000000 * dl * n_docs) // sum_dl)) AS sc
+  FROM scored
+)
+SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id LIMIT 10
+""",
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query-term "
+    "set, exact-integer micro-units: the per-term score "
+    "idf*tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is algebraically "
+    "cleared of fractions — multiply through by 10*sum_dl — so the "
+    "only float is one ln() per QUERY TERM (floored to micro-nats, "
+    "the unigram_logprob precedent); every per-document operation is "
+    "BIGINT arithmetic with identical floor-division semantics on "
+    "both engines (all operands nonnegative, so Spark's div and "
+    "DuckDB's // agree). Plan shape: tf filters to query terms "
+    "map-side (the explode never shuffles non-query tokens), df and "
+    "the corpus stats are one-row/3-row broadcasts, and the top-10 "
+    "is TakeOrderedAndProject. At 100 TB this is one shuffle of "
+    "(doc, term in query) — the textbook 'score only the candidate "
+    "postings' retrieval plan.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+    base = d.select(
+        "doc_id",
+        textops.tokens("text").alias("toks"),
+    ).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (2 * F.col("n_docs") + 2).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("idf_micro"),
+            "tf",
+            "dl",
+            "n_docs",
+            "sum_dl",
+        )
+    )
+    contrib = scored.select(
+        "doc_id",
+        F.expr(
+            "(idf_micro * tf * 22000000) div "
+            "(10000000 * tf + 3000000 + "
+            " 9 * ((1000000 * dl * n_docs) div sum_dl))"
+        ).alias("sc"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("sc").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution, time-series bars, and exact z-score outliers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_fuzzy_parts",
+    oracle="""
+WITH named AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+         a.p_name AS name_a, b.p_name AS name_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+  FROM named a JOIN named b ON a.noun = b.noun
+  WHERE a.p_partkey < b.p_partkey
+)
+SELECT part_a, part_b, name_a, name_b, edit_dist
+FROM pairs WHERE edit_dist <= 4
+ORDER BY edit_dist, part_a, part_b LIMIT 15
+""",
+    doc="Fuzzy record linkage (entity resolution): near-identical part "
+    "names found by BLOCKED pairwise edit distance — the classic "
+    "dedupe/Splink shape. Blocking key = the name's noun token, so "
+    "candidate pairs come from an equi hash join on the block, never "
+    "an all-pairs cross join; the O(len^2) levenshtein kernel (JVM "
+    "built-in on both engines, identical unit-cost semantics) runs "
+    "only inside blocks. At 100 TB block size is the skew knob — a "
+    "hot block degrades to quadratic exactly like an LSH bucket, and "
+    "the same cap-and-drop fuse (dedup.max_shingle_df, "
+    "embedding_lsh.max_bucket_size) applies. Top-k ordered by "
+    "(distance, ids) for a deterministic k-boundary.",
+)
+def link_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    named = p.select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    )
+    a = named.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "noun",
+    )
+    b = named.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "noun",
+    )
+    return (
+        a.join(b, "noun")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .orderBy("edit_dist", "part_a", "part_b")
+        .limit(15)
+    )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         epoch_us(ts) // 900000000 AS bucket,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) // 900000000
+           ORDER BY ts, event_id) AS rn,
+         count(*) OVER (
+           PARTITION BY event_type, epoch_us(ts) // 900000000) AS cnt
+  FROM events
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rn = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn = cnt THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, bucket
+""",
+    doc="Time-series resampling into 15-minute OHLC bars per event "
+    "type — the downsampling pass every metrics/trading pipeline "
+    "runs before charting or feature extraction. Open/close are "
+    "first/last VALUE by (ts, event_id) — pure selection, so the "
+    "doubles pass through untouched and hash identically on both "
+    "engines (no float arithmetic, unlike an average). The bucket is "
+    "integer floor-division of epoch micros (operands nonnegative: "
+    "div == //). Plan shape: ONE exchange on the implicit "
+    "(event_type, bucket) grain — the row_number sort, the peer "
+    "count, and the final aggregate all reuse it; at 100 TB this is "
+    "a single shuffle of (type, bucket, value, ts) with the "
+    "aggregate's partial combine doing the compaction.",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    b = e.select(
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(ts) div 900000000").alias("bucket"),
+    )
+    wo = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type", "bucket")
+    ranked = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias(
+            "close"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "dq_zscore_outliers",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+  FROM cents GROUP BY o_orderpriority
+),
+flagged AS (
+  SELECT c.o_orderpriority, c.o_orderkey,
+         (g.n * c.c - g.s) AS dev,
+         (g.n * g.q - g.s * g.s) AS nvar
+  FROM cents c JOIN g USING (o_orderpriority)
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN dev > 0 AND dev * dev > 4 * nvar
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_2s,
+       CAST(sum(CASE WHEN dev > 0 AND dev * dev > 9 * nvar
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_3s,
+       min(CASE WHEN dev > 0 AND dev * dev > 9 * nvar
+                THEN o_orderkey END) AS first_out_3s_key
+FROM flagged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Exact distributed z-score outlier detection, zero floating "
+    "point: x > mean + k*sigma is cross-multiplied into the pure-"
+    "integer predicate (n*x - S) > 0 AND (n*x - S)^2 > k^2*(n*Q - "
+    "S^2) over cents (S = sum, Q = sum of squares), so the 2-sigma "
+    "and 3-sigma flags are bit-identical on any engine and any "
+    "partitioning — no sqrt, no variance epsilon, no float "
+    "accumulation order. Squares ride in DECIMAL(38,0) (Spark) / "
+    "HUGEINT (DuckDB), both exact 128-bit integer arithmetic; "
+    "intermediate only — outputs are BIGINT (the oracle type guard "
+    "bans DECIMAL columns). Plan: one map-side-combined aggregate "
+    "for the 5-row group stats, broadcast back over the scan, "
+    "re-aggregate — two passes, no sort, no window; at 100 TB the "
+    "fact shuffles once (and the first pass's 5-row result is a "
+    "plan-time broadcast).",
+)
+def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    dec = F.col("c").cast("decimal(19,0)")
+    g = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"),
+    )
+    flagged = cents.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("n") * F.col("c") - F.col("s")).alias("dev"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("nvar"),
+    )
+    out2 = (F.col("dev") > 0) & (
+        F.col("dev") * F.col("dev") > 4 * F.col("nvar")
+    )
+    out3 = (F.col("dev") > 0) & (
+        F.col("dev") * F.col("dev") > 9 * F.col("nvar")
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(out2, 1).otherwise(0)).cast("long").alias("n_out_2s"),
+            F.sum(F.when(out3, 1).otherwise(0)).cast("long").alias("n_out_3s"),
+            F.min(F.when(out3, F.col("o_orderkey"))).alias(
+                "first_out_3s_key"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -599,3 +599,56 @@ def test_cdc_chunking_is_scan_stage_array_algebra(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_inverted_index_one_term_shuffle_no_python(spark):
+    """text_inverted_index: explode + collect_set partial-aggregates
+    map-side, so the only exchange hashes on term; postings serialize
+    via Catalyst array expressions, never Python."""
+    plan = plan_of(spark, "text_inverted_index")
+    assert "hashpartitioning(term" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_and_takeordered(spark):
+    """text_bm25_topk: df table and the one-row corpus stats join as
+    broadcasts (never shuffling the candidate postings twice); top-10
+    is TakeOrderedAndProject, no global sort."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_linkage_blocked_equi_join_never_cartesian(spark):
+    """link_fuzzy_parts: candidate generation is an equi join on the
+    blocking key — a cartesian/nested-loop plan would mean the block
+    fell out of the join condition."""
+    plan = plan_of(spark, "link_fuzzy_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ohlc_bars_single_grain_exchange(spark):
+    """ts_ohlc_bars: the row_number window, the peer count, and the
+    final aggregate all run on the (event_type, bucket) grain — one
+    hash exchange on that grain, no range/global sort."""
+    plan = plan_of(spark, "ts_ohlc_bars")
+    assert plan.count("hashpartitioning(event_type") >= 1
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zscore_outliers_broadcast_stats_no_window(spark):
+    """dq_zscore_outliers: the 5-row group stats broadcast back over
+    the fact scan — no window operator, no sort-merge join, and the
+    decimal intermediates never leave the plan (output is BIGINT)."""
+    plan = plan_of(spark, "dq_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
