@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "sk_hist_quantiles",
     "samp_hash_split",
     "scd2_supplier_merge",
+    # leakage-safe split: MinHash-LSH edges -> connected components ->
+    # cluster-keyed hash split, the heaviest sampling-family composition
+    "samp_cluster_split",
 ]
 
 

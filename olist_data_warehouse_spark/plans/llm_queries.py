@@ -2144,6 +2144,58 @@ def dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_cluster_split",
+    oracle=f"""
+WITH RECURSIVE {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH},
+{_SQL_LSH_EDGES},
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+  FROM reach GROUP BY src
+),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, group_id, {_bucket_sql("split", "group_id")} AS b
+      FROM grouped)
+""",
+    doc="Leakage-safe train/val/test split: membership is decided per "
+    "near-duplicate CLUSTER, not per document, so two near-dups can "
+    "never straddle train and held-out (the contamination a plain "
+    "per-doc hash split allows). Composition of three already-verified "
+    "operators: MinHash-LSH candidate edges -> hash-min connected "
+    "components -> salted-hash split keyed on the cluster id "
+    "(singletons key on their own doc_id via a left join, so the "
+    "fact-scale side needs only one broadcast-ready join against the "
+    "small component map). Deterministic under any partitioning.",
+)
+def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    edges = dedup.minhash_lsh_candidates(d, num_hashes=16, rows_per_band=4, k=3)
+    comp = components.duplicate_clusters(edges).select(
+        "doc_id", "component_id"
+    )
+    grouped = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("group_id"),
+    )
+    return sampling.hash_split(
+        grouped, F.col("group_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "group_id", "split")
+
+
+@register(
     "pack_concat_chunks",
     oracle=f"""
 WITH {SQL_NORM_TOKENS},

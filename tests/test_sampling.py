@@ -215,3 +215,29 @@ def test_token_budget_monotone_in_budget(spark, sized_docs):
             ).collect()
         }
     assert kept[200] < kept[500] < kept[900]
+
+
+def test_cluster_split_no_near_dup_straddles_splits(spark):
+    """Leakage-safety contract of samp_cluster_split: every member of a
+    near-dup cluster lands in the SAME split, all documents are
+    assigned, and the output is invariant to input partitioning."""
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["samp_cluster_split"].fn(spark, sf).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs
+    split_of = {}
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        if r.group_id in split_of:
+            assert split_of[r.group_id] == r.split, (
+                f"cluster {r.group_id} straddles splits"
+            )
+        split_of[r.group_id] = r.split
+    # multi-member clusters must exist at this SF or the test is vacuous
+    from collections import Counter
+    sizes = Counter(r.group_id for r in rows)
+    assert any(v > 1 for v in sizes.values())
