@@ -3666,6 +3666,72 @@ def a18_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reco_item_cooccurrence",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item != b.item
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT item_a, item_b, n_users,
+         ROW_NUMBER() OVER (PARTITION BY item_a
+                            ORDER BY n_users DESC, item_b) AS rn
+  FROM co
+)
+SELECT item_a, item_b, CAST(rn AS INT) AS rank, n_users
+FROM ranked WHERE rn <= 5
+""",
+    doc="Item-to-item co-occurrence recommender ('users who engaged "
+    "with A also engaged with B'): distinct (user, item) pairs -> "
+    "self-join on user -> per-pair user counts -> top-5 co-items per "
+    "item. The (user, item) dedup happens BEFORE the self-join (one "
+    "map-side-combined exchange), so the join fan-out per user is "
+    "C(distinct items, 2), never C(raw events, 2) — at 100 TB the "
+    "documented skew knob is capping per-user distinct items (top-N "
+    "by recency) before the join, exactly the bound production "
+    "co-occurrence jobs apply; the output is vocabulary-bounded "
+    "(items x 5) regardless of input scale. Ties break to the "
+    "smaller item id, both engines.",
+)
+def reco_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("n_users"), F.asc("item_b")
+    )
+    return (
+        co.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("item_a", "item_b", "rank", "n_users")
+    )
+
+
+@register(
     "dedup_minhash_jaccard_est",
     oracle=f"""
 WITH {SQL_NORM_TOKENS},
@@ -4592,6 +4658,64 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed phrase for the positional-index demo, chosen mid-frequency in
+# the corpus. A real system parameterizes this; the literal keeps the
+# entry deterministic and oracle-checkable.
+_PHRASE = ("table", "hash")
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS w
+  FROM tok
+),
+p1 AS (SELECT doc_id, p FROM pos WHERE w = '{_PHRASE[0]}'),
+p2 AS (SELECT doc_id, p FROM pos WHERE w = '{_PHRASE[1]}'),
+hits AS (
+  SELECT p1.doc_id, p1.p FROM p1
+  JOIN p2 ON p1.doc_id = p2.doc_id AND p2.p = p1.p + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+""",
+    doc="Exact phrase search via POSITIONAL postings — the retrieval "
+    "shape, not a corpus scan: docs containing both terms are pruned "
+    "first with array_contains predicates evaluated inside the scan "
+    "(cheap containment before any explode), then each term's "
+    "(doc, position) postings equi-join on (doc, adjacent position). "
+    "At 100 TB this is how phrase queries run against an index: join "
+    "the two rarest terms' postings — cost scales with posting-list "
+    "sizes, never corpus size. The scan-side alternative (a zip_with "
+    "over each doc's token array) is the right shape only when there "
+    "is no index; this entry demonstrates the indexed plan. Positions "
+    "are 1-based in both engines.",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+    toks = textops.tokens("text")
+    both = d.filter(
+        F.array_contains(toks, _PHRASE[0]) & F.array_contains(toks, _PHRASE[1])
+    )
+    pos = both.select(
+        "doc_id", F.posexplode(toks).alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "term")
+    p1 = pos.filter(F.col("term") == _PHRASE[0]).select("doc_id", "p")
+    p2 = pos.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("p").alias("p2")
+    )
+    hits = p1.join(
+        p2, (p1.doc_id == p2.doc_id) & (F.col("p2") == F.col("p") + 1)
+    ).select(p1.doc_id, "p")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p").alias("first_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entity resolution, time-series bars, and exact z-score outliers
 # ---------------------------------------------------------------------------
@@ -4610,6 +4734,7 @@ pairs AS (
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
   FROM named a JOIN named b ON a.noun = b.noun
   WHERE a.p_partkey < b.p_partkey
+    AND abs(length(a.p_name) - length(b.p_name)) <= 4
 )
 SELECT part_a, part_b, name_a, name_b, edit_dist
 FROM pairs WHERE edit_dist <= 4
@@ -4619,11 +4744,17 @@ ORDER BY edit_dist, part_a, part_b LIMIT 15
     "names found by BLOCKED pairwise edit distance — the classic "
     "dedupe/Splink shape. Blocking key = the name's noun token, so "
     "candidate pairs come from an equi hash join on the block, never "
-    "an all-pairs cross join; the O(len^2) levenshtein kernel (JVM "
-    "built-in on both engines, identical unit-cost semantics) runs "
-    "only inside blocks. At 100 TB block size is the skew knob — a "
-    "hot block degrades to quadratic exactly like an LSH bucket, and "
-    "the same cap-and-drop fuse (dedup.max_shingle_df, "
+    "an all-pairs cross join. The kernel is tiered, cheapest first: "
+    "(1) a length-difference bound (|len_a − len_b| > k implies "
+    "edit_dist > k — provably lossless) discards pairs before any "
+    "DP; (2) the survivors run BANDED levenshtein with threshold=k "
+    "(O(len·k) per pair, not O(len²); distances above k report as "
+    "-1 and drop — same accept set, ~10× less work). The oracle "
+    "applies the same length bound and an unbanded levenshtein — "
+    "identical accept set, per-pair cost is the engine's problem. "
+    "At 100 TB block size is the skew knob — a hot block degrades "
+    "to quadratic exactly like an LSH bucket, and the same "
+    "cap-and-drop fuse (dedup.max_shingle_df, "
     "embedding_lsh.max_bucket_size) applies. Top-k ordered by "
     "(distance, ids) for a deterministic k-boundary.",
 )
@@ -4644,17 +4775,35 @@ def link_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         "noun",
     )
+    # Parallelism, not per-pair cost, is the first-order term: the part
+    # scan is one small-file partition, and a broadcast join inherits
+    # the PROBE side's partitioning — without the repartition the whole
+    # quadratic block kernel runs in a single task. Round-robin
+    # spreading the probe rows balances work by construction: each
+    # probe row carries ~its block's size worth of DP calls, and rows
+    # of a hot block scatter uniformly, so no salting is needed (the
+    # same reason the skew-join salt replicates the BUILD side).
     return (
-        a.join(b, "noun")
-        .filter(F.col("part_a") < F.col("part_b"))
+        a.repartition(64)
+        .join(F.broadcast(b), "noun")
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            # lossless tier-1 reject: k edits change length by <= k
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(4)
+            )
+        )
         .select(
             "part_a",
             "part_b",
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            # banded DP: O(len*k) per pair; > threshold reports -1
+            F.levenshtein("name_a", "name_b", 4).cast("long").alias(
+                "edit_dist"
+            ),
         )
-        .filter(F.col("edit_dist") <= 4)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 4))
         .orderBy("edit_dist", "part_a", "part_b")
         .limit(15)
     )
