@@ -71,13 +71,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return keep.select("doc_id", "fingerprint")
 
 
-def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the set representation.
+def shingle_sets(
+    docs: DataFrame, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — the set representation (distinct by
+    default).
 
     Tokenization is materialized below a repartition exchange so the
     per-shingle lambda references a computed attribute instead of
     re-evaluating the regexp+split chain per element (CollapseProject
     would otherwise inline it — measured ~10× slower).
+
+    ``distinct=False`` skips the string-level dedup exchange: callers
+    that immediately hash the shingle and dedup (or min-aggregate) at
+    the HASH level would otherwise shuffle the full shingle STRINGS
+    once just to shuffle their 8-byte hashes again — at corpus scale
+    that first exchange is the largest data movement in the whole
+    dedup pipeline, and it is pure waste for those paths.
     """
     spark = docs.sparkSession
     toks = docs.select(
@@ -85,15 +95,13 @@ def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
         textops.tokens("text").alias("toks"),
         textops.normalize_text("text").alias("norm"),
     ).repartition(spark.sparkContext.defaultParallelism)
-    return (
-        toks.select(
-            "doc_id",
-            F.explode(
-                textops.shingles_from_tokens(F.col("toks"), F.col("norm"), k)
-            ).alias("shingle"),
-        )
-        .distinct()
+    out = toks.select(
+        "doc_id",
+        F.explode(
+            textops.shingles_from_tokens(F.col("toks"), F.col("norm"), k)
+        ).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -111,7 +119,10 @@ def ngram_jaccard_pairs(
     standalone.
     """
     sh = (
-        shingle_sets(docs, k)
+        # distinct=False: dedup happens once at the hash level below —
+        # the string-level distinct would shuffle full shingle text
+        # first, the single largest (and avoidable) exchange here.
+        shingle_sets(docs, k, distinct=False)
         .select(
             "doc_id", (textops.portable_hash32("shingle") % MERSENNE_P).alias("h")
         )
@@ -121,10 +132,13 @@ def ngram_jaccard_pairs(
         .persist()
     )
     if max_shingle_df is not None:
+        # Cap as a BROADCAST anti-join against the HOT set: shingles
+        # over the DF cap number at most |rows|/cap, so the build side
+        # is always broadcastable — the complementary inner join
+        # against the (vocabulary-sized) small set would shuffle.
         df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            df_counts.filter(F.col("df") <= max_shingle_df).select("h"), "h"
-        )
+        hot = df_counts.filter(F.col("df") > max_shingle_df).select("h")
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -179,8 +193,13 @@ def minhash_signatures_wide(
     shingle-hash rows — no H× row explosion, a single groupBy(doc_id).
     At 100 TB this is the difference between shuffling |shingles| rows
     and shuffling H·|shingles| rows.
+
+    distinct=False: min() is idempotent to duplicate shingles, so the
+    string-level dedup exchange would be pure waste — the only shuffle
+    left is the groupBy, whose partial aggregate collapses each
+    partition's rows to H longs per doc map-side.
     """
-    sh = shingle_sets(docs, k).select(
+    sh = shingle_sets(docs, k, distinct=False).select(
         "doc_id",
         (textops.portable_hash32("shingle") % MERSENNE_P).alias("h"),
     )
