@@ -652,3 +652,34 @@ def test_zscore_outliers_broadcast_stats_no_window(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_is_equi_join_no_python(spark):
+    """Phrase search must plan as positional-postings equi-joins with
+    the containment prune expressed as scan-side filters — never a
+    nested loop or a Python worker."""
+    plan = plan_of(spark, "text_phrase_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cooccurrence_dedups_before_self_join(spark):
+    """The (user, item) dedup must run BEFORE the self-join (the
+    HashAggregate pair sits below the join in the plan), keeping the
+    join fan-out bounded by distinct items per user."""
+    plan = plan_of(spark, "reco_item_cooccurrence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # top-5-per-item is a window over the pair aggregate, not a global sort
+    assert "Window" in plan
+
+
+def test_fuzzy_link_probe_side_is_parallel(spark):
+    """link_fuzzy_parts' quadratic block kernel must not collapse into
+    a single task: the probe side carries an explicit round-robin
+    exchange and the build side broadcasts."""
+    plan = plan_of(spark, "link_fuzzy_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" in plan
+    assert "CartesianProduct" not in plan
