@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     # leakage-safe split: MinHash-LSH edges -> connected components ->
     # cluster-keyed hash split, the heaviest sampling-family composition
     "samp_cluster_split",
+    # iterative family: integer-exact damped power iteration over the
+    # item co-occurrence graph
+    "graph_pagerank_items",
 ]
 
 

@@ -3731,6 +3731,138 @@ def reco_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Directed item graph for the PageRank demo: each item's top-3
+# co-occurring items (by shared-user count, ties to smaller id) — the
+# same edges a production "related items" job materializes.
+_PR_EDGES_SQL = """
+ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+co AS (
+  SELECT a.item AS src, b.item AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item != b.item
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY n_users DESC, dst) AS rn
+    FROM co
+  ) WHERE rn <= 3
+),
+nodes AS (SELECT DISTINCT src AS item FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src)
+""".strip()
+
+# One damped power-iteration step in integer micro-units: per-edge
+# contribution floor((0.85 * rank_src) / outdeg_src), then the 0.15
+# base. Repeated verbatim per unrolled oracle iteration.
+def _pr_step_sql(cur: str, nxt: str) -> str:
+    return f"""
+{nxt} AS (
+  SELECT n.item,
+         150000 + COALESCE(CAST(SUM(
+           (850000 * r.rank_micro) // (1000000 * d.outdeg)
+         ) AS BIGINT), 0) AS rank_micro
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.item
+  LEFT JOIN {cur} r ON r.item = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.item
+)""".strip()
+
+
+@register(
+    "graph_pagerank_items",
+    oracle=f"""
+WITH {_PR_EDGES_SQL},
+r0 AS (SELECT item, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+{_pr_step_sql("r0", "r1")},
+{_pr_step_sql("r1", "r2")},
+{_pr_step_sql("r2", "r3")}
+SELECT item, rank_micro FROM r3
+""",
+    doc="INTEGER-EXACT PageRank (damping 0.85, 3 fixed power "
+    "iterations) over the directed item graph built from each item's "
+    "top-3 co-occurring items — the iterative-algorithm family beyond "
+    "connected components and k-means. All rank mass moves in micro "
+    "units with per-edge floor division, so every iteration is pure "
+    "BIGINT arithmetic and the oracle's unrolled-CTE iterations match "
+    "bit-for-bit (the float form would drift across engines by "
+    "summation order). Per iteration: one equi-join of the compact "
+    "(src, dst, outdeg) edge list against the (node, rank) table plus "
+    "one groupBy-sum, both map-side combined — the identical shuffle "
+    "shape as hash-min CC, cost O(|edges|) per round, the graph's "
+    "text/payload never moves. Fixed iteration count keeps the entry "
+    "oracle-expressible; production convergence loops add the "
+    "localCheckpoint lineage cut the CC operator demonstrates.",
+)
+def graph_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("src"))
+    b = ui.select("user_id", F.col("item").alias("dst"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
+    edges = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("item"))
+        .union(edges.select(F.col("dst").alias("item")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    ranks = nodes.select(
+        "item", F.lit(1000000).cast("long").alias("rank_micro")
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.item)
+            .select(
+                F.col("dst").alias("item"),
+                F.expr(
+                    "(850000 * rank_micro) div (1000000 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("item")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "item", "left").select(
+            "item",
+            (F.lit(150000) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    return ranks
+
+
 @register(
     "dedup_minhash_jaccard_est",
     oracle=f"""
