@@ -5205,3 +5205,72 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "dq_key_skew_report",
+    oracle="""
+WITH stacked AS (
+  SELECT 'l_orderkey' AS key_col, l_orderkey AS key_value FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+counts AS (
+  SELECT key_col, key_value, CAST(count(*) AS BIGINT) AS n_rows
+  FROM stacked GROUP BY 1, 2
+),
+tot AS (SELECT key_col, CAST(sum(n_rows) AS BIGINT) AS total
+        FROM counts GROUP BY 1),
+ranked AS (
+  SELECT key_col, key_value, n_rows,
+         ROW_NUMBER() OVER (PARTITION BY key_col
+                            ORDER BY n_rows DESC, key_value) AS rn
+  FROM counts
+)
+SELECT r.key_col, r.key_value, r.n_rows, CAST(r.rn AS INT) AS rank,
+       (1000000 * r.n_rows) // t.total AS share_ppm
+FROM ranked r JOIN tot t USING (key_col)
+WHERE r.rn <= 5
+""",
+    doc="Join-key skew diagnosis — the 'measure before you salt' "
+    "report every 100 TB join plan should start from: for each "
+    "candidate shuffle key, the 5 heaviest values with their row "
+    "counts and integer parts-per-million share of the table. One "
+    "stacked pass (the three key columns unpivot map-side, so the "
+    "fact scans ONCE), one combined groupBy, then a top-5 window on "
+    "the (small) per-key counts. share_ppm is integer floor division "
+    "— engine-exact. The output feeds the existing knobs directly: "
+    "a key above the salt threshold routes to skew_salted_join, a "
+    "bucket/shingle above its cap routes to the cap-and-drop fuses.",
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    stacked = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, "
+            "'l_suppkey', l_suppkey) AS (key_col, key_value)"
+        )
+    )
+    counts = stacked.groupBy("key_col", "key_value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.groupBy("key_col").agg(F.sum("n_rows").alias("total"))
+    w = Window.partitionBy("key_col").orderBy(
+        F.desc("n_rows"), F.asc("key_value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(F.broadcast(tot), "key_col")
+        .select(
+            "key_col",
+            "key_value",
+            "n_rows",
+            "rank",
+            F.expr("(1000000 * n_rows) div total").alias("share_ppm"),
+        )
+    )
