@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     # iterative family: integer-exact damped power iteration over the
     # item co-occurrence graph
     "graph_pagerank_items",
+    # PQ/ADC: code-book retrieval, the memory-bound ANN representative
+    "sim_pq_adc_topk",
 ]
 
 

@@ -1042,3 +1042,173 @@ def ivf_probe(spark, table: str, centroid_id: int) -> DataFrame:
     return spark.table(table).filter(
         F.col("centroid_id") == int(centroid_id)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame, n_subspaces: int = 4, n_codes: int = 8
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks from the deterministic seed rows (the
+    first ``n_codes`` vec_ids, split into ``n_subspaces`` equal
+    slices). Codebooks are *model parameters* like IVF centroids and
+    LSH planes — M×K×(dim/M) floats collected once to the driver and
+    compiled into the scan expression; production swaps in per-subspace
+    k-means without changing any plan shape."""
+    seeds = _seed_centroids(embeddings, n_codes)
+    dim = len(seeds[0][1])
+    sub = dim // n_subspaces
+    return [
+        [
+            (idx, vec[m * sub : (m + 1) * sub])
+            for idx, (_vid, vec) in enumerate(seeds)
+        ]
+        for m in range(n_subspaces)
+    ]
+
+
+def _sub_slice(emb: Column, m: int, sub: int) -> Column:
+    """Double-cast slice of subspace m (1-based slice, same as SQL)."""
+    return F.transform(
+        F.slice(emb, m * sub + 1, sub), lambda x: x.cast("double")
+    )
+
+
+def _dot_lit(s: Column, weights: list[float]) -> Column:
+    """Left-to-right fold dot of a sliced subvector with literal
+    weights — the same summation shape as :func:`dot`, so DuckDB's
+    list_dot_product agrees at the rounding granularity used below."""
+    arr = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(
+        F.zip_with(s, arr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_dists(emb: Column, m: int, sub: int, book) -> list[Column]:
+    """Rounded-6 squared L2 distance from subspace m of ``emb`` to each
+    code word, in the algebraic form ||x||² − 2·x·w + ||w||² (mirrored
+    literally in the oracle SQL): the x·x term is computed once per
+    subspace, x·w once per code, w·w folds to a Python float at plan
+    build. Rounding to 1e-6 absorbs engine ulp differences before the
+    argmin, with the code index as the deterministic tie-break."""
+    s = _sub_slice(emb, m, sub)
+    xx = F.aggregate(
+        F.zip_with(s, s, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = []
+    for _idx, w in book:
+        ww = 0.0
+        for v in w:
+            ww += v * v
+        out.append(F.round(xx - 2.0 * _dot_lit(s, w) + F.lit(ww), 6))
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame, n_subspaces: int = 4, n_codes: int = 8
+) -> DataFrame:
+    """(vec_id, pq_code): each vector compressed to M code indices —
+    dim×4 bytes → M bytes, the memory lever that lets a vector corpus
+    live RAM-resident at 100 TB scale (int8 scalar quantization's 4×
+    is the gentle sibling; PQ at M=4,K=8 here is 64×). Encoding is a
+    pure per-row scan expression (argmin over K literal code words per
+    subspace) — zero joins, zero shuffles, the same narrow shape as
+    ivf_assign. pq_code serializes as a CSV string (the portable array
+    encoding used by the histogram/posting entries)."""
+    books = pq_codebooks(embeddings, n_subspaces, n_codes)
+    dim = _emb_dim(embeddings)
+    sub = dim // n_subspaces
+    codes = []
+    for m, book in enumerate(books):
+        entries = F.array(*[
+            F.struct(
+                d.alias("d"), F.lit(idx).alias("c")
+            )
+            for (idx, _w), d in zip(book, _sub_dists(F.col("embedding"), m, sub, book))
+        ])
+        codes.append(F.array_min(entries)["c"])
+    return embeddings.select(
+        "vec_id",
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("pq_code"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+) -> DataFrame:
+    """Top-k by ASYMMETRIC distance: the query stays full-precision,
+    corpus vectors are replaced by their PQ codes, and the distance is
+    Σ_m d(q_m, codeword(x, m)) — the standard ADC retrieval kernel.
+    The per-(query, subspace) distances to all K code words form a
+    lookup array; scoring a corpus row is then M array lookups by its
+    stored code, NOT a dim-length dot — the property that makes PQ
+    search memory-bandwidth-, not FLOP-, bound at scale. Here the
+    lookup tables ride the broadcast query rows and the corpus side
+    touches only (vec_id, M small ints).
+
+    Returns (query_id, neighbor_id, rank, adc_dist) — rank by
+    (adc_dist asc, neighbor_id) for a deterministic k-boundary."""
+    books = pq_codebooks(embeddings, n_subspaces, n_codes)
+    dim = _emb_dim(embeddings)
+    sub = dim // n_subspaces
+
+    coded = pq_encode_raw(embeddings, n_subspaces, n_codes)
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = coded.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    parts = []
+    for m, book in enumerate(books):
+        lut = F.array(*_sub_dists(F.col("q_emb"), m, sub, book))
+        parts.append(
+            F.element_at(lut, F.col("pq_codes").getItem(m) + 1)
+        )
+    adc = parts[0]
+    for p in parts[1:]:
+        adc = adc + p
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 4).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def pq_encode_raw(
+    embeddings: DataFrame, n_subspaces: int = 4, n_codes: int = 8
+) -> DataFrame:
+    """(vec_id, pq_codes array<int>) — :func:`pq_encode` before the
+    portable CSV serialization, for plan composition (ADC joins on the
+    int array, the registry entry hashes the string form)."""
+    books = pq_codebooks(embeddings, n_subspaces, n_codes)
+    dim = _emb_dim(embeddings)
+    sub = dim // n_subspaces
+    codes = []
+    for m, book in enumerate(books):
+        entries = F.array(*[
+            F.struct(d.alias("d"), F.lit(idx).alias("c"))
+            for (idx, _w), d in zip(book, _sub_dists(F.col("embedding"), m, sub, book))
+        ])
+        codes.append(F.array_min(entries)["c"])
+    return embeddings.select("vec_id", F.array(*codes).alias("pq_codes"))

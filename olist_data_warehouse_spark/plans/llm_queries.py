@@ -2727,6 +2727,124 @@ def dedup_affix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared PQ oracle scaffolding: M=4 subspaces × K=8 code words (the
+# seed rows vec_id 0..7, so code index == seed vec_id), distances in
+# the algebraic form ||x||² − 2·x·w + ||w||² rounded to 1e-6 before
+# the argmin — mirroring operators/similarity.py pq_* exactly.
+_PQ_SUB = 16
+_PQ_BOOKS_SQL = f"""
+subs AS (SELECT unnest([0, 1, 2, 3]) AS m),
+books AS (
+  SELECT e.vec_id AS code_id, s.m,
+         list_transform(
+           list_slice(e.embedding, s.m * {_PQ_SUB} + 1, (s.m + 1) * {_PQ_SUB}),
+           x -> x::DOUBLE) AS w
+  FROM embeddings e CROSS JOIN subs s
+  WHERE e.vec_id < 8
+),
+corp AS (
+  SELECT e.vec_id, s.m,
+         list_transform(
+           list_slice(e.embedding, s.m * {_PQ_SUB} + 1, (s.m + 1) * {_PQ_SUB}),
+           x -> x::DOUBLE) AS sv
+  FROM embeddings e CROSS JOIN subs s
+),
+coded AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT c.vec_id, c.m, b.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id, c.m
+             ORDER BY round(list_dot_product(c.sv, c.sv)
+                            - 2 * list_dot_product(c.sv, b.w)
+                            + list_dot_product(b.w, b.w), 6),
+                      b.code_id) AS rn
+    FROM corp c JOIN books b ON b.m = c.m
+  ) WHERE rn = 1
+)
+""".strip()
+
+
+@register(
+    "sim_pq_encode",
+    oracle=f"""
+WITH {_PQ_BOOKS_SQL}
+SELECT vec_id,
+       string_agg(CAST(code_id AS VARCHAR), ',' ORDER BY m) AS pq_code
+FROM coded GROUP BY vec_id
+""",
+    doc="Product-quantization encoding: each vector compresses to M=4 "
+    "code indices (dim×4 bytes → 4 bytes, 64× — the memory lever "
+    "that keeps a vector corpus RAM-resident at 100 TB; int8 scalar "
+    "quantization's 4× is the gentle sibling). Codebooks are model "
+    "parameters (seed subvectors, like IVF centroids / LSH planes) "
+    "compiled into the scan, so encoding is a pure per-row argmin "
+    "expression — zero joins, zero shuffles. Distances are "
+    "||x||²−2xw+||w||² rounded to 1e-6 before the argmin with the "
+    "code index as tie-break, so both engines pick identical codes; "
+    "the oracle derives the same codebooks relationally from the "
+    "seed rows.",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.pq_encode(e, n_subspaces=4, n_codes=8)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_BOOKS_SQL},
+q AS (
+  SELECT e.vec_id AS query_id, s.m,
+         list_transform(
+           list_slice(e.embedding, s.m * {_PQ_SUB} + 1, (s.m + 1) * {_PQ_SUB}),
+           x -> x::DOUBLE) AS qv
+  FROM embeddings e CROSS JOIN subs s
+  WHERE e.vec_id IN (0, 1, 2, 3, 4)
+),
+qd AS (
+  SELECT q.query_id, q.m, b.code_id,
+         round(list_dot_product(q.qv, q.qv)
+               - 2 * list_dot_product(q.qv, b.w)
+               + list_dot_product(b.w, b.w), 6) AS d
+  FROM q JOIN books b ON b.m = q.m
+),
+adc AS (
+  SELECT qd.query_id, c.vec_id AS neighbor_id,
+         round(SUM(qd.d), 4) AS adc_dist
+  FROM coded c
+  JOIN qd ON qd.m = c.m AND qd.code_id = c.code_id
+  WHERE c.vec_id != qd.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc_dist
+FROM ranked WHERE rn <= 10
+""",
+    doc="PQ retrieval by ASYMMETRIC distance computation: the query "
+    "stays full-precision, corpus vectors are replaced by their M "
+    "stored codes, and distance is Σ_m LUT_m[code] — per-(query, "
+    "subspace) distances to all K code words form a lookup array "
+    "riding the broadcast query rows, so scoring a corpus row is M "
+    "array lookups by its code, NOT a dim-length dot. This is the "
+    "property that makes PQ search memory-bandwidth-bound (codes: 4 "
+    "bytes/vector) rather than FLOP-bound at 100 TB; recall recovers "
+    "via a full-precision re-rank of the shortlist (the "
+    "sim_quantized_topk / verify-stage pattern). Both engines "
+    "compute identical rounded-1e-6 sub-distances, so the ADC sums "
+    "and the k-boundary match exactly.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.pq_adc_topk(
+        e, [0, 1, 2, 3, 4], k=10, n_subspaces=4, n_codes=8
+    )
+
+
 @register(
     "sim_quantized_topk",
     oracle="""
