@@ -5326,6 +5326,86 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "path_top_trigrams",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us
+  FROM events
+),
+s AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+),
+p AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w2 AS e2,
+         lead(event_type, 2) OVER w2 AS e3,
+         sess,
+         lead(sess, 1) OVER w2 AS s2,
+         lead(sess, 2) OVER w2 AS s3
+  FROM g
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM p WHERE s2 = sess AND s3 = sess
+GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 10
+""",
+    doc="Session path analysis: the 10 most common 3-event event-type "
+    "sequences inside 30-minute-gap user sessions — the 'how do users "
+    "actually move through the product' query behind every funnel "
+    "redesign. Single-exchange shape: sessionization (gap flag + "
+    "running sum) AND the trigram leads all run in windows partitioned "
+    "by user_id alone — session membership of the lead rows is checked "
+    "by leading the session id itself (s2/s3 = sess), so no second "
+    "window partitioned by (user, session) and no second exchange. "
+    "The trailing aggregate's input is one row per event; output is "
+    "vocabulary³-bounded. Deterministic: event order is (ts, event_id) "
+    "and the frame is explicit ROWS.",
+)
+def path_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    brk = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > 1800000000),
+        1,
+    ).otherwise(0)
+    g = e.select("user_id", "event_id", "event_type", "ts").withColumn(
+        "sess", F.sum(brk).over(wr)
+    )
+    p = g.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        "sess",
+        F.lead("sess", 1).over(w).alias("s2"),
+        F.lead("sess", 2).over(w).alias("s3"),
+    )
+    return (
+        p.filter((F.col("s2") == F.col("sess")) & (F.col("s3") == F.col("sess")))
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(10)
+    )
+
+
+@register(
     "dq_key_skew_report",
     oracle="""
 WITH stacked AS (

@@ -204,3 +204,43 @@ def test_ivf_layout_probe_prunes_buckets(spark):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
         )
+
+
+def test_pq_encode_code_range_and_determinism(spark):
+    from olist_data_warehouse_spark.operators.similarity import pq_encode_raw
+
+    e = _embeddings(spark)
+    got = pq_encode_raw(e, n_subspaces=4, n_codes=8).collect()
+    assert len(got) == e.count()
+    for r in got:
+        assert len(r.pq_codes) == 4
+        assert all(0 <= c < 8 for c in r.pq_codes)
+    again = pq_encode_raw(
+        e.repartition(7), n_subspaces=4, n_codes=8
+    ).collect()
+    assert sorted((r.vec_id, tuple(r.pq_codes)) for r in got) == sorted(
+        (r.vec_id, tuple(r.pq_codes)) for r in again
+    ), "codes must be partitioning-invariant"
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC over 4x8 codebooks is coarse, but the nearest exact
+    neighbors should still surface: require positive overlap between
+    ADC top-10 and exact cosine top-10 on average (quantization is
+    lossy by design, full-precision re-rank is the documented second
+    stage)."""
+    from olist_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    e = _embeddings(spark)
+    qids = [0, 1, 2, 3, 4]
+    exact = {}
+    for r in brute_force_topk(e, qids, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    adc = {}
+    for r in pq_adc_topk(e, qids, k=10).collect():
+        adc.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [len(exact[q] & adc[q]) for q in qids]
+    assert sum(overlaps) >= 5, f"ADC recall collapsed: {overlaps}"
