@@ -1212,3 +1212,114 @@ def pq_encode_raw(
         ])
         codes.append(F.array_min(entries)["c"])
     return embeddings.select("vec_id", F.array(*codes).alias("pq_codes"))
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 20,
+    n_centroids: int = 8,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+) -> DataFrame:
+    """IVF-PQ retrieval — the billion-scale production pipeline as one
+    composed plan: (1) COARSE filter to the query's IVF bucket (~1/C
+    of the corpus), (2) ADC scan over PQ codes inside the bucket (M
+    lookup-table reads per row, memory-bandwidth-bound), (3) exact
+    full-precision cosine RE-RANK of the top-``shortlist`` survivors.
+    The corpus-side projection computes centroid id AND PQ codes in a
+    single narrow scan (both are literal-parameter argmin/argmax
+    expressions) — zero corpus joins before the broadcast query join.
+
+    At 100 TB stages (1) and (2) read the bucketed layout
+    (write_ivf_layout) with codes stored columnar beside ids, and only
+    stage (3) touches the full-precision vectors — for ``shortlist``
+    rows per query, an id-keyed point lookup. Returns
+    (query_id, neighbor_id, rank, cos_sim) — exact cosine of the
+    ADC-shortlisted candidates, rank by (cos desc, id).
+    """
+    cents = _seed_centroids(embeddings, n_centroids)
+    books = pq_codebooks(embeddings, n_subspaces, n_codes)
+    dim = _emb_dim(embeddings)
+    sub = dim // n_subspaces
+
+    normed = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
+    )
+    scores = _centroid_scores(F.col("embedding"), F.col("_nrm"), cents)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                s["cos_sim"].alias("cos_sim"),
+                (-s["centroid_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    code_cols = []
+    for m, book in enumerate(books):
+        entries = F.array(*[
+            F.struct(d.alias("d"), F.lit(idx).alias("c"))
+            for (idx, _w), d in zip(
+                book, _sub_dists(F.col("embedding"), m, sub, book)
+            )
+        ])
+        code_cols.append(F.array_min(entries)["c"])
+    corpus = normed.select(
+        "vec_id",
+        "embedding",
+        "_nrm",
+        (-best["neg_id"]).alias("centroid_id"),
+        F.array(*code_cols).alias("pq_codes"),
+    )
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_nrm").alias("_q_nrm"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("centroid_id") == F.col("q_centroid")),
+    )
+    parts = []
+    for m, book in enumerate(books):
+        lut = F.array(*_sub_dists(F.col("q_emb"), m, sub, book))
+        parts.append(F.element_at(lut, F.col("pq_codes").getItem(m) + 1))
+    adc = parts[0]
+    for p in parts[1:]:
+        adc = adc + p
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 4).alias("adc_dist"),
+        "embedding",
+        "_nrm",
+        "q_emb",
+        "_q_nrm",
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = scored.withColumn("srn", F.row_number().over(w_adc)).filter(
+        F.col("srn") <= shortlist
+    )
+    rer = short.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("_q_nrm") * F.col("_nrm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

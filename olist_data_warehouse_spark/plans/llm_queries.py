@@ -2846,6 +2846,101 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+WITH {_PQ_BOOKS_SQL},
+c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS acos
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT a.vec_id AS query_id, a.embedding AS q_emb, a.centroid_id,
+         s.m,
+         list_transform(
+           list_slice(a.embedding, s.m * {_PQ_SUB} + 1, (s.m + 1) * {_PQ_SUB}),
+           x -> x::DOUBLE) AS qv
+  FROM assigned a CROSS JOIN subs s
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+),
+qd AS (
+  SELECT q.query_id, q.m, b.code_id,
+         round(list_dot_product(q.qv, q.qv)
+               - 2 * list_dot_product(q.qv, b.w)
+               + list_dot_product(b.w, b.w), 6) AS d
+  FROM q JOIN books b ON b.m = q.m
+),
+qq AS (SELECT DISTINCT query_id, q_emb, centroid_id FROM q),
+bucket AS (
+  SELECT qq.query_id, qq.q_emb, e.vec_id AS neighbor_id, e.embedding
+  FROM assigned e JOIN qq ON e.centroid_id = qq.centroid_id
+  WHERE e.vec_id != qq.query_id
+),
+adc AS (
+  SELECT bu.query_id, bu.neighbor_id, bu.q_emb, bu.embedding,
+         round(SUM(qd.d), 4) AS adc_dist
+  FROM bucket bu
+  JOIN coded cd ON cd.vec_id = bu.neighbor_id
+  JOIN qd ON qd.query_id = bu.query_id
+         AND qd.m = cd.m AND qd.code_id = cd.code_id
+  GROUP BY 1, 2, 3, 4
+),
+short AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, q_emb, embedding,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS srn
+    FROM adc
+  ) WHERE srn <= 20
+),
+rer AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a="q_emb", b="embedding")} AS cos_sim
+  FROM short
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM rer
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 10
+""",
+    doc="IVF-PQ — the billion-scale retrieval pipeline as ONE composed "
+    "plan: coarse-filter to the query's IVF bucket (~1/C of the "
+    "corpus), ADC-scan the bucket's PQ codes (M lookup-table reads "
+    "per row), then full-precision cosine re-rank of the top-20 "
+    "shortlist. The corpus projection computes centroid id AND PQ "
+    "codes in a single narrow scan (both literal-parameter argmin/"
+    "argmax expressions, zero corpus joins before the broadcast query "
+    "join). At 100 TB stages 1-2 read the bucketed layout "
+    "(write_ivf_layout) with codes stored beside ids and only the "
+    "re-rank touches full-precision vectors — shortlist-many id-keyed "
+    "lookups per query. Every stage is an already-oracle-verified "
+    "operator reused unchanged (sim_ivf_assign + sim_pq_encode + "
+    "sim_pq_adc_topk + the brute-force verify).",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivfpq_topk(
+        e, [0, 1, 2, 3, 4], k=10, shortlist=20,
+        n_centroids=8, n_subspaces=4, n_codes=8,
+    )
+
+
+@register(
     "sim_quantized_topk",
     oracle="""
 WITH q0 AS (
