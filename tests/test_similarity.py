@@ -244,3 +244,59 @@ def test_pq_adc_recall_against_exact(spark):
         adc.setdefault(r.query_id, set()).add(r.neighbor_id)
     overlaps = [len(exact[q] & adc[q]) for q in qids]
     assert sum(overlaps) >= 5, f"ADC recall collapsed: {overlaps}"
+
+
+def test_lsh_map_side_dedup_equals_distinct_under_binding_cap(spark):
+    """The map-side first-shared-band dedup must equal the reference
+    DISTINCT form even when the hot-bucket cap BINDS: a pair whose
+    first co-bucketing band is capped away must still surface via a
+    later kept band (keying the filter on first-KEPT-shared band, not
+    first-shared band). At the registered shapes the cap never fires
+    on the testdata, so this forces it with max_bucket_size small
+    enough to drop real buckets."""
+    from olist_data_warehouse_spark.operators.similarity import (
+        lsh_band_bucket_table,
+        lsh_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    e = _embeddings(spark)
+    cap = 8
+    # reference: capped buckets -> band self-join -> DISTINCT pairs,
+    # then the same exact-cosine verify threshold
+    b = lsh_band_bucket_table(e, 4, 4)
+    small = (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= cap)
+        .select("band", "bucket")
+    )
+    bk = b.join(small, ["band", "bucket"])
+    ref_cand = {
+        (r.vec_a, r.vec_b)
+        for r in (
+            bk.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+            .join(
+                bk.select(F.col("vec_id").alias("vec_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+            .collect()
+        )
+    }
+    # sanity: the cap must actually drop buckets at this setting
+    n_hot = (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > cap)
+        .count()
+    )
+    assert n_hot > 0, "cap not binding — raise it or shrink the data"
+
+    got = lsh_near_dup_pairs(
+        e, threshold=-1.0, n_bands=4, planes_per_band=4, max_bucket_size=cap
+    )
+    got_cand = {(r.vec_a, r.vec_b) for r in got.collect()}
+    assert got_cand == ref_cand
