@@ -5421,6 +5421,105 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_interpolate_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, unnest(generate_series(b.h0, b.h1)) AS h FROM bounds b
+),
+j AS (
+  SELECT s.event_type, s.h, d.cents
+  FROM spine s LEFT JOIN hourly d
+    ON d.event_type = s.event_type AND d.h = s.h
+),
+n AS (
+  SELECT event_type, h, cents,
+         last_value(cents IGNORE NULLS) OVER w AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w AS ph,
+         first_value(cents IGNORE NULLS) OVER w2 AS nc,
+         first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w2 AS nh
+  FROM j
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h,
+       CASE WHEN cents IS NOT NULL THEN cents
+            ELSE pc + ((nc - pc) * (h - ph)) // (nh - ph) END AS cents,
+       cents IS NULL AS is_interpolated
+FROM n
+""",
+    doc="Grouped time-series LINEAR interpolation at hourly grain: the "
+    "gap-filling completion of the family (ts_gapfill_daily zero-"
+    "fills, w8_forward_fill carries last-known): missing hours get "
+    "prev + (next-prev)*(h-prev_h)/(next_h-prev_h) in integer cents "
+    "with truncating integer division — Spark's div and DuckDB's // "
+    "agree on negative slopes too, so interpolated values are "
+    "engine-exact with zero float arithmetic. One exchange on "
+    "event_type: the spine explodes from per-series bounds, and "
+    "prev/next anchors come from two IGNORE NULLS window passes over "
+    "the same partitioning (no self-join). Series boundaries are "
+    "always observed rows by construction, so no edge NULLs.",
+)
+def ts_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("cents").isNotNull(), F.col("h"))
+    n = j.select(
+        "event_type",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+        F.last(marked, ignorenulls=True).over(wp).alias("ph"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+        F.first(marked, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.col("pc") + F.expr("((nc - pc) * (h - ph)) div (nh - ph)")
+    return n.select(
+        "event_type",
+        "h",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .alias("cents"),
+        F.col("cents").isNull().alias("is_interpolated"),
+    )
+
+
+@register(
     "path_top_trigrams",
     oracle="""
 WITH o AS (
