@@ -5421,6 +5421,102 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "attrib_multi_model",
+    oracle="""
+WITH pairs AS (
+  SELECT p.event_id AS pid,
+         CAST(round(p.value * 100, 0) AS BIGINT) AS cents,
+         c.ts AS click_ts, c.event_id AS cid
+  FROM events p
+  JOIN events c
+    ON p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 60 MINUTES AND c.ts < p.ts
+),
+credited AS (
+  SELECT pid, cents, click_ts,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY click_ts, cid) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY click_ts DESC, cid DESC) AS rn_last,
+         COUNT(*) OVER (PARTITION BY pid) AS n_touch
+  FROM pairs
+)
+SELECT strftime(date_trunc('hour', click_ts), '%Y-%m-%d %H:%M:%S')
+         AS click_hour,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS first_touch_cents,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS last_touch_cents,
+       CAST(SUM((cents * 1000000) // n_touch) AS BIGINT)
+         AS linear_micro_cents
+FROM credited
+GROUP BY 1
+""",
+    doc="Multi-touch attribution, three models in one pass: each "
+    "purchase's prior-hour clicks share its value by FIRST-touch "
+    "(all credit to the earliest click), LAST-touch (to the latest), "
+    "and LINEAR (cents x 1e6 // n per click — integer micro-cents "
+    "with truncating division, so per-model totals are engine-exact; "
+    "a production job reconciles the <=n_touch-1 micro-cent "
+    "truncation residue to the first touch as policy). One interval "
+    "self-join bounded by the 60-minute window (the streaming twin's "
+    "state bound), then per-purchase windows share a single exchange "
+    "on the purchase id; the hourly rollup is output-bounded. "
+    "Deterministic tie-breaks by (ts, event_id).",
+)
+def attrib_multi_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("click_ts") < F.col("p_ts")),
+    )
+    wf = Window.partitionBy("pid").orderBy("click_ts", "cid")
+    wl = Window.partitionBy("pid").orderBy(
+        F.desc("click_ts"), F.desc("cid")
+    )
+    wn = Window.partitionBy("pid")
+    credited = pairs.select(
+        "pid",
+        "cents",
+        "click_ts",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    )
+    return credited.groupBy(
+        F.date_format(
+            F.date_trunc("hour", "click_ts"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("click_hour")
+    ).agg(
+        F.sum(
+            F.when(F.col("rn_first") == 1, F.col("cents")).otherwise(0)
+        ).alias("first_touch_cents"),
+        F.sum(
+            F.when(F.col("rn_last") == 1, F.col("cents")).otherwise(0)
+        ).alias("last_touch_cents"),
+        F.sum(F.expr("(cents * 1000000) div n_touch")).alias(
+            "linear_micro_cents"
+        ),
+    )
+
+
+@register(
     "ts_interpolate_hourly",
     oracle="""
 WITH hourly AS (
