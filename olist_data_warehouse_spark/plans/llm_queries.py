@@ -5421,6 +5421,56 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_weighted_fixed_k",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (('0x' || substr(md5('aes|' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 1048576 + 1) / 1048576.0 AS uval
+  FROM documents
+  WHERE n_chars > 0
+),
+keyed AS (
+  SELECT doc_id, n_chars,
+         round(ln(uval) / n_chars, 12) AS skey
+  FROM u
+)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY skey DESC, doc_id LIMIT 50
+""",
+    doc="EXACTLY-k weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): each row draws u from its salted content hash "
+    "(an exact binary fraction, engine-identical) and keys on "
+    "ln(u)/w; the k largest keys are a weight-proportional fixed-"
+    "size sample. Completes the sampling family's matrix — PPS is "
+    "weighted but Bernoulli (random size), global_fixed is exactly-k "
+    "but unweighted; this is both. Deterministic and partition-"
+    "invariant like every membership rule here; the single float op "
+    "(one ln per row) rounds to 1e-12 before ranking so a last-ulp "
+    "libm difference can't move the k-boundary, with doc_id as the "
+    "tie-break. Plans as TakeOrderedAndProject over a narrow scan — "
+    "no shuffle, no window, no global sort.",
+)
+def samp_weighted_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+    u = (
+        textops.portable_hash32(
+            F.concat_ws("|", F.lit("aes"), F.col("doc_id").cast("string"))
+        )
+        % 1048576
+        + 1
+    ) / F.lit(1048576.0)
+    skey = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", skey.alias("_s"))
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
     "attrib_multi_model",
     oracle="""
 WITH pairs AS (

@@ -683,3 +683,53 @@ def test_fuzzy_link_probe_side_is_parallel(spark):
     assert "BroadcastHashJoin" in plan
     assert "RoundRobinPartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_stay_equi_joins(spark):
+    """Every power-iteration round must be an equi join + aggregate —
+    no nested loops, no Python workers, no global sort."""
+    plan = plan_of(spark, "graph_pagerank_items")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_interval_join_not_nested_loop(spark):
+    """The 60-minute interval self-join must key on user equality
+    (hash/sort-merge) with the time bounds as residual conditions."""
+    plan = plan_of(spark, "attrib_multi_model")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_cosine_all_equi_joins(spark):
+    """All data-scale joins are hash equi-joins; the only permitted
+    nested-loop is the deliberate 1-row corpus-stats broadcast cross
+    (the BM25 CROSS JOIN stats pattern)."""
+    import re
+
+    plan = plan_of(spark, "sim_tfidf_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # count plan NODES (the "(n) NodeName" detail headers), not raw
+    # substring mentions — formatted explain names each node twice
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_fixed_k_is_takeordered_no_shuffle(spark):
+    """A-ES exactly-k: TakeOrderedAndProject over a narrow scan —
+    membership must not cost a full sort or any exchange beyond the
+    top-k collection."""
+    plan = plan_of(spark, "samp_weighted_fixed_k")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_pq_encode_is_pure_scan_projection(spark):
+    """PQ encoding is an argmin-in-scan expression: zero joins, zero
+    exchanges, zero Python."""
+    plan = plan_of(spark, "sim_pq_encode")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
