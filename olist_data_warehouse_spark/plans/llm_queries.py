@@ -5421,6 +5421,101 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_winsorize",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT grp, o_orderkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM c
+),
+bounds AS (
+  SELECT grp,
+         MAX(CASE WHEN rn = (n - 1) // 100 + 1 THEN cents END) AS lo,
+         MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN cents END) AS hi
+  FROM r GROUP BY grp
+)
+SELECT r.grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       b.lo, b.hi,
+       CAST(SUM(r.cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(LEAST(GREATEST(r.cents, b.lo), b.hi)) AS BIGINT)
+         AS sum_winsorized,
+       CAST(SUM(CASE WHEN r.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_low,
+       CAST(SUM(CASE WHEN r.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_high
+FROM r JOIN bounds b USING (grp)
+GROUP BY r.grp, b.lo, b.hi
+""",
+    doc="Winsorization — the outlier-clamping cleaning pass feature "
+    "pipelines run before training: per-group p01/p99 bounds as EXACT "
+    "integer ORDER STATISTICS (rank floor((q)(n-1))+1 over a "
+    "deterministic (value, key) order — a selection, never an "
+    "interpolation, so bounds and clamped sums are BIGINT-exact on "
+    "both engines; the a13 exact-percentile entry documents "
+    "approx_percentile as the at-scale swap for the rank pass). One "
+    "window exchange on the group key; bounds collapse to one row "
+    "per group and broadcast back; the audit rollup (totals + clamp "
+    "counts per tail) is output-bounded by group count.",
+)
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("grp")
+    r = c.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = r.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) div 100 + 1"), F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(99 * (n - 1)) div 100 + 1"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(bounds), "grp")
+        .groupBy("grp", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(clamped).alias("sum_winsorized"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+        .select(
+            "grp", "n", "lo", "hi", "sum_cents", "sum_winsorized",
+            "n_clamped_low", "n_clamped_high",
+        )
+    )
+
+
+@register(
     "samp_weighted_fixed_k",
     oracle="""
 WITH u AS (

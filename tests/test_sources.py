@@ -380,3 +380,34 @@ def test_observe_quality_metrics_ride_the_job_scan(spark):
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
     ).collect()[0][0]
     assert m["sum_o_totalprice_cents"] == want_cents
+
+
+def test_manifest_roundtrip_order_invariant_and_tamper_evident(spark, tmp_path):
+    from olist_data_warehouse_spark.sources.writers import (
+        verify_manifest,
+        write_with_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id * 7 % 13 as string) AS v"
+    )
+    p1 = str(tmp_path / "a")
+    m1 = write_with_manifest(df, p1)
+    assert m1["rows"] == 1000 and m1["fingerprint"] is not None
+    assert verify_manifest(spark, p1)
+
+    # same rows, different partitioning/order -> same fingerprint
+    p2 = str(tmp_path / "b")
+    m2 = write_with_manifest(
+        df.repartition(7).sortWithinPartitions(F.desc("id")), p2
+    )
+    assert m2["fingerprint"] == m1["fingerprint"]
+
+    # one mutated row -> different fingerprint, verify fails vs old
+    p3 = str(tmp_path / "c")
+    mutated = df.withColumn(
+        "v", F.when(F.col("id") == 500, F.lit("tampered")).otherwise(F.col("v"))
+    )
+    m3 = write_with_manifest(mutated, p3)
+    assert m3["fingerprint"] != m1["fingerprint"]
