@@ -1588,6 +1588,123 @@ def scd2_supplier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_point_in_time",
+    oracle="""
+WITH dim0 AS (
+  SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal,
+         DATE '1995-01-01' AS effective_from
+  FROM supplier
+),
+upd AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 = 0 THEN s_nationkey + 1
+              ELSE s_nationkey END AS s_nationkey,
+         round(s_acctbal, 2) AS acctbal
+  FROM supplier WHERE s_suppkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_nationkey, round(s_acctbal, 2)
+  FROM supplier WHERE s_suppkey % 3 = 2
+),
+dim AS (
+  SELECT d.s_suppkey, d.s_nationkey, d.effective_from,
+         CAST(NULL AS DATE) AS effective_to
+  FROM dim0 d LEFT JOIN upd u USING (s_suppkey)
+  WHERE u.s_suppkey IS NULL
+     OR (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+  UNION ALL
+  SELECT d.s_suppkey, d.s_nationkey, d.effective_from, DATE '1998-06-01'
+  FROM dim0 d JOIN upd u USING (s_suppkey)
+  WHERE NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+  UNION ALL
+  SELECT u.s_suppkey, u.s_nationkey, DATE '1998-06-01',
+         CAST(NULL AS DATE)
+  FROM upd u LEFT JOIN dim0 d USING (s_suppkey)
+  WHERE d.s_suppkey IS NULL
+     OR NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+),
+f AS (
+  SELECT l.l_suppkey, CAST(o.o_orderdate AS DATE) AS d,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(EXTRACT(year FROM f.d) AS INT) AS year,
+       dim.s_nationkey,
+       CAST(SUM(f.cents) AS BIGINT) AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM f
+JOIN dim ON dim.s_suppkey = f.l_suppkey
+        AND dim.effective_from <= f.d
+        AND (dim.effective_to IS NULL OR f.d < dim.effective_to)
+GROUP BY 1, 2
+""",
+    doc="SCD Type-2 POINT-IN-TIME lookup — the query the effective-"
+    "dated dimension exists for: each fact row joins the dimension "
+    "VERSION that was valid on its own order date (from <= d < to), "
+    "so revenue attributes to the supplier's nation AS OF the sale, "
+    "not as of today — a changed supplier's pre-cutover orders keep "
+    "the old nation, post-cutover orders get the new one. Plan shape: "
+    "the versioned dim is dimension-sized (<= 2 rows per key) and "
+    "broadcasts; the join keys on suppkey with the validity range as "
+    "a residual predicate, so the fact scans once with zero shuffle "
+    "before the output-bounded (year, nation) rollup. Composes the "
+    "already-verified scd2_apply merge with the fact-side lookup.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    sup, li, o = t["supplier"], t["lineitem"], t["orders"]
+    dim0 = sup.select(
+        "s_suppkey", "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").cast("date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        sup.filter(F.col("s_suppkey") % 3 < 2)
+        .select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 3 == 0, F.col("s_nationkey") + 1)
+            .otherwise(F.col("s_nationkey")).alias("s_nationkey"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 3 == 2).select(
+                (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+                "s_nationkey",
+                F.round("s_acctbal", 2).alias("acctbal"),
+            )
+        )
+    )
+    dim = scd.scd2_apply(
+        dim0, upd,
+        key_cols=["s_suppkey"], tracked_cols=["s_nationkey", "acctbal"],
+        batch_ts=F.lit("1998-06-01").cast("date"),
+    ).select("s_suppkey", "s_nationkey", "effective_from", "effective_to")
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    joined = f.join(
+        F.broadcast(dim),
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("effective_from") <= F.col("d"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("d") < F.col("effective_to"))
+        ),
+    )
+    return joined.groupBy(
+        F.year("d").alias("year"), "s_nationkey"
+    ).agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom semi-join reduction + count-min heavy hitters
 # ---------------------------------------------------------------------------
