@@ -964,6 +964,41 @@ def t3_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t5_keyset_page",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey > 1000
+ORDER BY o_orderkey LIMIT 20
+""",
+    doc="KEYSET pagination — the scalable replacement for OFFSET: page "
+    "N+1 starts WHERE key > last-seen-key instead of skipping N rows, "
+    "so the predicate pushes into the parquet scan (row groups below "
+    "the cursor never decompress) and the plan is "
+    "TakeOrderedAndProject over the filtered scan — O(page) however "
+    "deep the cursor, where OFFSET is O(cursor) and re-reads "
+    "everything it discards. The pattern every API that pages a "
+    "100 TB table must use; plan test pins the pushed filter and the "
+    "absence of a global sort.",
+)
+def t5_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.filter(F.col("o_orderkey") > 1000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "f1_f2_date_key_roundtrip",
     oracle="""
 SELECT DISTINCT

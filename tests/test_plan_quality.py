@@ -733,3 +733,14 @@ def test_pq_encode_is_pure_scan_projection(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keyset_page_pushes_cursor_filter_to_scan(spark):
+    """Keyset pagination's whole point: the cursor predicate reaches
+    the parquet scan (PushedFilters) and the page materializes as
+    TakeOrderedAndProject — no global sort, no offset skip-scan."""
+    plan = plan_of(spark, "t5_keyset_page")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(o_orderkey,1000)" in plan.replace(" ", "") or (
+        "PushedFilters" in plan and "o_orderkey" in plan
+    )

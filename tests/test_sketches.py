@@ -105,3 +105,25 @@ def test_soft_dedup_uniques_always_survive(spark):
     # duplicate clusters: expected ~1 kept per cluster, never negative
     dup_rows = [r for r in rows if r.dup_count > 1]
     assert dup_rows  # injected duplicates exist
+
+
+def test_approx_percentile_bridges_exact_within_bound(spark):
+    """The docstrings of a13/dq_winsorize name approx_percentile as the
+    at-scale swap for the exact rank pass; pin that the swap is sound:
+    with accuracy 10000 the approximate p50/p99 of order cents sit
+    within 1% relative error of the exact order statistics."""
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+    from pyspark.sql import functions as F
+
+    o = load_testdata(spark, "/root/testdata/sf0.01", ("orders",))["orders"]
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    )
+    approx = cents.agg(
+        F.percentile_approx("c", [0.5, 0.99], 10000).alias("p")
+    ).head()["p"]
+    exact = cents.agg(
+        F.expr("percentile(c, array(0.5, 0.99))").alias("p")
+    ).head()["p"]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) / e < 0.01, (a, e)
