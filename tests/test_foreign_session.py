@@ -71,6 +71,13 @@ SMOKE_ENTRIES = [
     "w2_running_total",
     "multi_decode_meta",
     "dedup_embedding_lsh",
+    # round-5 timestamp-heavy additions: epoch-micros sessionization,
+    # hourly spine arithmetic, and hour-truncated attribution output —
+    # each formats or buckets event time and would skew first under a
+    # non-UTC session conf regression.
+    "path_top_trigrams",
+    "ts_interpolate_hourly",
+    "attrib_multi_model",
 ]
 
 
