@@ -5538,6 +5538,114 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_cusum_alerts",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT event_type, day, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM d
+),
+p AS (
+  SELECT event_type, day, cnt, i, (1000000 * tot) // nd AS mean_micro
+  FROM o
+),
+r AS (
+  SELECT event_type, day, cnt, i, mean_micro,
+         GREATEST(CAST(0 AS BIGINT),
+                  1000000 * cnt - mean_micro - mean_micro // 16) AS cusum
+  FROM p WHERE i = 1
+  UNION ALL
+  SELECT p.event_type, p.day, p.cnt, p.i, p.mean_micro,
+         GREATEST(CAST(0 AS BIGINT),
+                  r.cusum + 1000000 * p.cnt - p.mean_micro
+                  - p.mean_micro // 16)
+  FROM p JOIN r ON p.event_type = r.event_type AND p.i = r.i + 1
+)
+SELECT event_type, day, cnt, cusum,
+       cusum > mean_micro // 4 AS is_alert
+FROM r
+""",
+    doc="CUSUM change detection on daily event volumes — the drift "
+    "alarm a data-quality monitor runs over arrival counts: per "
+    "series, CUSUM_t = max(0, CUSUM_{t-1} + (x_t - mean - slack)), "
+    "alert when the accumulated positive drift crosses the threshold. "
+    "The recurrence is genuinely SEQUENTIAL state — not window-"
+    "expressible — and the engine runs it as a BOUNDED ARRAY FOLD in "
+    "pure Catalyst: each series' (day, cnt) rows collect into one "
+    "sorted array (days-per-series is bounded by the calendar, the "
+    "same bound streaming state relies on), one aggregate() fold "
+    "threads the accumulator through in order, and the result "
+    "explodes back to rows. Everything is integer micro-units "
+    "(mean = 1e6·total div n_days; slack mean/16; threshold mean/4) "
+    "so the fold is BIGINT-exact against the oracle's recursive CTE. "
+    "One exchange on the series key; at 100 TB the daily pre-"
+    "aggregate is the only fact-scale pass.",
+)
+def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("cnt").alias("tot"),
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("days"),
+    ).select(
+        "event_type",
+        "days",
+        F.expr("(1000000 * tot) div nd").alias("mean_micro"),
+    )
+    zero = F.lit(0).cast("long")
+    mean = F.col("mean_micro")
+    slack = F.expr("mean_micro div 16")
+    init = F.expr(
+        "CAST(array() AS array<struct<day: date, cnt: bigint, cusum: bigint>>)"
+    )
+    folded = F.aggregate(
+        F.col("days"),
+        init,
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["cnt"].alias("cnt"),
+                    F.greatest(
+                        zero,
+                        F.coalesce(F.try_element_at(acc, F.lit(-1))["cusum"], zero)
+                        + x["cnt"] * 1000000
+                        - mean
+                        - slack,
+                    ).alias("cusum"),
+                )
+            ),
+        ),
+    )
+    return (
+        per.select(
+            "event_type",
+            "mean_micro",
+            F.explode(folded).alias("r"),
+        )
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.cnt").alias("cnt"),
+            F.col("r.cusum").alias("cusum"),
+            (F.col("r.cusum") > F.expr("mean_micro div 4")).alias(
+                "is_alert"
+            ),
+        )
+    )
+
+
+@register(
     "dq_winsorize",
     oracle="""
 WITH c AS (
