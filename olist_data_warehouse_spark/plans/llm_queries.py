@@ -4061,6 +4061,151 @@ def reco_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "reco_item_lift",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
+supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM ui GROUP BY 1),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS s_ab
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT co.item_a, co.item_b, co.s_ab,
+       (1000000 * co.s_ab * n.n_users) // (sa.s * sb.s) AS lift_ppm
+FROM co
+JOIN supp sa ON sa.item = co.item_a
+JOIN supp sb ON sb.item = co.item_b
+CROSS JOIN n
+WHERE (1000000 * co.s_ab * n.n_users) // (sa.s * sb.s) > 1000000
+""",
+    doc="Association-rule LIFT over item pairs: lift(A,B) = "
+    "P(A∧B)/(P(A)P(B)) in integer ppm — N·s_ab·1e6 // (s_a·s_b), "
+    "pure BIGINT so the >1 threshold (genuinely associated pairs, "
+    "not popularity artifacts) cuts identically on both engines. "
+    "Same dedup-before-self-join discovery as the co-occurrence "
+    "recommender; per-item supports join back as a (vocabulary-"
+    "sized) broadcast and the total-users denominator is a one-row "
+    "cross join. Output bounded by the item-pair vocabulary.",
+)
+def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    n = ui.agg(F.countDistinct("user_id").alias("n_users"))
+    supp = ui.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("sb"))
+    lift = F.expr("(1000000 * s_ab * n_users) div (sa * sb)")
+    return (
+        co.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select("item_a", "item_b", "s_ab", lift.alias("lift_ppm"))
+        .filter(F.col("lift_ppm") > 1000000)
+    )
+
+
+# Benford first-digit expectation log10(1 + 1/d), floored to ppm —
+# nine plan literals, bit-identical on both engines by construction.
+_BENFORD_PPM = {
+    d: int(__import__("math").log10(1 + 1 / d) * 1_000_000)
+    for d in range(1, 10)
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+
+@register(
+    "dq_benford_digits",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v)
+SELECT v.digit,
+       CAST(COUNT(*) AS BIGINT) AS observed,
+       (1000000 * COUNT(*)) // n.total AS observed_ppm,
+       CASE v.digit {_BENFORD_CASE} END AS expected_ppm,
+       ABS((1000000 * COUNT(*)) // n.total
+           - CASE v.digit {_BENFORD_CASE} END) AS abs_dev_ppm
+FROM v CROSS JOIN n
+GROUP BY v.digit, n.total
+""",
+    doc="Benford's-law first-digit audit — the screening test fraud "
+    "and data-quality reviews run on money columns: observed "
+    "first-digit frequencies vs the log10(1+1/d) expectation, both "
+    "in integer ppm (the expectations are nine plan literals computed "
+    "once; observed shares are BIGINT floor-division), so deviations "
+    "are engine-exact. One scan + one 9-row aggregate; the total-row "
+    "denominator is a one-row broadcast. TPC-H prices are synthetic "
+    "uniforms, so the large deviations HERE are the point — the audit "
+    "flags exactly this kind of generated data.",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    v = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast(
+                "string"
+            ),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = v.agg(F.count(F.lit(1)).alias("total"))
+    expected = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pair in _BENFORD_PPM.items()
+                for x in pair
+            ]
+        ),
+        F.col("digit"),
+    ).cast("long")
+    return (
+        v.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(
+            "digit",
+            "observed",
+            F.expr("(1000000 * observed) div total").alias("observed_ppm"),
+            expected.alias("expected_ppm"),
+            F.abs(
+                F.expr("(1000000 * observed) div total") - expected
+            ).alias("abs_dev_ppm"),
+        )
+    )
+
+
 # Directed item graph for the PageRank demo: each item's top-3
 # co-occurring items (by shared-user count, ties to smaller id) — the
 # same edges a production "related items" job materializes.
