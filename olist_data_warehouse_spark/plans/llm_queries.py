@@ -5702,17 +5702,18 @@ p AS (
 ),
 r AS (
   SELECT event_type, day, cnt, i, mean_micro,
-         GREATEST(CAST(0 AS BIGINT),
-                  1000000 * cnt - mean_micro - mean_micro // 16) AS cusum
+         CAST(GREATEST(CAST(0 AS BIGINT),
+                  1000000 * cnt - mean_micro - mean_micro // 16)
+              AS BIGINT) AS cusum
   FROM p WHERE i = 1
   UNION ALL
   SELECT p.event_type, p.day, p.cnt, p.i, p.mean_micro,
-         GREATEST(CAST(0 AS BIGINT),
+         CAST(GREATEST(CAST(0 AS BIGINT),
                   r.cusum + 1000000 * p.cnt - p.mean_micro
-                  - p.mean_micro // 16)
+                  - p.mean_micro // 16) AS BIGINT)
   FROM p JOIN r ON p.event_type = r.event_type AND p.i = r.i + 1
 )
-SELECT event_type, day, cnt, cusum,
+SELECT event_type, day, cnt, CAST(cusum AS BIGINT) AS cusum,
        cusum > mean_micro // 4 AS is_alert
 FROM r
 """,
