@@ -709,3 +709,135 @@ def unattributed_purchases_join(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).cast("bigint").alias("secs_before"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift monitor (stateful twin of plans' ts_cusum_alerts)
+# ---------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = (
+    "event_type string, n_days int, max_cusum bigint, n_alerts int"
+)
+CUSUM_STATE_SCHEMA = "days array<int>, counts array<bigint>"
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _cusum_summary(
+    day_counts: dict[int, int], baseline_micro: int,
+    slack_div: int, thresh_div: int,
+) -> tuple[int, int, int]:
+    """(n_days, max_cusum, n_alerts) of the CUSUM trajectory over the
+    day->count map — the one shared kernel, so stream and batch twins
+    cannot drift. Integer micro-units throughout (the registered batch
+    op's arithmetic), truncating division."""
+    slack = baseline_micro // slack_div
+    thresh = baseline_micro // thresh_div
+    cusum = 0
+    max_cusum = 0
+    n_alerts = 0
+    for d in sorted(day_counts):
+        cusum = max(0, cusum + day_counts[d] * 1_000_000 - baseline_micro - slack)
+        max_cusum = max(max_cusum, cusum)
+        if cusum > thresh:
+            n_alerts += 1
+    return len(day_counts), max_cusum, n_alerts
+
+
+def cusum_batch(
+    events: DataFrame, baseline_micro: dict[str, int],
+    slack_div: int = 16, thresh_div: int = 4,
+) -> list[tuple]:
+    """Batch twin of :func:`cusum_stream` against an EXPLICIT baseline
+    (the monitoring posture: the reference rate comes from history or
+    an SLO, not from the data under test — unlike the registered
+    ts_cusum_alerts, which self-derives it for oracle checkability).
+    Pre-aggregates daily counts distributed, then runs the tiny
+    calendar-bounded trajectory on the driver via the shared kernel.
+    Returns sorted (event_type, n_days, max_cusum, n_alerts) rows."""
+    daily = (
+        events.select(
+            "event_type",
+            F.expr(
+                f"CAST(unix_micros(CAST(ts AS timestamp)) div {_US_PER_DAY}"
+                " AS int)"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per: dict[str, dict[int, int]] = {}
+    for r in daily:
+        per.setdefault(r.event_type, {})[r.day] = r.cnt
+    out = []
+    for et, dc in per.items():
+        if et not in baseline_micro:
+            continue
+        n_days, mx, na = _cusum_summary(
+            dc, baseline_micro[et], slack_div, thresh_div
+        )
+        out.append((et, n_days, mx, na))
+    return sorted(out)
+
+
+def cusum_stream(
+    events: DataFrame, baseline_micro: dict[str, int],
+    slack_div: int = 16, thresh_div: int = 4,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor via ``applyInPandasWithState`` —
+    sequential state that no windowed aggregate expresses, running
+    continuously: per series the state is the day->count map
+    (CALENDAR-BOUNDED, the same bound that justified the batch array
+    fold), each micro-batch merges its arrivals in, and the full
+    trajectory re-derives from state — so late events that raise an
+    EARLIER day's count retroactively reshape every later CUSUM value,
+    and the final emission equals the batch twin on any replay
+    schedule (buffer-and-finalize, the funnel_stream discipline).
+    Emits (event_type, n_days, max_cusum, n_alerts) per key per batch
+    in update mode; the latest emission per key is the answer. At
+    scale a production deployment finalizes days below the watermark
+    into a (cusum_at_day, max, alerts) prefix summary and drops their
+    buffered counts — the recurrence is resumable from any prefix."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = events.select(
+        "event_type",
+        F.expr(
+            f"CAST(unix_micros(CAST(ts AS timestamp)) div {_US_PER_DAY}"
+            " AS int)"
+        ).alias("day"),
+    ).filter(F.col("event_type").isin(*baseline_micro.keys()))
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            days, counts = state.get
+            dc = dict(zip(list(days or []), list(counts or [])))
+        else:
+            dc = {}
+        for pdf in pdf_iter:
+            for d, n in pdf.groupby("day").size().items():
+                dc[int(d)] = dc.get(int(d), 0) + int(n)
+        et = key[0]
+        n_days, mx, na = _cusum_summary(
+            dc, baseline_micro[et], slack_div, thresh_div
+        )
+        state.update((list(dc.keys()), [dc[k] for k in dc]))
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_days": [n_days],
+                "max_cusum": [mx],
+                "n_alerts": [na],
+            }
+        )
+
+    return pre.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

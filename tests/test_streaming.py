@@ -605,3 +605,92 @@ def test_checkpoint_recovery_resumes_state_exactly_once(spark):
         emitted = spark.read.parquet(out).count()
         run(src, ckpt, out)
         assert spark.read.parquet(out).count() == emitted
+
+
+def test_cusum_stream_matches_batch_and_corrects_late_days(spark):
+    """Streaming CUSUM monitor: the final per-series emission equals
+    the batch twin, AND replaying the timeline out of order (second
+    half first) converges to the same summary — late events that raise
+    an EARLIER day's count must retroactively reshape the trajectory
+    (buffer-and-finalize, like the funnel)."""
+    import os
+    import tempfile
+
+    events = load_testdata(spark, SF, ("events",))["events"]
+    baseline = {
+        r.event_type: int(r.m)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST((1000000 * count(*)) div count(DISTINCT "
+                "unix_micros(CAST(ts AS timestamp)) div 86400000000) "
+                "AS bigint)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    expected = ev.cusum_batch(events, baseline)
+    assert expected, "baseline/batch twin produced no series"
+
+    # in-order availableNow replay
+    stream = ev.cusum_stream(ev.read_events_stream(spark, SF), baseline)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table("cusum_stream")
+        .withColumn("o", F.monotonically_increasing_id())
+        .groupBy("event_type")
+        .agg(F.max_by(F.struct("n_days", "max_cusum", "n_alerts"), "o").alias("s"))
+        .select("event_type", "s.n_days", "s.max_cusum", "s.n_alerts")
+    )
+    got = sorted(map(tuple, final.collect()))
+    assert got == expected
+
+    # out-of-order: write second half then first half as separate
+    # files, one file per trigger -> two real micro-batches
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).collect()[0][0]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.filter(
+            F.unix_micros(F.col("ts").cast("timestamp")) >= cut
+        ).coalesce(1).write.parquet(os.path.join(src, "half=late"))
+        events.filter(
+            F.unix_micros(F.col("ts").cast("timestamp")) < cut
+        ).coalesce(1).write.parquet(os.path.join(src, "half=early"))
+        sstream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/half=*")
+        )
+        q2 = (
+            ev.cusum_stream(sstream, baseline)
+            .writeStream.format("memory")
+            .queryName("cusum_ooo")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        final2 = (
+            spark.table("cusum_ooo")
+            .withColumn("o", F.monotonically_increasing_id())
+            .groupBy("event_type")
+            .agg(
+                F.max_by(
+                    F.struct("n_days", "max_cusum", "n_alerts"), "o"
+                ).alias("s")
+            )
+            .select("event_type", "s.n_days", "s.max_cusum", "s.n_alerts")
+        )
+        assert sorted(map(tuple, final2.collect())) == expected
+        # two real micro-batches: at least one series emitted twice
+        emits = spark.table("cusum_ooo").groupBy("event_type").count()
+        assert emits.filter(F.col("count") >= 2).count() > 0
