@@ -5683,6 +5683,116 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_snapshot_diff",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+delta AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) + 1
+              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+j AS (
+  SELECT COALESCE(b.k, d.k) AS k,
+         b.k IS NOT NULL AS in_base, d.k IS NOT NULL AS in_delta,
+         b.st AS b_st, d.st AS d_st, b.cents AS b_c, d.cents AS d_c
+  FROM base b FULL OUTER JOIN delta d ON b.k = d.k
+)
+SELECT
+  CAST(SUM(CASE WHEN NOT in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN NOT in_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN in_base AND in_delta
+                 AND (b_st != d_st OR b_c != d_c) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN in_base AND in_delta
+                 AND b_st = d_st AND b_c = d_c THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_unchanged,
+  CAST(SUM(CASE WHEN in_base AND in_delta AND b_c != d_c THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_price_changed,
+  CAST(SUM(CASE WHEN in_base AND in_delta AND b_st != d_st THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_status_changed
+FROM j
+""",
+    doc="Snapshot diff — the data-diff audit every migration, backfill "
+    "or pipeline-upgrade review runs before swapping a table: one "
+    "full-outer join on the key classifies every row as added / "
+    "removed / changed / unchanged and attributes changes per column, "
+    "collapsing to a single audit row. Money compares in integer "
+    "cents (engine-exact); the delta here is a deterministic "
+    "synthetic mutation set (drops, +1-cent edits, inserts) so the "
+    "oracle reproduces the exact counts. Plan shape: ONE shuffle for "
+    "the full-outer join, then a map-side-combined scalar aggregate; "
+    "at 100 TB the join keys on the table's natural/bucketed key and "
+    "a column-pruned comparison set keeps the shuffle narrow — the "
+    "fingerprint manifest (write_with_manifest) answers the cheaper "
+    "'identical or not' question without any join at all.",
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.when(F.col("o_orderkey") % 5 == 0, cents + 1)
+            .otherwise(cents)
+            .alias("cents"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.col("o_orderstatus").alias("st"),
+                cents.alias("cents"),
+            )
+        )
+    )
+    b = base.select(
+        F.col("k"), F.col("st").alias("b_st"), F.col("cents").alias("b_c")
+    )
+    d = delta.select(
+        F.col("k"), F.col("st").alias("d_st"), F.col("cents").alias("d_c")
+    )
+    j = b.join(d, "k", "full_outer").select(
+        F.col("b_st").isNotNull().alias("in_base"),
+        F.col("d_st").isNotNull().alias("in_delta"),
+        "b_st", "d_st", "b_c", "d_c",
+    )
+    both = F.col("in_base") & F.col("in_delta")
+    chg = (F.col("b_st") != F.col("d_st")) | (F.col("b_c") != F.col("d_c"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    return j.agg(
+        F.sum(F.when(~F.col("in_base"), one).otherwise(zero))
+        .cast("long").alias("n_added"),
+        F.sum(F.when(~F.col("in_delta"), one).otherwise(zero))
+        .cast("long").alias("n_removed"),
+        F.sum(F.when(both & chg, one).otherwise(zero))
+        .cast("long").alias("n_changed"),
+        F.sum(F.when(both & ~chg, one).otherwise(zero))
+        .cast("long").alias("n_unchanged"),
+        F.sum(F.when(both & (F.col("b_c") != F.col("d_c")), one).otherwise(zero))
+        .cast("long").alias("n_price_changed"),
+        F.sum(F.when(both & (F.col("b_st") != F.col("d_st")), one).otherwise(zero))
+        .cast("long").alias("n_status_changed"),
+    )
+
+
+@register(
     "ts_cusum_alerts",
     oracle="""
 WITH RECURSIVE d AS (
