@@ -5683,6 +5683,99 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_psi_splits",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 10000 < 8000
+              THEN 1 ELSE 0 END AS is_train
+  FROM documents
+),
+b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM s),
+bucketed AS (
+  SELECT is_train,
+         LEAST(((n_chars - b.lo) * 10) // (b.hi - b.lo + 1),
+               CAST(9 AS BIGINT)) AS bucket
+  FROM s CROSS JOIN b
+),
+c AS (
+  SELECT bucket,
+         CAST(SUM(is_train) + 1 AS BIGINT) AS a,
+         CAST(SUM(1 - is_train) + 1 AS BIGINT) AS h
+  FROM bucketed GROUP BY bucket
+),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(h) AS BIGINT) AS th
+      FROM c)
+SELECT c.bucket,
+       (1000000 * c.a) // t.ta AS train_ppm,
+       (1000000 * c.h) // t.th AS held_ppm,
+       CAST(((1000000 * c.a) // t.ta - (1000000 * c.h) // t.th)
+            * CAST(floor(1000000.0 * ln(
+                CAST((1000000 * c.a) // t.ta AS DOUBLE) /
+                ((1000000 * c.h) // t.th))) AS BIGINT)
+            AS BIGINT) AS psi_contrib
+FROM c CROSS JOIN t
+""",
+    doc="Population Stability Index between the train and held-out "
+    "splits — the standard ML-ops drift check that a split (or a new "
+    "data batch vs the training distribution) hasn't shifted: "
+    "Σ (p_a − p_b)·ln(p_a/p_b) over 10 equal-width feature buckets, "
+    "computed entirely in integers — shares in floor-div ppm with "
+    "add-one smoothing, one ln per BUCKET floored to micro-nats (the "
+    "BM25/unigram precedent), so per-bucket contributions (1e-12 "
+    "units) hash identically on both engines. Two scans (bounds, "
+    "then bucket counts), a 10-row aggregate, and one-row broadcasts "
+    "for the bounds and totals — at 100 TB the cost is the one "
+    "bucketing pass; PSI > 0.2 is the conventional "
+    "retrain/investigate trigger.",
+)
+def dq_psi_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+    s = d.select(
+        "n_chars",
+        F.when(
+            sampling.hash_bucket(F.col("doc_id"), "split") < 8000, 1
+        ).otherwise(0).alias("is_train"),
+    )
+    b = s.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    bucketed = s.crossJoin(F.broadcast(b)).select(
+        "is_train",
+        F.least(
+            F.expr("((n_chars - lo) * 10) div (hi - lo + 1)"),
+            F.lit(9).cast("long"),
+        ).alias("bucket"),
+    )
+    c = bucketed.groupBy("bucket").agg(
+        (F.sum("is_train") + 1).cast("long").alias("a"),
+        (F.sum(1 - F.col("is_train")) + 1).cast("long").alias("h"),
+    )
+    t = c.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("h").cast("long").alias("th"),
+    )
+    out = c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        F.expr("(1000000 * a) div ta").alias("train_ppm"),
+        F.expr("(1000000 * h) div th").alias("held_ppm"),
+    )
+    ln_ratio = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            F.col("train_ppm").cast("double") / F.col("held_ppm")
+        )
+    ).cast("long")
+    return out.select(
+        "bucket",
+        "train_ppm",
+        "held_ppm",
+        ((F.col("train_ppm") - F.col("held_ppm")) * ln_ratio)
+        .cast("long")
+        .alias("psi_contrib"),
+    )
+
+
+@register(
     "dq_snapshot_diff",
     oracle="""
 WITH base AS (
