@@ -5149,9 +5149,83 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivm_index_merge",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+words AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+postings AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS posting_list
+  FROM words
+  WHERE term != '' AND term NOT IN ({_STOPWORDS_SQL})
+  GROUP BY term
+)
+SELECT term, df, posting_list FROM postings WHERE df >= 2
+""",
+    doc="Incremental VIEW MAINTENANCE for the inverted index: the "
+    "engine builds a BASE index over 90% of the corpus and a DELTA "
+    "index over the new 10%, then merges postings per term "
+    "(array_union of the doc sets, df = merged size) — and the oracle "
+    "is the FULL REBUILD over everything, so the gate proves "
+    "merge(index(A), index(B)) == index(A ∪ B) exactly. This is the "
+    "set-valued sibling of ivm_agg_merge's distributive sums: "
+    "collect_set is mergeable, so a nightly index refresh costs one "
+    "pass over the delta plus a term-keyed join against the base — "
+    "never a corpus rebuild. The df >= 2 publication filter applies "
+    "AFTER the merge (a term can cross the threshold when the delta "
+    "lands), exactly as a rebuild would.",
+)
+def ivm_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+
+    def side_index(part: DataFrame) -> DataFrame:
+        return (
+            part.select(
+                "doc_id", F.explode(textops.tokens("text")).alias("term")
+            )
+            .filter(
+                (F.col("term") != "")
+                & ~F.col("term").isin(*textops.STOPWORDS)
+            )
+            .groupBy("term")
+            .agg(F.collect_set("doc_id").alias("docs"))
+        )
+
+    base = side_index(d.filter(F.col("doc_id") % 10 != 0))
+    delta = side_index(d.filter(F.col("doc_id") % 10 == 0))
+    empty = F.array().cast("array<bigint>")
+    merged = (
+        base.select("term", F.col("docs").alias("b_docs"))
+        .join(
+            delta.select("term", F.col("docs").alias("d_docs")),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            F.array_union(
+                F.coalesce("b_docs", empty), F.coalesce("d_docs", empty)
+            ).alias("docs"),
+        )
+    )
+    return (
+        merged.select(
+            "term",
+            F.size("docs").cast("long").alias("df"),
+            F.array_join(
+                F.transform(F.array_sort("docs"), lambda x: x.cast("string")),
+                ",",
+            ).alias("posting_list"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
 # Fixed retrieval query for the BM25 demo: three mid-frequency corpus
 # terms. A real system parameterizes this; a fixed literal keeps the
-# registry entry deterministic and oracle-checkable.
+# entry deterministic and oracle-checkable.
 _BM25_TERMS = ("spark", "merge", "window")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
