@@ -5150,6 +5150,99 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_keywords_topk",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term != '' AND term NOT IN ({_STOPWORDS_SQL})
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(floor(1000000.0 *
+           (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) + 1.0))
+           AS BIGINT) AS w
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, term) AS rn
+  FROM w
+)
+SELECT doc_id,
+       string_agg(term, ',' ORDER BY rn) AS keywords
+FROM ranked WHERE rn <= 3 GROUP BY doc_id
+""",
+    doc="Keyword extraction: each document's top-3 TF-IDF terms "
+    "(stopwords excluded) as a deterministic rank-ordered CSV — the "
+    "tagging/snippeting pass search and labeling pipelines run over "
+    "a corpus. Weights reuse the integer micro-nat idf discipline "
+    "(one ln per TERM, BIGINT products), so ranks — and the CSV — "
+    "are engine-exact with (weight desc, term) tie-breaks. Plan: the "
+    "tf aggregate's exchange is the only fact-scale shuffle; df joins "
+    "back vocabulary-sized, the per-doc window rides the existing "
+    "doc_id partitioning of the tf output.",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
+    tf = (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+        .filter(
+            (F.col("term") != "") & ~F.col("term").isin(*textops.STOPWORDS)
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(1000000.0)
+                    * (
+                        F.log(
+                            (F.col("n_docs") + 1).cast("double")
+                            / (F.col("df") + 1)
+                        )
+                        + 1.0
+                    )
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                ",",
+            ).alias("keywords")
+        )
+    )
+
+
+@register(
     "ivm_index_merge",
     oracle=f"""
 WITH {SQL_NORM_TOKENS},

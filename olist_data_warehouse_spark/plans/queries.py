@@ -1657,7 +1657,7 @@ DRIVER_PRIORITY = [
     "samp_weighted_fixed_k", "dq_winsorize", "scd2_point_in_time",
     "ts_cusum_alerts", "t5_keyset_page", "reco_item_lift",
     "dq_benford_digits", "dq_snapshot_diff", "dq_psi_splits",
-    "ivm_index_merge",
+    "ivm_index_merge", "text_keywords_topk",
     # (flagship pairs q1/q2/q3 + j7 + f3 drop out of the prefix this
     # round: all green in r4 and untouched since — re-confirming them
     # would cost 10 slots the never-evaluated entries need. They stay
