@@ -1639,17 +1639,16 @@ DRIVER_PRIORITY = [
     # under the driver.
     "dedup_embedding_lsh",
     # more round-5 additions, highest-risk first (new composition /
-    # driver-env-sensitive types / heaviest plans). The remaining new
-    # entries (w10_range_numeric_frame, sk_hll_set_algebra,
-    # samp_soft_dedup, f8_calendar_features, a21_multi_distinct,
-    # w11_ratio_to_report, w12_rank_variants, set_except_all,
-    # stream_funnel_users, stream_unattributed_join) sit just past the
-    # 50-cap — rotate them in next round; all run green in the local
-    # sf0.01 replica continuously.
+    # driver-env-sensitive types / heaviest plans).
     "samp_cluster_split", "json_variant_extract", "dedup_cdc_chunks",
     "text_inverted_index", "text_bm25_topk", "link_fuzzy_parts",
     "ts_ohlc_bars", "dq_zscore_outliers", "dedup_latest_snapshot",
-    # newest additions lead the r6 rotation pool (positions 51+):
+    # --- 50-cap falls here. Everything below is the r6 ROTATION POOL,
+    # newest-first: round-5 entries without driver evidence yet. All
+    # run green continuously in the local sf0.001 replica
+    # (tests/test_queries_oracle.py), were each hand-verified against
+    # DuckDB at sf0.01 when added, and the prefix-50 was re-verified
+    # at the driver's sf0.01 gate scale this round (0 fails).
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
