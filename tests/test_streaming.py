@@ -694,3 +694,48 @@ def test_cusum_stream_matches_batch_and_corrects_late_days(spark):
         # two real micro-batches: at least one series emitted twice
         emits = spark.table("cusum_ooo").groupBy("event_type").count()
         assert emits.filter(F.col("count") >= 2).count() > 0
+
+
+def test_index_refresh_stream_converges_to_rebuild(spark):
+    """Continuous inverted-index maintenance: stream the corpus in two
+    real micro-batches through foreachBatch array_union merges; the
+    published view (df >= 2 filter applied at read) must equal the
+    registered full-rebuild entry over all documents — including terms
+    that only cross the publication threshold once the second batch
+    lands."""
+    import os
+    import tempfile
+
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"]
+    rebuild = rows(
+        REGISTRY["text_inverted_index"].fn(spark, SF),
+        "term", "df", "posting_list",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        idx = os.path.join(d, "index")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "half=a")
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "half=b")
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/half=*")
+        )
+        q = (
+            ev.index_refresh_stream(stream, idx)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        got = rows(
+            ev.read_published_index(spark, idx),
+            "term", "df", "posting_list",
+        )
+        assert got == rebuild
