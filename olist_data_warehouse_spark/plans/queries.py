@@ -1646,9 +1646,9 @@ DRIVER_PRIORITY = [
     # --- 50-cap falls here. Everything below is the r6 ROTATION POOL,
     # newest-first: round-5 entries without driver evidence yet. All
     # run green continuously in the local sf0.001 replica
-    # (tests/test_queries_oracle.py), were each hand-verified against
-    # DuckDB at sf0.01 when added, and the prefix-50 was re-verified
-    # at the driver's sf0.01 gate scale this round (0 fails).
+    # (tests/test_queries_oracle.py), and the ENTIRE registry — the
+    # 50-prefix and all 121 pool entries — was swept green against
+    # DuckDB at the driver's sf0.01 gate scale this round (0 fails).
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
