@@ -744,3 +744,52 @@ def test_keyset_page_pushes_cursor_filter_to_scan(spark):
     assert "GreaterThan(o_orderkey,1000)" in plan.replace(" ", "") or (
         "PushedFilters" in plan and "o_orderkey" in plan
     )
+
+
+def test_ivfpq_pipeline_never_nested_loops(spark):
+    """IVF-PQ composition: centroid id and PQ codes are in-scan
+    expressions, every join equi/broadcast, no Python workers."""
+    plan = plan_of(spark, "sim_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_split_stays_hash_joins(spark):
+    """Leakage-safe split: LSH discovery + CC closure + split must all
+    plan as equi joins — no cartesian, no Python."""
+    plan = plan_of(spark, "samp_cluster_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_single_join_scalar_agg(spark):
+    """Snapshot diff: ONE full-outer join (SortMergeJoin FullOuter or
+    shuffled hash), then a scalar aggregate — no window, no second
+    data-scale join."""
+    import re
+
+    plan = plan_of(spark, "dq_snapshot_diff")
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan
+    assert "Window" not in plan
+
+
+def test_cusum_fold_single_series_exchange(spark):
+    """CUSUM: the sequential fold is a pure expression over the
+    collected array — no Python, no window, no join; exchanges are the
+    daily pre-aggregate + series collect only."""
+    plan = plan_of(spark, "ts_cusum_alerts")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert _n_exchanges(plan) <= 2
+
+
+def test_interpolation_single_series_partitioning(spark):
+    """Linear interpolation: both IGNORE NULLS window passes ride the
+    same event_type partitioning — no rangepartitioning/global sort."""
+    plan = plan_of(spark, "ts_interpolate_hourly")
+    assert "rangepartitioning" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
