@@ -5184,9 +5184,12 @@ FROM ranked WHERE rn <= 3 GROUP BY doc_id
     "a corpus. Weights reuse the integer micro-nat idf discipline "
     "(one ln per TERM, BIGINT products), so ranks — and the CSV — "
     "are engine-exact with (weight desc, term) tie-breaks. Plan: the "
-    "tf aggregate's exchange is the only fact-scale shuffle; df joins "
-    "back vocabulary-sized, the per-doc window rides the existing "
-    "doc_id partitioning of the tf output.",
+    "tf aggregate's exchange is the only fact-scale shuffle (token "
+    "stream -> (doc, term) pairs, partial-combined map-side); df "
+    "joins back vocabulary-sized as a broadcast, and the per-doc "
+    "window re-keys the already-collapsed (doc, term, weight) rows — "
+    "a doc-grain exchange, orders of magnitude below the token "
+    "stream.",
 )
 def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
