@@ -1059,6 +1059,11 @@ def pq_codebooks(
     compiled into the scan expression; production swaps in per-subspace
     k-means without changing any plan shape."""
     seeds = _seed_centroids(embeddings, n_codes)
+    if not seeds:
+        # empty corpus (or no vec_id < n_codes): no codebooks — callers
+        # return empty results, matching lsh_band_bucket_table's
+        # empty-input contract
+        return []
     dim = len(seeds[0][1])
     sub = dim // n_subspaces
     return [
@@ -1111,6 +1116,21 @@ def _sub_dists(emb: Column, m: int, sub: int, book) -> list[Column]:
     return out
 
 
+def _pq_code_cols(emb, books, sub: int) -> list[Column]:
+    """One argmin column per subspace (rounded-6 distance, code-id
+    tie-break) — the SINGLE encoding definition shared by pq_encode,
+    pq_encode_raw, and ivfpq_topk so a tie-break or rounding change
+    can never fork engine/oracle parity between entries."""
+    cols = []
+    for m, book in enumerate(books):
+        entries = F.array(*[
+            F.struct(d.alias("d"), F.lit(idx).alias("c"))
+            for (idx, _w), d in zip(book, _sub_dists(emb, m, sub, book))
+        ])
+        cols.append(F.array_min(entries)["c"])
+    return cols
+
+
 def pq_encode(
     embeddings: DataFrame, n_subspaces: int = 4, n_codes: int = 8
 ) -> DataFrame:
@@ -1122,21 +1142,11 @@ def pq_encode(
     subspace) — zero joins, zero shuffles, the same narrow shape as
     ivf_assign. pq_code serializes as a CSV string (the portable array
     encoding used by the histogram/posting entries)."""
-    books = pq_codebooks(embeddings, n_subspaces, n_codes)
-    dim = _emb_dim(embeddings)
-    sub = dim // n_subspaces
-    codes = []
-    for m, book in enumerate(books):
-        entries = F.array(*[
-            F.struct(
-                d.alias("d"), F.lit(idx).alias("c")
-            )
-            for (idx, _w), d in zip(book, _sub_dists(F.col("embedding"), m, sub, book))
-        ])
-        codes.append(F.array_min(entries)["c"])
-    return embeddings.select(
+    return pq_encode_raw(embeddings, n_subspaces, n_codes).select(
         "vec_id",
-        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("pq_code"),
+        F.array_join(
+            F.transform(F.col("pq_codes"), lambda c: c.cast("string")), ","
+        ).alias("pq_code"),
     )
 
 
@@ -1203,14 +1213,12 @@ def pq_encode_raw(
     int array, the registry entry hashes the string form)."""
     books = pq_codebooks(embeddings, n_subspaces, n_codes)
     dim = _emb_dim(embeddings)
+    if not books or dim is None:
+        return embeddings.select("vec_id").limit(0).select(
+            "vec_id", F.array().cast("array<int>").alias("pq_codes")
+        )
     sub = dim // n_subspaces
-    codes = []
-    for m, book in enumerate(books):
-        entries = F.array(*[
-            F.struct(d.alias("d"), F.lit(idx).alias("c"))
-            for (idx, _w), d in zip(book, _sub_dists(F.col("embedding"), m, sub, book))
-        ])
-        codes.append(F.array_min(entries)["c"])
+    codes = _pq_code_cols(F.col("embedding"), books, sub)
     return embeddings.select("vec_id", F.array(*codes).alias("pq_codes"))
 
 
@@ -1242,6 +1250,13 @@ def ivfpq_topk(
     cents = _seed_centroids(embeddings, n_centroids)
     books = pq_codebooks(embeddings, n_subspaces, n_codes)
     dim = _emb_dim(embeddings)
+    if not books or not cents or dim is None:
+        return embeddings.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
     sub = dim // n_subspaces
 
     normed = embeddings.select(
@@ -1257,15 +1272,7 @@ def ivfpq_topk(
             ),
         )
     )
-    code_cols = []
-    for m, book in enumerate(books):
-        entries = F.array(*[
-            F.struct(d.alias("d"), F.lit(idx).alias("c"))
-            for (idx, _w), d in zip(
-                book, _sub_dists(F.col("embedding"), m, sub, book)
-            )
-        ])
-        code_cols.append(F.array_min(entries)["c"])
+    code_cols = _pq_code_cols(F.col("embedding"), books, sub)
     corpus = normed.select(
         "vec_id",
         "embedding",

@@ -5878,12 +5878,13 @@ c AS (
 t AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(h) AS BIGINT) AS th
       FROM c)
 SELECT c.bucket,
-       (1000000 * c.a) // t.ta AS train_ppm,
-       (1000000 * c.h) // t.th AS held_ppm,
-       CAST(((1000000 * c.a) // t.ta - (1000000 * c.h) // t.th)
+       GREATEST((1000000 * c.a) // t.ta, 1) AS train_ppm,
+       GREATEST((1000000 * c.h) // t.th, 1) AS held_ppm,
+       CAST((GREATEST((1000000 * c.a) // t.ta, 1)
+             - GREATEST((1000000 * c.h) // t.th, 1))
             * CAST(floor(1000000.0 * ln(
-                CAST((1000000 * c.a) // t.ta AS DOUBLE) /
-                ((1000000 * c.h) // t.th))) AS BIGINT)
+                CAST(GREATEST((1000000 * c.a) // t.ta, 1) AS DOUBLE) /
+                GREATEST((1000000 * c.h) // t.th, 1))) AS BIGINT)
             AS BIGINT) AS psi_contrib
 FROM c CROSS JOIN t
 """,
@@ -5892,9 +5893,10 @@ FROM c CROSS JOIN t
     "data batch vs the training distribution) hasn't shifted: "
     "Σ (p_a − p_b)·ln(p_a/p_b) over 10 equal-width feature buckets, "
     "computed entirely in integers — shares in floor-div ppm with "
-    "add-one smoothing, one ln per BUCKET floored to micro-nats (the "
-    "BM25/unigram precedent), so per-bucket contributions (1e-12 "
-    "units) hash identically on both engines. Two scans (bounds, "
+    "add-one smoothing, clamped to >= 1 ppm so an extreme-skew bucket "
+    "can never push ln to 0's pole, one ln per BUCKET floored to "
+    "micro-nats (the BM25/unigram precedent), so per-bucket "
+    "contributions (1e-12 units) hash identically on both engines. Two scans (bounds, "
     "then bucket counts), a 10-row aggregate, and one-row broadcasts "
     "for the bounds and totals — at 100 TB the cost is the one "
     "bucketing pass; PSI > 0.2 is the conventional "
@@ -5924,10 +5926,17 @@ def dq_psi_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("long").alias("ta"),
         F.sum("h").cast("long").alias("th"),
     )
+    # Clamp shares to >= 1 ppm: at very large totals a near-empty
+    # bucket's floor-divided share is 0 even after add-one smoothing,
+    # and ln(0) hard-errors in DuckDB / NULLs in Spark — exactly on
+    # the skewed inputs PSI exists to flag. 1 ppm is the resolution
+    # floor of the share unit.
     out = c.crossJoin(F.broadcast(t)).select(
         "bucket",
-        F.expr("(1000000 * a) div ta").alias("train_ppm"),
-        F.expr("(1000000 * h) div th").alias("held_ppm"),
+        F.greatest(F.expr("(1000000 * a) div ta"), F.lit(1).cast("long"))
+        .alias("train_ppm"),
+        F.greatest(F.expr("(1000000 * h) div th"), F.lit(1).cast("long"))
+        .alias("held_ppm"),
     )
     ln_ratio = F.floor(
         F.lit(1000000.0)

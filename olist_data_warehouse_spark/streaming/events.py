@@ -801,6 +801,11 @@ def cusum_stream(
     buffered counts — the recurrence is resumable from any prefix."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if not baseline_micro:
+        raise ValueError(
+            "cusum_stream needs at least one (event_type, baseline) — "
+            "an empty baseline dict cannot even build the series filter"
+        )
     pre = events.select(
         "event_type",
         F.expr(
@@ -868,11 +873,27 @@ def index_refresh_stream(docs_stream: DataFrame, index_path: str):
     picks trigger/checkpoint.
     """
     import os
+    import shutil
 
     from olist_data_warehouse_spark.operators import textops
 
+    tmp_path = index_path.rstrip("/") + "._staging"
+
+    def _has_parquet(p: str) -> bool:
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+        )
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
+        # Crash recovery: a completed staging dir with no live index
+        # means the previous batch died between removing the old index
+        # and publishing the new one — promote the staging copy first
+        # so the merge below never degrades to delta-only.
+        if not _has_parquet(index_path) and _has_parquet(tmp_path):
+            os.replace(tmp_path, index_path)
         delta = (
             batch_df.select(
                 "doc_id", F.explode(textops.tokens("text")).alias("term")
@@ -885,11 +906,7 @@ def index_refresh_stream(docs_stream: DataFrame, index_path: str):
             .agg(F.collect_set("doc_id").alias("docs"))
         )
         empty = F.array().cast("array<bigint>")
-        if os.path.isdir(index_path) and any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(index_path)
-            for f in fs
-        ):
+        if _has_parquet(index_path):
             base = spark_l.read.parquet(index_path)
             merged = (
                 base.select("term", F.col("docs").alias("b"))
@@ -905,8 +922,18 @@ def index_refresh_stream(docs_stream: DataFrame, index_path: str):
                     ).alias("docs"),
                 )
             )
-            merged = merged.localCheckpoint(eager=True)
-            merged.write.mode("overwrite").parquet(index_path)
+            # Publish via staging + swap, never overwrite-in-place: an
+            # in-place overwrite deletes the base BEFORE the write job
+            # commits, so any mid-write failure would silently reset
+            # the index to delta-only on the checkpointed retry. The
+            # staging write can fail harmlessly (base intact, retry
+            # re-merges); after it commits, the swap window is covered
+            # by the recovery branch above. A lakehouse MERGE gives
+            # the same contract as one atomic commit.
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(tmp_path)
+            shutil.rmtree(index_path, ignore_errors=True)
+            os.replace(tmp_path, index_path)
         else:
             delta.write.mode("overwrite").parquet(index_path)
 
