@@ -411,3 +411,29 @@ def test_manifest_roundtrip_order_invariant_and_tamper_evident(spark, tmp_path):
     )
     m3 = write_with_manifest(mutated, p3)
     assert m3["fingerprint"] != m1["fingerprint"]
+
+
+def test_manifest_detects_schema_drift(spark, tmp_path):
+    """verify_manifest must fail when the parquet gained a column even
+    if the manifest's own columns are byte-identical — projecting to
+    the manifest columns would wave the drift through."""
+    from olist_data_warehouse_spark.sources.writers import (
+        verify_manifest,
+        write_with_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).selectExpr("id", "cast(id as string) AS v")
+    p = str(tmp_path / "m")
+    write_with_manifest(df, p)
+    assert verify_manifest(spark, p)
+    # rewrite with an extra column, same rows; keep the old manifest
+    import json
+    import os
+
+    with open(os.path.join(p, "_MANIFEST.json")) as f:
+        manifest = f.read()
+    df.withColumn("leaked", F.lit("x")).write.mode("overwrite").parquet(p)
+    with open(os.path.join(p, "_MANIFEST.json"), "w") as f:
+        f.write(manifest)
+    assert not verify_manifest(spark, p)
