@@ -6660,3 +6660,298 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_rows) div total").alias("share_ppm"),
         )
     )
+
+
+# Shared CTE for the bounded-degree item graph: each item's top-5
+# co-occurring neighbors (by shared-user support, ties to smaller id),
+# then symmetrized into an undirected (a < b) edge set. The top-k cap
+# is the scale fuse: degree is bounded by 2k regardless of how dense
+# the raw co-occurrence gets (at sf0.001 the raw graph is a near-
+# clique — 4,897 of 4,950 possible pairs), so the wedge join below is
+# O(V * k^2), not O(V^3).
+_KNN_EDGES_SQL = """
+ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+co AS (
+  SELECT a.item AS src, b.item AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item != b.item
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY n_users DESC, dst) AS rn
+    FROM co
+  ) WHERE rn <= 5
+),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM knn
+)
+""".strip()
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+WITH {_KNN_EDGES_SQL},
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS item FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY item
+""",
+    doc="Distributed triangle counting over the bounded-degree item "
+    "graph (top-5 co-occurrence neighbors per item, symmetrized to "
+    "an undirected a<b edge list) — the third graph-family member "
+    "beyond connected components and PageRank, and the standard "
+    "cohesion feature for community detection and spam/bot audits. "
+    "The id-ordered orientation (a<b<c via two ordered hash joins + "
+    "a closing-edge join) enumerates each triangle exactly once with "
+    "no candidate explosion; per-corner participation counts come "
+    "from a union of three projections of the (a,b,c) triple, one "
+    "map-side-combined aggregate. At 100 TB: the top-k cap bounds "
+    "every join's fan-out at k^2 per vertex, all three joins shuffle "
+    "only (BIGINT, BIGINT) pairs, and the raw co-occurrence density "
+    "never reaches the wedge join (the cap is applied per-src before "
+    "symmetrization, same as graph_pagerank_items).",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("src"))
+    b = ui.select("user_id", F.col("item").alias("dst"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
+    edges = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("item"))
+        .union(tri.select(F.col("b").alias("item")))
+        .union(tri.select(F.col("c").alias("item")))
+    )
+    return corners.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@register(
+    "ts_max_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts AS s, ts + INTERVAL 15 MINUTE AS e FROM events
+),
+deltas AS (
+  SELECT event_type, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, CAST(-1 AS BIGINT) AS d FROM iv
+),
+running AS (
+  SELECT event_type, t, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+),
+peak AS (
+  SELECT event_type, max(conc) AS peak_concurrency
+  FROM running GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+       min(r.t) AS first_peak_ts
+FROM running r JOIN peak p
+  ON r.event_type = p.event_type AND r.conc = p.peak_concurrency
+GROUP BY r.event_type, p.peak_concurrency
+""",
+    doc="Sweep-line peak concurrency per event type: every event "
+    "opens a 15-minute dwell interval [ts, ts+15m); +1/-1 boundary "
+    "deltas, a running sum ordered by (t, d), and the max is the "
+    "peak number of simultaneously-open intervals — the classic "
+    "interval-overlap aggregation behind capacity planning and "
+    "session-concurrency dashboards. Determinism under ties is "
+    "argued, not assumed: rows tying on the sort key (t, d) all "
+    "carry the SAME delta, so the multiset of running-sum values "
+    "inside a tie group is permutation-invariant — max and "
+    "first-peak-ts are well-defined on both engines even though "
+    "neither promises a stable sort. Ordering d ascending puts -1 "
+    "closes before +1 opens at the same instant (end-exclusive "
+    "semantics). Plan: one exchange on event_type feeds the "
+    "running-sum sort, the 5-row peak table broadcasts back, and "
+    "the final aggregate reuses the same partitioning — at 100 TB "
+    "the per-key sort is the cost, which is exactly the sweep "
+    "line's sequential nature; finer sharding (e.g. per day with "
+    "boundary stitching) is the documented scale-out.",
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    deltas = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).cast("long").alias("d")
+    ).union(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).cast("long").alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.select(
+        "event_type", "t", F.sum("d").over(w).alias("conc")
+    )
+    peak = running.groupBy("event_type").agg(
+        F.max("conc").alias("peak_concurrency")
+    )
+    return (
+        running.join(F.broadcast(peak), "event_type")
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .select("event_type", "peak_concurrency", "first_peak_ts")
+    )
+
+
+@register(
+    "w13_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+rolled AS (
+  SELECT o_orderpriority, day, c,
+         list_sort(list(c) OVER (
+           PARTITION BY o_orderpriority ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+  FROM daily
+)
+SELECT o_orderpriority, day, c,
+       CAST(len(win) AS BIGINT) AS n_win,
+       CAST(CASE WHEN len(win) % 2 = 1
+                 THEN 2 * win[(len(win) + 1) // 2]
+                 ELSE win[len(win) // 2] + win[len(win) // 2 + 1]
+            END AS BIGINT) AS med_x2
+FROM rolled
+""",
+    doc="EXACT rolling median (7-day, ROWS frame) of daily revenue "
+    "per order priority — the robust smoother dashboards want where "
+    "a rolling mean is wrecked by one spiky day. Neither engine "
+    "supports exact percentile as a window aggregate, so the frame "
+    "is materialized: collect_list/list() over ROWS BETWEEN 6 "
+    "PRECEDING, sorted, and the median read by index — reported as "
+    "med_x2 (double the median) so the even-count midpoint average "
+    "stays in BIGINT, no float division on either engine. The frame "
+    "is BOUNDED (7 values of daily pre-aggregates), so the "
+    "materialized list is O(1) per row and the whole window rides "
+    "the single (priority) exchange the daily rollup already "
+    "created; the day key is integer epoch-day floor-division "
+    "(nonnegative: div == //). At 100 TB the daily pre-aggregation "
+    "is what shrinks the input — the window runs over O(groups x "
+    "days) rows, not the fact. approx_percentile over a raw-row "
+    "RANGE frame is the documented swap when the frame cannot be "
+    "pre-aggregated.",
+)
+def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.select(
+            "o_orderpriority",
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.sum("cents").alias("c"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "o_orderpriority",
+        "day",
+        "c",
+        F.sort_array(F.collect_list("c").over(w)).alias("win"),
+    )
+    n = F.size("win")
+    med_x2 = (
+        F.when(
+            n % 2 == 1,
+            2 * F.element_at("win", ((n + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            F.element_at("win", (n / 2).cast("int"))
+            + F.element_at("win", (n / 2 + 1).cast("int"))
+        )
+        .cast("long")
+    )
+    return rolled.select(
+        "o_orderpriority",
+        "day",
+        "c",
+        n.cast("long").alias("n_win"),
+        med_x2.alias("med_x2"),
+    )
