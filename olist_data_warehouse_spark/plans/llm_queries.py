@@ -6955,3 +6955,291 @@ def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_win"),
         med_x2.alias("med_x2"),
     )
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag,
+         CAST(median(2 * c) AS BIGINT) AS med_x2
+  FROM cents GROUP BY l_returnflag
+),
+dev AS (
+  SELECT c.l_returnflag, abs(2 * c.c - m.med_x2) AS d, m.med_x2
+  FROM cents c JOIN med m USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, CAST(median(2 * d) AS BIGINT) AS mad_x4
+  FROM dev GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       min(d.med_x2) AS med_x2,
+       min(m.mad_x4) AS mad_x4,
+       CAST(sum(CASE WHEN 2 * d.d > 3 * m.mad_x4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out_3mad
+FROM dev d JOIN mad m USING (l_returnflag)
+GROUP BY d.l_returnflag
+""",
+    doc="Robust outlier detection by median absolute deviation, "
+    "integer-exact end to end: the median and the MAD are reported "
+    "in doubled units (med_x2, mad_x4) so the even-count midpoint "
+    "average of integers stays integral — 2x cents has even values, "
+    "so the interpolated median is an exact BIGINT on both engines; "
+    "likewise the MAD over the (already doubled, hence integer) "
+    "absolute deviations. The 3-MAD flag |x-med| > 3*MAD cross-"
+    "multiplies to 2*dev > 3*mad_x4 — no float compare anywhere, "
+    "unlike every textbook 1.4826*MAD formulation. Complements "
+    "dq_zscore_outliers: MAD survives the exact heavy-tail "
+    "contamination that inflates sigma and hides outliers from the "
+    "z-score. Plan: two exact-percentile aggregates over the 3-group "
+    "key with the tiny group tables broadcast back between passes — "
+    "exact per-group percentiles sort within groups (the documented "
+    "cost, same as a13_median_percentile); approx_percentile is the "
+    "at-scale swap when 3 sorted passes over the fact are too dear.",
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+    )
+    med = cents.groupBy("l_returnflag").agg(
+        F.percentile(2 * F.col("c"), F.lit(0.5)).cast("long").alias("med_x2")
+    )
+    dev = cents.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(2 * F.col("c") - F.col("med_x2")).alias("d"),
+        "med_x2",
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile(2 * F.col("d"), F.lit(0.5)).cast("long").alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med_x2").alias("med_x2"),
+            F.min("mad_x4").alias("mad_x4"),
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad_x4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_3mad"),
+        )
+    )
+
+
+@register(
+    "ts_linear_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+centered AS (
+  SELECT event_type,
+         day - min(day) OVER (PARTITION BY event_type) AS x,
+         y
+  FROM daily
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM centered GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM sums
+""",
+    doc="Per-series OLS linear trend over daily event counts, "
+    "reported as the EXACT RATIONAL slope (numerator n*Sxy - Sx*Sy, "
+    "denominator n*Sxx - Sx^2) — the drift detector for monitoring "
+    "volume trends without a single float: the caller divides (or "
+    "cross-multiplies against a threshold) at the end. The day index "
+    "is re-centered per series (x = day - min day, via a window min "
+    "on the tiny daily rollup) so the moment sums stay small; they "
+    "still ride in DECIMAL(38,0)/HUGEINT because n*Sxy is quadratic "
+    "in the series length times daily volume at 100 TB. Outputs are "
+    "BIGINT (oracle guard bans DECIMAL). Plan: one map-side-combined "
+    "daily rollup shuffled on (type, day), then the window min and "
+    "the moment aggregate share the per-type exchange over O(days) "
+    "rows — the fact is touched once.",
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    centered = daily.select(
+        "event_type",
+        (
+            F.col("day")
+            - F.min("day").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+        "y",
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    sums = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+    )
+
+
+@register(
+    "dq_category_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM counts GROUP BY lang
+),
+terms AS (
+  SELECT c.lang, t.n, t.n_sources,
+         c.c * CAST(floor(-ln(CAST(c.c AS DOUBLE) / t.n) * 1000000)
+                    AS BIGINT) AS wterm
+  FROM counts c JOIN tot t USING (lang)
+)
+SELECT lang, min(n) AS n_docs, min(n_sources) AS n_sources,
+       CAST(sum(wterm) // min(n) AS BIGINT) AS entropy_micro_nats
+FROM terms GROUP BY lang
+""",
+    doc="Shannon entropy of the source distribution per language, "
+    "quantized to integer micro-nats — the class-balance / "
+    "diversity audit a corpus pipeline runs before mixing: entropy "
+    "near 0 means one source dominates the language. Each "
+    "category's -ln(c/N) is floored to micro-nats BEFORE the "
+    "count-weighted sum (the unigram_logprob pattern: both engines "
+    "compute the same double ratio and the same libm ln, and the "
+    "floor quantization absorbs any final-ulp concern), then the "
+    "weighted sum divides by N with integer div — every output "
+    "column is BIGINT. Plan: two map-side-combined aggregates over "
+    "the (lang, source) key — cardinality O(langs x sources), never "
+    "O(rows) — with the per-lang totals joined back broadcast; the "
+    "documents fact is scanned once, text column pruned away.",
+)
+def dq_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    counts = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_sources")
+    )
+    terms = counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "n",
+        "n_sources",
+        (
+            F.col("c")
+            * F.floor(
+                -F.log(F.col("c").cast("double") / F.col("n")) * 1000000
+            )
+        ).alias("wterm"),
+    )
+    return terms.groupBy("lang").agg(
+        F.min("n").alias("n_docs"),
+        F.min("n_sources").alias("n_sources"),
+        F.expr("CAST(sum(wterm) div min(n) AS BIGINT)").alias(
+            "entropy_micro_nats"
+        ),
+    )
+
+
+@register(
+    "ts_seasonal_baseline",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+wd AS (
+  SELECT day % 7 AS weekday,
+         CAST(sum(cnt) AS BIGINT) AS wd_sum,
+         CAST(count(*) AS BIGINT) AS wd_n
+  FROM daily GROUP BY 1
+)
+SELECT d.day, d.day % 7 AS weekday, d.cnt, w.wd_sum, w.wd_n
+FROM daily d JOIN wd w ON d.day % 7 = w.weekday
+WHERE 4 * d.cnt * w.wd_n > 5 * w.wd_sum
+""",
+    doc="Seasonal-baseline anomaly flags: each day's order count "
+    "against the average over all SAME-WEEKDAY days, flagging days "
+    ">= 25% above baseline via the cross-multiplied integer "
+    "predicate 4*cnt*wd_n > 5*wd_sum — no float division, no "
+    "averages materialized. The weekday key is epoch-day mod 7 — a "
+    "pure-integer convention identical on every engine, sidestepping "
+    "the dayofweek() numbering trap f8_calendar_features documents. "
+    "Baseline is over OBSERVED days (absent days don't vote; gap-"
+    "filling is ts_gapfill_daily's job and composes upstream of "
+    "this). Plan: the fact collapses to O(days) in one map-side-"
+    "combined aggregate; the 7-row weekday table broadcasts back — "
+    "the flag pass is a broadcast hash join over the daily rollup, "
+    "nothing re-shuffles.",
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wd = (
+        daily.select((F.col("day") % 7).alias("weekday"), "cnt")
+        .groupBy("weekday")
+        .agg(
+            F.sum("cnt").alias("wd_sum"),
+            F.count(F.lit(1)).alias("wd_n"),
+        )
+    )
+    return (
+        daily.withColumn("weekday", F.col("day") % 7)
+        .join(F.broadcast(wd), "weekday")
+        .filter(
+            4 * F.col("cnt") * F.col("wd_n") > 5 * F.col("wd_sum")
+        )
+        .select("day", "weekday", "cnt", "wd_sum", "wd_n")
+    )
