@@ -1639,16 +1639,27 @@ DRIVER_PRIORITY = [
     # under the driver.
     "dedup_embedding_lsh",
     # more round-5 additions, highest-risk first (new composition /
-    # driver-env-sensitive types / heaviest plans).
-    "samp_cluster_split", "json_variant_extract", "dedup_cdc_chunks",
+    # driver-env-sensitive types / heaviest plans). ts_max_concurrency
+    # (timestamp output column) and dq_category_entropy (libm-ln
+    # micro-nats) take the last two slots — the two classes that have
+    # historically been driver-env-sensitive (MICROS-NTZ migration,
+    # float last-ulp) — displacing the pure-integer dq_zscore_outliers
+    # and the hash-deterministic samp_cluster_split into the pool.
+    "json_variant_extract", "dedup_cdc_chunks",
     "text_inverted_index", "text_bm25_topk", "link_fuzzy_parts",
-    "ts_ohlc_bars", "dq_zscore_outliers", "dedup_latest_snapshot",
+    "ts_ohlc_bars", "dedup_latest_snapshot",
+    "ts_max_concurrency", "dq_category_entropy",
     # --- 50-cap falls here. Everything below is the r6 ROTATION POOL,
     # newest-first: round-5 entries without driver evidence yet. All
     # run green continuously in the local sf0.001 replica
     # (tests/test_queries_oracle.py), and the ENTIRE registry — the
-    # 50-prefix and all 121 pool entries — was swept green against
-    # DuckDB at the driver's sf0.01 gate scale this round (0 fails).
+    # 50-prefix and the pool — was swept green against DuckDB at the
+    # driver's sf0.01 gate scale this round (0 fails; the late batch
+    # of 7 — triangles, concurrency, rolling median, MAD, trend,
+    # entropy, seasonal — verified individually at sf0.01 on landing).
+    "dq_zscore_outliers", "samp_cluster_split",
+    "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
+    "ts_linear_trend", "ts_seasonal_baseline",
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",

@@ -78,6 +78,10 @@ SMOKE_ENTRIES = [
     "path_top_trigrams",
     "ts_interpolate_hourly",
     "attrib_multi_model",
+    # sweep-line peak concurrency emits a raw first_peak_ts TIMESTAMP
+    # and does interval arithmetic on event time — the newest entry in
+    # the timestamp-output class.
+    "ts_max_concurrency",
 ]
 
 

@@ -793,3 +793,73 @@ def test_interpolation_single_series_partitioning(spark):
     plan = plan_of(spark, "ts_interpolate_hourly")
     assert "rangepartitioning" not in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangles_all_equi_joins_bounded_degree(spark):
+    """graph_triangles: the wedge join and the closing-edge join are
+    hash equi-joins over the capped edge list — never a cartesian or
+    nested loop, no Python workers."""
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_max_concurrency_single_type_exchange_peak_broadcast(spark):
+    """ts_max_concurrency: the running-sum window sorts within the
+    event_type exchange (no global/range sort), and the 5-row peak
+    table comes back as a broadcast join."""
+    plan = plan_of(spark, "ts_max_concurrency")
+    assert "hashpartitioning(event_type" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_median_window_rides_group_exchange(spark):
+    """w13_rolling_median: the bounded-frame list window runs on the
+    per-priority exchange over the DAILY rollup (the fact never
+    reaches the window), with no range partitioning and no Python."""
+    plan = plan_of(spark, "w13_rolling_median")
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_outliers_broadcast_medians_no_sortmerge(spark):
+    """dq_mad_outliers: both tiny per-group percentile tables broadcast
+    back over the cents rows — no sort-merge join, no window, output
+    stays BIGINT (no decimal columns leave the plan)."""
+    plan = plan_of(spark, "dq_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_linear_trend_moments_on_daily_rollup(spark):
+    """ts_linear_trend: the window min and moment sums run over the
+    daily rollup's per-type exchange; the events fact is aggregated
+    map-side first (partial aggregate under the exchange)."""
+    plan = plan_of(spark, "ts_linear_trend")
+    assert "hashpartitioning(event_type" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_category_entropy_group_space_only(spark):
+    """dq_category_entropy: aggregates run over the (lang, source)
+    group space with the per-lang totals broadcast back — no window,
+    no sort-merge, text column pruned from the scan."""
+    plan = plan_of(spark, "dq_category_entropy")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_seasonal_baseline_broadcast_weekday_table(spark):
+    """ts_seasonal_baseline: the 7-row weekday baseline broadcasts
+    over the daily rollup; the flag predicate is pure integer compare
+    (no division in the plan)."""
+    plan = plan_of(spark, "ts_seasonal_baseline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -39,6 +39,9 @@ MUST_PROVE = {
     "ts_gapfill_daily", "funnel_steps", "cohort_retention",
     "a18_event_histogram", "dedup_minhash_jaccard_est",
     "samp_negative_mining",
+    # ...plus the two driver-env-sensitive classes from the late
+    # round-5 batch (timestamp output; libm-ln micro-nats).
+    "ts_max_concurrency", "dq_category_entropy",
 }
 
 
