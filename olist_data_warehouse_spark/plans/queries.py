@@ -1659,7 +1659,7 @@ DRIVER_PRIORITY = [
     # entropy, seasonal — verified individually at sf0.01 on landing).
     "dq_zscore_outliers", "samp_cluster_split",
     "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
-    "ts_linear_trend", "ts_seasonal_baseline",
+    "ts_linear_trend", "ts_seasonal_baseline", "stream_ohlc_bars",
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",

@@ -252,3 +252,42 @@ def stream_unattributed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")["events"]
     cb, pb = ev.split_clicks_purchases(e)
     return ev.unattributed_purchases_join(cb, pb)
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         epoch_us(ts) // 900000000 AS bucket,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) // 900000000
+           ORDER BY ts, event_id) AS rn,
+         count(*) OVER (
+           PARTITION BY event_type, epoch_us(ts) // 900000000) AS cnt
+  FROM events
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rn = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn = cnt THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, bucket
+""",
+    doc="OHLC bars as ONE mergeable aggregate (min_by/max_by over the "
+    "unique (ts, event_id) struct) — the streaming-safe twin of "
+    "ts_ohlc_bars, and a strictly better BATCH plan too: the "
+    "full (ts, event_id) event-order sort disappears, leaving a "
+    "partial+final aggregate around one exchange whose state per "
+    "group is O(1) (SortAggregate over the grouping key only — the "
+    "struct buffer opts out of hash agg, but nothing event-ordered "
+    "is ever sorted). The "
+    "oracle pins it to the ranked-CTE selection semantics, proving "
+    "the two formulations identical; the pytest streaming parity "
+    "test runs the SAME transform through availableNow micro-batches "
+    "with a per-batch upsert and asserts batch == stream.",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return ev.ohlc_bars(e)

@@ -117,6 +117,86 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def ohlc_bars(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """15-minute OHLC bars as ONE streaming-safe aggregate.
+
+    Open/close are order-sensitive selections, which the batch form
+    (``ts_ohlc_bars``) expresses with a row_number window — a per-group
+    sort that streaming state cannot hold. min_by/max_by over the
+    (ts, event_id) struct express the same selection as a plain
+    mergeable aggregate: each state row keeps the current best
+    (ordering-key, value) pair, so the SAME code runs batch and
+    streaming, the per-group sort disappears, and late rows within the
+    watermark revise the bar. (ts, event_id) is unique, so the
+    selection is deterministic on both engines. The bucket key is
+    integer floor-division of the window start's epoch micros —
+    timezone-free, unlike a formatted window string.
+    """
+    w = events.withWatermark("ts", watermark)
+    return (
+        w.groupBy(
+            F.window("ts", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.expr("unix_micros(win.start) div 900000000").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def run_streaming_ohlc(
+    spark: SparkSession,
+    sf_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Continuously-maintained OHLC bars: update-mode aggregation +
+    per-batch upsert by (event_type, bucket), the same convergence
+    contract as :func:`run_streaming_rollup` — a bar split across
+    micro-batches is written partial, then revised complete, because
+    update mode re-emits the window's cumulative aggregate."""
+    agg = ohlc_bars(read_events_stream(spark, sf_dir), watermark)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not spark_l.catalog.tableExists(target_table):
+            batch_df.write.saveAsTable(target_table)
+            return
+        keys = batch_df.select("event_type", "bucket").distinct()
+        kept = spark_l.table(target_table).join(
+            F.broadcast(keys), ["event_type", "bucket"], "left_anti"
+        )
+        out = kept.unionByName(batch_df).localCheckpoint(eager=True)
+        out.write.mode("overwrite").saveAsTable(target_table)
+        spark_l.catalog.refreshTable(target_table)
+
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if spark.catalog.tableExists(target_table):
+        spark.catalog.refreshTable(target_table)
+
+
 def run_streaming_incremental(
     spark: SparkSession,
     sf_dir: str,

@@ -863,3 +863,18 @@ def test_seasonal_baseline_broadcast_weekday_table(spark):
     plan = plan_of(spark, "ts_seasonal_baseline")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_ohlc_is_single_agg_no_window(spark):
+    """stream_ohlc_bars: min_by/max_by replace the ranked-window OHLC
+    with ONE hash aggregate — no Window operator, no per-group sort,
+    map-side partial aggregate present."""
+    plan = plan_of(spark, "stream_ohlc_bars")
+    assert "Window" not in plan
+    # struct-ordered min_by/max_by carries an immutable struct buffer,
+    # so Spark picks SortAggregate — still partial (map-side) + final
+    # around ONE exchange, sorting only on the GROUPING key, never the
+    # full (ts, event_id) event order the window form needs.
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert len(__import__("re").findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan

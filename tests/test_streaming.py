@@ -739,3 +739,20 @@ def test_index_refresh_stream_converges_to_rebuild(spark):
             "term", "df", "posting_list",
         )
         assert got == rebuild
+
+
+def test_streaming_ohlc_matches_batch_and_oracle_form(spark):
+    """The min_by/max_by OHLC transform through real availableNow
+    micro-batches with per-batch upsert equals the same transform run
+    as a batch query (whose ranked-CTE oracle pins the selection
+    semantics)."""
+    batch = ev.ohlc_bars(load_testdata(spark, SF, ("events",))["events"])
+    cols = (
+        "event_type", "bucket", "open", "high", "low", "close", "n_events"
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.sql("CREATE DATABASE IF NOT EXISTS stream_test")
+        spark.sql("DROP TABLE IF EXISTS stream_test.ohlc")
+        ev.run_streaming_ohlc(spark, SF, "stream_test.ohlc", ckpt)
+        got = spark.table("stream_test.ohlc")
+        assert rows(got, *cols) == rows(batch, *cols)
