@@ -7243,3 +7243,303 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "weekday", "cnt", "wd_sum", "wd_n")
     )
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+uni AS (
+  SELECT unnest(toks) AS w FROM tok
+),
+uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+),
+n_uni AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+bi AS (
+  SELECT unnest(list_transform(
+           range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM tok WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM bi GROUP BY 1, 2
+),
+n_bi AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM bc)
+SELECT w1, w2, c_ab,
+       CAST(floor(ln(
+         CAST(c_ab * nu * nu AS DOUBLE) /
+         CAST(np * a.c * b.c AS DOUBLE)) * 1000000) AS BIGINT)
+         AS pmi_micro
+FROM bc
+JOIN uc a ON bc.w1 = a.w
+JOIN uc b ON bc.w2 = b.w
+CROSS JOIN n_uni CROSS JOIN n_bi
+WHERE c_ab >= 5
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 20
+""",
+    doc="Pointwise mutual information collocations: the top-20 "
+    "adjacent word pairs that co-occur far more than their unigram "
+    "frequencies predict — the phrase-mining signal (multi-word "
+    "expressions, named entities) that raw bigram counts miss "
+    "because they rank stopword pairs first. PMI = ln(P(ab) / "
+    "P(a)P(b)) is computed as ONE ln over an exact integer rational "
+    "(c_ab*N_uni^2 over N_pairs*c_a*c_b — both products BIGINT, "
+    "int-to-double conversion identical on both engines), floored "
+    "to micro-nats; the c_ab >= 5 support floor is the standard "
+    "PMI-vs-noise fuse. Plan: bigram and unigram counts are two "
+    "map-side-combined vocabulary-bounded aggregates; unigram "
+    "counts join back onto the bigram table by word (vocabulary-"
+    "sized hash join, never corpus-sized); the two scalar totals "
+    "broadcast; top-20 is TakeOrderedAndProject.",
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = d.select(textops.tokens(F.col("text")).alias("toks"))
+    uni = t.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("nu"))
+    t2 = t.filter(F.size("toks") >= 2)
+    n1 = F.size("toks") - 1
+    bi = t2.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n1),
+                F.slice(F.col("toks"), 2, n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    bc = (
+        bi.select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_bi = bc.agg(F.sum("c_ab").alias("np"))
+    a = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    b = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.floor(
+                F.log(
+                    (F.col("c_ab") * F.col("nu") * F.col("nu")).cast(
+                        "double"
+                    )
+                    / (F.col("np") * F.col("ca") * F.col("cb")).cast(
+                        "double"
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+@register(
+    "w14_activity_streaks",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+numbered AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM active
+),
+islands AS (
+  SELECT user_id, grp,
+         CAST(count(*) AS BIGINT) AS streak_len,
+         min(day) AS streak_start
+  FROM numbered GROUP BY user_id, grp
+),
+ranked AS (
+  SELECT user_id, streak_len, streak_start,
+         max(streak_len) OVER (PARTITION BY user_id) AS max_len,
+         sum(streak_len) OVER (PARTITION BY user_id) AS n_active
+  FROM islands
+)
+SELECT user_id,
+       CAST(min(n_active) AS BIGINT) AS n_active_days,
+       CAST(min(max_len) AS BIGINT) AS longest_streak,
+       min(streak_start) AS streak_start_day
+FROM ranked
+WHERE streak_len = max_len
+GROUP BY user_id
+""",
+    doc="Gaps-and-islands: per-user longest run of CONSECUTIVE active "
+    "days (plus total active days and the earliest day a longest "
+    "streak starts) — the classic engagement/retention metric and "
+    "the canonical day - row_number() grouping trick: consecutive "
+    "days share the (day - rn) island key with zero self-joins. All "
+    "integer epoch-day arithmetic; ties between equal-length "
+    "streaks resolve to the earliest start on both engines via the "
+    "final MIN. Plan: the fact collapses to distinct (user, day) "
+    "first (one map-side-combined exchange); the row_number, both "
+    "full-frame window aggregates, and the final filter+aggregate "
+    "all reuse that single per-user partitioning — one shuffle "
+    "total, O(active-days) rows after the distinct.",
+)
+def w14_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    active = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    wn = Window.partitionBy("user_id").orderBy("day")
+    numbered = active.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(wn)).alias("grp"),
+    )
+    islands = numbered.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = islands.select(
+        "user_id",
+        "streak_len",
+        "streak_start",
+        F.max("streak_len").over(wu).alias("max_len"),
+        F.sum("streak_len").over(wu).alias("n_active"),
+    )
+    return (
+        ranked.filter(F.col("streak_len") == F.col("max_len"))
+        .groupBy("user_id")
+        .agg(
+            F.min("n_active").cast("long").alias("n_active_days"),
+            F.min("max_len").cast("long").alias("longest_streak"),
+            F.min("streak_start").alias("streak_start_day"),
+        )
+    )
+
+
+@register(
+    "reco_user_user_cf",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+item_pop AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_users
+  FROM ui GROUP BY item
+),
+kept AS (
+  SELECT u.user_id, u.item FROM ui u
+  JOIN item_pop p ON u.item = p.item AND p.n_users <= 200
+),
+deg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS d FROM kept GROUP BY 1
+),
+pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b
+    ON a.item = b.item AND a.user_id != b.user_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.u1, p.u2, p.shared,
+         (1000000 * p.shared * p.shared) // (da.d * db.d) AS cos2_ppm
+  FROM pairs p
+  JOIN deg da ON p.u1 = da.user_id
+  JOIN deg db ON p.u2 = db.user_id
+)
+SELECT u1, u2, shared, cos2_ppm
+FROM (
+  SELECT u1, u2, shared, cos2_ppm,
+         row_number() OVER (PARTITION BY u1
+                            ORDER BY cos2_ppm DESC, u2) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    doc="User-user collaborative filtering: each user's top-3 most "
+    "similar users by SQUARED binary cosine in integer ppm — "
+    "cos^2 = shared^2 / (|A||B|) is monotone in cosine, so the "
+    "ranking is exactly the cosine ranking with zero sqrt and zero "
+    "floats (BIGINT floor-division; (cos2_ppm DESC, u2) makes the "
+    "cut deterministic). The neighbor lists drive user-based "
+    "recommendation and sockpuppet/collusion detection. Scale "
+    "fuses mirror reco_item_cooccurrence from the other side: "
+    "items with > 200 distinct users are dropped BEFORE the self-"
+    "join (ubiquitous items carry no similarity signal and are "
+    "exactly the quadratic blowup), so per-item fan-out is capped; "
+    "the join shuffles only (item, user) pairs; degree tables are "
+    "user-vocabulary-sized hash joins; top-3 is one window on the "
+    "pair table.",
+)
+def reco_user_user_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    item_pop = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_users"))
+    kept = ui.join(
+        item_pop.filter(F.col("n_users") <= 200).select("item"), "item"
+    ).persist()
+    deg = kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    a = kept.select("item", F.col("user_id").alias("u1"))
+    b = kept.select("item", F.col("user_id").alias("u2"))
+    pairs = (
+        a.join(b, "item")
+        .filter(F.col("u1") != F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    da = deg.select(F.col("user_id").alias("u1"), F.col("d").alias("da"))
+    db = deg.select(F.col("user_id").alias("u2"), F.col("d").alias("db"))
+    scored = (
+        pairs.join(da, "u1")
+        .join(db, "u2")
+        .select(
+            "u1",
+            "u2",
+            "shared",
+            F.expr(
+                "(1000000 * shared * shared) div (da * db)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("u1").orderBy(F.desc("cos2_ppm"), F.asc("u2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("u1", "u2", "shared", "cos2_ppm")
+    )

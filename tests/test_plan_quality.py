@@ -878,3 +878,34 @@ def test_stream_ohlc_is_single_agg_no_window(spark):
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert len(__import__("re").findall(r"\(\d+\) Exchange", plan)) == 1
     assert "rangepartitioning" not in plan
+
+
+def test_pmi_joins_are_vocabulary_bounded(spark):
+    """text_collocation_pmi: unigram counts join the bigram table by
+    word (hash joins over vocabulary-sized inputs), scalar totals
+    broadcast, top-20 is TakeOrderedAndProject — no cartesian beyond
+    the two 1-row broadcasts, no Python."""
+    plan = plan_of(spark, "text_collocation_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_activity_streaks_single_user_exchange(spark):
+    """w14_activity_streaks: distinct, row_number, both full-frame
+    window aggregates, and the final aggregate all run on per-user
+    partitioning — hash exchanges only, no range/global sort."""
+    plan = plan_of(spark, "w14_activity_streaks")
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_user_cf_caps_items_before_self_join(spark):
+    """reco_user_user_cf: the ubiquitous-item cap must filter BEFORE
+    the self-join (the quadratic fuse), and every join stays an
+    equi hash join."""
+    plan = plan_of(spark, "reco_user_user_cf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the n_users <= 200 prune exists as a post-aggregate filter
+    assert "200" in plan
