@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "graph_pagerank_items",
     # PQ/ADC: code-book retrieval, the memory-bound ANN representative
     "sim_pq_adc_topk",
+    # late round-5 families: bounded-degree triangle counting, the
+    # sweep-line peak-concurrency aggregation, and PMI collocations
+    # (two vocabulary-bounded aggregates + word joins)
+    "graph_triangles",
+    "ts_max_concurrency",
+    "text_collocation_pmi",
 ]
 
 
