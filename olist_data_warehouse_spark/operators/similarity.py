@@ -1082,51 +1082,71 @@ def _sub_slice(emb: Column, m: int, sub: int) -> Column:
     )
 
 
-def _dot_lit(s: Column, weights: list[float]) -> Column:
-    """Left-to-right fold dot of a sliced subvector with literal
-    weights — the same summation shape as :func:`dot`, so DuckDB's
-    list_dot_product agrees at the rounding granularity used below."""
-    arr = F.array(*[F.lit(w) for w in weights])
-    return F.aggregate(
-        F.zip_with(s, arr, lambda x, w: x * w),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _sub_dists(emb: Column, m: int, sub: int, book) -> list[Column]:
-    """Rounded-6 squared L2 distance from subspace m of ``emb`` to each
-    code word, in the algebraic form ||x||² − 2·x·w + ||w||² (mirrored
-    literally in the oracle SQL): the x·x term is computed once per
-    subspace, x·w once per code, w·w folds to a Python float at plan
-    build. Rounding to 1e-6 absorbs engine ulp differences before the
-    argmin, with the code index as the deterministic tie-break."""
+def _sub_dist_array(emb: Column, m: int, sub: int, book) -> Column:
+    """array<double> of the rounded-6 squared L2 distances from
+    subspace m of ``emb`` to EVERY code word, as ONE ``transform`` over
+    a JVM-parsed literal array of (w, ww) codeword structs. The
+    arithmetic per element is the algebraic form ||x||² − 2·x·w + ||w||²
+    with the same left-to-right fold as :func:`dot` (mirrored literally
+    in the oracle SQL); rounding to 1e-6 absorbs engine ulp differences
+    before any argmin. One transform instead of K separate per-codeword
+    expression subtrees is the PLAN-BUILD lever: the PQ plans need M*K
+    codeword distances on the corpus side plus M*K per-query LUT
+    entries, and constructing ~2*M*K zip_with/aggregate subtrees
+    through py4j cost ~2.3 s of driver time PER INVOCATION (3× the
+    executor time on the 2k-row test corpus). Values are bit-identical:
+    repr() round-trips the doubles exactly and the fold order is
+    unchanged."""
     s = _sub_slice(emb, m, sub)
     xx = F.aggregate(
         F.zip_with(s, s, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    out = []
+    entries = []
     for _idx, w in book:
         ww = 0.0
         for v in w:
-            ww += v * v
-        out.append(F.round(xx - 2.0 * _dot_lit(s, w) + F.lit(ww), 6))
-    return out
+            ww += float(v) * float(v)
+        entries.append(
+            "named_struct('w',array("
+            + ",".join(repr(float(v)) + "D" for v in w)
+            + "),'ww'," + repr(ww) + "D)"
+        )
+    mat = F.expr("array(" + ",".join(entries) + ")")
+    return F.transform(
+        mat,
+        lambda b: F.round(
+            xx
+            - 2.0
+            * F.aggregate(
+                F.zip_with(s, b["w"], lambda x, wv: x * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + b["ww"],
+            6,
+        ),
+    )
 
 
 def _pq_code_cols(emb, books, sub: int) -> list[Column]:
     """One argmin column per subspace (rounded-6 distance, code-id
     tie-break) — the SINGLE encoding definition shared by pq_encode,
     pq_encode_raw, and ivfpq_topk so a tie-break or rounding change
-    can never fork engine/oracle parity between entries."""
+    can never fork engine/oracle parity between entries. The argmin
+    runs over :func:`_sub_dist_array` with the transform's element
+    index as the code id (same (d, c) struct-min tie-break as the
+    original per-codeword form)."""
     cols = []
     for m, book in enumerate(books):
-        entries = F.array(*[
-            F.struct(d.alias("d"), F.lit(idx).alias("c"))
-            for (idx, _w), d in zip(book, _sub_dists(emb, m, sub, book))
-        ])
+        darr = _sub_dist_array(emb, m, sub, book)
+        entries = F.transform(
+            darr,
+            lambda d, i: F.struct(
+                d.alias("d"), i.cast("int").alias("c")
+            ),
+        )
         cols.append(F.array_min(entries)["c"])
     return cols
 
@@ -1174,19 +1194,35 @@ def pq_adc_topk(
     sub = dim // n_subspaces
 
     coded = pq_encode_raw(embeddings, n_subspaces, n_codes)
-    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+    # The LUT (per subspace, the K rounded-6 distances from the query's
+    # sub-vector to every code word) is MATERIALIZED on the broadcast
+    # side, under the BroadcastExchange: it is computed once per QUERY
+    # row, never per corpus row. Folding the _sub_dist_array expression into
+    # the join projection instead (the original formulation) recomputes
+    # all M*K sub-dots for every (corpus, query) pair — 8*dim mults per
+    # corpus row, WORSE than a brute-force dot; this way the corpus
+    # side pays exactly the M array lookups ADC promises.
+    lut = F.array(*[
+        _sub_dist_array(F.col("q_emb"), m, sub, book)
+        for m, book in enumerate(books)
+    ])
+    queries = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .select("query_id", lut.alias("lut"))
     )
     pairs = coded.join(
         F.broadcast(queries), F.col("vec_id") != F.col("query_id")
     )
-    parts = []
-    for m, book in enumerate(books):
-        lut = F.array(*_sub_dists(F.col("q_emb"), m, sub, book))
-        parts.append(
-            F.element_at(lut, F.col("pq_codes").getItem(m) + 1)
+    parts = [
+        F.element_at(
+            F.col("lut").getItem(m), F.col("pq_codes").getItem(m) + 1
         )
+        for m in range(len(books))
+    ]
     adc = parts[0]
     for p in parts[1:]:
         adc = adc + p
@@ -1280,21 +1316,37 @@ def ivfpq_topk(
         (-best["neg_id"]).alias("centroid_id"),
         F.array(*code_cols).alias("pq_codes"),
     )
-    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_nrm").alias("_q_nrm"),
-        F.col("centroid_id").alias("q_centroid"),
+    # As in pq_adc_topk: the per-query ADC lookup table materializes on
+    # the broadcast side (once per query row), so the bucket scan pays
+    # M array lookups per row, never the M*K sub-dot recomputation.
+    q_lut = F.array(*[
+        _sub_dist_array(F.col("q_emb"), m, sub, book)
+        for m, book in enumerate(books)
+    ])
+    queries = (
+        corpus.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_nrm").alias("_q_nrm"),
+            F.col("centroid_id").alias("q_centroid"),
+        )
+        .select(
+            "query_id", "q_emb", "_q_nrm", "q_centroid",
+            q_lut.alias("lut"),
+        )
     )
     pairs = corpus.join(
         F.broadcast(queries),
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("centroid_id") == F.col("q_centroid")),
     )
-    parts = []
-    for m, book in enumerate(books):
-        lut = F.array(*_sub_dists(F.col("q_emb"), m, sub, book))
-        parts.append(F.element_at(lut, F.col("pq_codes").getItem(m) + 1))
+    parts = [
+        F.element_at(
+            F.col("lut").getItem(m), F.col("pq_codes").getItem(m) + 1
+        )
+        for m in range(len(books))
+    ]
     adc = parts[0]
     for p in parts[1:]:
         adc = adc + p
