@@ -56,6 +56,21 @@ def connected_components(
         "label", F.col("node")
     )
     labels = labels.localCheckpoint()
+
+    def _label_sum(lbls: DataFrame):
+        # Exact 128-bit sum of labels — one map-side-combined scalar
+        # aggregate, no shuffle beyond the final 1-row reduce.
+        return lbls.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # Convergence check WITHOUT a join: hash-min labels are
+    # monotonically non-increasing per node (new = min(own, neighbors)
+    # ≤ own), so the label SUM strictly decreases iff any node changed
+    # this round. Comparing sums replaces the old per-round
+    # new⋈old-labels join + count — at scale that join shuffled the
+    # full label table every round just to answer a yes/no question.
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor = sym.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -66,16 +81,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
