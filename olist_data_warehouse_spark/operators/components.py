@@ -21,7 +21,9 @@ compact (long, long) rows; the document text never enters the graph.
 Lineage is truncated with ``localCheckpoint`` every round, otherwise
 the iterated plan nests ``max_iter`` joins deep and planning time
 dominates (the standard iterative-DataFrame pitfall). Convergence is
-checked with a cheap aggregate on the (tiny) label-change count.
+detected joblessly-cheaply: labels are monotonically non-increasing,
+so one scalar label-SUM aggregate per round (no join, no extra
+shuffle) strictly decreases until fixpoint.
 """
 
 from __future__ import annotations
