@@ -342,6 +342,9 @@ def simhash_hamming_pairs(
     width = bits // n_bands
     mask = (1 << width) - 1
     sig = simhash(docs, bits)
+    # Persisted: both sides of the band self-join read this table, and
+    # without the persist the simhash aggregation (token explode + 32
+    # bit-vote sums over the whole corpus) executes twice.
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -351,7 +354,7 @@ def simhash_hamming_pairs(
                 for b in range(n_bands)
             ])
         ).alias("band", "val"),
-    )
+    ).persist()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
         "band", "val",
