@@ -1382,3 +1382,126 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    shortlist: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank: greedily pick
+    ``k`` results from each query's exact-cosine ``shortlist`` so that
+    each pick balances relevance against similarity to what is already
+    selected — the standard diversification pass for retrieval results
+    and for picking *diverse* exemplars when curating training data
+    (near-identical top hits waste the selection budget).
+
+    The greedy recurrence is unrolled into k dataframe rounds (the
+    graph_pagerank_items pattern — fixed iteration count keeps it
+    oracle-expressible): round 1 takes max relevance; round i joins the
+    remaining candidates to the i-1 selected rows' pairwise similarity
+    and takes argmax of (rel - max_sim_selected). With lambda = 0.5 the
+    textbook score 0.5*rel - 0.5*maxsim is a positive scaling of
+    (rel - maxsim), so the UNSCALED difference is used: rel and sim are
+    both rounded-4 doubles, their difference is an exact multiple of
+    1e-4, and round(.,4) of it is engine-stable — halving first could
+    land on .00005 rounding boundaries where representation decides.
+
+    Per-query work is shortlist² pairwise sims (a bounded self-join of
+    the candidate table with itself on query_id); the corpus is touched
+    once, by the shortlist scorer. Ties break to the smaller id.
+    Returns (query_id, pos, doc_id, mmr_score)."""
+    cand = brute_force_topk(embeddings, query_ids, k=shortlist).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("cos_sim").alias("rel"),
+    )
+    emb = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    ce = cand.join(emb, "cand_id").persist()
+    a = ce.select(
+        "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea")
+    )
+    b = ce.select(
+        "query_id", F.col("cand_id").alias("cb"), F.col("c_emb").alias("eb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("sim"),
+        )
+        .persist()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("cand_id")
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("pos"),
+            F.col("cand_id").alias("doc_id"),
+            F.col("rel").alias("mmr_score"),
+        )
+    )
+    out = [selected]
+    for pos in range(2, k + 1):
+        sel_ids = (
+            selected.groupBy("query_id")
+            .agg(F.collect_set("doc_id").alias("sel"))
+        )
+        rem = (
+            cand.join(F.broadcast(sel_ids), "query_id")
+            .filter(~F.array_contains(F.col("sel"), F.col("cand_id")))
+            .select("query_id", "cand_id", "rel", "sel")
+        )
+        pen = (
+            rem.alias("r")
+            .join(
+                sims.alias("s"),
+                (F.col("r.query_id") == F.col("s.query_id"))
+                & (F.col("r.cand_id") == F.col("s.ca"))
+                & F.array_contains(F.col("r.sel"), F.col("s.cb")),
+            )
+            .select(
+                F.col("r.query_id").alias("query_id"),
+                F.col("r.cand_id").alias("cand_id"),
+                F.col("r.rel").alias("rel"),
+                F.col("s.sim").alias("sim"),
+            )
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("cand_id")
+        )
+        pick = (
+            pen.select(
+                "query_id",
+                "cand_id",
+                F.round(F.col("rel") - F.col("maxsim"), 4).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(pos).alias("pos"),
+                F.col("cand_id").alias("doc_id"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        out.append(pick)
+        selected = out[0]
+        for p in out[1:]:
+            selected = selected.unionByName(p)
+    result = out[0]
+    for p in out[1:]:
+        result = result.unionByName(p)
+    return result.select("query_id", "pos", "doc_id", "mmr_score")

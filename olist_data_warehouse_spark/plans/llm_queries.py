@@ -7543,3 +7543,98 @@ def reco_user_user_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("u1", "u2", "shared", "cos2_ppm")
     )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+cand AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+ce AS (
+  SELECT c.query_id, c.cand_id, c.rel, e.embedding AS c_emb
+  FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id
+),
+sims AS (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         {_COS_SQL.format(a="a.c_emb", b="b.c_emb")} AS sim
+  FROM ce a JOIN ce b
+    ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+),
+s1 AS (
+  SELECT query_id, cand_id AS doc_id, rel AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+p2 AS (
+  SELECT c.query_id, c.cand_id, round(c.rel - s.sim, 4) AS score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.cand_id != s1.doc_id
+  JOIN sims s ON s.query_id = c.query_id AND s.ca = c.cand_id
+             AND s.cb = s1.doc_id
+),
+s2 AS (
+  SELECT query_id, cand_id AS doc_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, cand_id) AS rn
+    FROM p2
+  ) WHERE rn = 1
+),
+p3 AS (
+  SELECT c.query_id, c.cand_id,
+         round(c.rel - greatest(x1.sim, x2.sim), 4) AS score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.cand_id != s1.doc_id
+  JOIN s2 ON c.query_id = s2.query_id AND c.cand_id != s2.doc_id
+  JOIN sims x1 ON x1.query_id = c.query_id AND x1.ca = c.cand_id
+              AND x1.cb = s1.doc_id
+  JOIN sims x2 ON x2.query_id = c.query_id AND x2.ca = c.cand_id
+              AND x2.cb = s2.doc_id
+),
+s3 AS (
+  SELECT query_id, cand_id AS doc_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, cand_id) AS rn
+    FROM p3
+  ) WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS INT) AS pos, doc_id, score AS mmr_score FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS INT), doc_id, score FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS INT), doc_id, score FROM s3
+""",
+    doc="Maximal-marginal-relevance diversified re-rank (lambda=0.5, "
+    "top-3 from the exact-cosine top-10 shortlist): each greedy pick "
+    "maximizes relevance MINUS similarity to the already-selected — "
+    "the diversification pass that stops a result list (or a curated "
+    "exemplar set) from being three near-copies of the same "
+    "document. The greedy recurrence unrolls into fixed dataframe "
+    "rounds (the graph_pagerank_items pattern), which keeps it "
+    "oracle-expressible; the score uses the UNSCALED (rel - maxsim) "
+    "difference — an exact multiple of 1e-4 given the rounded-4 "
+    "inputs, hence engine-stable, where halving first could land on "
+    ".00005 boundaries where double representation decides the "
+    "round. Per-query extra work beyond the shortlist scorer is "
+    "shortlist^2 pairwise sims (bounded self-join of the candidate "
+    "table on query_id); the corpus streams exactly once.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.mmr_rerank(e, [0, 1, 2, 3, 4], shortlist=10, k=3)

@@ -909,3 +909,13 @@ def test_user_cf_caps_items_before_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the n_users <= 200 prune exists as a post-aggregate filter
     assert "200" in plan
+
+
+def test_mmr_corpus_streams_once_candidate_work_bounded(spark):
+    """sim_mmr_rerank: the corpus-facing stage is the shortlist scorer
+    (one broadcast of the 5 queries); every greedy round works on the
+    bounded candidate table — equi hash joins with residual
+    array_contains filters, no cartesian, no Python."""
+    plan = plan_of(spark, "sim_mmr_rerank")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
