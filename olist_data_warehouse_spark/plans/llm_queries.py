@@ -7638,3 +7638,175 @@ SELECT query_id, CAST(3 AS INT), doc_id, score FROM s3
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.mmr_rerank(e, [0, 1, 2, 3, 4], shortlist=10, k=3)
+
+
+@register(
+    "samp_temporal_embargo",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+labeled AS (
+  SELECT CASE WHEN day < 10970 THEN 'train'
+              WHEN day < 11000 THEN 'embargo'
+              ELSE 'test' END AS split,
+         day, cents
+  FROM d
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(day) AS min_day, max(day) AS max_day,
+       CAST(sum(cents) AS BIGINT) AS cents_total
+FROM labeled GROUP BY split
+""",
+    doc="Temporal train/test split with an EMBARGO gap — the "
+    "time-series-ML split rule (forecasting, fraud, ranking-model "
+    "backtests): everything before the cutoff minus a 30-day embargo "
+    "trains, everything after the cutoff tests, and the embargo rows "
+    "between are DROPPED from both sides so label-window leakage "
+    "(labels computed from post-cutoff behavior of pre-cutoff rows) "
+    "cannot straddle the boundary — the temporal counterpart of "
+    "samp_cluster_split's content-leakage rule. Assignment is a pure "
+    "integer epoch-day comparison: partitioning/order-invariant, "
+    "re-runs reproduce membership exactly. Plan: one scan, one "
+    "map-side-combined 3-group aggregate — the split audit costs one "
+    "pass and the split itself is a scan-stage filter that composes "
+    "under any downstream operator (and prunes files outright on a "
+    "date-partitioned layout).",
+)
+def samp_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    d = o.select(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    split = (
+        F.when(F.col("day") < 10970, "train")
+        .when(F.col("day") < 11000, "embargo")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "day", "cents")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+            F.sum("cents").alias("cents_total"),
+        )
+    )
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH {_KNN_EDGES_SQL},
+nb AS (
+  SELECT a AS node, b AS nbr FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY node
+),
+wedges AS (
+  SELECT x.nbr AS xa, y.nbr AS xb, CAST(count(*) AS BIGINT) AS common
+  FROM nb x JOIN nb y ON x.node = y.node AND x.nbr < y.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.xa AS a, w.xb AS b, w.common
+  FROM wedges w
+  LEFT JOIN edges e ON e.a = w.xa AND e.b = w.xb
+  WHERE e.a IS NULL
+)
+SELECT c.a, c.b, c.common,
+       (1000000 * c.common) // (da.d + db.d - c.common) AS jaccard_ppm
+FROM cand c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+ORDER BY jaccard_ppm DESC, a, b
+LIMIT 20
+""",
+    doc="Link prediction by neighbor Jaccard over the bounded-degree "
+    "item graph: the top-20 NON-adjacent pairs whose neighborhoods "
+    "overlap most — the classic 'these items should be related' "
+    "candidate generator (and the graph-completion audit for a "
+    "curated edge list). Candidates are exactly the wedge pairs "
+    "(a-x-b sharing a neighbor, a<b, one equi self-join of the "
+    "symmetrized adjacency on the shared node), minus existing edges "
+    "via an anti-join; the score 1e6*|common| div (|N(a)|+|N(b)|-"
+    "|common|) is pure BIGINT floor division. Completes the graph "
+    "family's audit arc: PageRank ranks nodes, triangles measure "
+    "cohesion, this predicts edges. Same scale fuse as "
+    "graph_triangles — the top-5 degree cap bounds the wedge join at "
+    "O(V*k^2) whatever the raw co-occurrence density; top-20 is "
+    "TakeOrderedAndProject.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("src"))
+    b = ui.select("user_id", F.col("item").alias("dst"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
+    edges = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    nb = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nb.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x = nb.select("node", F.col("nbr").alias("xa"))
+    y = nb.select("node", F.col("nbr").alias("xb"))
+    wedges = (
+        x.join(y, "node")
+        .filter(F.col("xa") < F.col("xb"))
+        .groupBy("xa", "xb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedges.join(
+        edges,
+        (wedges.xa == edges.a) & (wedges.xb == edges.b),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("xa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("xb"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "xa")
+        .join(db, "xb")
+        .select(
+            F.col("xa").alias("a"),
+            F.col("xb").alias("b"),
+            "common",
+            F.expr(
+                "(1000000 * common) div (da + db - common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

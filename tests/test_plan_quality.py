@@ -919,3 +919,22 @@ def test_mmr_corpus_streams_once_candidate_work_bounded(spark):
     plan = plan_of(spark, "sim_mmr_rerank")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_wedge_join_stays_hash(spark):
+    """graph_link_prediction: the wedge self-join, the edge anti-join,
+    and the degree joins are all hash joins over the capped edge list;
+    top-20 is TakeOrderedAndProject."""
+    plan = plan_of(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temporal_embargo_is_single_scan_aggregate(spark):
+    """samp_temporal_embargo: one scan, one map-side-combined 3-group
+    aggregate — no joins, no windows, no sort."""
+    plan = plan_of(spark, "samp_temporal_embargo")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
