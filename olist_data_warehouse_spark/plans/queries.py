@@ -1652,11 +1652,11 @@ DRIVER_PRIORITY = [
     # --- 50-cap falls here. Everything below is the r6 ROTATION POOL,
     # newest-first: round-5 entries without driver evidence yet. All
     # run green continuously in the local sf0.001 replica
-    # (tests/test_queries_oracle.py), and the ENTIRE registry — the
-    # 50-prefix and the pool — was swept green against DuckDB at the
-    # driver's sf0.01 gate scale this round (0 fails; the late batch
-    # of 7 — triangles, concurrency, rolling median, MAD, trend,
-    # entropy, seasonal — verified individually at sf0.01 on landing).
+    # (tests/test_queries_oracle.py), and the ENTIRE registry was
+    # swept green against DuckDB at the driver's sf0.01 gate scale
+    # this round (183 entries, 0 fails, after the perf refactors;
+    # the final additions — temporal embargo, link prediction — were
+    # verified at sf0.01 individually on landing).
     "dq_zscore_outliers", "samp_cluster_split",
     "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
     "ts_linear_trend", "ts_seasonal_baseline", "stream_ohlc_bars",
