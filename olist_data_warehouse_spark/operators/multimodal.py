@@ -277,3 +277,51 @@ def decode_audio_meta(audio: DataFrame, codec: str = "fake") -> DataFrame:
             })
 
     return audio.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)
+
+
+PHASH_SCHEMA = "item_id bigint, phash bigint"
+
+
+def image_phash(images: DataFrame, codec: str = "fake") -> DataFrame:
+    """Perceptual-hash stage: binary payload → 48-bit average-hash.
+
+    aHash over the decoded pixel bytes (first 48 of the body): bit i is
+    set iff pixel i is STRICTLY above the mean, with the mean compare
+    cross-multiplied to the pure-integer predicate b[i]*n > sum(b) — no
+    float mean, so the hash is bit-identical under any arithmetic. 48
+    bits keeps the value positive in a signed BIGINT. Near-identical
+    images (here: payloads whose bodies share bytes) collapse to the
+    same hash — the image-dedup primitive; real pipelines swap the
+    fake parser for PIL + a 8x8 grayscale resize and keep this exact
+    bit rule. Arrow-batched mapInPandas like every multimodal stage:
+    bytes cross JVM↔Python once per batch.
+    """
+    _gate(codec, "image phash", "an image library (PIL/opencv)")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(b) -> int:
+            valid, _w, _h, _c, body = _parse_image_header(b)
+            if not valid:
+                return 0
+            bs = bytes(body)[:48]
+            n = len(bs)
+            if n == 0:
+                return 0
+            tot = sum(bs)
+            h = 0
+            for i, v in enumerate(bs):
+                if v * n > tot:
+                    h |= 1 << i
+            return h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "phash": pdf["payload"].map(one),
+                }
+            )
+
+    return images.mapInPandas(kernel, schema=PHASH_SCHEMA)

@@ -7810,3 +7810,68 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@register(
+    "multi_image_phash",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, substr(text, 1, 48) AS s FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, least(length(s), 48) + 1),
+                        i -> unicode(substr(s, i, 1))) AS bs
+  FROM b
+),
+stats AS (
+  SELECT doc_id, bs, len(bs) AS n,
+         COALESCE(list_sum(bs), 0) AS tot
+  FROM bytes
+),
+hashed AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0 ELSE
+           CAST(COALESCE(list_sum(list_transform(
+             range(1, n + 1),
+             i -> CASE WHEN bs[i] * n > tot
+                       THEN (CAST(1 AS BIGINT) << (i - 1))
+                       ELSE 0 END)), 0) AS BIGINT)
+         END AS phash
+  FROM stats
+)
+SELECT phash,
+       CAST(count(*) AS BIGINT) AS n_items,
+       min(doc_id) AS first_item
+FROM hashed
+GROUP BY phash
+HAVING count(*) >= 2
+""",
+    doc="Image dedup by perceptual hash: the deterministic fake "
+    "payloads run through the Arrow-batched aHash kernel "
+    "(mapInPandas — the only place bytes touch Python, once per "
+    "batch), and items are grouped by the 48-bit hash; groups >= 2 "
+    "are the near-duplicate report every image-corpus pipeline runs "
+    "before training. The bit rule is the cross-multiplied integer "
+    "predicate pixel*n > sum (no float mean), so the oracle can "
+    "recompute the hash ANALYTICALLY from the same source text the "
+    "fake payload embeds (pure-ASCII corpus: bytes == codepoints, "
+    "verified octet_length == length over the whole table) — the "
+    "full binary plumbing gets the strongest (hash-match) gate, like "
+    "every other multimodal stage. At 100 TB the hash is a map-only "
+    "pass over sharded payloads; the groupBy shuffles (48-bit, id) "
+    "pairs only — images never move.",
+)
+def multi_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = _fake_images(spark, sf_dir)
+    hashed = multimodal.image_phash(
+        multimodal.shard_for_decode(images, n_shards=32)
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("item_id").alias("first_item"),
+        )
+        .filter(F.col("n_items") >= 2)
+    )
