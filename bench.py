@@ -134,6 +134,11 @@ def main() -> None:
     # a re-run: real regressions move every run, noise spikes a few.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     bench_names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    # Subset knob for the contract-line regression test (and quick
+    # local iteration): first N bench queries only.
+    limit = os.environ.get("SPARK_GRAFT_BENCH_LIMIT")
+    if limit:
+        bench_names = bench_names[: int(limit)]
 
     # One untimed warm-up sweep over the full query set: round 4's first
     # timed sweep was uniformly cold (shuffle-file and code caches empty,
