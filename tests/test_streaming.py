@@ -756,3 +756,51 @@ def test_streaming_ohlc_matches_batch_and_oracle_form(spark):
         ev.run_streaming_ohlc(spark, SF, "stream_test.ohlc", ckpt)
         got = spark.table("stream_test.ohlc")
         assert rows(got, *cols) == rows(batch, *cols)
+
+
+def test_streaming_phash_kernel_matches_batch(spark):
+    """The Arrow mapInPandas phash kernel is STATELESS, so it runs on a
+    stream unchanged — per-item hashes streamed through two real
+    micro-batches (append mode, no watermark needed) equal the batch
+    kernel over the same payloads. Demonstrates that every multimodal
+    stage composes with Structured Streaming as-is."""
+    import os
+
+    from olist_data_warehouse_spark.operators import multimodal
+
+    docs = load_testdata(spark, SF, ("documents",))["documents"]
+    w = (F.col("doc_id") % 64 + 16).cast("int")
+    h = (F.col("doc_id") % 48 + 16).cast("int")
+    payload = F.concat(
+        F.lit("FAKEIMG|"), w.cast("string"), F.lit("|"),
+        h.cast("string"), F.lit("|3|"), F.substring("text", 1, 64),
+    ).cast("binary")
+    images = docs.select(
+        F.col("doc_id").alias("item_id"), payload.alias("payload")
+    )
+    batch = rows(multimodal.image_phash(images), "item_id", "phash")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        out = os.path.join(d, "out")
+        images.filter(F.col("item_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "half=a")
+        )
+        images.filter(F.col("item_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "half=b")
+        )
+        stream = (
+            spark.readStream.schema(images.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/half=*")
+        )
+        q = (
+            multimodal.image_phash(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = rows(spark.read.parquet(out), "item_id", "phash")
+        assert got == batch
