@@ -7875,3 +7875,145 @@ def multi_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 2)
     )
+
+
+# One label-propagation round as SQL: unlabeled nodes adopt the
+# majority label among their labeled neighbors (votes DESC, label ASC
+# tie-break); already-labeled nodes never change. Repeated verbatim per
+# unrolled oracle round, like _pr_step_sql.
+def _lp_round_sql(cur: str, nxt: str, rnd: int) -> str:
+    return f"""
+votes_{rnd} AS (
+  SELECT nb.node, l.label, CAST(count(*) AS BIGINT) AS votes
+  FROM nb JOIN {cur} l ON nb.nbr = l.item
+  WHERE nb.node NOT IN (SELECT item FROM {cur})
+  GROUP BY nb.node, l.label
+),
+new_{rnd} AS (
+  SELECT node AS item, label, CAST({rnd} AS INT) AS round_assigned
+  FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY votes DESC, label) AS rn
+    FROM votes_{rnd}
+  ) WHERE rn = 1
+),
+{nxt} AS (
+  SELECT item, label, round_assigned FROM {cur}
+  UNION ALL SELECT item, label, round_assigned FROM new_{rnd}
+)""".strip()
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_KNN_EDGES_SQL},
+nb AS (
+  SELECT a AS node, b AS nbr FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+l0 AS (
+  SELECT DISTINCT least(src, dst) AS item,
+         least(src, dst) % 3 AS label,
+         CAST(0 AS INT) AS round_assigned
+  FROM knn WHERE least(src, dst) % 7 = 0
+  UNION
+  SELECT DISTINCT greatest(src, dst), greatest(src, dst) % 3,
+         CAST(0 AS INT)
+  FROM knn WHERE greatest(src, dst) % 7 = 0
+),
+{_lp_round_sql("l0", "l1", 1)},
+{_lp_round_sql("l1", "l2", 2)}
+SELECT item, CAST(label AS BIGINT) AS label, round_assigned FROM l2
+""",
+    doc="Semi-supervised label propagation over the bounded-degree "
+    "item graph: ~1/7 of the nodes carry seed labels (3 classes), "
+    "and two unrolled majority-vote rounds spread them — unlabeled "
+    "nodes adopt the most-voted label among labeled neighbors "
+    "(votes DESC, label ASC tie-break), labeled nodes are immutable. "
+    "This is the auto-labeling workhorse for sparse-annotation "
+    "corpora (and the batch shape of community detection): all "
+    "integer votes, no damping floats, so the unrolled-CTE oracle "
+    "matches exactly, like graph_pagerank_items. Per round: one "
+    "equi-join of the adjacency against the label table + one "
+    "map-side-combined vote count + one per-node window on the "
+    "vote table — the label table is node-bounded, the adjacency is "
+    "degree-capped, and document/item payloads never move. Fixed "
+    "round count keeps it oracle-expressible; production loops with "
+    "the CC operator's localCheckpoint + fixpoint-sum pattern.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("src"))
+    b = ui.select("user_id", F.col("item").alias("dst"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
+    knn = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("src", "dst")
+        .persist()
+    )
+    edges = knn.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    nb = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).persist()
+    nodes = nb.select("node").distinct()
+    labels = (
+        nodes.filter(F.col("node") % 7 == 0)
+        .select(
+            F.col("node").alias("item"),
+            (F.col("node") % 3).alias("label"),
+            F.lit(0).cast("int").alias("round_assigned"),
+        )
+        .localCheckpoint()
+    )
+    for rnd in (1, 2):
+        labeled_ids = labels.select(F.col("item").alias("node"))
+        votes = (
+            nb.join(F.broadcast(labeled_ids), "node", "left_anti")
+            .join(
+                labels.select(
+                    F.col("item").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        wv = Window.partitionBy("node").orderBy(
+            F.desc("votes"), F.asc("label")
+        )
+        new = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("node").alias("item"),
+                "label",
+                F.lit(rnd).cast("int").alias("round_assigned"),
+            )
+        )
+        labels = labels.unionByName(new).localCheckpoint()
+    return labels.select(
+        "item", F.col("label").cast("long").alias("label"), "round_assigned"
+    )
