@@ -1038,3 +1038,53 @@ def read_published_index(spark: SparkSession, index_path: str) -> DataFrame:
         )
         .filter(F.col("df") >= 2)
     )
+
+
+def hll_refresh_stream(events_stream: DataFrame, regs_path: str):
+    """Continuous daily-active-users sketch: each micro-batch builds
+    its 64-rows-per-day HLL register delta and merges into the
+    materialized register table by per-bucket MAX — the operational
+    form of the sketch's mergeability (sk_hll_set_algebra's proven
+    identity), so the daily-distinct estimate stays current at a per-
+    batch cost of O(delta + days*64), never a re-scan.
+
+    Each merge publishes a NEW VERSION of the register table via the
+    versioned-table writer (immutable ``v=N`` dir + atomic pointer
+    swap): readers can never see a half-written merge, a crashed batch
+    leaves the previous version live, and every historical estimate
+    stays as-of-readable (time travel over sketch state). Returns the
+    writeStream builder — caller picks trigger/checkpoint."""
+    from olist_data_warehouse_spark.operators import sketches
+    from olist_data_warehouse_spark.sources import writers
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        daily = batch_df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        delta = sketches.hll_registers(daily, ["day"], F.col("user_id"))
+        if writers.table_version(regs_path) is None:
+            merged = delta
+        else:
+            base = writers.read_versioned(spark_l, regs_path)
+            merged = (
+                base.unionByName(delta)
+                .groupBy("day", "bucket")
+                .agg(F.max("register").alias("register"))
+            )
+        # The write targets a NEW immutable version dir, so reading the
+        # old version while writing the new one is safe by layout.
+        writers.write_versioned(merged, regs_path)
+
+    return events_stream.writeStream.foreachBatch(merge)
+
+
+def read_hll_daily(
+    spark: SparkSession, regs_path: str, version: int | None = None
+) -> DataFrame:
+    """(day, approx_distinct, n_zero_registers) from the materialized
+    register table — current by default, or AS OF an older version."""
+    from olist_data_warehouse_spark.operators import sketches
+    from olist_data_warehouse_spark.sources import writers
+
+    return sketches.hll_estimate(
+        writers.read_versioned(spark, regs_path, version), ["day"]
+    )

@@ -804,3 +804,62 @@ def test_streaming_phash_kernel_matches_batch(spark):
         q.awaitTermination()
         got = rows(spark.read.parquet(out), "item_id", "phash")
         assert got == batch
+
+
+def test_streaming_hll_register_merge_matches_batch(spark):
+    """Daily-active HLL maintained through two real micro-batches by
+    per-bucket register MAX (each merge published as a new immutable
+    VERSION) must equal the batch sketch over all events — and the
+    first version must equal the batch sketch over only the first
+    half (time travel over sketch state)."""
+    import os
+
+    from olist_data_warehouse_spark.operators import sketches
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+    from olist_data_warehouse_spark.sources import writers
+
+    events = load_testdata(spark, SF, ("events",))["events"]
+    batch_all = rows(
+        REGISTRY["sk_hll_daily_users"].fn(spark, SF),
+        "day", "approx_distinct", "n_zero_registers",
+    )
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    batch_first = rows(
+        sketches.hll_distinct(
+            first_half.withColumn(
+                "day", F.date_format("ts", "yyyy-MM-dd")
+            ),
+            ["day"], F.col("user_id"),
+        ),
+        "day", "approx_distinct", "n_zero_registers",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        regs = os.path.join(d, "regs")
+        first_half.coalesce(1).write.parquet(os.path.join(src, "half=a"))
+        events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "half=b")
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/half=*")
+        )
+        q = (
+            ev.hll_refresh_stream(stream, regs)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert writers.table_version(regs) == 1  # one version per batch
+        got = rows(
+            ev.read_hll_daily(spark, regs),
+            "day", "approx_distinct", "n_zero_registers",
+        )
+        assert got == batch_all
+        as_of_0 = rows(
+            ev.read_hll_daily(spark, regs, version=0),
+            "day", "approx_distinct", "n_zero_registers",
+        )
+        assert as_of_0 == batch_first
