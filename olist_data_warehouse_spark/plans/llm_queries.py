@@ -8017,3 +8017,87 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "item", F.col("label").cast("long").alias("label"), "round_assigned"
     )
+
+
+@register(
+    "pipe_pretrain_layout",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+scored AS (
+  SELECT doc_id, t, toks,
+       {_SCORE_COLS}
+  FROM tok
+),
+feats AS (
+  SELECT doc_id, t,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL})))
+                    AS BIGINT) / CAST(len(toks) AS DOUBLE), 4)
+           AS stopword_ratio,
+         {_LANG_CASE} AS lang_pred,
+         md5(t) AS fingerprint
+  FROM scored
+),
+kept AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 30 AND stopword_ratio >= 0.03 AND lang_pred = 'en'
+),
+canon AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                 ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+train AS (
+  SELECT doc_id, n_tokens
+  FROM (SELECT *, {_bucket_sql("split", "doc_id")} AS b FROM canon)
+  WHERE b < 8000
+),
+n AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+           AS bucket
+  FROM train WHERE n_tokens > 0
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS tok_end
+  FROM n
+),
+s AS (
+  SELECT doc_id, n_tokens, tok_end, tok_end - n_tokens AS tok_start FROM c
+),
+ch AS (
+  SELECT doc_id, tok_start, tok_end,
+         unnest(generate_series(tok_start // 1024, (tok_end - 1) // 1024))
+           AS chunk_id
+  FROM s
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, tok_start, tok_end,
+       CAST(least(tok_end, (chunk_id + 1) * 1024)
+            - greatest(tok_start, chunk_id * 1024) AS BIGINT) AS span_len
+FROM ch
+""",
+    doc="The pre-training data layout end-to-end, ONE composed plan: "
+    "quality filter -> language filter -> exact dedup -> leakage-"
+    "safe hash split -> TRAIN slice -> concat-and-chunk packing into "
+    "1024-token windows. Every stage is the already-oracle-verified "
+    "operator reused verbatim (pipe_corpus_curation feeding "
+    "packing.concat_chunks), which is the point: curation decisions "
+    "and the physical training layout stay ONE lineage — no "
+    "intermediate table whose staleness can desynchronize what was "
+    "selected from what gets packed. Plan shape: the curation side "
+    "is one digest shuffle; packing adds the two-pass distributed "
+    "prefix sum (64-row bucket offsets broadcast back) — nothing "
+    "global-sorts, and the corpus text itself never moves past the "
+    "scan stage.",
+)
+def pipe_pretrain_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curated = pipe_corpus_curation(spark, sf_dir)
+    train = curated.filter(F.col("split") == "train")
+    return packing.concat_chunks(
+        train, "doc_id", F.col("n_tokens"), ctx=1024, n_buckets=64
+    )
