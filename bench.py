@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "graph_triangles",
     "ts_max_concurrency",
     "text_collocation_pmi",
+    # flagship composition (curation -> split -> packed windows) and
+    # the diversified-retrieval representative
+    "pipe_pretrain_layout",
+    "sim_mmr_rerank",
 ]
 
 
