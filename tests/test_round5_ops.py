@@ -171,3 +171,33 @@ def test_linear_trend_exact_slope(spark):
         .cast("long").alias("den"),
     ).collect()[0]
     assert r["num"] == 7 * r["den"] and r["den"] > 0
+
+
+def test_pretrain_layout_packs_exactly_the_train_slice(spark):
+    """The composed pipeline packs ALL train-split docs with tokens
+    and nothing else, and its chunks tile the token stream: every
+    chunk holds exactly 1024 tokens except the final one, and each
+    doc's spans sum to its token count."""
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    curated = REGISTRY["pipe_corpus_curation"].fn(spark, SF).collect()
+    train_ids = {
+        r["doc_id"] for r in curated
+        if r["split"] == "train" and r["n_tokens"] > 0
+    }
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in curated}
+    layout = REGISTRY["pipe_pretrain_layout"].fn(spark, SF).collect()
+    assert {r["doc_id"] for r in layout} == train_ids
+
+    per_doc: dict[int, int] = {}
+    per_chunk: dict[int, int] = {}
+    for r in layout:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_len"]
+        per_chunk[r["chunk_id"]] = (
+            per_chunk.get(r["chunk_id"], 0) + r["span_len"]
+        )
+    assert per_doc == {i: n_tok[i] for i in train_ids}
+    last = max(per_chunk)
+    for cid, tot in per_chunk.items():
+        assert tot == 1024 or (cid == last and 0 < tot <= 1024)
