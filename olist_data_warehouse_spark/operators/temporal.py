@@ -47,7 +47,10 @@ def asof_join(
     """For each left row, attach the nearest right row in the same
     ``by`` key: with ``direction="backward"`` (default) the latest row
     with ``right_ts <= left_ts``; with ``"forward"`` the earliest row
-    with ``right_ts >= left_ts`` (pandas ``merge_asof`` parity).
+    with ``right_ts >= left_ts``; with ``"nearest"`` whichever of the
+    two is closer in time, equal distances going backward (pandas
+    ``merge_asof`` parity; the tie rule — which pandas leaves
+    unspecified — is pinned here).
     ``tolerance_seconds`` bounds the match distance — rows whose only
     match lies further away keep their left columns with NULL match
     columns, exactly like merge_asof's ``tolerance``. Right rows are
@@ -63,8 +66,10 @@ def asof_join(
     directions: the right row sorts into the readable side of the
     frame at the same ts.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     right_cols = right_cols or [
         c for c in right.columns if c not in by and c != right_ts
     ]
@@ -98,6 +103,53 @@ def asof_join(
     )
 
     merged = l_tagged.unionByName(r_tagged)
+    if direction == "nearest":
+        # Both carries over the SAME key exchange (two frames, one
+        # partitioning): the backward carry reads the last right row
+        # at/before, the forward carry the first at/after; the closer
+        # one wins, ties (equal distance) go BACKWARD — the pinned
+        # engine contract (pandas merge_asof 'nearest' parity up to
+        # its unspecified tie rule).
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_ts").asc(), F.col("_is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_ts").asc(), F.col("_is_r").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for c in [*(f"_r_{c}" for c in right_cols), "_r_ts"]:
+            merged = merged.withColumn(
+                f"_b{c}", F.last(c, ignorenulls=True).over(wb)
+            ).withColumn(f"_f{c}", F.first(c, ignorenulls=True).over(wf))
+        gb = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_b_r_ts"))
+        gf = F.unix_micros(F.col("_f_r_ts")) - F.unix_micros(F.col("_ts"))
+        use_b = F.col("_b_r_ts").isNotNull() & (
+            F.col("_f_r_ts").isNull() | (gb <= gf)
+        )
+        for c in [*(f"_r_{c}" for c in right_cols), "_r_ts"]:
+            merged = merged.withColumn(
+                c, F.when(use_b, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}"))
+            ).drop(f"_b{c}", f"_f{c}")
+        if tolerance_seconds is not None:
+            gap = F.abs(
+                F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_r_ts"))
+            )
+            ok = gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+            for c in right_cols:
+                merged = merged.withColumn(
+                    f"_r_{c}", F.when(ok, F.col(f"_r_{c}"))
+                )
+            merged = merged.withColumn("_r_ts", F.when(ok, F.col("_r_ts")))
+        return merged.filter(F.col("_is_r") == 0).select(
+            *by,
+            F.col("_ts").alias(left_ts),
+            *[F.col(c) for c in lcols],
+            F.col("_r_ts").alias(f"{prefix}{right_ts}"),
+            *[F.col(f"_r_{c}").alias(f"{prefix}{c}") for c in right_cols],
+        )
     if direction == "backward":
         # right rows sort before left rows at equal ts so `<=` matches
         w = (

@@ -8101,3 +8101,82 @@ def pipe_pretrain_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.concat_chunks(
         train, "doc_id", F.col("n_tokens"), ctx=1024, n_buckets=64
     )
+
+
+@register(
+    "tj_asof_nearest",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+r1 AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
+mb AS (
+  SELECT l.event_id, r1.ts AS b_ts, r1.event_id AS b_eid,
+         r1.value AS b_val
+  FROM l ASOF LEFT JOIN r1
+    ON l.user_id = r1.user_id AND r1.ts <= l.ts
+),
+mf AS (
+  SELECT l.event_id, r1.ts AS f_ts, r1.event_id AS f_eid,
+         r1.value AS f_val
+  FROM l ASOF LEFT JOIN r1
+    ON l.user_id = r1.user_id AND r1.ts >= l.ts
+),
+chosen AS (
+  SELECT l.user_id, l.ts, l.event_id, l.value,
+         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                   epoch_us(l.ts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(l.ts))
+              THEN b_ts ELSE f_ts END AS m_ts,
+         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                   epoch_us(l.ts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(l.ts))
+              THEN b_eid ELSE f_eid END AS m_eid,
+         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                   epoch_us(l.ts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(l.ts))
+              THEN b_val ELSE f_val END AS m_val
+  FROM l JOIN mb USING (event_id) JOIN mf USING (event_id)
+)
+SELECT user_id, ts, event_id, value,
+       CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts)) <= 1800000000
+            THEN m_ts END AS matched_ts,
+       CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts)) <= 1800000000
+            THEN m_eid END AS matched_event_id,
+       CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts)) <= 1800000000
+            THEN m_val END AS matched_value
+FROM chosen
+""",
+    doc="NEAREST as-of join with tolerance — completes the "
+    "backward/forward/nearest merge_asof triple: each click gets the "
+    "closest same-user purchase in EITHER direction (ties pinned to "
+    "backward; the oracle implements the same rule via two "
+    "independent native ASOF JOINs + a CASE). Engine side runs BOTH "
+    "carries over the ONE key exchange (two frames, same "
+    "partitioning — an extra in-partition sort, no extra shuffle, "
+    "still no join node); tolerance is the same post-selection "
+    "conditional NULL on the absolute gap.",
+)
+def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return temporal.asof_join(
+        clicks, purchases, by=["user_id"],
+        right_cols=["event_id", "value"], tie_col="event_id",
+        direction="nearest", tolerance_seconds=1800,
+    ).select(
+        "user_id", "ts", "event_id", "value",
+        "matched_ts", "matched_event_id", "matched_value",
+    )
