@@ -243,3 +243,61 @@ def range_join_binned(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col("_end"))
     )
     return joined.drop("_bin", "_end")
+
+
+def interval_overlap_join_binned(
+    a: DataFrame,
+    b: DataFrame,
+    by: list[str],
+    a_start: str,
+    b_start: str,
+    a_len_seconds: int,
+    b_len_seconds: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join ([s, s+len) end-exclusive, same
+    ``by`` key) as an EQUI-join — the two-sided generalization of
+    :func:`range_join_binned`: a raw double-inequality join plans as a
+    nested loop, quadratic per key. Time is bucketed into bins of the
+    larger interval length; each interval explodes to the (≤ 2 for
+    len ≤ bin) bins it covers, the join runs on (key, bin), and the
+    exact overlap predicate filters bin-edge pairs.
+
+    Duplicate suppression is POSITIONAL, not a distinct: a pair that
+    shares several bins is emitted only from the bin containing
+    ``greatest(s_a, s_b)`` — that instant lies inside BOTH intervals
+    (they overlap and it is the later start), so exactly one copy
+    survives with zero extra exchange — the same responsibility-
+    assignment trick the LSH first-shared-band dedup uses.
+
+    Returns (by..., a row cols, b row cols, overlap_us)."""
+    bin_us = max(a_len_seconds, b_len_seconds) * 1_000_000
+    a_us = F.unix_micros(F.col(a_start))
+    b_us = F.unix_micros(F.col(b_start))
+
+    def binned(df, start_us, length_s, side):
+        end_us = start_us + length_s * 1_000_000
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(start_us / bin_us).cast("long"),
+                    F.floor((end_us - 1) / bin_us).cast("long"),
+                )
+            ),
+        ).withColumn(f"_{side}_us", start_us)
+
+    ab = binned(a, a_us, a_len_seconds, "a")
+    bb = binned(b, b_us, b_len_seconds, "b")
+    joined = ab.join(bb, [*by, "_bin"])
+    resp = F.floor(
+        F.greatest(F.col("_a_us"), F.col("_b_us")) / bin_us
+    ).cast("long")
+    overlap = F.least(
+        F.col("_a_us") + a_len_seconds * 1_000_000,
+        F.col("_b_us") + b_len_seconds * 1_000_000,
+    ) - F.greatest(F.col("_a_us"), F.col("_b_us"))
+    return (
+        joined.filter((overlap > 0) & (F.col("_bin") == resp))
+        .withColumn("overlap_us", overlap)
+        .drop("_bin", "_a_us", "_b_us")
+    )

@@ -8180,3 +8180,122 @@ def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value",
         "matched_ts", "matched_event_id", "matched_value",
     )
+
+
+@register(
+    "w15_skyline_orders",
+    oracle="""
+WITH cents AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+),
+daycounts AS (
+  SELECT day, c, CAST(count(*) AS BIGINT) AS n
+  FROM cents GROUP BY day, c
+),
+daymax AS (
+  SELECT day, c AS cmax, n AS n_at_max FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY c DESC) AS rn
+    FROM daycounts
+  ) WHERE rn = 1
+)
+SELECT d.day, d.cmax AS cents_max, d.n_at_max
+FROM daymax d
+WHERE NOT EXISTS (
+  SELECT 1 FROM daymax q
+  WHERE q.day < d.day AND q.cmax >= d.cmax
+)
+""",
+    doc="2-D Pareto skyline (earlier day better, higher order value "
+    "better): the days not dominated by any strictly-earlier day "
+    "with at-least-equal maximum order value — the skyline / non-"
+    "dominated-set operator behind multi-criteria 'best offers' "
+    "queries. The reduction is the point: a skyline row must carry "
+    "its day's MAXIMUM value (a same-day higher value dominates), so "
+    "the fact first collapses to per-(day, value) counts and per-day "
+    "maxima, and the skyline itself is a strict running-max filter "
+    "over O(days) rows. The oracle is the INDEPENDENT NOT-EXISTS "
+    "dominance formulation, so the window reduction is proven "
+    "equivalent to the definition, not assumed. The final window is "
+    "deliberately single-partition over the DAY-GRAIN rollup (the "
+    "w11 pattern — O(days), never O(rows)); the distributed form "
+    "for a non-collapsible skyline is per-partition local skylines "
+    "merged, which this pre-aggregation subsumes.",
+)
+def w15_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = o.select(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    daycounts = cents.groupBy("day", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wd = Window.partitionBy("day").orderBy(F.desc("c"))
+    daymax = (
+        daycounts.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day", F.col("c").alias("cents_max"), F.col("n").alias("n_at_max")
+        )
+    )
+    ws = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        daymax.withColumn(
+            "_prevmax", F.max("cents_max").over(ws)
+        )
+        .filter(
+            F.col("_prevmax").isNull()
+            | (F.col("cents_max") > F.col("_prevmax"))
+        )
+        .select("day", "cents_max", "n_at_max")
+    )
+
+
+@register(
+    "tj_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT user_id, event_id AS a_id, epoch_us(ts) AS s
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id, event_id AS b_id, epoch_us(ts) AS s
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, a.a_id, b.b_id,
+       CAST(least(a.s + 600000000, b.s + 600000000)
+            - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND a.s < b.s + 600000000
+ AND b.s < a.s + 600000000
+""",
+    doc="Interval-overlap join (10-minute view dwells x 10-minute "
+    "click dwells per user, end-exclusive) — the two-sided "
+    "generalization of the binned range join: shift-conflict / "
+    "concurrent-session detection. The oracle is the raw DOUBLE-"
+    "INEQUALITY join (which a naive engine plans as a per-key nested "
+    "loop); the engine side is the equi-join on (user, time-bin) "
+    "with each interval exploding to <= 2 bins and duplicates "
+    "suppressed POSITIONALLY — a multi-bin pair emits only from the "
+    "bin containing the later start, which provably lies in both "
+    "intervals — so no distinct, no second exchange "
+    "(operators/temporal.py interval_overlap_join_binned). Plan-"
+    "pinned hash join, never a nested loop.",
+)
+def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    return temporal.interval_overlap_join_binned(
+        a, b, by=["user_id"], a_start="a_ts", b_start="b_ts",
+        a_len_seconds=600, b_len_seconds=600,
+    ).select("user_id", "a_id", "b_id", "overlap_us")

@@ -938,3 +938,28 @@ def test_temporal_embargo_is_single_scan_aggregate(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_interval_overlap_is_hash_join_no_distinct(spark):
+    """tj_interval_overlap: the double-inequality overlap join must
+    run as an equi hash join on (user, bin) with positional dedup —
+    no nested loop, no Aggregate for a distinct."""
+    plan = plan_of(spark, "tj_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # positional responsibility filter, not a distinct: the only
+    # aggregates in this plan would come from a dedup — ban them.
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_skyline_runs_on_day_grain_rollup(spark):
+    """w15_skyline_orders: the skyline window must consume the
+    per-day rollup (aggregate below the window), never the raw fact."""
+    plan = plan_of(spark, "w15_skyline_orders")
+    # the (day, cents) rollup aggregate feeds the windows: partial +
+    # final aggregate present, and the raw fact column pruned to the
+    # two needed columns at the scan
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    assert "o_totalprice" in plan and "o_orderpriority" not in plan
+    assert "BatchEvalPython" not in plan
