@@ -8299,3 +8299,54 @@ def tj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, by=["user_id"], a_start="a_ts", b_start="b_ts",
         a_len_seconds=600, b_len_seconds=600,
     ).select("user_id", "a_id", "b_id", "overlap_us")
+
+
+@register(
+    "dq_uniqueness_profile",
+    oracle="""
+WITH stacked AS (
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+)
+SELECT col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       (1000000 * count(DISTINCT v)) // count(*) AS uniq_ppm,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null
+FROM stacked GROUP BY col
+""",
+    doc="Per-column uniqueness profile from ONE stacked scan: row "
+    "count, exact distinct count, integer-ppm uniqueness ratio, and "
+    "null count for each profiled column — the candidate-key / "
+    "join-key-quality discovery pass (uniq_ppm = 1e6 says key; "
+    "near-0 says low-cardinality dimension), complementing "
+    "dq_key_skew_report's hot-value view of the same decision. "
+    "Values stack as strings (one map-side unpivot, no per-column "
+    "jobs); the exact COUNT(DISTINCT) per column is the Expand-plan "
+    "cost shape a21_multi_distinct pins, and the documented at-scale "
+    "swap is one HLL register file per column (sk_hll_* family) when "
+    "exactness isn't required.",
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    stacked = o.select(
+        F.expr(
+            "stack(4, 'o_orderkey', CAST(o_orderkey AS STRING), "
+            "'o_custkey', CAST(o_custkey AS STRING), "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority) AS (col, v)"
+        )
+    )
+    return stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.expr(
+            "(1000000 * count(DISTINCT v)) div count(*)"
+        ).alias("uniq_ppm"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+    )
