@@ -8350,3 +8350,145 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uniq_ppm"),
         (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
     )
+
+
+@register(
+    "a23_weighted_median",
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+byval AS (
+  SELECT l_returnflag, c, CAST(sum(w) AS BIGINT) AS wv
+  FROM cents GROUP BY l_returnflag, c
+),
+cum AS (
+  SELECT l_returnflag, c, wv,
+         CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         CAST(SUM(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM byval
+)
+SELECT l_returnflag, min(c) AS weighted_median_cents,
+       min(tw) AS total_weight
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""",
+    doc="Exact WEIGHTED median (price weighted by quantity) per "
+    "group — the inventory-weighted 'typical unit price' that a "
+    "plain median misstates when line sizes vary. Lower weighted "
+    "median convention: the smallest value whose cumulative weight "
+    "reaches half the total, via the cross-multiplied integer "
+    "predicate 2*cum >= total — no halving, no interpolation, every "
+    "column BIGINT. The fact first collapses to per-(group, value) "
+    "weight sums (map-side combined), so the cumulative window runs "
+    "over the VALUE DOMAIN per group, not the rows — the same "
+    "rollup-before-window discipline as w13/w15; at 100 TB the "
+    "value domain (distinct cents) bounds the window, and the "
+    "sketch swap is a weighted histogram (sk_hist family).",
+)
+def a23_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    byval = cents.groupBy("l_returnflag", "c").agg(
+        F.sum("w").alias("wv")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = byval.select(
+        "l_returnflag",
+        "c",
+        F.sum("wv").over(wcum).alias("cw"),
+        F.sum("wv").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("c").alias("weighted_median_cents"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "a24_mode",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) % 1000 AS last_cents
+  FROM orders
+),
+counts AS (
+  SELECT o_orderpriority, last_cents, count(*) AS cnt
+  FROM cents GROUP BY 1, 2
+),
+top AS (
+  SELECT o_orderpriority, last_cents AS mode_value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY cnt DESC, last_cents) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT t.o_orderpriority, CAST(t.mode_value AS BIGINT) AS mode_value,
+       CAST(g.n AS BIGINT) AS n
+FROM top t JOIN (
+  SELECT o_orderpriority, count(*) AS n FROM cents GROUP BY 1
+) g USING (o_orderpriority)
+""",
+    doc="Exact per-group MODE with a PINNED tie rule: most frequent "
+    "value, ties to the smallest (count DESC, value ASC). Native "
+    "mode() aggregates are exactly what this entry exists to "
+    "replace: DuckDB's (and most engines') mode breaks ties by scan "
+    "order — verified non-deterministic on this very data — so a "
+    "reproducible pipeline needs the explicit count-rollup + argmax "
+    "formulation on BOTH engines. Plan: per-(group, value) counts "
+    "map-side combined, then a per-group window argmax over the "
+    "value domain — two bounded exchanges, no sort of the fact.",
+)
+def a24_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = o.select(
+        "o_orderpriority",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") % 1000).alias(
+            "last_cents"
+        ),
+    )
+    counts = cents.groupBy("o_orderpriority", "last_cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.asc("last_cents")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("last_cents").alias("mode_value"),
+            F.sum(F.lit(0)).alias("_z"),
+        )
+        .drop("_z")
+        .join(
+            cents.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "o_orderpriority",
+        )
+        .select("o_orderpriority", "mode_value", "n")
+    )
