@@ -8492,3 +8492,110 @@ def a24_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "mode_value", "n")
     )
+
+
+@register(
+    "dedup_pipeline_eval",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH},
+buckets AS (
+  SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
+           AS band_digest
+  FROM signatures
+  GROUP BY doc_id, CAST(hash_idx // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_digest = b.band_digest
+  WHERE a.doc_id < b.doc_id
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+kept AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 100),
+shf AS (SELECT shh.doc_id, shh.h FROM shh JOIN kept USING (h)),
+sizes AS (SELECT doc_id, count(h) AS set_size FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(a.h) AS n_inter
+  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / CAST(sa.set_size + sb.set_size - n_inter
+                             AS DOUBLE), 4) >= 0.12
+),
+joined AS (
+  SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+         t.doc_a IS NOT NULL AS is_true,
+         c.doc_a IS NOT NULL AS is_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       (1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END))
+         // greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1)
+         AS recall_ppm,
+       (1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END))
+         // greatest(sum(CASE WHEN is_cand THEN 1 ELSE 0 END), 1)
+         AS precision_ppm
+FROM joined
+""",
+    doc="Dedup-pipeline evaluation IN the engine: LSH discovery "
+    "(dedup_minhash_lsh's exact plan) scored against ground truth "
+    "(dedup_ngram_jaccard's exact plan, thr 0.12) — TP/FN/FP plus "
+    "integer-ppm recall and precision in ONE scalar row. This is "
+    "the measurement every 'tune bands vs rows' decision needs, and "
+    "composing two already-verified operators means the evaluation "
+    "can never drift from what production actually runs. FULL OUTER "
+    "on the pair key classifies; map-side-combined scalar aggregate "
+    "reduces; floor-division ppm with a greatest(. ,1) guard keeps "
+    "the empty-truth edge exact on both engines. At 100 TB the "
+    "ground-truth side is the bounded verify-stage join (shingle-DF "
+    "cap), typically run on a SAMPLE — the composition is unchanged.",
+)
+def dedup_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    truth = dedup.ngram_jaccard_pairs(
+        d, k=3, threshold=0.12, max_shingle_df=100
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, rows_per_band=4, k=3
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
+    joined = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    tp = F.sum(F.when(F.col("is_true") & F.col("is_cand"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("is_true") & ~F.col("is_cand"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("is_cand") & ~F.col("is_true"), 1).otherwise(0))
+    nt = F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+    nc = F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+    return joined.agg(
+        tp.cast("long").alias("tp"),
+        fn.cast("long").alias("fn"),
+        fp.cast("long").alias("fp"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 "
+            "ELSE 0 END)) div greatest(sum(CASE WHEN is_true THEN 1 "
+            "ELSE 0 END), 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 "
+            "ELSE 0 END)) div greatest(sum(CASE WHEN is_cand THEN 1 "
+            "ELSE 0 END), 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
