@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     # the diversified-retrieval representative
     "pipe_pretrain_layout",
     "sim_mmr_rerank",
+    # discovery-vs-truth evaluation: the heaviest two dedup plans
+    # composed through a full-outer classify
+    "dedup_pipeline_eval",
 ]
 
 

@@ -8546,12 +8546,14 @@ SELECT CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
             AS BIGINT) AS fn,
        CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
             AS BIGINT) AS fp,
-       (1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END))
+       CAST((1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0
+                               END))
          // greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1)
-         AS recall_ppm,
-       (1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END))
+         AS BIGINT) AS recall_ppm,
+       CAST((1000000 * sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0
+                               END))
          // greatest(sum(CASE WHEN is_cand THEN 1 ELSE 0 END), 1)
-         AS precision_ppm
+         AS BIGINT) AS precision_ppm
 FROM joined
 """,
     doc="Dedup-pipeline evaluation IN the engine: LSH discovery "
