@@ -8601,3 +8601,149 @@ def dedup_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 0 END), 1) AS BIGINT)"
         ).alias("precision_ppm"),
     )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH {_KNN_EDGES_SQL},
+nb AS (
+  SELECT a AS node, b AS nbr FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+l0 AS (
+  SELECT DISTINCT least(src, dst) AS item,
+         least(src, dst) % 3 AS label,
+         CAST(0 AS INT) AS round_assigned
+  FROM knn WHERE least(src, dst) % 7 = 0
+  UNION
+  SELECT DISTINCT greatest(src, dst), greatest(src, dst) % 3,
+         CAST(0 AS INT)
+  FROM knn WHERE greatest(src, dst) % 7 = 0
+),
+{_lp_round_sql("l0", "l1", 1)},
+{_lp_round_sql("l1", "l2", 2)},
+nodes AS (SELECT DISTINCT node FROM nb),
+comm AS (
+  SELECT n.node,
+         COALESCE(l.label, -(n.node + 1)) AS community
+  FROM nodes n LEFT JOIN l2 l ON l.item = n.node
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY node
+),
+dc AS (
+  SELECT c.community, CAST(sum(deg.d) AS BIGINT) AS d_c
+  FROM comm c JOIN deg ON deg.node = c.node
+  GROUP BY c.community
+),
+ec AS (
+  SELECT ca.community, CAST(count(*) AS BIGINT) AS e_c
+  FROM edges e
+  JOIN comm ca ON ca.node = e.a
+  JOIN comm cb ON cb.node = e.b
+  WHERE ca.community = cb.community
+  GROUP BY ca.community
+)
+SELECT CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_communities,
+       (SELECT m_edges FROM m) AS m_edges,
+       CAST(sum(4 * (SELECT m_edges FROM m) * COALESCE(ec.e_c, 0)
+                - dc.d_c * dc.d_c) AS BIGINT) AS q_num,
+       CAST(4 * (SELECT m_edges FROM m) * (SELECT m_edges FROM m)
+            AS BIGINT) AS q_den
+FROM dc LEFT JOIN ec ON dc.community = ec.community
+""",
+    doc="Newman modularity of the label-propagation partition as an "
+    "EXACT RATIONAL: Q = sum_c(e_c/m - (d_c/2m)^2) is cleared of "
+    "fractions to q_num = sum_c(4m*e_c - d_c^2) over q_den = 4m^2 — "
+    "pure BIGINT, so the partition-quality score that normally "
+    "arrives as a float is bit-identical on both engines (the "
+    "ts_linear_trend rational-output pattern). Unlabeled nodes are "
+    "singleton communities (the standard treatment), so Q is "
+    "well-defined over the whole graph. This closes the graph "
+    "analytics loop: propagate labels, then SCORE the partition — "
+    "the accept/reject gate for any community assignment. Plan: "
+    "intra-community edge counts are one edges⋈community⋈community "
+    "equi-join chain; degree mass one rollup; all tables are node- "
+    "or community-bounded; 4m*e_c needs 128-bit headroom at "
+    "trillion-edge scale (DECIMAL/HUGEINT intermediates, BIGINT "
+    "out).",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = graph_label_propagation(spark, sf_dir)
+    # rebuild the same capped edge list (shared shape with the LP/
+    # triangles/link-prediction entries)
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("src"))
+    b = ui.select("user_id", F.col("item").alias("dst"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
+    edges = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    nb = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    nodes = nb.select("node").distinct()
+    comm = nodes.join(
+        labels.select(F.col("item").alias("node"), "label"),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("label"), -(F.col("node") + 1)).alias("community"),
+    ).persist()
+    m_edges = edges.count()
+    deg = nb.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    dc = comm.join(deg, "node").groupBy("community").agg(
+        F.sum("d").alias("d_c")
+    )
+    ca = comm.select(F.col("node").alias("a"), F.col("community").alias("comm_a"))
+    cb = comm.select(F.col("node").alias("b"), F.col("community").alias("comm_b"))
+    ec = (
+        edges.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    per_c = dc.join(ec, "community", "left").select(
+        "community",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.lit(m_edges).cast("long").alias("m_edges"),
+        F.sum(
+            4 * F.lit(m_edges) * F.col("e_c") - F.col("d_c") * F.col("d_c")
+        )
+        .cast("long")
+        .alias("q_num"),
+        F.lit(4 * m_edges * m_edges).cast("long").alias("q_den"),
+    )
