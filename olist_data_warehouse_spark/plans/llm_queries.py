@@ -8747,3 +8747,75 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_num"),
         F.lit(4 * m_edges * m_edges).cast("long").alias("q_den"),
     )
+
+
+@register(
+    "samp_apportion_lr",
+    oracle="""
+WITH strata AS (
+  SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM strata),
+quota AS (
+  SELECT stratum, n,
+         (1000 * n) // t AS base,
+         (1000 * n) % t AS rem
+  FROM strata CROSS JOIN tot
+),
+short AS (
+  SELECT CAST(1000 - sum(base) AS BIGINT) AS k_left FROM quota
+),
+ranked AS (
+  SELECT stratum, n, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+  FROM quota
+)
+SELECT r.stratum, r.n,
+       CAST(r.base + CASE WHEN r.rk <= s.k_left THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked r CROSS JOIN short s
+""",
+    doc="Largest-remainder (Hamilton) apportionment of a fixed sample "
+    "budget (k=1000) across strata, exactly: integer base quotas "
+    "floor(k*n_s/N) plus one extra for the strata with the largest "
+    "remainders (k*n_s mod N, ties to stratum name) until the budget "
+    "is spent — allocations sum to EXACTLY k and are within one of "
+    "true proportionality, which per-stratum float rounding cannot "
+    "guarantee. This is the missing piece between samp_stratified "
+    "(fractions, not exact counts) and samp_weighted_fixed_k (exact "
+    "k, no strata): the apportionment FEEDS a per-stratum exact-k "
+    "selection (hash top-k within stratum, samp_per_group_topn's "
+    "shape). Pure BIGINT floor-div/mod throughout; the remainder "
+    "ranking is a window over O(strata) rows.",
+)
+def samp_apportion_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = strata.agg(F.sum("n").alias("t"))
+    quota = strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        F.expr("(1000 * n) div t").alias("base"),
+        ((1000 * F.col("n")) % F.col("t")).alias("rem"),
+    )
+    short = quota.agg((F.lit(1000) - F.sum("base")).alias("k_left"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    return (
+        quota.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "stratum",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("k_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -469,3 +469,17 @@ def test_versioned_table_write_read_rollback_vacuum(spark, tmp_path):
     removed = W.vacuum_versioned(p, keep=1)
     assert 0 in removed and 3 not in removed
     assert W.read_versioned(spark, p).count() == 5
+
+
+def test_versioned_read_is_snapshot_isolated(spark, tmp_path):
+    """A reader that resolved the pointer keeps reading ITS version
+    even if a writer publishes a new one mid-read — the layout
+    guarantees it (immutable v=N dirs), pin it."""
+    from olist_data_warehouse_spark.sources import writers as W
+
+    p = str(tmp_path / "iso")
+    W.write_versioned(spark.range(7).withColumnRenamed("id", "x"), p)
+    reader = W.read_versioned(spark, p)  # resolves pointer -> v=0 now
+    W.write_versioned(spark.range(99).withColumnRenamed("id", "x"), p)
+    assert reader.count() == 7          # still the v=0 snapshot
+    assert W.read_versioned(spark, p).count() == 99  # new resolve sees v=1
