@@ -8819,3 +8819,103 @@ def samp_apportion_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc"),
         )
     )
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+WITH qset AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+bf_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM embeddings e CROSS JOIN qset q
+  WHERE e.vec_id != q.query_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM bf_scored
+  ) WHERE rn <= 10
+),
+c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS cos_sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rn
+    FROM assign_scored WHERE vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rn <= 2
+),
+ivf_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM assigned e JOIN q ON e.centroid_id = q.centroid_id
+  WHERE e.vec_id != q.query_id
+),
+got AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM ivf_scored
+  ) WHERE rn <= 10
+)
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST((1000000 * sum(CASE WHEN g.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN got g
+  ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+""",
+    doc="ANN recall@10 measured IN the engine: the multi-probe IVF "
+    "plan (sim_ivf_topk_mp, 2 probes) scored against brute-force "
+    "ground truth (sim_bruteforce_topk) per query — integer-ppm "
+    "recall from a LEFT JOIN of the two already-verified top-k "
+    "plans. The retrieval twin of dedup_pipeline_eval: every "
+    "probes/centroids tuning decision needs this number, and "
+    "composing the registered plans means the measurement can never "
+    "drift from what production runs. At scale the truth side runs "
+    "on a query SAMPLE (brute force over the sample only — still "
+    "one corpus pass); the composition is unchanged.",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    truth = similarity.brute_force_topk(e, [0, 1, 2, 3, 4], k=10).select(
+        "query_id", "neighbor_id", F.lit(True).alias("is_truth")
+    )
+    got = similarity.ivf_topk(
+        e, [0, 1, 2, 3, 4], k=10, n_centroids=8, probes=2
+    ).select("query_id", "neighbor_id", F.lit(True).alias("is_got"))
+    joined = truth.join(got, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.when(F.col("is_got"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN is_got THEN 1 ELSE 0 END)) "
+            "div count(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
