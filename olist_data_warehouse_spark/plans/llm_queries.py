@@ -8919,3 +8919,58 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(*) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+@register(
+    "sim_threshold_calibration",
+    oracle=f"""
+WITH buckets AS (
+{_EMB_LSH_BUCKETS_SQL}
+),
+kept AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING COUNT(*) <= {_EMB_LSH_MAX_BUCKET}
+),
+bucketsf AS (
+  SELECT b.* FROM buckets b JOIN kept USING (band, bucket)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketsf a
+  JOIN bucketsf b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a, vec_b,
+         {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+)
+SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+""",
+    doc="Near-dup threshold calibration: the cosine HISTOGRAM "
+    "(0.05-wide bins) over ALL LSH candidate pairs, unthresholded — "
+    "the distribution a practitioner reads to PLACE the near-dup "
+    "cutoff (true near-dups pile up near 1.0, the background mass "
+    "sits low; the valley is the threshold). Upstream of "
+    "dedup_embedding_lsh, which then applies the chosen cutoff, and "
+    "sideways of dedup_pipeline_eval, which scores it. Binning is "
+    "floor(cos*20) on the identical rounded-4 doubles both engines "
+    "compute, so bin edges are engine-stable; bucket-capped LSH "
+    "discovery bounds the candidate volume exactly as in the dedup "
+    "entry — the histogram costs one extra map-side-combined "
+    "aggregate over pairs already produced.",
+)
+def sim_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = similarity.lsh_near_dup_pairs(
+        e, threshold=-1.0,
+        n_bands=_EMB_LSH_BANDS, planes_per_band=_EMB_LSH_PLANES_PER_BAND,
+        max_bucket_size=_EMB_LSH_MAX_BUCKET,
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos_sim") * 20).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
