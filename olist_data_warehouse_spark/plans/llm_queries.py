@@ -8974,3 +8974,90 @@ def sim_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor(F.col("cos_sim") * 20).cast("long").alias("bin")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+uni AS (SELECT unnest(toks) AS w FROM tok),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY w),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+  FROM freq
+),
+top AS (SELECT * FROM ranked WHERE r <= 1000),
+pts AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM top
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM sums
+""",
+    doc="Zipf-exponent fit: OLS slope of ln(frequency) on ln(rank) "
+    "over the top-1000 tokens, as the EXACT RATIONAL num/den (the "
+    "ts_linear_trend pattern) — natural corpora sit near -1, and "
+    "drift toward 0 (too flat: template spam) or below -1.5 (too "
+    "steep: tiny vocabulary) is a corpus-health alarm no per-"
+    "document quality score catches. Both logs are floored to "
+    "integer micro-nats BEFORE the moment sums (the libm-"
+    "determinism pattern: identical integer-derived doubles through "
+    "one ln each), so the regression inputs — and therefore the "
+    "rational slope — are bit-identical on both engines. Plan: one "
+    "vocabulary-bounded count aggregate, a top-1000 rank window "
+    "over the vocabulary, and a 1-row moment reduce; the corpus "
+    "text leaves the scan only as tokens.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    uni = d.select(F.explode(textops.tokens(F.col("text"))).alias("w"))
+    freq = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    top = (
+        freq.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 1000)
+    )
+    pts = top.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+    ).select(
+        F.col("_n").alias("n_tokens_fit"),
+        (
+            F.col("_n").cast("decimal(38,0)") * F.col("_sxy")
+            - F.col("_sx") * F.col("_sy")
+        )
+        .cast("long")
+        .alias("slope_num"),
+        (
+            F.col("_n").cast("decimal(38,0)") * F.col("_sxx")
+            - F.col("_sx") * F.col("_sx")
+        )
+        .cast("long")
+        .alias("slope_den"),
+    )
