@@ -1654,9 +1654,8 @@ DRIVER_PRIORITY = [
     # run green continuously in the local sf0.001 replica
     # (tests/test_queries_oracle.py), and the ENTIRE registry was
     # swept green against DuckDB at the driver's sf0.01 gate scale
-    # this round (183 entries, 0 fails, after the perf refactors;
-    # the final additions — temporal embargo, link prediction — were
-    # verified at sf0.01 individually on landing).
+    # repeatedly this round — final full sweep: ALL 200 entries,
+    # 0 fails (see COVERAGE.md's tally).
     "dq_zscore_outliers", "samp_cluster_split",
     "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
     "ts_linear_trend", "ts_seasonal_baseline", "stream_ohlc_bars",
