@@ -9061,3 +9061,129 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_den"),
     )
+
+
+@register(
+    "path_markov_transitions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM sess
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+  FROM trans GROUP BY from_type
+)
+SELECT tr.from_type, tr.to_type, tr.n,
+       CAST((1000000 * tr.n) // tot.t AS BIGINT) AS p_ppm
+FROM trans tr JOIN tot USING (from_type)
+""",
+    doc="First-order Markov transition matrix over event types WITHIN "
+    "30-minute sessions: counts and integer-ppm conditional "
+    "probabilities P(next | current) — the behavioral model behind "
+    "next-action prediction, funnel-leak diagnosis, and bot "
+    "detection (bots have degenerate rows). Sessionization (gap "
+    "flag -> running sum) and the lead() pairing run in the SAME "
+    "per-user window pass — one fact-scale exchange, the trick "
+    "path_top_trigrams pins — and cross-session transitions are "
+    "excluded by partitioning the lead on (user, session). The "
+    "transition table is type-vocabulary-bounded (<= |types|^2 "
+    "rows), so the probability normalization joins tiny tables; "
+    "floor-div ppm keeps every output BIGINT.",
+)
+def path_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap > 1800, 1).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(ws).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST((1000000 * n) div t AS BIGINT)").alias("p_ppm"),
+    )
+
+
+@register(
+    "samp_entity_split",
+    oracle=f"""
+WITH labeled AS (
+  SELECT event_id, user_id,
+         CASE WHEN {_bucket_sql("usersplit", "user_id")} < 8000
+              THEN 'train'
+              WHEN {_bucket_sql("usersplit", "user_id")} < 9000
+              THEN 'val' ELSE 'test' END AS split
+  FROM events
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM labeled GROUP BY split
+""",
+    doc="ENTITY-level train/val/test split: membership is hashed from "
+    "the USER id, not the row, so every event of a user lands in the "
+    "same split BY CONSTRUCTION — the third leg of the leakage-split "
+    "triad (samp_cluster_split: near-dup content can't straddle; "
+    "samp_temporal_embargo: label windows can't straddle; this: "
+    "per-entity behavioral signal can't straddle — the requirement "
+    "for any per-user model eval). Same salted-hash membership rule "
+    "as samp_hash_split (partition/order-invariant, reproducible); "
+    "the audit is one scan + a 3-group aggregate with per-split "
+    "distinct users.",
+)
+def samp_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    labeled = sampling.hash_split(
+        e, F.col("user_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="usersplit",
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
