@@ -9187,3 +9187,194 @@ def samp_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "dq_fk_integrity",
+    oracle="""
+WITH checks AS (
+  SELECT 'lineitem.l_orderkey->orders' AS edge,
+         (SELECT count(*) FROM lineitem) AS n_child,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+         (SELECT count(*) FROM nation),
+         (SELECT count(*) FROM nation n
+          WHERE NOT EXISTS (SELECT 1 FROM region r
+                            WHERE r.r_regionkey = n.n_regionkey))
+)
+SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans
+FROM checks
+""",
+    doc="Referential-integrity audit of the WHOLE schema in one "
+    "report: every FK edge of the star (7 edges) with child "
+    "cardinality and orphan count — the load-gate every warehouse "
+    "runs before publishing (the reference trusts its FKs "
+    "implicitly; this makes the check a queryable operator). Each "
+    "edge is a LEFT ANTI join against the parent's key set — parent "
+    "keys are dimension-sized and broadcast for all edges except "
+    "orders (fact-to-fact, shuffled); counts are map-side-combined "
+    "scalars, so the report costs one pass per child table "
+    "regardless of fact size. Zero orphans on this testdata by "
+    "construction — the point is the operator, pinned green, so a "
+    "real pipeline's regression shows as a nonzero cell.",
+)
+def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "part", "supplier", "customer",
+        "nation", "region",
+    )
+
+    def edge(name, child, ckey, parent, pkey, broadcast=True):
+        pk = parent.select(F.col(pkey).alias(ckey)).distinct()
+        if broadcast:
+            pk = F.broadcast(pk)
+        orphans = child.join(pk, ckey, "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("edge"), "n_child", "n_orphans"
+            )
+        )
+
+    parts = [
+        edge("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+             t["orders"].select(F.col("o_orderkey").alias("l_orderkey")),
+             "l_orderkey", broadcast=False),
+        edge("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+             t["part"].select(F.col("p_partkey").alias("l_partkey")),
+             "l_partkey"),
+        edge("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+             t["supplier"].select(F.col("s_suppkey").alias("l_suppkey")),
+             "l_suppkey"),
+        edge("orders.o_custkey->customer", t["orders"], "o_custkey",
+             t["customer"].select(F.col("c_custkey").alias("o_custkey")),
+             "o_custkey"),
+        edge("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+             t["nation"].select(F.col("n_nationkey").alias("c_nationkey")),
+             "c_nationkey"),
+        edge("supplier.s_nationkey->nation", t["supplier"], "s_nationkey",
+             t["nation"].select(F.col("n_nationkey").alias("s_nationkey")),
+             "s_nationkey"),
+        edge("nation.n_regionkey->region", t["nation"], "n_regionkey",
+             t["region"].select(F.col("r_regionkey").alias("n_regionkey")),
+             "n_regionkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "w16_new_vs_returning",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+first_seen AS (
+  SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
+),
+daily AS (
+  SELECT a.day,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM activity a JOIN first_seen f USING (user_id)
+  GROUP BY a.day
+)
+SELECT day, n_active, n_new,
+       CAST(n_active - n_new AS BIGINT) AS n_returning,
+       CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily
+""",
+    doc="Daily growth curve: active, NEW (first-ever-seen today), "
+    "returning, and cumulative acquired users — the "
+    "acquisition-vs-retention decomposition behind every growth "
+    "dashboard, and the complement of cohort_retention (which "
+    "follows cohorts forward; this reads the same first-touch fact "
+    "day by day). first_seen is one map-side-combined min per user; "
+    "the per-user join back is user-vocabulary-sized; the cumulative "
+    "sum is a single-partition window over the DAY-GRAIN rollup "
+    "(the w11 pattern — O(days) rows). All integer epoch-day "
+    "arithmetic.",
+)
+def w16_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    activity = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    first_seen = activity.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    daily = (
+        activity.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias(
+            "n_returning"
+        ),
+        F.sum("n_new").over(wc).cast("long").alias("cum_users"),
+    )
