@@ -9378,3 +9378,91 @@ def w16_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_new").over(wc).cast("long").alias("cum_users"),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT unnest([1, 7]) AS lag),
+pairs AS (
+  SELECT l.lag, a.y AS ya, b.y AS yb
+  FROM daily a
+  JOIN lags l ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag
+),
+sums AS (
+  SELECT lag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(ya) AS HUGEINT) AS sa,
+         CAST(sum(yb) AS HUGEINT) AS sb,
+         CAST(sum(CAST(ya AS HUGEINT) * yb) AS HUGEINT) AS sab,
+         CAST(sum(CAST(ya AS HUGEINT) * ya) AS HUGEINT) AS saa,
+         CAST(sum(CAST(yb AS HUGEINT) * yb) AS HUGEINT) AS sbb
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sab - sa * sb AS BIGINT) AS corr_num,
+       CAST(n * saa - sa * sa AS BIGINT) AS corr_den_a,
+       CAST(n * sbb - sb * sb AS BIGINT) AS corr_den_b
+FROM sums
+""",
+    doc="Lag-1 and lag-7 autocorrelation of daily order counts as "
+    "EXACT RATIONALS: Pearson r over (y_t, y_t+k) pairs reported as "
+    "(num, den_a, den_b) with r = num / sqrt(den_a * den_b) left to "
+    "the caller — the num's SIGN and cross-lag comparisons via "
+    "num^2 * den cross-multiplication need no float anywhere "
+    "(a16_measure_correlation's pattern applied to the series "
+    "against its own shift). A lag-7 peak is the weekly-seasonality "
+    "detector that justifies ts_seasonal_baseline's weekday model. "
+    "Pairing is an equi-join of the day-grain rollup with itself on "
+    "day+k (absent days simply drop pairs — gap-filling composes "
+    "upstream via ts_gapfill_daily); moments ride in "
+    "DECIMAL(38,0)/HUGEINT, outputs BIGINT.",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.createDataFrame([(1,), (7,)], "lag long")
+    a = daily.select("day", F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.col("day") + F.col("lag"))
+    )
+    da = F.col("ya").cast("decimal(38,0)")
+    db = F.col("yb").cast("decimal(38,0)")
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(da).alias("sa"),
+        F.sum(db).alias("sb"),
+        F.sum(da * db).alias("sab"),
+        F.sum(da * da).alias("saa"),
+        F.sum(db * db).alias("sbb"),
+    )
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .cast("long")
+        .alias("corr_num"),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("long")
+        .alias("corr_den_a"),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .cast("long")
+        .alias("corr_den_b"),
+    )

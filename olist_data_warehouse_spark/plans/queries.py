@@ -1667,7 +1667,7 @@ DRIVER_PRIORITY = [
     "dedup_pipeline_eval", "graph_modularity", "samp_apportion_lr",
     "sim_ann_recall_eval", "sim_threshold_calibration", "text_zipf_fit",
     "path_markov_transitions", "samp_entity_split",
-    "dq_fk_integrity", "w16_new_vs_returning",
+    "dq_fk_integrity", "w16_new_vs_returning", "ts_autocorrelation",
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
