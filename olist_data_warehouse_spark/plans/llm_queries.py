@@ -9466,3 +9466,109 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("corr_den_b"),
     )
+
+
+@register(
+    "sk_hist_merge",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(value) AS n
+  FROM v GROUP BY 1
+),
+binned AS (
+  SELECT v.event_type, b.lo, b.hi, b.n,
+         least(CAST(floor((value - lo) / ((hi - lo) / 100)) AS BIGINT), 99)
+           AS bin
+  FROM v JOIN bounds b USING (event_type)
+),
+counts AS (
+  SELECT event_type, lo, hi, n, bin, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT event_type, lo, hi, n, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM counts
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT event_type, q AS quantile,
+       round(lo + min(bin) * (hi - lo) / 100, 4) AS value_est
+FROM cum CROSS JOIN qs
+WHERE cumc >= n * q
+GROUP BY event_type, q, lo, hi
+""",
+    doc="Histogram MERGEABILITY, gate-proven: the engine builds the "
+    "per-(type, bin) histogram as TWO independent partial histograms "
+    "(event_id parity shards, sharing the same global bounds), "
+    "merges them by bin-count SUM, and reads the quantiles from the "
+    "merged cumulative — the oracle is the DIRECT one-pass "
+    "histogram, so merge(hist(A), hist(B)) == hist(A ∪ B) is an "
+    "oracle-checked identity, exactly like ivm_agg_merge for "
+    "aggregates and sk_hll_set_algebra for HLL registers. This is "
+    "the property that lets per-partition/per-day histogram files "
+    "roll up into any date range without re-scanning — the bounds "
+    "must be GLOBAL (per-shard bounds would misalign bins; the "
+    "docstring names that trap). Costs one bounds pass + one "
+    "bounded-cardinality partial agg per shard.",
+)
+def sk_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = ev.filter(F.col("value").isNotNull())
+    bounds = v.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("value").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 100
+    binned = v.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        "n",
+        (F.col("event_id") % 2).alias("shard"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast(
+                    "long"
+                ),
+                F.lit(99),
+            )
+        )
+        .alias("bin"),
+    )
+    partials = binned.groupBy(
+        "event_type", "lo", "hi", "n", "shard", "bin"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = partials.groupBy("event_type", "lo", "hi", "n", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    cum = merged.withColumn(
+        "cumc",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    qcol = F.explode(F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)]))
+    return (
+        cum.withColumn("quantile", qcol)
+        .filter(F.col("cumc") >= F.col("n") * F.col("quantile"))
+        .groupBy("event_type", "lo", "hi", "quantile")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "event_type",
+            "quantile",
+            F.round(
+                F.col("lo") + F.col("qbin") * (F.col("hi") - F.col("lo")) / 100,
+                4,
+            ).alias("value_est"),
+        )
+    )
