@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "q3_conversion_dw",
     "j7_incremental_delta",
     "j7_merge_upsert",
+    # TPC-H Q3-shape shipping-priority probe (segment-pruned broadcast
+    # + two pushed date filters), added round 5
+    "q4_shipping_priority",
     # extended LLM-pipeline headliners
     "dedup_minhash_lsh",
     "dedup_cc_groups",

@@ -9572,3 +9572,72 @@ def sk_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_est"),
         )
     )
+
+
+@register(
+    "q4_shipping_priority",
+    oracle="""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         o.o_orderdate,
+         o.o_orderpriority,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+              AS BIGINT) AS rev_cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+)
+SELECT l_orderkey,
+       CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM rev
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-shape shipping-priority query on the OLTP side: "
+    "BUILDING-segment customers, orders placed before the cutoff "
+    "whose lines ship after it, top-10 open orders by outstanding "
+    "revenue — the classic 3-way selective star probe, and the one "
+    "reference-style benchmark shape the q1/q2/q3 pairs didn't "
+    "cover (it exercises the previously-unused c_mktsegment "
+    "attribute). Revenue is per-line "
+    "round(extendedprice*(1-discount)*100) cents — one rounding of "
+    "the identical double product on both engines, then pure BIGINT "
+    "sums (the engine-wide cents contract). Plan: the segment "
+    "filter prunes the customer dim BEFORE its broadcast; both date "
+    "filters push to the scans; top-10 is TakeOrderedAndProject "
+    "with the T4 (revenue DESC, key ASC) tie convention.",
+)
+def q4_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .select(
+            "l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )

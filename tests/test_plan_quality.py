@@ -963,3 +963,15 @@ def test_skyline_runs_on_day_grain_rollup(spark):
     assert "Window" in plan
     assert "o_totalprice" in plan and "o_orderpriority" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q4_prunes_segment_before_broadcast_and_takeordered(spark):
+    """q4_shipping_priority: the segment filter prunes the customer
+    dim before its broadcast, both date filters reach the scans, and
+    the top-10 plans as TakeOrderedAndProject."""
+    plan = plan_of(spark, "q4_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "c_mktsegment" in plan
+    assert "PushedFilters" in plan
+    assert "CartesianProduct" not in plan
