@@ -9641,3 +9641,95 @@ def q4_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "dq_ks_drift",
+    oracle=f"""
+WITH labeled AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+         CASE WHEN {_bucket_sql("split", "o_orderkey")} < 8000
+              THEN 'a' ELSE 'b' END AS side
+  FROM orders
+),
+counts AS (
+  SELECT c,
+         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           AS na_c,
+         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb_c
+  FROM labeled GROUP BY c
+),
+tot AS (
+  SELECT CAST(sum(na_c) AS BIGINT) AS na,
+         CAST(sum(nb_c) AS BIGINT) AS nb
+  FROM counts
+),
+cum AS (
+  SELECT c,
+         SUM(na_c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(nb_c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cb
+  FROM counts
+)
+SELECT tot.na, tot.nb,
+       CAST(max(abs(ca * tot.nb - cb * tot.na)) AS BIGINT) AS ks_num,
+       CAST(tot.na * tot.nb AS BIGINT) AS ks_den
+FROM cum CROSS JOIN tot
+GROUP BY tot.na, tot.nb
+""",
+    doc="EXACT two-sample Kolmogorov-Smirnov drift statistic between "
+    "the train-ish and held-out-ish slices of the price "
+    "distribution: D = max |F_a - F_b| over the empirical CDFs, "
+    "cross-multiplied to the pure-integer max |cum_a*n_b - "
+    "cum_b*n_a| over n_a*n_b — the unbinned, binning-free "
+    "complement of dq_psi_splits (PSI answers 'how much drift per "
+    "bucket'; KS answers 'largest CDF gap anywhere', the classic "
+    "accept/reject test statistic) with zero float CDFs. Plan: the "
+    "fact collapses to per-VALUE side counts (map-side combined), "
+    "the two cumulative sums share one window over the value "
+    "domain, and the max reduces to one row — the same "
+    "rollup-before-window discipline as the weighted median; at "
+    "100 TB the value domain (distinct cents) bounds the window "
+    "input, not the row count.",
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    labeled = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        F.when(
+            sampling.hash_bucket(F.col("o_orderkey"), "split") < 8000, "a"
+        )
+        .otherwise("b")
+        .alias("side"),
+    )
+    counts = labeled.groupBy("c").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("na_c"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("nb_c"),
+    )
+    wc = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("na_c").over(wc).alias("ca"),
+        F.sum("nb_c").over(wc).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("na_c").alias("na"), F.sum("nb_c").alias("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+                )
+            )
+            .cast("long")
+            .alias("ks_num"),
+            F.min(F.col("na") * F.col("nb")).cast("long").alias("ks_den"),
+        )
+        .select("na", "nb", "ks_num", "ks_den")
+    )
