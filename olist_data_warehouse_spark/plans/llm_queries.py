@@ -9733,3 +9733,73 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("na", "nb", "ks_num", "ks_den")
     )
+
+
+@register(
+    "pack_balanced_shards",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+sized AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM tok WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM sized
+),
+assigned AS (
+  SELECT doc_id, n_tokens, (rk - 1) % 16 AS shard FROM ranked
+),
+loads AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tok_total
+  FROM assigned GROUP BY shard
+),
+tot AS (SELECT CAST(sum(tok_total) AS BIGINT) AS t FROM loads)
+SELECT shard, n_docs, tok_total,
+       CAST((1000000 * 16 * tok_total) // t AS BIGINT) AS load_ppm_of_mean
+FROM loads CROSS JOIN tot
+""",
+    doc="Balanced shard packing by LPT round-robin: documents ranked "
+    "by token count DESC and dealt (rank-1) mod W into W=16 shards — "
+    "the deterministic, fully-declarative form of longest-processing-"
+    "time-first scheduling that keeps training-shard files near-"
+    "uniform (big docs spread first, small docs fill the gaps; "
+    "sequential greedy least-loaded packing does not distribute). "
+    "The report shows per-shard doc count, token load, and the load "
+    "as ppm of the perfectly-even mean via integer cross-"
+    "multiplication (1e6·W·load div total — 1e6 = exactly even). "
+    "Complements pack_concat_chunks (WITHIN-shard layout) with the "
+    "ACROSS-shard assignment. One size rollup + one global rank "
+    "window over O(docs) (doc_id, n_tokens) pairs — at 100 TB the "
+    "rank runs on the size table, never the text, and the "
+    "distributed swap is per-partition local ranking with a "
+    "rank-offset merge (the two-pass prefix-sum pattern).",
+)
+def pack_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sized = d.select(
+        "doc_id", textops.token_count("text").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    wr = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    assigned = sized.select(
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(wr) - 1) % 16).alias("shard"),
+    )
+    loads = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_total"),
+    )
+    tot = loads.agg(F.sum("tok_total").alias("t"))
+    return loads.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "tok_total",
+        F.expr(
+            "CAST((1000000 * 16 * tok_total) div t AS BIGINT)"
+        ).alias("load_ppm_of_mean"),
+    )
