@@ -82,6 +82,10 @@ SMOKE_ENTRIES = [
     # and does interval arithmetic on event time — the newest entry in
     # the timestamp-output class.
     "ts_max_concurrency",
+    # nearest-direction as-of emits matched_ts TIMESTAMPs chosen by
+    # epoch-gap comparison — both carries must agree under any session
+    # timezone.
+    "tj_asof_nearest",
 ]
 
 
