@@ -9803,3 +9803,72 @@ def pack_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * 16 * tok_total) div t AS BIGINT)"
         ).alias("load_ppm_of_mean"),
     )
+
+
+@register(
+    "a29_gini_concentration",
+    oracle="""
+WITH cents AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS i
+  FROM cents
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s,
+         CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS si
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST(2 * si - (n + 1) * s AS BIGINT) AS gini_num,
+       CAST(n * s AS BIGINT) AS gini_den
+FROM sums
+""",
+    doc="Gini coefficient of per-customer revenue concentration as an "
+    "EXACT RATIONAL: G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i) over "
+    "rank-ordered customer totals — the whale-concentration / "
+    "inequality metric behind 'top 1% of customers drive X%' "
+    "analyses, with zero floats (the rank-weighted sum replaces the "
+    "Lorenz-curve integral exactly). Ordering ties break by customer "
+    "key, which leaves G unchanged (equal values commute in the "
+    "formula) but pins both engines to identical i·x_i terms. Plan: "
+    "per-customer rollup (map-side combined), one rank window over "
+    "the CUSTOMER-grain table, 1-row moment reduce; i·x_i rides in "
+    "128-bit intermediates. The distributed swap for a fact-sized "
+    "rank is the two-pass prefix-sum rank (pack_concat_chunks' "
+    "pattern).",
+)
+def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("c")
+    )
+    wr = Window.orderBy("c", "o_custkey")
+    ranked = cents.select(
+        "c", F.row_number().over(wr).alias("i")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    idx = F.col("i").cast("decimal(38,0)")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(cd).alias("s"),
+        F.sum(idx * cd).alias("si"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        (2 * F.col("si") - (F.col("n") + 1) * F.col("s"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.col("n") * F.col("s")).cast("long").alias("gini_den"),
+    )

@@ -1654,7 +1654,8 @@ DRIVER_PRIORITY = [
     # run green continuously in the local sf0.001 replica
     # (tests/test_queries_oracle.py), and the ENTIRE registry was
     # swept green against DuckDB at the driver's sf0.01 gate scale
-    # repeatedly this round — final full sweep: ALL 209 entries,
+    # repeatedly this round — final full sweep: ALL 209 entries (plus
+    # a29_gini_concentration verified at sf0.01 on landing),
     # 0 fails (see COVERAGE.md's tally).
     "dq_zscore_outliers", "samp_cluster_split",
     "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
@@ -1669,7 +1670,7 @@ DRIVER_PRIORITY = [
     "path_markov_transitions", "samp_entity_split",
     "dq_fk_integrity", "w16_new_vs_returning", "ts_autocorrelation",
     "sk_hist_merge", "q4_shipping_priority", "dq_ks_drift",
-    "pack_balanced_shards",
+    "pack_balanced_shards", "a29_gini_concentration",
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
