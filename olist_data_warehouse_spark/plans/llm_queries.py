@@ -1437,8 +1437,9 @@ bounds AS (
 ),
 binned AS (
   SELECT v.event_type, b.lo, b.hi, b.n,
-         least(CAST(floor((value - lo) / ((hi - lo) / 100)) AS BIGINT), 99)
-           AS bin
+         CASE WHEN hi = lo THEN 0 ELSE
+           least(CAST(floor((value - lo) / ((hi - lo) / 100)) AS BIGINT),
+                 99) END AS bin
   FROM v JOIN bounds b USING (event_type)
 ),
 counts AS (
@@ -6697,6 +6698,51 @@ edges AS (
 """.strip()
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str):
+    """Engine-side twin of :data:`_KNN_EDGES_SQL` — the SINGLE
+    construction of the capped undirected item graph, shared by
+    graph_triangles, graph_link_prediction, graph_label_propagation,
+    and graph_modularity so the degree cap and tie-break can never
+    desynchronize across the four entries (they previously carried
+    four copies). Returns (directed_knn, undirected_edges), the
+    undirected side persisted (every caller joins it at least
+    twice)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")["events"]
+    ui = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("src"))
+    b = ui.select("user_id", F.col("item").alias("dst"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
+    knn = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("src", "dst")
+    )
+    edges = (
+        knn.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    return knn, edges
+
+
 @register(
     "graph_triangles",
     oracle=f"""
@@ -6731,36 +6777,7 @@ FROM corners GROUP BY item
     "symmetrization, same as graph_pagerank_items).",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")["events"]
-    ui = (
-        e.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
-        .distinct()
-    )
-    a = ui.select("user_id", F.col("item").alias("src"))
-    b = ui.select("user_id", F.col("item").alias("dst"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
-    edges = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    _knn, edges = _knn_edges(spark, sf_dir)
     e1 = edges
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
@@ -7745,36 +7762,7 @@ LIMIT 20
     "TakeOrderedAndProject.",
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")["events"]
-    ui = (
-        e.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
-        .distinct()
-    )
-    a = ui.select("user_id", F.col("item").alias("src"))
-    b = ui.select("user_id", F.col("item").alias("dst"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
-    edges = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    _knn, edges = _knn_edges(spark, sf_dir)
     nb = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionByName(
@@ -7945,34 +7933,7 @@ SELECT item, CAST(label AS BIGINT) AS label, round_assigned FROM l2
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")["events"]
-    ui = (
-        e.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
-        .distinct()
-    )
-    a = ui.select("user_id", F.col("item").alias("src"))
-    b = ui.select("user_id", F.col("item").alias("dst"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
-    knn = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("src", "dst")
-        .persist()
-    )
-    edges = knn.select(
-        F.least("src", "dst").alias("a"),
-        F.greatest("src", "dst").alias("b"),
-    ).distinct()
+    _knn, edges = _knn_edges(spark, sf_dir)
     nb = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionByName(
@@ -8478,12 +8439,9 @@ def a24_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.min("last_cents").alias("mode_value"),
-            F.sum(F.lit(0)).alias("_z"),
+        .select(
+            "o_orderpriority", F.col("last_cents").alias("mode_value")
         )
-        .drop("_z")
         .join(
             cents.groupBy("o_orderpriority").agg(
                 F.count(F.lit(1)).alias("n")
@@ -8672,38 +8630,10 @@ FROM dc LEFT JOIN ec ON dc.community = ec.community
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = graph_label_propagation(spark, sf_dir)
-    # rebuild the same capped edge list (shared shape with the LP/
-    # triangles/link-prediction entries)
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")["events"]
-    ui = (
-        e.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
-        .distinct()
-    )
-    a = ui.select("user_id", F.col("item").alias("src"))
-    b = ui.select("user_id", F.col("item").alias("dst"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("n_users"), F.asc("dst"))
-    edges = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    # the SAME persisted capped edge list the LP entry built — the
+    # quadratic co-occurrence self-join runs once per invocation, not
+    # twice (review finding, round 5)
+    _knn, edges = _knn_edges(spark, sf_dir)
     nb = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionByName(
@@ -9261,6 +9191,7 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def edge(name, child, ckey, parent, pkey, broadcast=True):
+        # one rename here — callers pass the RAW parent + its key name
         pk = parent.select(F.col(pkey).alias(ckey)).distinct()
         if broadcast:
             pk = F.broadcast(pk)
@@ -9277,26 +9208,19 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = [
         edge("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
-             t["orders"].select(F.col("o_orderkey").alias("l_orderkey")),
-             "l_orderkey", broadcast=False),
+             t["orders"], "o_orderkey", broadcast=False),
         edge("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
-             t["part"].select(F.col("p_partkey").alias("l_partkey")),
-             "l_partkey"),
+             t["part"], "p_partkey"),
         edge("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
-             t["supplier"].select(F.col("s_suppkey").alias("l_suppkey")),
-             "l_suppkey"),
+             t["supplier"], "s_suppkey"),
         edge("orders.o_custkey->customer", t["orders"], "o_custkey",
-             t["customer"].select(F.col("c_custkey").alias("o_custkey")),
-             "o_custkey"),
+             t["customer"], "c_custkey"),
         edge("customer.c_nationkey->nation", t["customer"], "c_nationkey",
-             t["nation"].select(F.col("n_nationkey").alias("c_nationkey")),
-             "c_nationkey"),
+             t["nation"], "n_nationkey"),
         edge("supplier.s_nationkey->nation", t["supplier"], "s_nationkey",
-             t["nation"].select(F.col("n_nationkey").alias("s_nationkey")),
-             "s_nationkey"),
+             t["nation"], "n_nationkey"),
         edge("nation.n_regionkey->region", t["nation"], "n_regionkey",
-             t["region"].select(F.col("r_regionkey").alias("n_regionkey")),
-             "n_regionkey"),
+             t["region"], "r_regionkey"),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9480,8 +9404,9 @@ bounds AS (
 ),
 binned AS (
   SELECT v.event_type, b.lo, b.hi, b.n,
-         least(CAST(floor((value - lo) / ((hi - lo) / 100)) AS BIGINT), 99)
-           AS bin
+         CASE WHEN hi = lo THEN 0 ELSE
+           least(CAST(floor((value - lo) / ((hi - lo) / 100)) AS BIGINT),
+                 99) END AS bin
   FROM v JOIN bounds b USING (event_type)
 ),
 counts AS (

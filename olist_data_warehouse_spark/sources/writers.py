@@ -434,6 +434,11 @@ def vacuum_versioned(path: str, keep: int = 2) -> list[int]:
     import os
     import shutil
 
+    if keep < 1:
+        # versions[-0:] would slice the WHOLE list and silently keep
+        # everything — inverted semantics; the pointer's target is
+        # always retained, so keep >= 1 is the minimum meaningful ask.
+        raise ValueError("keep must be >= 1")
     current = table_version(path)
     versions = sorted(
         int(d.split("=", 1)[1])

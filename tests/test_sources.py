@@ -483,3 +483,16 @@ def test_versioned_read_is_snapshot_isolated(spark, tmp_path):
     W.write_versioned(spark.range(99).withColumnRenamed("id", "x"), p)
     assert reader.count() == 7          # still the v=0 snapshot
     assert W.read_versioned(spark, p).count() == 99  # new resolve sees v=1
+
+
+def test_vacuum_versioned_rejects_keep_zero(spark, tmp_path):
+    """keep=0 would slice versions[-0:] == everything and silently keep
+    all versions (inverted semantics) — pinned as a ValueError."""
+    import pytest
+
+    from olist_data_warehouse_spark.sources import writers as W
+
+    p = str(tmp_path / "vz")
+    W.write_versioned(spark.range(3).withColumnRenamed("id", "x"), p)
+    with pytest.raises(ValueError):
+        W.vacuum_versioned(p, keep=0)
