@@ -9797,3 +9797,66 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gini_num"),
         (F.col("n") * F.col("s")).cast("long").alias("gini_den"),
     )
+
+
+@register(
+    "a31_lorenz_deciles",
+    oracle="""
+WITH cents AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT c, NTILE(10) OVER (ORDER BY c, o_custkey) AS decile
+  FROM cents
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tiled)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c) AS BIGINT) AS cents_total,
+       CAST((1000000 * sum(c)) // tot.t AS BIGINT) AS share_ppm
+FROM tiled CROSS JOIN tot
+GROUP BY decile, tot.t
+""",
+    doc="The Lorenz curve behind a29_gini_concentration, as a decile "
+    "table: customers ranked by revenue into NTILE(10) buckets, each "
+    "decile's customer count, cents total, and integer-ppm share of "
+    "all revenue — the 'top decile drives X%' readout executives "
+    "actually consume, where the Gini is the one-number summary. "
+    "NTILE is deterministic here because the ordering (c, custkey) "
+    "is unique, and both engines use the same NTILE remainder "
+    "convention (larger buckets first) — pinned by the gate. Plan: "
+    "customer-grain rollup, one rank window over O(customers), "
+    "1-row total broadcast, floor-div ppm; same rollup-before-"
+    "window discipline as the Gini.",
+)
+def a31_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("c")
+    )
+    wr = Window.orderBy("c", "o_custkey")
+    tiled = cents.select("c", F.ntile(10).over(wr).alias("decile"))
+    tot = tiled.agg(F.sum("c").alias("t"))
+    return (
+        tiled.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c").alias("cents_total"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "cents_total",
+            F.expr(
+                "CAST((1000000 * cents_total) div t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

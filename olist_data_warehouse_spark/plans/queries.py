@@ -1669,7 +1669,7 @@ DRIVER_PRIORITY = [
     "path_markov_transitions", "samp_entity_split",
     "dq_fk_integrity", "w16_new_vs_returning", "ts_autocorrelation",
     "sk_hist_merge", "q4_shipping_priority", "dq_ks_drift",
-    "pack_balanced_shards", "a29_gini_concentration",
+    "pack_balanced_shards", "a29_gini_concentration", "a31_lorenz_deciles",
     "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
     "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
