@@ -1654,7 +1654,7 @@ DRIVER_PRIORITY = [
     # run green continuously in the local sf0.001 replica
     # (tests/test_queries_oracle.py), and the ENTIRE registry was
     # swept green against DuckDB at the driver's sf0.01 gate scale
-    # repeatedly this round — final full sweep: ALL 210 entries,
+    # repeatedly this round — final full sweep: ALL 211 entries,
     # 0 fails (see COVERAGE.md's tally).
     "dq_zscore_outliers", "samp_cluster_split",
     "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
