@@ -143,3 +143,55 @@ def sliding_windows(
         end.cast("long").alias("tok_end"),
         (end - start).cast("long").alias("win_len"),
     )
+
+
+def banded_global_rank(
+    df: DataFrame,
+    band: Column,
+    order_by: list[Column],
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY order_by)`` without a
+    single-partition window — the two-pass range-banded rank.
+
+    ``band`` must be a coarse, *monotone non-decreasing* function of the
+    leading sort key (e.g. ``c div 2**23`` for an ascending key,
+    ``-(n div 16)`` for a descending one): banding then merely
+    decomposes the same total order, so the result is byte-identical to
+    the naive global window. Three steps:
+
+    1. per-band row counts — a tiny map-side-combined agg, one row per
+       band (O(key_range / band_width), bounded ≪ O(rows));
+    2. prefix-sum those counts ordered by band — a single-partition
+       window over the *band* table only;
+    3. rank within band (``Window.partitionBy(band)``) + broadcast the
+       band offsets back: global rank = offset + local rank.
+
+    Each window partition is bounded by the rows sharing a band, so the
+    scan-scale table never sorts on one executor. Skew fuse: a
+    point-mass key distribution (every row the same key) collapses to
+    one band — pick the band width from the key's spread, or sub-band
+    on the tiebreak column (itself monotone within a key tie) the same
+    way. The sampling-free alternative is
+    ``repartitionByRange + sortWithinPartitions`` with
+    ``spark_partition_id`` offsets, which adapts to any distribution
+    but makes band boundaries plan-dependent; this form keeps the plan
+    fully deterministic.
+    """
+    d = df.withColumn("_band", band.cast("long"))
+    counts = d.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_band",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_boff"),
+    )
+    w_local = Window.partitionBy("_band").orderBy(*order_by)
+    return (
+        d.join(F.broadcast(offsets), "_band")
+        .withColumn(
+            rank_name, F.col("_boff") + F.row_number().over(w_local)
+        )
+        .drop("_band", "_boff")
+    )

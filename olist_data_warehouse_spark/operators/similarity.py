@@ -19,6 +19,7 @@ Two tiers, as a real vector pipeline runs them:
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1107,6 +1108,13 @@ def _sub_dist_array(emb: Column, m: int, sub: int, book) -> Column:
     for _idx, w in book:
         ww = 0.0
         for v in w:
+            if not math.isfinite(float(v)):
+                # repr() of nan/inf ('nanD'/'infD') is unparseable SQL;
+                # fail at build time with the cause, not a parse error.
+                raise ValueError(
+                    f"codebook word {_idx} has non-finite component "
+                    f"{v!r}; PQ codebooks must be finite"
+                )
             ww += float(v) * float(v)
         entries.append(
             "named_struct('w',array("
@@ -1412,7 +1420,9 @@ def mmr_rerank(
     the candidate table with itself on query_id); the corpus is touched
     once, by the shortlist scorer. Ties break to the smaller id.
     Returns (query_id, pos, doc_id, mmr_score)."""
-    cand = brute_force_topk(embeddings, query_ids, k=shortlist).select(
+    shortlisted = brute_force_topk(
+        embeddings, query_ids, k=shortlist
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.col("cos_sim").alias("rel"),
@@ -1420,7 +1430,15 @@ def mmr_rerank(
     emb = embeddings.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    ce = cand.join(emb, "cand_id").persist()
+    ce = shortlisted.join(emb, "cand_id").persist()
+    # Every downstream reference goes through the persisted `ce` (the
+    # round-1 pick and each round's `rem` included), so the corpus-
+    # scale shortlist scorer materializes exactly once; reusing the
+    # raw `shortlisted` here would re-embed the corpus scan k+1 times
+    # in the unrolled DAG. Persisted lazily and deliberately not
+    # unpersisted: the result is returned unevaluated, so the cache
+    # must outlive this function (LRU eviction reclaims it).
+    cand = ce.select("query_id", "cand_id", "rel")
     a = ce.select(
         "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea")
     )

@@ -53,7 +53,11 @@ def asof_join(
     unspecified — is pinned here).
     ``tolerance_seconds`` bounds the match distance — rows whose only
     match lies further away keep their left columns with NULL match
-    columns, exactly like merge_asof's ``tolerance``. Right rows are
+    columns, exactly like merge_asof's ``tolerance``: for
+    ``"nearest"`` the bound applies to each direction's candidate
+    BEFORE the nearer one is chosen (pandas semantics — an
+    out-of-tolerance nearest side falls back to the other side's
+    in-tolerance match rather than returning NULL). Right rows are
     first deduplicated to one per (key, ts) — keeping the max
     ``tie_col`` — so the match is unique and deterministic.
 
@@ -124,6 +128,25 @@ def asof_join(
             merged = merged.withColumn(
                 f"_b{c}", F.last(c, ignorenulls=True).over(wb)
             ).withColumn(f"_f{c}", F.first(c, ignorenulls=True).over(wf))
+        if tolerance_seconds is not None:
+            # pandas merge_asof parity: tolerance nulls each
+            # DIRECTIONAL carry before the nearer one is chosen, so a
+            # left row whose closest match is out of tolerance still
+            # takes the opposite direction's in-tolerance match (a
+            # post-selection gap check would drop it).
+            tol = F.lit(int(tolerance_seconds) * 1_000_000)
+            okb = (
+                F.unix_micros(F.col("_ts"))
+                - F.unix_micros(F.col("_b_r_ts"))
+            ) <= tol
+            okf = (
+                F.unix_micros(F.col("_f_r_ts"))
+                - F.unix_micros(F.col("_ts"))
+            ) <= tol
+            for c in [*(f"_r_{c}" for c in right_cols), "_r_ts"]:
+                merged = merged.withColumn(
+                    f"_b{c}", F.when(okb, F.col(f"_b{c}"))
+                ).withColumn(f"_f{c}", F.when(okf, F.col(f"_f{c}")))
         gb = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_b_r_ts"))
         gf = F.unix_micros(F.col("_f_r_ts")) - F.unix_micros(F.col("_ts"))
         use_b = F.col("_b_r_ts").isNotNull() & (
@@ -133,16 +156,6 @@ def asof_join(
             merged = merged.withColumn(
                 c, F.when(use_b, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}"))
             ).drop(f"_b{c}", f"_f{c}")
-        if tolerance_seconds is not None:
-            gap = F.abs(
-                F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_r_ts"))
-            )
-            ok = gap <= F.lit(int(tolerance_seconds) * 1_000_000)
-            for c in right_cols:
-                merged = merged.withColumn(
-                    f"_r_{c}", F.when(ok, F.col(f"_r_{c}"))
-                )
-            merged = merged.withColumn("_r_ts", F.when(ok, F.col("_r_ts")))
         return merged.filter(F.col("_is_r") == 0).select(
             *by,
             F.col("_ts").alias(left_ts),
@@ -270,6 +283,18 @@ def interval_overlap_join_binned(
     assignment trick the LSH first-shared-band dedup uses.
 
     Returns (by..., a row cols, b row cols, overlap_us)."""
+    if a_len_seconds < 1 or b_len_seconds < 1:
+        # A zero length degenerates twice over: both zero makes
+        # bin_us 0 (division by zero in every bin expression), and a
+        # single zero-length side bins [floor(s/bin), floor((s-1)/bin)]
+        # which can run DESCENDING and emit spurious bins ahead of the
+        # overlap>0 filter. Same guard style as vacuum_versioned's
+        # keep >= 1.
+        raise ValueError(
+            "interval lengths must be >= 1 second (end-exclusive "
+            f"[s, s+len) intervals): got a={a_len_seconds}, "
+            f"b={b_len_seconds}"
+        )
     bin_us = max(a_len_seconds, b_len_seconds) * 1_000_000
     a_us = F.unix_micros(F.col(a_start))
     b_us = F.unix_micros(F.col(b_start))

@@ -8090,30 +8090,36 @@ mf AS (
   FROM l ASOF LEFT JOIN r1
     ON l.user_id = r1.user_id AND r1.ts >= l.ts
 ),
-chosen AS (
+tolerated AS (
   SELECT l.user_id, l.ts, l.event_id, l.value,
-         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
-                   epoch_us(l.ts) - epoch_us(b_ts)
-                   <= epoch_us(f_ts) - epoch_us(l.ts))
-              THEN b_ts ELSE f_ts END AS m_ts,
-         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
-                   epoch_us(l.ts) - epoch_us(b_ts)
-                   <= epoch_us(f_ts) - epoch_us(l.ts))
-              THEN b_eid ELSE f_eid END AS m_eid,
-         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
-                   epoch_us(l.ts) - epoch_us(b_ts)
-                   <= epoch_us(f_ts) - epoch_us(l.ts))
-              THEN b_val ELSE f_val END AS m_val
+         CASE WHEN epoch_us(l.ts) - epoch_us(b_ts) <= 1800000000
+              THEN b_ts END AS b_ts,
+         CASE WHEN epoch_us(l.ts) - epoch_us(b_ts) <= 1800000000
+              THEN b_eid END AS b_eid,
+         CASE WHEN epoch_us(l.ts) - epoch_us(b_ts) <= 1800000000
+              THEN b_val END AS b_val,
+         CASE WHEN epoch_us(f_ts) - epoch_us(l.ts) <= 1800000000
+              THEN f_ts END AS f_ts,
+         CASE WHEN epoch_us(f_ts) - epoch_us(l.ts) <= 1800000000
+              THEN f_eid END AS f_eid,
+         CASE WHEN epoch_us(f_ts) - epoch_us(l.ts) <= 1800000000
+              THEN f_val END AS f_val
   FROM l JOIN mb USING (event_id) JOIN mf USING (event_id)
 )
 SELECT user_id, ts, event_id, value,
-       CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts)) <= 1800000000
-            THEN m_ts END AS matched_ts,
-       CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts)) <= 1800000000
-            THEN m_eid END AS matched_event_id,
-       CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts)) <= 1800000000
-            THEN m_val END AS matched_value
-FROM chosen
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                 epoch_us(ts) - epoch_us(b_ts)
+                 <= epoch_us(f_ts) - epoch_us(ts))
+            THEN b_ts ELSE f_ts END AS matched_ts,
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                 epoch_us(ts) - epoch_us(b_ts)
+                 <= epoch_us(f_ts) - epoch_us(ts))
+            THEN b_eid ELSE f_eid END AS matched_event_id,
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                 epoch_us(ts) - epoch_us(b_ts)
+                 <= epoch_us(f_ts) - epoch_us(ts))
+            THEN b_val ELSE f_val END AS matched_value
+FROM tolerated
 """,
     doc="NEAREST as-of join with tolerance — completes the "
     "backward/forward/nearest merge_asof triple: each click gets the "
@@ -8122,8 +8128,10 @@ FROM chosen
     "independent native ASOF JOINs + a CASE). Engine side runs BOTH "
     "carries over the ONE key exchange (two frames, same "
     "partitioning — an extra in-partition sort, no extra shuffle, "
-    "still no join node); tolerance is the same post-selection "
-    "conditional NULL on the absolute gap.",
+    "still no join node). Tolerance follows pandas merge_asof "
+    "exactly: each direction's candidate is gap-checked BEFORE the "
+    "nearer one is chosen, so an out-of-tolerance nearest side "
+    "falls back to the other side's in-tolerance match.",
 )
 def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
@@ -9696,24 +9704,34 @@ FROM loads CROSS JOIN tot
     "as ppm of the perfectly-even mean via integer cross-"
     "multiplication (1e6·W·load div total — 1e6 = exactly even). "
     "Complements pack_concat_chunks (WITHIN-shard layout) with the "
-    "ACROSS-shard assignment. One size rollup + one global rank "
-    "window over O(docs) (doc_id, n_tokens) pairs — at 100 TB the "
-    "rank runs on the size table, never the text, and the "
-    "distributed swap is per-partition local ranking with a "
-    "rank-offset merge (the two-pass prefix-sum pattern).",
+    "ACROSS-shard assignment. One size rollup + one DISTRIBUTED rank "
+    "over O(docs) (doc_id, n_tokens) pairs: the global "
+    "ROW_NUMBER is the two-pass range-banded rank "
+    "(packing.banded_global_rank — band on -(n_tokens div 16), rank "
+    "within band, offset by broadcast per-band counts), so no "
+    "single-partition window ever sees the doc table; at 100 TB the "
+    "rank runs on the size table, never the text.",
 )
 def pack_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from olist_data_warehouse_spark.operators.packing import (
+        banded_global_rank,
+    )
 
     d = _t(spark, sf_dir, "documents")["documents"]
     sized = d.select(
         "doc_id", textops.token_count("text").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
-    wr = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    assigned = sized.select(
+    # Band is monotone in the DESC sort key: -(n div 16) ascends as
+    # n_tokens descends, so the banded rank equals the global rank.
+    ranked = banded_global_rank(
+        sized,
+        band=F.expr("-(n_tokens div 16)"),
+        order_by=[F.desc("n_tokens"), F.asc("doc_id")],
+    )
+    assigned = ranked.select(
         "doc_id",
         "n_tokens",
-        ((F.row_number().over(wr) - 1) % 16).alias("shard"),
+        ((F.col("rk") - 1) % 16).alias("shard"),
     )
     loads = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -9763,14 +9781,17 @@ FROM sums
     "Lorenz-curve integral exactly). Ordering ties break by customer "
     "key, which leaves G unchanged (equal values commute in the "
     "formula) but pins both engines to identical i·x_i terms. Plan: "
-    "per-customer rollup (map-side combined), one rank window over "
-    "the CUSTOMER-grain table, 1-row moment reduce; i·x_i rides in "
-    "128-bit intermediates. The distributed swap for a fact-sized "
-    "rank is the two-pass prefix-sum rank (pack_concat_chunks' "
-    "pattern).",
+    "per-customer rollup (map-side combined), then the DISTRIBUTED "
+    "two-pass range-banded rank (packing.banded_global_rank, band = "
+    "c div 2^23 ≈ $84k revenue slices) over the CUSTOMER-grain "
+    "table — no single-partition window even at 10^8 customers — "
+    "and a 1-row moment reduce; i·x_i rides in 128-bit "
+    "intermediates.",
 )
 def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from olist_data_warehouse_spark.operators.packing import (
+        banded_global_rank,
+    )
 
     o = _t(spark, sf_dir, "orders")["orders"]
     cents = o.groupBy("o_custkey").agg(
@@ -9778,10 +9799,12 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("long")
         ).alias("c")
     )
-    wr = Window.orderBy("c", "o_custkey")
-    ranked = cents.select(
-        "c", F.row_number().over(wr).alias("i")
-    )
+    ranked = banded_global_rank(
+        cents,
+        band=F.expr("c div 8388608"),
+        order_by=[F.asc("c"), F.asc("o_custkey")],
+        rank_name="i",
+    ).select("c", "i")
     cd = F.col("c").cast("decimal(38,0)")
     idx = F.col("i").cast("decimal(38,0)")
     sums = ranked.agg(
@@ -9828,12 +9851,17 @@ GROUP BY decile, tot.t
     "NTILE is deterministic here because the ordering (c, custkey) "
     "is unique, and both engines use the same NTILE remainder "
     "convention (larger buckets first) — pinned by the gate. Plan: "
-    "customer-grain rollup, one rank window over O(customers), "
-    "1-row total broadcast, floor-div ppm; same rollup-before-"
-    "window discipline as the Gini.",
+    "customer-grain rollup, the DISTRIBUTED two-pass range-banded "
+    "rank (packing.banded_global_rank), then NTILE recovered "
+    "arithmetically from (rank, n): with q = n div 10, r = n mod "
+    "10, the first r buckets hold q+1 rows — so no NTILE window "
+    "(single-partition by definition) touches the customer table; "
+    "1-row total broadcast, floor-div ppm.",
 )
 def a31_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from olist_data_warehouse_spark.operators.packing import (
+        banded_global_rank,
+    )
 
     o = _t(spark, sf_dir, "orders")["orders"]
     cents = o.groupBy("o_custkey").agg(
@@ -9841,8 +9869,25 @@ def a31_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("long")
         ).alias("c")
     )
-    wr = Window.orderBy("c", "o_custkey")
-    tiled = cents.select("c", F.ntile(10).over(wr).alias("decile"))
+    ranked = banded_global_rank(
+        cents,
+        band=F.expr("c div 8388608"),
+        order_by=[F.asc("c"), F.asc("o_custkey")],
+        rank_name="i",
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    # NTILE(10) from the exact rank: q=n div 10, r=n mod 10; the
+    # first r buckets take q+1 rows (Spark's and DuckDB's shared
+    # larger-buckets-first convention), the rest take q.
+    j = F.col("i") - 1
+    q = F.expr("n div 10")
+    r = F.col("n") % 10
+    decile = F.when(
+        j < r * (q + 1), F.floor(j / (q + 1)) + 1
+    ).otherwise(r + F.floor((j - r * (q + 1)) / q) + 1)
+    tiled = ranked.crossJoin(F.broadcast(n_row)).select(
+        "c", decile.cast("int").alias("decile")
+    )
     tot = tiled.agg(F.sum("c").alias("t"))
     return (
         tiled.crossJoin(F.broadcast(tot))

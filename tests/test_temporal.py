@@ -237,3 +237,63 @@ def test_asof_forward_and_tolerance_semantics(spark):
 
     with _pytest.raises(ValueError):
         asof_join(l, r, by=["user_id"], direction="sideways")
+
+
+def test_asof_nearest_tolerance_is_per_direction(spark):
+    """pandas merge_asof parity: 'nearest' applies the tolerance to
+    each direction's candidate BEFORE choosing the closer one, so a
+    left row whose globally-nearest match is out of tolerance still
+    takes the opposite direction's in-tolerance match."""
+    from olist_data_warehouse_spark.operators.temporal import asof_join
+
+    # click at 10:00; nearest purchase is 5 min BEFORE but the
+    # backward one is 40 min away... flip it: backward at 09:20
+    # (40 min, out of a 30-min tolerance), forward at 10:25 (25 min,
+    # in tolerance). Nearest-by-distance is... 25 < 40 so forward is
+    # nearest anyway — so ALSO test the divergent case: backward at
+    # 09:50 (10 min, nearest, but tolerance 5 min) with forward at
+    # 10:07 (7 min, in tolerance) → pandas takes the forward match.
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)],
+        "user_id bigint, ts string, event_id bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 09:50:00", 900, 5.0),
+         (1, "2024-01-01 10:07:00", 901, 6.0)],
+        "user_id bigint, ts string, event_id bigint, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = asof_join(
+        l, r, by=["user_id"], right_cols=["event_id", "value"],
+        tie_col="event_id", direction="nearest",
+        tolerance_seconds=480,  # 8 min: backward (10 min) is out,
+                                # forward (7 min) is in
+    ).collect()[0]
+    assert got["matched_event_id"] == 901  # NOT None: forward fallback
+    assert got["matched_value"] == 6.0
+
+    # both out of tolerance -> NULL, left row kept
+    none = asof_join(
+        l, r, by=["user_id"], right_cols=["event_id", "value"],
+        tie_col="event_id", direction="nearest",
+        tolerance_seconds=60,
+    ).collect()[0]
+    assert none["matched_event_id"] is None
+    assert none["event_id"] == 100
+
+
+def test_interval_overlap_join_rejects_degenerate_lengths(spark):
+    import pytest as _pytest
+
+    from olist_data_warehouse_spark.operators.temporal import (
+        interval_overlap_join_binned,
+    )
+
+    a = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "k bigint, s timestamp"
+    )
+    for la, lb in [(0, 0), (0, 60), (60, 0), (-5, 60)]:
+        with _pytest.raises(ValueError, match=">= 1 second"):
+            interval_overlap_join_binned(
+                a, a, by=["k"], a_start="s", b_start="s",
+                a_len_seconds=la, b_len_seconds=lb,
+            )
