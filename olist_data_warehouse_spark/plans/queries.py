@@ -1605,113 +1605,52 @@ from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-5 rotation. After r4's clean 50/50 sweep, the union r1–r4
-    # has every entry driver-green at least once, but 11 entries'
-    # only green row predates the MICROS-NTZ testdata migration (r1)
-    # and 40 entries were last evaluated in r3. This prefix closes the
-    # post-migration gap first, then refreshes the r3 cohort.
-    # 1: r1-only evidence — the 11 entries never driver-evaluated under
-    #    the current testdata generation (VERDICT r4 gap #2).
-    "s1_scan_project_alias", "p2_select_star", "p3_filter_neq",
-    "p4_p9_filter_notnull_neq", "a2_integer_avg", "a6_distinct",
-    "t3_limit",
-    "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_topk",
-    "multi_decode_meta",
-    # 2: NEW this round — token-budget + class-balance sampling, kNN
-    #    label vote, daily HLL, the Q1-shape pricing summary — plus the
-    #    behavior-touched embedding LSH (plane matrix now ships as a
-    #    JVM-parsed literal; values bit-identical, but re-prove it).
-    "samp_token_budget", "samp_label_balance", "sim_knn_label_vote",
-    "sk_hll_daily_users", "a15_pricing_summary",
-    "a16_measure_correlation", "stream_attributed_hourly",
-    "tj_asof_forward_tol", "w8_forward_fill", "p12_prefix_filter",
-    "dedup_affix_groups", "sim_quantized_topk",
-    "samp_epoch_shard_shuffle", "p13_above_customer_avg",
-    "decon_bloom_prefilter",
-    "ivm_agg_merge", "j9_reconcile_orders_lines", "dedup_span_chunks",
-    "text_bigram_topk", "w9_cume_dist_nth",
-    "p14_exists_semi", "dedup_keep_best", "sim_centroid_outlier",
-    "ts_gapfill_daily", "funnel_steps", "cohort_retention",
-    "a18_event_histogram", "dedup_minhash_jaccard_est",
-    "samp_negative_mining",
-    # behavior-changed late in the round: candidate dedup is now
-    # map-side (first-shared-band filter) — oracle unchanged, re-prove
-    # under the driver.
-    "dedup_embedding_lsh",
-    # more round-5 additions, highest-risk first (new composition /
-    # driver-env-sensitive types / heaviest plans). ts_max_concurrency
-    # (timestamp output column) and dq_category_entropy (libm-ln
-    # micro-nats) take the last two slots — the two classes that have
-    # historically been driver-env-sensitive (MICROS-NTZ migration,
-    # float last-ulp) — displacing the pure-integer dq_zscore_outliers
-    # and the hash-deterministic samp_cluster_split into the pool.
-    "json_variant_extract", "dedup_cdc_chunks",
-    "text_inverted_index", "text_bm25_topk", "link_fuzzy_parts",
-    "ts_ohlc_bars", "dedup_latest_snapshot",
-    "ts_max_concurrency", "dq_category_entropy",
-    # --- 50-cap falls here. Everything below is the r6 ROTATION POOL,
-    # newest-first: round-5 entries without driver evidence yet. All
-    # run green continuously in the local sf0.001 replica
-    # (tests/test_queries_oracle.py), and the ENTIRE registry was
-    # swept green against DuckDB at the driver's sf0.01 gate scale
-    # repeatedly this round — final full sweep: ALL 211 entries,
-    # 0 fails (see COVERAGE.md's tally).
-    "dq_zscore_outliers", "samp_cluster_split",
-    "graph_triangles", "w13_rolling_median", "dq_mad_outliers",
-    "ts_linear_trend", "ts_seasonal_baseline", "stream_ohlc_bars",
-    "text_collocation_pmi", "w14_activity_streaks", "reco_user_user_cf",
-    "sim_mmr_rerank", "samp_temporal_embargo", "graph_link_prediction",
-    "multi_image_phash", "graph_label_propagation", "pipe_pretrain_layout",
-    "tj_asof_nearest", "w15_skyline_orders", "tj_interval_overlap",
-    "dq_uniqueness_profile", "a23_weighted_median", "a24_mode",
-    "dedup_pipeline_eval", "graph_modularity", "samp_apportion_lr",
-    "sim_ann_recall_eval", "sim_threshold_calibration", "text_zipf_fit",
-    "path_markov_transitions", "samp_entity_split",
-    "dq_fk_integrity", "w16_new_vs_returning", "ts_autocorrelation",
-    "sk_hist_merge", "q4_shipping_priority", "dq_ks_drift",
+    # Round-6 rotation: close the evidence gap. Union r1-r5 left 72
+    # of 211 entries with no driver-green row (all of them round-5
+    # additions past the 50-slot cap; every one passes the full
+    # sf0.01 DuckDB sweep and the continuous sf0.001 replica). The
+    # r6 prefix is exactly 50 of those 72, so every evaluated slot
+    # adds a first-time driver row; the 22 left over lead the r7
+    # pool below.
+    # 1: behavior-changed THIS round, first — the banded-rank swaps
+    #    (pack/gini/lorenz now rank via the two-pass range-banded
+    #    form), the pandas-parity nearest-tolerance change (engine
+    #    AND oracle moved), the once-per-DAG shortlist persist in
+    #    MMR, and the guarded interval-overlap join.
     "pack_balanced_shards", "a29_gini_concentration", "a31_lorenz_deciles",
-    "reco_item_cooccurrence", "text_phrase_search", "sim_tfidf_cosine",
-    "graph_pagerank_items", "dq_key_skew_report",
+    "tj_asof_nearest", "sim_mmr_rerank", "tj_interval_overlap",
+    # 2: the staged never-evaluated pool, in the r5 risk order
+    #    (driver-env-sensitive types and heaviest compositions
+    #    first).
+    "dq_zscore_outliers", "samp_cluster_split", "graph_triangles",
+    "w13_rolling_median", "dq_mad_outliers", "ts_linear_trend",
+    "ts_seasonal_baseline", "stream_ohlc_bars", "text_collocation_pmi",
+    "w14_activity_streaks", "reco_user_user_cf", "samp_temporal_embargo",
+    "graph_link_prediction", "multi_image_phash", "graph_label_propagation",
+    "pipe_pretrain_layout", "w15_skyline_orders", "dq_uniqueness_profile",
+    "a23_weighted_median", "a24_mode", "dedup_pipeline_eval",
+    "graph_modularity", "samp_apportion_lr", "sim_ann_recall_eval",
+    "sim_threshold_calibration", "text_zipf_fit", "path_markov_transitions",
+    "samp_entity_split", "dq_fk_integrity", "w16_new_vs_returning",
+    "ts_autocorrelation", "sk_hist_merge", "q4_shipping_priority",
+    "dq_ks_drift", "reco_item_cooccurrence", "text_phrase_search",
+    "sim_tfidf_cosine", "graph_pagerank_items", "dq_key_skew_report",
     "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
-    "sim_ivfpq_topk", "ts_interpolate_hourly", "attrib_multi_model",
-    "samp_weighted_fixed_k", "dq_winsorize", "scd2_point_in_time",
-    "ts_cusum_alerts", "t5_keyset_page", "reco_item_lift",
-    "dq_benford_digits", "dq_snapshot_diff", "dq_psi_splits",
-    "ivm_index_merge", "text_keywords_topk",
-    # (flagship pairs q1/q2/q3 + j7 + f3 drop out of the prefix this
-    # round: all green in r4 and untouched since — re-confirming them
-    # would cost 10 slots the never-evaluated entries need. They stay
-    # exercised every round via bench.py and entry().)
-    # 3: next round's rotation pool — new entries past the cap first,
-    #    then the r3-latest cohort, most substantive / most at-risk of
-    #    session-conf drift first (timestamp-heavy, multimodal, and
-    #    iterative ops ahead of plain aggregates). Entries past the
-    #    driver's ~50 cap simply stay on prior-round evidence — all of
-    #    them run continuously in tests/test_queries_oracle.py.
+    "sim_ivfpq_topk", "ts_interpolate_hourly",
+    # --- 50-cap falls here. The 22 below complete the
+    # never-evaluated set in r7; after that the union r1-r7 covers
+    # all 211 entries.
+    "attrib_multi_model", "samp_weighted_fixed_k", "dq_winsorize",
+    "scd2_point_in_time", "ts_cusum_alerts", "t5_keyset_page",
+    "reco_item_lift", "dq_benford_digits", "dq_snapshot_diff",
+    "dq_psi_splits", "ivm_index_merge", "text_keywords_topk",
     "w10_range_numeric_frame", "sk_hll_set_algebra", "samp_soft_dedup",
     "f8_calendar_features", "a21_multi_distinct", "w11_ratio_to_report",
     "w12_rank_variants", "set_except_all", "stream_funnel_users",
     "stream_unattributed_join",
-    "q1_top_units_oltp", "q1_top_units_dw",
-    "q2_top_revenue_oltp", "q2_top_revenue_dw",
-    "q3_conversion_oltp", "q3_conversion_dw",
-    "j7_incremental_delta", "j7_merge_upsert", "f3_datediff_hours",
-    "tj_asof_purchase_click", "tj_range_error_clicks",
-    "multi_extract_features", "multi_resize_meta", "multi_frame_sample",
-    "multi_audio_meta",
-    "dedup_cc_groups", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_hamming",
-    "decon_ngram_overlap", "pipe_corpus_curation", "pack_concat_chunks",
-    "sim_ivf_topk_mp", "sim_kmeans_refine", "sim_lsh_assign",
-    "sim_lsh_topk",
-    "sk_hll_distinct_users", "sk_hist_quantiles", "sk_cms_heavy_hitters",
-    "scd2_supplier_merge", "bloom_prefilter_lineitem", "skew_salted_join",
-    "json_props_extract",
-    "samp_hash_split", "samp_domain_mixture", "samp_stratified",
-    "samp_per_group_topn", "samp_kfold",
-    "text_pii_redact", "text_repetition_ratio", "text_unigram_logprob",
-    "text_tfidf_topk", "text_word_count",
-    "w3_lag_delta", "w4_ntile_quartiles", "a11_cube",
+    # Flagship pairs and earlier cohorts stay on prior-round
+    # evidence (r1-r5 green at least once each) and run continuously
+    # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 
 

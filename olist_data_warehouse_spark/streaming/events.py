@@ -832,10 +832,38 @@ def cusum_batch(
     (the monitoring posture: the reference rate comes from history or
     an SLO, not from the data under test — unlike the registered
     ts_cusum_alerts, which self-derives it for oracle checkability).
-    Pre-aggregates daily counts distributed, then runs the tiny
-    calendar-bounded trajectory on the driver via the shared kernel.
-    Returns sorted (event_type, n_days, max_cusum, n_alerts) rows."""
-    daily = (
+    Pre-aggregates daily counts distributed, then folds each series'
+    calendar-bounded trajectory as a GROUPED kernel
+    (``applyInPandas`` per event_type running the same
+    :func:`_cusum_summary` the stream twin uses — stream and batch
+    cannot drift, and per-task state is O(days) regardless of how
+    many series exist; only the one-row-per-series summaries ever
+    reach the driver). Returns sorted
+    (event_type, n_days, max_cusum, n_alerts) rows."""
+    if not baseline_micro:
+        return []
+    bm = dict(baseline_micro)
+
+    def summarize(pdf):
+        import pandas as pd
+
+        dc = {
+            int(d): int(c) for d, c in zip(pdf["day"], pdf["cnt"])
+        }
+        et = str(pdf["event_type"].iloc[0])
+        n_days, mx, na = _cusum_summary(
+            dc, bm[et], slack_div, thresh_div
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_days": [n_days],
+                "max_cusum": [mx],
+                "n_alerts": [na],
+            }
+        )
+
+    rows = (
         events.select(
             "event_type",
             F.expr(
@@ -843,22 +871,20 @@ def cusum_batch(
                 " AS int)"
             ).alias("day"),
         )
+        .filter(F.col("event_type").isin(*bm.keys()))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .applyInPandas(
+            summarize,
+            "event_type string, n_days long, max_cusum long, "
+            "n_alerts long",
+        )
         .collect()
     )
-    per: dict[str, dict[int, int]] = {}
-    for r in daily:
-        per.setdefault(r.event_type, {})[r.day] = r.cnt
-    out = []
-    for et, dc in per.items():
-        if et not in baseline_micro:
-            continue
-        n_days, mx, na = _cusum_summary(
-            dc, baseline_micro[et], slack_div, thresh_div
-        )
-        out.append((et, n_days, mx, na))
-    return sorted(out)
+    return sorted(
+        (r.event_type, r.n_days, r.max_cusum, r.n_alerts) for r in rows
+    )
 
 
 def cusum_stream(

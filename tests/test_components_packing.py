@@ -149,3 +149,70 @@ def test_sliding_windows_rejects_bad_params(spark):
         packing.sliding_windows(d, "doc_id", F.col("n"), win=0)
     with _pt.raises(ValueError):
         packing.sliding_windows(d, "doc_id", F.col("n"), stride=0)
+
+
+def test_banded_global_rank_equals_naive_window(spark):
+    """The range-banded two-pass rank must be byte-identical to the
+    single-partition ROW_NUMBER it replaces, for any band width —
+    including widths that put everything in one band (degenerate but
+    legal) and negative-banded descending orders."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, (i * 37) % 13, (i * 17) % 7) for i in range(200)]
+    d = spark.createDataFrame(rows, "id bigint, k bigint, t bigint")
+
+    naive_asc = d.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.asc("k"), F.asc("id")))
+        .alias("rk"),
+    )
+    for width in (1, 4, 1000):
+        got = packing.banded_global_rank(
+            d,
+            band=F.expr(f"k div {width}"),
+            order_by=[F.asc("k"), F.asc("id")],
+        ).select("id", "rk")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive_asc.collect())
+        ), f"width={width}"
+
+    naive_desc = d.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("k"), F.asc("id")))
+        .alias("rk"),
+    )
+    got = packing.banded_global_rank(
+        d,
+        band=F.expr("-(k div 4)"),
+        order_by=[F.desc("k"), F.asc("id")],
+    ).select("id", "rk")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive_desc.collect())
+    )
+
+
+def test_banded_rank_consumers_have_no_scan_scale_global_window(spark):
+    """pack_balanced_shards / a29 / a31 must window only WITHIN a band
+    partition: every windowspecdefinition that sees scan-scale rows
+    carries the _band key, and the only unpartitioned windows left are
+    the O(bands) offset prefix and 1-row reduces."""
+    import io
+    from contextlib import redirect_stdout
+
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    for name in (
+        "pack_balanced_shards",
+        "a29_gini_concentration",
+        "a31_lorenz_deciles",
+    ):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue()
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "row_number" in line:
+                assert "_band" in line, f"{name}: unbanded rank window"

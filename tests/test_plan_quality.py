@@ -504,6 +504,11 @@ def test_funnel_chained_windows_share_one_exchange(spark):
     plan = plan_of(spark, "funnel_steps")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3
     assert _n_exchanges(plan) == 2
+    # pin WHICH exchanges those are: the window chain's user_id hash
+    # partitioning + the final 1-row fold's SinglePartition — never a
+    # global sort
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
 
 
@@ -514,6 +519,8 @@ def test_cohort_retention_distinct_has_no_expand(spark):
     plan = plan_of(spark, "cohort_retention")
     assert "Expand" not in plan
     assert _n_exchanges(plan) == 2
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
 
 
@@ -522,6 +529,8 @@ def test_event_histogram_serialization_stays_jvm(spark):
     no Python, two map-side-combined exchanges."""
     plan = plan_of(spark, "a18_event_histogram")
     assert _n_exchanges(plan) == 2
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
 
