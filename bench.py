@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     # discovery-vs-truth evaluation: the heaviest two dedup plans
     # composed through a full-outer classify
     "dedup_pipeline_eval",
+    # round-6: the banded-rank swaps — LPT shard dealing and the
+    # exact-rational Gini, both now ranking via the two-pass
+    # range-banded ROW_NUMBER (no single-partition window)
+    "pack_balanced_shards",
+    "a29_gini_concentration",
 ]
 
 
