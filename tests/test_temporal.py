@@ -297,3 +297,87 @@ def test_interval_overlap_join_rejects_degenerate_lengths(spark):
                 a, a, by=["k"], a_start="s", b_start="s",
                 a_len_seconds=la, b_len_seconds=lb,
             )
+
+
+# ---------------------------------------------------------------------------
+# Direct pandas.merge_asof parity: all 3 directions x tolerance on a
+# seeded random dataset — the library whose semantics the docstring
+# claims is itself the reference here, not a hand-derived oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import random
+
+    import pandas as pd
+
+    from olist_data_warehouse_spark.operators.temporal import asof_join
+
+    rng = random.Random(20260814)
+    base = pd.Timestamp("2024-01-01")
+
+    def t(sec):
+        return base + pd.Timedelta(seconds=sec)
+
+    left = [(rng.randint(1, 4), rng.randint(0, 500)) for _ in range(40)]
+    # unique (k, ts) on the right so pandas' unspecified duplicate-ts
+    # pick can't diverge from the engine's tie_col dedup
+    rseen = {(rng.randint(1, 4), rng.randint(0, 500)) for _ in range(30)}
+    right = [(k, s, i) for i, (k, s) in enumerate(sorted(rseen))]
+
+    ldf = spark.createDataFrame(
+        [(k, t(s).to_pydatetime(), i) for i, (k, s) in enumerate(left)],
+        "k bigint, ts timestamp, lid bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(s).to_pydatetime(), v) for (k, s, v) in right],
+        "k bigint, ts timestamp, v bigint",
+    )
+    lpd = pd.DataFrame(
+        {"k": [k for k, _ in left],
+         "ts": [t(s) for _, s in left],
+         "lid": range(len(left))}
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+    rpd = pd.DataFrame(
+        {"k": [k for k, _, _ in right],
+         "ts": [t(s) for _, s, _ in right],
+         "v": [v for _, _, v in right]}
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+
+    def gaps(k, s):
+        back = [s - rs for rk, rs, _ in right if rk == k and rs <= s]
+        fwd = [rs - s for rk, rs, _ in right if rk == k and rs >= s]
+        return (min(back) if back else None, min(fwd) if fwd else None)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 60):
+            got = {
+                r.lid: r.matched_v
+                for r in asof_join(
+                    ldf, rdf, by=["k"], right_cols=["v"],
+                    direction=direction, tolerance_seconds=tol,
+                ).collect()
+            }
+            exp = pd.merge_asof(
+                lpd, rpd, on="ts", by="k", direction=direction,
+                tolerance=None if tol is None
+                else pd.Timedelta(seconds=tol),
+            )
+            expect = {
+                int(row.lid): None if pd.isna(row.v) else int(row.v)
+                for row in exp.itertuples()
+            }
+            for i, (k, s) in enumerate(left):
+                if direction == "nearest":
+                    gb, gf = gaps(k, s)
+                    in_tol = lambda g: g is not None and (
+                        tol is None or g <= tol
+                    )
+                    # equidistant in-tolerance candidates: pandas leaves
+                    # the pick unspecified, the engine pins backward —
+                    # only the pinned rule is asserted elsewhere
+                    if in_tol(gb) and in_tol(gf) and gb == gf:
+                        continue
+                assert got[i] == expect[i], (
+                    direction, tol, i, k, s, got[i], expect[i],
+                )
