@@ -1296,6 +1296,102 @@ def a13_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_in_bound(lt, le, num: int, den: int, n, slack) -> "F.Column":
+    """1 iff the value bracketing ranks [lt+1, le] (counts of rows
+    strictly-below / at-or-below it) contains the target quantile rank
+    ``(num/den)·n`` to within ``slack`` ranks — the GK-sketch accuracy
+    contract, checked in exact integer cross-multiplication:
+
+        (lt + 1 - slack)·den ≤ num·n  ∧  num·n ≤ (le + slack)·den
+    """
+    t = F.lit(num) * n
+    lo = (lt + F.lit(1) - slack) * F.lit(den)
+    hi = (le + slack) * F.lit(den)
+    return ((lo <= t) & (t <= hi)).cast("int")
+
+
+@register(
+    "a13_approx_percentile_cert",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       1 AS med_in_bound, 1 AS p90_in_bound
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="The at-scale swap a13_median_percentile documents, measured "
+    "in-engine: approx_percentile (Greenwald-Khanna sketch, bounded "
+    "memory — arXiv-published, built into Spark) computes median+p90 "
+    "per group, then an exact second pass counts each returned "
+    "value's strictly-below / at-or-below ranks and checks the "
+    "bracket against the sketch's rank-error guarantee "
+    "(eps = 1/accuracy, +1 rank slack) in integer cross-"
+    "multiplication (_rank_in_bound). The approx VALUES are engine- "
+    "and merge-order-specific by design (DuckDB cannot replay the "
+    "sketch, and GK merge order may vary run to run), so the oracle "
+    "pins the CERTIFICATE — group counts and both in-bound verdicts, "
+    "which every guarantee-respecting run must reproduce; a hash "
+    "mismatch means the accuracy contract broke. Same measured-gate "
+    "shape as sim_ann_recall_eval. At 100 TB this replaces a13's "
+    "per-group exact value→count maps with O(accuracy·log) sketch "
+    "state, and the verify pass stays one map-side-combined scan "
+    "plus a |groups|-row broadcast.",
+)
+def a13_approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acc = 10_000
+    li = _t(spark, sf_dir, "lineitem", heal=True)["lineitem"]
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    ap = (
+        cents.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"approx_percentile(price_cents, array(0.5D, 0.9D), {acc})"
+            ).alias("ap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ap")[0].alias("v_med"),
+            F.col("ap")[1].alias("v_p90"),
+            "n",
+        )
+    )
+    ranked = (
+        cents.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("price_cents") < F.col("v_med")).cast("long"))
+            .alias("lt_med"),
+            F.sum((F.col("price_cents") <= F.col("v_med")).cast("long"))
+            .alias("le_med"),
+            F.sum((F.col("price_cents") < F.col("v_p90")).cast("long"))
+            .alias("lt_p90"),
+            F.sum((F.col("price_cents") <= F.col("v_p90")).cast("long"))
+            .alias("le_p90"),
+        )
+    )
+    slack = F.expr(f"n div {acc}") + F.lit(1)
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        _rank_in_bound(
+            F.col("lt_med"), F.col("le_med"), 1, 2, F.col("n"), slack
+        ).alias("med_in_bound"),
+        _rank_in_bound(
+            F.col("lt_p90"), F.col("le_p90"), 9, 10, F.col("n"), slack
+        ).alias("p90_in_bound"),
+    ).orderBy("l_returnflag")
+
+
 @register(
     "w5_first_last",
     oracle="""
@@ -1648,6 +1744,8 @@ DRIVER_PRIORITY = [
     "f8_calendar_features", "a21_multi_distinct", "w11_ratio_to_report",
     "w12_rank_variants", "set_except_all", "stream_funnel_users",
     "stream_unattributed_join",
+    # New in r6 (never evaluated by definition) — join the r7 pool.
+    "a13_approx_percentile_cert",
     # Flagship pairs and earlier cohorts stay on prior-round
     # evidence (r1-r5 green at least once each) and run continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
