@@ -984,3 +984,99 @@ def test_q4_prunes_segment_before_broadcast_and_takeordered(spark):
     assert "c_mktsegment" in plan
     assert "PushedFilters" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide lint: the per-query pins above protect the headline
+# plans; this sweep protects EVERY entry, present and future, against
+# the two unconditional scale-killers and pins the audited exceptions
+# for the two conditional ones.
+
+
+# Arrow-batched Python kernels (MapInPandas / FlatMapGroupsInPandas):
+# allowed ONLY where the semantics are not expressible in Catalyst —
+# the multimodal codec family, where the binary payload must cross to
+# Python once per batch (operators/multimodal.py; SCALING.md
+# "Multimodal"). Everything else must stay JVM-side.
+PANDAS_KERNEL_ALLOWED = frozenset({
+    "multi_audio_meta",
+    "multi_decode_meta",
+    "multi_extract_features",
+    "multi_frame_sample",
+    "multi_image_phash",
+    "multi_resize_meta",
+})
+
+# BroadcastNestedLoopJoin: allowed ONLY as the broadcast of a BOUNDED
+# tiny side — a scalar/corpus-stat aggregate (1 row), a seeded query/
+# centroid batch (≤ 8 rows), or a per-group stats table the optimizer
+# can't prove an equi-key for. Each name below was audited at its
+# crossJoin site (r5 verdict: all 20 sites are ≤8-row/1-row broadcast
+# aggregates; the additions since follow the same pattern). A fact-
+# scale × fact-scale nested loop would also plan as BNLJ — keeping
+# this list explicit means a new one cannot slip in unreviewed.
+BNLJ_ALLOWED = frozenset({
+    "a31_lorenz_deciles",
+    "dq_benford_digits",
+    "dq_fk_integrity",
+    "dq_ks_drift",
+    "dq_psi_splits",
+    "pack_balanced_shards",
+    "reco_item_lift",
+    "samp_apportion_lr",
+    "samp_label_balance",
+    "samp_negative_mining",
+    "sim_ann_recall_eval",
+    "sim_bruteforce_topk",
+    "sim_kmeans_refine",
+    "sim_knn_label_vote",
+    "sim_mmr_rerank",
+    "sim_pq_adc_topk",
+    "sim_quantized_topk",
+    "sim_tfidf_cosine",
+    "sk_hll_set_algebra",
+    "text_bm25_topk",
+    "text_collocation_pmi",
+    "text_keywords_topk",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "ts_autocorrelation",
+})
+
+
+def test_registry_wide_plan_lint(spark):
+    """Build and lint the physical plan of EVERY registry entry:
+
+    - CartesianProduct: banned outright — nothing in the engine may
+      pair two unbounded sides.
+    - BatchEvalPython: banned outright — no row-at-a-time Python in
+      any registered plan (zero-UDF discipline, SURVEY §2.10).
+    - ArrowEvalPython: banned — scalar pandas_udfs exist only in
+      parity tests, never in registered plans.
+    - MapInPandas / FlatMapGroupsInPandas: allowlisted multimodal
+      codecs only.
+    - BroadcastNestedLoopJoin: allowlisted tiny-broadcast sites only.
+
+    ~90s for the full registry (plan build only, no execution beyond
+    bounded seeding collects); the cost buys a gate no per-query pin
+    can give — a NEW entry with a scale cliff fails here on arrival.
+    """
+    fails = []
+    for name in sorted(REGISTRY):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            fails.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            fails.append((name, "row-wise Python UDF"))
+        if "ArrowEvalPython" in plan:
+            fails.append((name, "scalar pandas_udf in a registered plan"))
+        if (
+            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        ) and name not in PANDAS_KERNEL_ALLOWED:
+            fails.append((name, "Python batch kernel not allowlisted"))
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_ALLOWED
+        ):
+            fails.append((name, "BroadcastNestedLoopJoin not allowlisted"))
+    assert not fails, f"plan lint violations: {fails}"
