@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     # range-banded ROW_NUMBER (no single-partition window)
     "pack_balanced_shards",
     "a29_gini_concentration",
+    # round-6: the certified approx-percentile swap, benched NEXT TO
+    # the exact a13 so the sketch-vs-exact tradeoff is a recorded
+    # number, not a docstring claim
+    "a13_approx_percentile_cert",
 ]
 
 
