@@ -5540,12 +5540,21 @@ WHERE round(dp / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 4) >= 0.85
     "cap, the stop-term fuse shared with n-gram dedup and the "
     "inverted index) bounds the hot-term quadratic term; norms are "
     "computed once per doc, and only ids + weights shuffle — the "
-    "text never moves. NOTE the synthetic corpus is this operator's "
-    "adversarial case: a ~30-term vocabulary makes df ≈ N for every "
-    "term (all stop-terms, nothing cappable), so the posting join is "
-    "inherently ~C(N,2) dense here — the entry is correctness-gated "
-    "at the small SFs and deliberately not in the sf0.1 bench; real "
-    "corpora have open vocabularies where df bounds do the work.",
+    "text never moves; the posting join is salted (probe side by doc "
+    "hash, build side replicated per salt) so one hot term's df² "
+    "products can never serialize into a single task. NOTE the "
+    "synthetic corpus is this operator's adversarial case, measured "
+    "by tools/scale_audit.py: a ~31-term closed vocabulary makes "
+    "df ≈ N for every term (all stop-terms, nothing cappable — a "
+    "df cap strips so much weight mass the remaining rare-term "
+    "vectors are all trivially cosine≈1, and the AllPairs prefix "
+    "filter still leaves ~C(N,2) candidates, both measured), so "
+    "~all doc pairs share terms and the partial aggregation over "
+    "the Σdf² pair products is inherently quadratic here (~44s at "
+    "sf0.1 vs 1.4s at sf0.01). The entry is correctness-gated at "
+    "the small SFs and deliberately not in the sf0.1 bench; real "
+    "corpora have open vocabularies where the df bound does the "
+    "work and the salt keeps the surviving hot terms parallel.",
 )
 def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents", heal=False)["documents"]
@@ -5585,14 +5594,28 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
     )
+    # Salted posting join: `term` alone is a catastrophic shuffle key —
+    # a vocabulary-bounded key domain (~31 terms here; hot stop-terms
+    # in any open vocabulary) serializes the hottest term's df² pair
+    # products into ONE task (measured 46.9s at sf0.1, 32.8x the
+    # sf0.01 time — tools/scale_audit.py's first catch). Salting the
+    # probe side by doc hash and replicating the build side per salt
+    # (the skew_salted_join pattern) splits each term's work S ways:
+    # same products, same answer, max task df²/S.
+    n_salt = 32
     a = w.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+        F.col("doc_id").alias("doc_a"),
+        "term",
+        F.col("w").alias("wa"),
+        F.pmod(F.hash("doc_id"), F.lit(n_salt)).alias("_salt"),
     )
     b = w.select(
         F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    ).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     dot = (
-        a.join(b, "term")
+        a.join(b, ["term", "_salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
