@@ -644,6 +644,16 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     centroid_id) is encoded by maximizing struct(cos_sim, -centroid_id).
     """
     cents = _seed_centroids(embeddings, n_centroids)
+    if not cents:
+        # No seed rows (empty or id-shifted corpus): a zero-entry
+        # centroid literal would type as VOID and fail at plan build —
+        # return the typed empty result instead (the
+        # lsh_band_bucket_table empty-input contract).
+        return embeddings.select("vec_id").limit(0).select(
+            "vec_id",
+            F.lit(0).cast("long").alias("centroid_id"),
+            F.lit(0.0).alias("cos_sim"),
+        )
     normed = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
     )
@@ -684,6 +694,11 @@ def ivf_probe_assign(
     """
     cents = _seed_centroids(embeddings, n_centroids)
     base = subject if subject is not None else embeddings
+    if not cents:
+        # same empty-input contract as ivf_assign
+        return base.select("vec_id").limit(0).select(
+            "vec_id", F.lit(0).cast("long").alias("centroid_id")
+        )
     normed = base.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
     )
@@ -721,6 +736,14 @@ def ivf_topk(
     :func:`brute_force_topk`.
     """
     cents = _seed_centroids(embeddings, n_centroids)
+    if not cents:
+        # same empty-input contract as ivf_assign
+        return embeddings.select("vec_id").limit(0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("cos_sim"),
+        )
     normed = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_nrm")
     )
@@ -1199,6 +1222,14 @@ def pq_adc_topk(
     (adc_dist asc, neighbor_id) for a deterministic k-boundary."""
     books = pq_codebooks(embeddings, n_subspaces, n_codes)
     dim = _emb_dim(embeddings)
+    if not books or dim is None:
+        # same empty-input contract as pq_encode_raw / ivfpq_topk
+        return embeddings.select("vec_id").limit(0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("adc_dist"),
+        )
     sub = dim // n_subspaces
 
     coded = pq_encode_raw(embeddings, n_subspaces, n_codes)

@@ -219,20 +219,28 @@ def warehouse_tables(
             )
             for name in table_names:
                 p = os.path.join(base, name)
+                src = out[name]
+                if name == "sales_fact":
+                    # Partition the fact by year (yr = date_key div
+                    # 10000): year-scoped queries then read one
+                    # partition directory instead of the whole fact —
+                    # the Parquet analog of the reference's date_key
+                    # covering index (Olist DW.sql:202-207), and the
+                    # pruning lever at 100 TB.
+                    src = src.withColumn(
+                        "yr", (F.col("date_key") / 10000).cast("int")
+                    )
                 if not complete:
-                    w = out[name].write.mode("overwrite")
+                    w = src.write.mode("overwrite")
                     if name == "sales_fact":
-                        # Partition the fact by year (yr = date_key div
-                        # 10000): year-scoped queries then read one
-                        # partition directory instead of the whole fact —
-                        # the Parquet analog of the reference's date_key
-                        # covering index (Olist DW.sql:202-207), and the
-                        # pruning lever at 100 TB.
-                        w = out[name].withColumn(
-                            "yr", (F.col("date_key") / 10000).cast("int")
-                        ).write.mode("overwrite").partitionBy("yr")
+                        w = w.partitionBy("yr")
                     w.parquet(p)
-                out[name] = spark.read.parquet(p)
+                # Explicit schema on the readback: a 0-row partitioned
+                # write leaves no data files, and schema INFERENCE
+                # would fail — an empty staging day must yield an empty
+                # warehouse, not a crash (cold-start robustness,
+                # tools/empty_input_sweep.py).
+                out[name] = spark.read.schema(src.schema).parquet(p)
             _WAREHOUSE_MEMO[key] = out
         merged.update(_WAREHOUSE_MEMO[key])
     return merged

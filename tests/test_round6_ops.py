@@ -72,3 +72,76 @@ def test_cert_entry_certifies_on_testdata(spark):
         for r in REGISTRY["a13_median_percentile"].fn(spark, SF).collect()
     }
     assert {r["l_returnflag"]: r["n"] for r in got} == exact
+
+
+# ---------------------------------------------------------------------------
+# Empty-input contracts (tools/empty_input_sweep.py found these in r6):
+# a 0-row corpus must yield typed empty results from the seeded ANN
+# family, and a 0-row staging day must build an empty (readable)
+# warehouse — never a plan-build crash.
+# ---------------------------------------------------------------------------
+
+
+def _empty_embeddings(spark):
+    return spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+
+
+def test_seeded_ann_family_empty_corpus_yields_typed_empty(spark):
+    from olist_data_warehouse_spark.operators import similarity as sim
+
+    e = _empty_embeddings(spark)
+    a = sim.ivf_assign(e)
+    assert a.collect() == []
+    assert a.schema.simpleString() == (
+        "struct<vec_id:bigint,centroid_id:bigint,cos_sim:double>"
+    )
+    p = sim.ivf_probe_assign(e, probes=2)
+    assert p.collect() == []
+    assert [f.name for f in p.schema] == ["vec_id", "centroid_id"]
+    t = sim.ivf_topk(e, [0, 1], k=3)
+    assert t.collect() == []
+    assert [f.name for f in t.schema] == [
+        "query_id", "neighbor_id", "rank", "cos_sim",
+    ]
+    d = sim.pq_adc_topk(e, [0, 1], k=3)
+    assert d.collect() == []
+    assert [f.name for f in d.schema] == [
+        "query_id", "neighbor_id", "rank", "adc_dist",
+    ]
+
+
+def test_warehouse_build_from_empty_staging_is_readable(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olist_data_warehouse_spark.plans.queries import (
+        REGISTRY,
+        warehouse_tables,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_empty")
+    os.makedirs(dst)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        schema = pq.read_schema(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in schema], schema=schema
+            ),
+            os.path.join(dst, f"{t}.parquet"),
+        )
+    wt = warehouse_tables(spark, dst, groups=("sales",))
+    # The 0-row partitioned fact write leaves no data files; the
+    # explicit-schema readback must still give an empty, correctly-
+    # typed fact (not UNABLE_TO_INFER_SCHEMA).
+    assert wt["sales_fact"].count() == 0
+    assert "date_key" in wt["sales_fact"].columns
+    # And the DW query on top of it runs to an empty result.
+    assert REGISTRY["q1_top_units_dw"].fn(spark, dst).collect() == []
