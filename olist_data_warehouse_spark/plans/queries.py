@@ -1575,16 +1575,20 @@ s AS (
          CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
          CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         MIN(x) AS xmin, MAX(x) AS xmax,
+         MIN(y) AS ymin, MAX(y) AS ymax
   FROM c GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              / (CAST(n AS DOUBLE) * n), 6) AS cov_xy,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-             6) AS corr_xy
+       CASE WHEN xmin <> xmax AND ymin <> ymax
+            THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6)
+            END AS corr_xy
 FROM s
 """,
     doc="Per-group covariance/correlation of (quantity, discount) from "
@@ -1593,8 +1597,14 @@ FROM s
     "aggregates — map-side combined, order-independent, "
     "cross-engine-identical — and only the final one-row-per-group "
     "statistic drops to float (same expression shape both engines, so "
-    "the rounded doubles hash-match). Spark's covar_pop/corr stream "
-    "floats and differ by accumulation order across engines and "
+    "the rounded doubles hash-match). A zero variance (single-point "
+    "or constant group) makes correlation UNDEFINED — both engines "
+    "emit NULL via the same EXACT predicate min≠max (overflow-free, "
+    "unlike an integer n·Σx²−(Σx)²>0 test, and immune to the "
+    "float-variance-rounds-to-±ulp trap; ANSI mode would otherwise "
+    "raise DIVIDE_BY_ZERO on a constant group — caught by the k=1 "
+    "degenerate-input sweep). Spark's covar_pop/corr stream floats "
+    "and differ by accumulation order across engines and "
     "partitionings; this is the distributed-exact form. Headroom: "
     "Σx² ≤ int64 to ~3.7e11 rows/group at these operand widths.",
 )
@@ -1610,6 +1620,10 @@ def a16_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
@@ -1617,13 +1631,23 @@ def a16_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.round(num / (nd * F.col("n")), 6).alias("cov_xy"),
-        F.round(
-            num
-            / (
-                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        F.when(
+            (F.col("xmin") != F.col("xmax"))
+            & (F.col("ymin") != F.col("ymax")),
+            F.round(
+                num
+                / (
+                    F.sqrt(
+                        nd * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * F.sqrt(
+                        nd * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
             ),
-            6,
         ).alias("corr_xy"),
     )
 

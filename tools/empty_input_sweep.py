@@ -1,16 +1,17 @@
-"""Empty-input robustness sweep: every registry entry against 0-row
-tables.
+"""Degenerate-input robustness sweep: every registry entry against
+0-row (default) or first-k-row tables.
 
-A 100 TB pipeline sees empty inputs constantly — a fresh partition, a
-filtered-to-nothing day, a cold-start table. Every registered plan
-should either return an empty (or correctly-degenerate) result or fail
-with one of its own documented ValueError guards — never an opaque
-runtime crash. This sweep materializes a schema-identical 0-row copy
-of every testdata table (preserving the events nanos-timestamp quirk
-by copying the arrow schema byte-for-byte) and runs the full registry
-against it. Usage:
+A 100 TB pipeline sees degenerate inputs constantly — a fresh
+partition, a filtered-to-nothing day, a cold-start table, a group of
+size 1. Every registered plan should either return an empty (or
+correctly-degenerate) result or fail with one of its own documented
+ValueError guards — never an opaque runtime crash. This sweep
+materializes a schema-identical k-row copy of every testdata table
+(k=0 by default; preserving the events nanos-timestamp quirk by
+copying the arrow schema byte-for-byte; k>0 slices the first k rows so
+values stay realistic) and runs the full registry against it. Usage:
 
-    python tools/empty_input_sweep.py
+    python tools/empty_input_sweep.py [k_rows]
 
 Prints one line per entry (rows / guard / CRASH) and exits 1 on any
 CRASH.
@@ -38,21 +39,23 @@ TABLES = (
 ).split()
 
 
-def make_empty_sf(dst: str) -> None:
+def make_sliced_sf(dst: str, k: int) -> None:
     for t in TABLES:
         src = os.path.join(SF_SRC, f"{t}.parquet")
-        schema = pq.read_schema(src)
-        pq.write_table(
-            pa.Table.from_arrays(
+        if k <= 0:
+            schema = pq.read_schema(src)
+            out = pa.Table.from_arrays(
                 [pa.array([], type=f.type) for f in schema], schema=schema
-            ),
-            os.path.join(dst, f"{t}.parquet"),
-        )
+            )
+        else:
+            out = pq.read_table(src).slice(0, k)
+        pq.write_table(out, os.path.join(dst, f"{t}.parquet"))
 
 
 def main() -> int:
-    dst = tempfile.mkdtemp(prefix="sf0_empty_")
-    make_empty_sf(dst)
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    dst = tempfile.mkdtemp(prefix=f"sf_deg{k}_")
+    make_sliced_sf(dst, k)
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .appName("empty-input-sweep")
