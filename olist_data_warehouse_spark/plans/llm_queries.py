@@ -2064,12 +2064,16 @@ def samp_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, event_type,
        CAST(ntile(4) OVER (PARTITION BY event_type
-                           ORDER BY value, event_id) AS INT) AS quartile
+                           ORDER BY value NULLS FIRST, event_id) AS INT)
+       AS quartile
 FROM events
 """,
     doc="NTILE(4): equal-frequency value quartiles per event type — "
     "the bucketing used for quality-score banding in training-data "
-    "curation. Deterministic via the event_id tiebreak.",
+    "curation. Deterministic via the event_id tiebreak. NULL values "
+    "sort FIRST (missing = lowest band), pinned explicitly in the "
+    "oracle because the engines' ASC defaults disagree (Spark nulls "
+    "first, DuckDB nulls last — found by tools/null_fuzz_sweep.py).",
 )
 def w4_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -3562,11 +3566,13 @@ WITH c AS (
 SELECT c_custkey, c_nationkey, bal_cents,
        round(cume_dist() OVER w, 4) AS cume_frac,
        nth_value(c_custkey, 2) OVER (
-         PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey
+         PARTITION BY c_nationkey
+         ORDER BY bal_cents NULLS FIRST, c_custkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
        ) AS second_lowest_key
 FROM c
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY bal_cents NULLS FIRST, c_custkey)
 """,
     doc="Window-function completeness: cume_dist and nth_value over the "
     "per-nation balance ordering. The ORDER BY is made unique with "
@@ -3574,7 +3580,7 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
     "exact small-integer division that rounds identically on both "
     "engines — and nth_value(2) (explicit full-frame, since the "
     "default frame would return NULL for the partition's first row) "
-    "is deterministic. One hash exchange on c_nationkey + an "
+    "is deterministic (NULL balances sort FIRST, pinned in the oracle). One hash exchange on c_nationkey + an "
     "in-partition sort; no global sort. Single-customer nations "
     "yield NULL second_lowest_key on both engines.",
 )
@@ -6915,12 +6921,14 @@ WITH daily AS (
          epoch_us(o_orderdate) // 86400000000 AS day,
          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
               AS BIGINT) AS c
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2
 ),
 rolled AS (
   SELECT o_orderpriority, day, c,
          list_sort(list(c) OVER (
-           PARTITION BY o_orderpriority ORDER BY day
+           PARTITION BY o_orderpriority ORDER BY day NULLS FIRST
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
   FROM daily
 )
@@ -6948,14 +6956,16 @@ FROM rolled
     "is what shrinks the input — the window runs over O(groups x "
     "days) rows, not the fact. approx_percentile over a raw-row "
     "RANGE frame is the documented swap when the frame cannot be "
-    "pre-aggregated.",
+    "pre-aggregated. Unpriced rows are excluded on both sides and "
+    "a NULL day sorts FIRST, pinned in the oracle (null_fuzz_sweep).",
 )
 def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")["orders"]
     daily = (
-        o.select(
+        o.filter(F.col("o_totalprice").isNotNull())
+        .select(
             "o_orderpriority",
             F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
             F.round(F.col("o_totalprice") * 100, 0)
@@ -8181,6 +8191,7 @@ WITH cents AS (
   SELECT epoch_us(o_orderdate) // 86400000000 AS day,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
   FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
 ),
 daycounts AS (
   SELECT day, c, CAST(count(*) AS BIGINT) AS n
@@ -8213,13 +8224,18 @@ WHERE NOT EXISTS (
     "deliberately single-partition over the DAY-GRAIN rollup (the "
     "w11 pattern — O(days), never O(rows)); the distributed form "
     "for a non-collapsible skyline is per-partition local skylines "
-    "merged, which this pre-aggregation subsumes.",
+    "merged, which this pre-aggregation subsumes. Rows missing "
+    "either coordinate are excluded on both sides - a NULL day "
+    "neither dominates nor is dominated under 3VL, which silently "
+    "diverges from the window form (null_fuzz_sweep).",
 )
 def w15_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")["orders"]
-    cents = o.select(
+    cents = o.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
         F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
     )
@@ -8352,6 +8368,7 @@ WITH cents AS (
          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
          CAST(l_quantity AS BIGINT) AS w
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ),
 byval AS (
   SELECT l_returnflag, c, CAST(sum(w) AS BIGINT) AS wv
@@ -8380,7 +8397,9 @@ GROUP BY l_returnflag
     "over the VALUE DOMAIN per group, not the rows — the same "
     "rollup-before-window discipline as w13/w15; at 100 TB the "
     "value domain (distinct cents) bounds the window, and the "
-    "sketch swap is a weighted histogram (sk_hist family).",
+    "sketch swap is a weighted histogram (sk_hist family). Rows "
+    "with NULL price or NULL weight are excluded on both sides — a "
+    "missing value cannot carry weight mass (null_fuzz_sweep).",
 )
 def a23_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -8390,7 +8409,7 @@ def a23_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
         F.col("l_quantity").cast("long").alias("w"),
-    )
+    ).filter(F.col("c").isNotNull() & F.col("w").isNotNull())
     byval = cents.groupBy("l_returnflag", "c").agg(
         F.sum("w").alias("wv")
     )

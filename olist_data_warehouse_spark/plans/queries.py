@@ -691,13 +691,16 @@ def p4_p9_filter_notnull_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p5_j8_not_in_anti",
     oracle="""
 SELECT DISTINCT p_brand AS product FROM part
-WHERE p_brand NOT IN (
+WHERE p_brand IS NOT NULL AND p_brand NOT IN (
   SELECT DISTINCT p_brand FROM part WHERE p_size = 1 AND p_brand IS NOT NULL
 )
 """,
     doc="P5+J8: NOT IN (subquery) as left_anti join — the product-dim "
-    "append pattern (Olist DW.sql:71-75). NULLs pre-filtered to keep "
-    "T-SQL NOT-IN ≡ anti-join (SURVEY.md §7.4.4).",
+    "append pattern (Olist DW.sql:71-75). NULLs pre-filtered on BOTH "
+    "sides: an inner NULL empties NOT-IN entirely, and an outer NULL "
+    "row vanishes under NOT-IN 3VL but survives an anti-join - the "
+    "NOT-IN ≡ anti-join equivalence holds only on null-free keys "
+    "(SURVEY.md §7.4.4; both directions caught by null_fuzz_sweep).",
 )
 def p5_j8_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")["part"]
@@ -707,7 +710,8 @@ def p5_j8_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        part.select(F.col("p_brand").alias("product"))
+        part.filter(F.col("p_brand").isNotNull())
+        .select(F.col("p_brand").alias("product"))
         .distinct()
         .join(F.broadcast(existing), F.col("product") == existing.p_brand, "left_anti")
     )
@@ -1060,12 +1064,15 @@ def f3_datediff_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f7_surrogate_keys",
     oracle="""
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) + 999 AS BIGINT) AS nation_key,
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name NULLS FIRST) + 999
+            AS BIGINT) AS nation_key,
        n_name
 FROM (SELECT DISTINCT n_name FROM nation)
 """,
     doc="F7: SEQUENCE emulation — deterministic row_number surrogate keys "
-    "seeded at 1000 (Olist DW.sql:55-57; SURVEY §1.4).",
+    "seeded at 1000 (Olist DW.sql:55-57; SURVEY §1.4). A NULL natural "
+    "key still earns a key, sorted FIRST — pinned in the oracle "
+    "(null_fuzz_sweep).",
 )
 def f7_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")["nation"]
@@ -1407,13 +1414,16 @@ SELECT o_orderkey, o_custkey,
        first_value(o_totalprice) OVER w AS first_price,
        last_value(o_totalprice) OVER w AS last_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     doc="first_value/last_value with an explicit full-partition frame "
     "(the default frame stops at CURRENT ROW — the classic "
     "last_value trap). Tiebroken by o_orderkey for determinism; one "
-    "shuffle on o_custkey, per-customer partitions are tiny.",
+    "shuffle on o_custkey, per-customer partitions are tiny. NULL "
+    "order dates sort FIRST, pinned in the oracle (engine ASC "
+    "defaults disagree; null_fuzz_sweep).",
 )
 def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
@@ -1695,14 +1705,16 @@ SELECT event_id, event_type,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY value NULLS FIRST, event_id)
 """,
     doc="percent_rank + cume_dist: relative standing of each event's "
     "value within its type — the normalized score used for "
     "cross-group quality thresholds ('keep the top 20% per type'). "
     "Both are ratios of integers ((rank-1)/(n-1), rank/n), so the "
     "doubles are bit-identical across engines; the event_id tiebreak "
-    "makes ranks unique. One shuffle on event_type.",
+    "makes ranks unique. One shuffle on event_type. NULL values rank "
+    "FIRST, pinned in the oracle (null_fuzz_sweep).",
 )
 def w7_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
