@@ -1537,25 +1537,31 @@ SELECT d.s_suppkey, d.s_nationkey, d.acctbal, d.effective_from,
        CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
 FROM dim0 d LEFT JOIN upd u USING (s_suppkey)
 WHERE u.s_suppkey IS NULL
-   OR (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+   OR (d.s_nationkey IS NOT DISTINCT FROM u.s_nationkey
+       AND d.acctbal IS NOT DISTINCT FROM u.acctbal)
 UNION ALL
 SELECT d.s_suppkey, d.s_nationkey, d.acctbal, d.effective_from,
        DATE '1998-06-01', FALSE
 FROM dim0 d JOIN upd u USING (s_suppkey)
-WHERE NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+WHERE d.s_nationkey IS DISTINCT FROM u.s_nationkey
+   OR d.acctbal IS DISTINCT FROM u.acctbal
 UNION ALL
 SELECT u.s_suppkey, u.s_nationkey, u.acctbal, DATE '1998-06-01',
        CAST(NULL AS DATE), TRUE
 FROM upd u LEFT JOIN dim0 d USING (s_suppkey)
 WHERE d.s_suppkey IS NULL
-   OR NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+   OR d.s_nationkey IS DISTINCT FROM u.s_nationkey
+   OR d.acctbal IS DISTINCT FROM u.acctbal
 """,
     doc="SCD Type-2 merge: an update snapshot against a supplier "
     "dimension — changed keys close their open row at the batch date "
     "and insert a new version, new keys insert, unchanged/absent keys "
     "survive untouched. Upgrades the reference's rebuild-from-scratch "
     "dims (Olist DW.sql:55-131) to effective-dated history. One "
-    "full-outer shuffle join; history rows pass through.",
+    "full-outer shuffle join; history rows pass through. The change "
+    "test is IS DISTINCT FROM on both sides - scd2_apply was already "
+    "null-safe and the oracle's plain = silently misclassified "
+    "NULL-attribute rows (null_fuzz_sweep).",
 )
 def scd2_supplier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")["supplier"]
@@ -1612,17 +1618,20 @@ dim AS (
          CAST(NULL AS DATE) AS effective_to
   FROM dim0 d LEFT JOIN upd u USING (s_suppkey)
   WHERE u.s_suppkey IS NULL
-     OR (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+     OR (d.s_nationkey IS NOT DISTINCT FROM u.s_nationkey
+         AND d.acctbal IS NOT DISTINCT FROM u.acctbal)
   UNION ALL
   SELECT d.s_suppkey, d.s_nationkey, d.effective_from, DATE '1998-06-01'
   FROM dim0 d JOIN upd u USING (s_suppkey)
-  WHERE NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+  WHERE d.s_nationkey IS DISTINCT FROM u.s_nationkey
+     OR d.acctbal IS DISTINCT FROM u.acctbal
   UNION ALL
   SELECT u.s_suppkey, u.s_nationkey, DATE '1998-06-01',
          CAST(NULL AS DATE)
   FROM upd u LEFT JOIN dim0 d USING (s_suppkey)
   WHERE d.s_suppkey IS NULL
-     OR NOT (d.s_nationkey = u.s_nationkey AND d.acctbal = u.acctbal)
+     OR d.s_nationkey IS DISTINCT FROM u.s_nationkey
+     OR d.acctbal IS DISTINCT FROM u.acctbal
 ),
 f AS (
   SELECT l.l_suppkey, CAST(o.o_orderdate AS DATE) AS d,
@@ -3300,7 +3309,10 @@ GROUP BY 1, 2
     "overwrite on the touched months, and never rereads the fact. "
     "Algebraic aggregates (avg) derive from (sum, count); holistic "
     "ones (exact median) do not merge — those recompute or use "
-    "mergeable sketches (sk_hist_quantiles).",
+    "mergeable sketches (sk_hist_quantiles). The base/delta split "
+    "routes NULL dates explicitly (they satisfy neither inequality "
+    "— an unrouted null row is silently LOST by the merge while the "
+    "one-pass oracle keeps it; null_fuzz_sweep).",
 )
 def ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
@@ -3319,7 +3331,16 @@ def ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
 
-    base = partial(o.filter(F.col("o_orderdate") < cut))
+    # The split must PARTITION the fact: a NULL order date satisfies
+    # neither inequality, so without the isNull() route those rows
+    # silently vanish from the merged view while a one-pass rollup
+    # keeps their NULL-month group (null_fuzz_sweep's catch — the
+    # classic incremental-pipeline drop).
+    base = partial(
+        o.filter(
+            (F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull()
+        )
+    )
     delta = partial(o.filter(F.col("o_orderdate") >= cut))
     return (
         base.unionByName(delta)
@@ -6013,14 +6034,18 @@ SELECT
   CAST(SUM(CASE WHEN NOT in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
   CAST(SUM(CASE WHEN NOT in_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
   CAST(SUM(CASE WHEN in_base AND in_delta
-                 AND (b_st != d_st OR b_c != d_c) THEN 1 ELSE 0 END)
+                 AND (b_st IS DISTINCT FROM d_st
+                      OR b_c IS DISTINCT FROM d_c) THEN 1 ELSE 0 END)
        AS BIGINT) AS n_changed,
   CAST(SUM(CASE WHEN in_base AND in_delta
-                 AND b_st = d_st AND b_c = d_c THEN 1 ELSE 0 END)
+                 AND b_st IS NOT DISTINCT FROM d_st
+                 AND b_c IS NOT DISTINCT FROM d_c THEN 1 ELSE 0 END)
        AS BIGINT) AS n_unchanged,
-  CAST(SUM(CASE WHEN in_base AND in_delta AND b_c != d_c THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN in_base AND in_delta
+                 AND b_c IS DISTINCT FROM d_c THEN 1 ELSE 0 END)
        AS BIGINT) AS n_price_changed,
-  CAST(SUM(CASE WHEN in_base AND in_delta AND b_st != d_st THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN in_base AND in_delta
+                 AND b_st IS DISTINCT FROM d_st THEN 1 ELSE 0 END)
        AS BIGINT) AS n_status_changed
 FROM j
 """,
@@ -6063,19 +6088,29 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Membership must come from an explicit presence flag, NOT from a
+    # value column's null-ness: a row whose status is legitimately
+    # NULL is still IN the snapshot (null_fuzz_sweep's catch).
     b = base.select(
-        F.col("k"), F.col("st").alias("b_st"), F.col("cents").alias("b_c")
+        F.col("k"), F.col("st").alias("b_st"), F.col("cents").alias("b_c"),
+        F.lit(True).alias("_in_b"),
     )
     d = delta.select(
-        F.col("k"), F.col("st").alias("d_st"), F.col("cents").alias("d_c")
+        F.col("k"), F.col("st").alias("d_st"), F.col("cents").alias("d_c"),
+        F.lit(True).alias("_in_d"),
     )
     j = b.join(d, "k", "full_outer").select(
-        F.col("b_st").isNotNull().alias("in_base"),
-        F.col("d_st").isNotNull().alias("in_delta"),
+        F.coalesce(F.col("_in_b"), F.lit(False)).alias("in_base"),
+        F.coalesce(F.col("_in_d"), F.lit(False)).alias("in_delta"),
         "b_st", "d_st", "b_c", "d_c",
     )
     both = F.col("in_base") & F.col("in_delta")
-    chg = (F.col("b_st") != F.col("d_st")) | (F.col("b_c") != F.col("d_c"))
+    # IS DISTINCT FROM, not != — a null->value transition IS a change
+    # and null == null IS unchanged; plain != counts such rows as
+    # NEITHER under three-valued logic.
+    chg = ~F.col("b_st").eqNullSafe(F.col("d_st")) | ~F.col(
+        "b_c"
+    ).eqNullSafe(F.col("d_c"))
     one = F.lit(1)
     zero = F.lit(0)
     return j.agg(
@@ -6087,10 +6122,14 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_changed"),
         F.sum(F.when(both & ~chg, one).otherwise(zero))
         .cast("long").alias("n_unchanged"),
-        F.sum(F.when(both & (F.col("b_c") != F.col("d_c")), one).otherwise(zero))
-        .cast("long").alias("n_price_changed"),
-        F.sum(F.when(both & (F.col("b_st") != F.col("d_st")), one).otherwise(zero))
-        .cast("long").alias("n_status_changed"),
+        F.sum(
+            F.when(both & ~F.col("b_c").eqNullSafe(F.col("d_c")), one)
+            .otherwise(zero)
+        ).cast("long").alias("n_price_changed"),
+        F.sum(
+            F.when(both & ~F.col("b_st").eqNullSafe(F.col("d_st")), one)
+            .otherwise(zero)
+        ).cast("long").alias("n_status_changed"),
     )
 
 
@@ -6210,6 +6249,7 @@ WITH c AS (
   SELECT o_orderpriority AS grp, o_orderkey,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 ),
 r AS (
   SELECT grp, o_orderkey, cents,
@@ -6246,13 +6286,15 @@ GROUP BY r.grp, b.lo, b.hi
     "approx_percentile as the at-scale swap for the rank pass). One "
     "window exchange on the group key; bounds collapse to one row "
     "per group and broadcast back; the audit rollup (totals + clamp "
-    "counts per tail) is output-bounded by group count.",
+    "counts per tail) is output-bounded by group count. Unpriced "
+    "rows are excluded on both sides - a NULL cannot be ranked or "
+    "clamped (null_fuzz_sweep).",
 )
 def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")["orders"]
-    c = o.select(
+    c = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderpriority").alias("grp"),
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),

@@ -250,9 +250,13 @@ def warehouse_tables(
 # Shared oracle CTE fragments (mirror plans/star.py exactly)
 # ---------------------------------------------------------------------------
 
+# NULLS FIRST pins match Spark's ASC default — a NULL natural key
+# (dirty dim source) must earn the same surrogate key in both engines
+# (null_fuzz_sweep).
 SQL_PRODUCT_DIM = """
 product_dim AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY product) + 999 AS BIGINT) AS product_key,
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY product NULLS FIRST) + 999
+              AS BIGINT) AS product_key,
          product
   FROM (SELECT DISTINCT p_brand AS product FROM part)
 )
@@ -260,7 +264,9 @@ product_dim AS (
 
 SQL_LOCATION_DIM = """
 location_dim AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY state, city, zip) AS BIGINT) AS location_key,
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY state NULLS FIRST,
+                                 city NULLS FIRST, zip NULLS FIRST)
+              AS BIGINT) AS location_key,
          city, state, zip
   FROM (
     SELECT DISTINCT n_name AS city, r_name AS state,
@@ -1332,6 +1338,7 @@ WITH c AS (
   SELECT l_returnflag,
          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 )
 SELECT l_returnflag, COUNT(*) AS n,
        1 AS med_in_bound, 1 AS p90_in_bound
@@ -1358,7 +1365,7 @@ FROM c GROUP BY l_returnflag ORDER BY l_returnflag
 def a13_approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = 10_000
     li = _t(spark, sf_dir, "lineitem", heal=True)["lineitem"]
-    cents = li.select(
+    cents = li.filter(F.col("l_extendedprice").isNotNull()).select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0)
         .cast("long")
@@ -1380,7 +1387,15 @@ def a13_approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = (
-        cents.join(F.broadcast(ap), "l_returnflag")
+        # Null-safe (<=>) group join: a NULL l_returnflag is a real
+        # group in both engines' GROUP BY, and a plain equi-join here
+        # would silently drop it from the certificate
+        # (null_fuzz_sweep).
+        cents.join(
+            F.broadcast(ap.withColumnRenamed("l_returnflag", "_g")),
+            F.col("l_returnflag").eqNullSafe(F.col("_g")),
+        )
+        .drop("_g")
         .groupBy("l_returnflag")
         .agg(
             F.first("n").alias("n"),
