@@ -925,6 +925,10 @@ def knn_label_vote(
     )
     votes = (
         topk.join(labels, "neighbor_id")
+        # An UNLABELED neighbor casts no vote: without this filter a
+        # NULL "label" forms a votable group whose rank position then
+        # depends on the engine's null sort default (null_fuzz_sweep).
+        .filter(F.col(label_col).isNotNull())
         .groupBy("query_id", label_col)
         .agg(F.count(F.lit(1)).alias("votes"))
     )

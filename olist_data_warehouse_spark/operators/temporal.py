@@ -107,6 +107,23 @@ def asof_join(
     )
 
     merged = l_tagged.unionByName(r_tagged)
+    # Carry the right row as ONE nullable STRUCT, not per column: a
+    # per-column last(..., ignorenulls=True) would "fill through" a
+    # matched right row whose attribute is legitimately NULL with an
+    # EARLIER row's non-null value (null_fuzz_sweep's catch). The
+    # struct is non-null exactly on right rows, so the carry
+    # identifies the nearest right ROW and its fields keep their real
+    # (possibly NULL) values — merge_asof semantics.
+    merged = merged.withColumn(
+        "_pack",
+        F.when(
+            F.col("_is_r") == 1,
+            F.struct(
+                *[F.col(f"_r_{c}").alias(f"_r_{c}") for c in right_cols],
+                F.col("_r_ts").alias("_r_ts"),
+            ),
+        ),
+    )
     if direction == "nearest":
         # Both carries over the SAME key exchange (two frames, one
         # partitioning): the backward carry reads the last right row
@@ -124,10 +141,14 @@ def asof_join(
             .orderBy(F.col("_ts").asc(), F.col("_is_r").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        merged = merged.withColumn(
+            "_bp", F.last("_pack", ignorenulls=True).over(wb)
+        ).withColumn("_fp", F.first("_pack", ignorenulls=True).over(wf))
         for c in [*(f"_r_{c}" for c in right_cols), "_r_ts"]:
             merged = merged.withColumn(
-                f"_b{c}", F.last(c, ignorenulls=True).over(wb)
-            ).withColumn(f"_f{c}", F.first(c, ignorenulls=True).over(wf))
+                f"_b{c}", F.col("_bp")[c]
+            ).withColumn(f"_f{c}", F.col("_fp")[c])
+        merged = merged.drop("_bp", "_fp")
         if tolerance_seconds is not None:
             # pandas merge_asof parity: tolerance nulls each
             # DIRECTIONAL carry before the nearer one is chosen, so a
@@ -183,9 +204,10 @@ def asof_join(
         def carry(col):
             return F.first(col, ignorenulls=True).over(w)
 
+    merged = merged.withColumn("_cp", carry("_pack"))
     for c in right_cols:
-        merged = merged.withColumn(f"_r_{c}", carry(f"_r_{c}"))
-    merged = merged.withColumn("_r_ts", carry("_r_ts"))
+        merged = merged.withColumn(f"_r_{c}", F.col("_cp")[f"_r_{c}"])
+    merged = merged.withColumn("_r_ts", F.col("_cp")["_r_ts"]).drop("_cp")
 
     if tolerance_seconds is not None:
         # merge_asof tolerance: the left row survives, the match nulls.

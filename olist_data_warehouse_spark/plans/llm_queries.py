@@ -2612,7 +2612,7 @@ ranked AS (
 ),
 votes AS (
   SELECT query_id, label, COUNT(*) AS votes
-  FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+  FROM ranked WHERE rn <= 5 AND label IS NOT NULL GROUP BY 1, 2
 ),
 best AS (
   SELECT query_id, label, votes,
@@ -3992,7 +3992,8 @@ WITH c AS (
 )
 SELECT user_id,
        array_to_string(
-         list_sort(list(event_type || ':' || CAST(n AS VARCHAR))),
+         list_sort(list(coalesce(event_type, '') || ':'
+                        || CAST(n AS VARCHAR))),
          ',') AS histogram,
        CAST(sum(n) AS BIGINT) AS n_events
 FROM c GROUP BY user_id
@@ -4014,7 +4015,13 @@ def a18_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    entry = F.concat_ws(":", F.col("event_type"), F.col("n"))
+    # concat_ws SKIPS null parts (an unlabeled type would serialize
+    # as a bare count) while SQL || nulls the whole entry — pin the
+    # canonical form for a NULL type to ':n' via coalesce('') on both
+    # sides (null_fuzz_sweep).
+    entry = F.concat_ws(
+        ":", F.coalesce(F.col("event_type"), F.lit("")), F.col("n")
+    )
     return c.groupBy("user_id").agg(
         F.array_join(
             F.sort_array(F.collect_list(entry)), ","
@@ -6162,7 +6169,8 @@ r AS (
          CAST(GREATEST(CAST(0 AS BIGINT),
                   r.cusum + 1000000 * p.cnt - p.mean_micro
                   - p.mean_micro // 16) AS BIGINT)
-  FROM p JOIN r ON p.event_type = r.event_type AND p.i = r.i + 1
+  FROM p JOIN r ON p.event_type IS NOT DISTINCT FROM r.event_type
+              AND p.i = r.i + 1
 )
 SELECT event_type, day, cnt, CAST(cusum AS BIGINT) AS cusum,
        cusum > mean_micro // 4 AS is_alert
@@ -6616,7 +6624,8 @@ p AS (
   FROM g
   WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT e1 || '>' || e2 || '>' || e3 AS path,
+SELECT coalesce(e1, '') || '>' || coalesce(e2, '')
+       || '>' || coalesce(e3, '') AS path,
        CAST(count(*) AS BIGINT) AS n_paths
 FROM p WHERE s2 = sess AND s3 = sess
 GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 10
@@ -6657,7 +6666,17 @@ def path_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         p.filter((F.col("s2") == F.col("sess")) & (F.col("s3") == F.col("sess")))
-        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .select(
+            # coalesce('') per step: concat_ws SKIPS a NULL step
+            # (collapsing the trigram) while SQL || nulls the whole
+            # path — pin the canonical '' form (null_fuzz_sweep).
+            F.concat_ws(
+                ">",
+                F.coalesce(F.col("e1"), F.lit("")),
+                F.coalesce(F.col("e2"), F.lit("")),
+                F.coalesce(F.col("e3"), F.lit("")),
+            ).alias("path")
+        )
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_paths"))
         .orderBy(F.desc("n_paths"), "path")
@@ -9668,6 +9687,7 @@ WITH labeled AS (
          CASE WHEN {_bucket_sql("split", "o_orderkey")} < 8000
               THEN 'a' ELSE 'b' END AS side
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 ),
 counts AS (
   SELECT c,
@@ -9713,7 +9733,10 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")["orders"]
-    labeled = o.select(
+    # An empirical CDF is over OBSERVED values — unpriced rows are
+    # excluded on both sides (and with them the engines' divergent
+    # NULL sort position in the cumulative window; null_fuzz_sweep).
+    labeled = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
         F.when(
             sampling.hash_bucket(F.col("o_orderkey"), "split") < 8000, "a"

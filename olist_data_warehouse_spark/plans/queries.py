@@ -1517,12 +1517,14 @@ GROUP BY measure
 )
 def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # SQL UNPIVOT drops NULL cells by default; Spark's unpivot keeps
+    # them — filter to match the SQL contract (null_fuzz_sweep).
     melted = li.unpivot(
         [],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "measure",
         "val",
-    )
+    ).filter(F.col("val").isNotNull())
     cents = F.round(F.col("val") * 100, 0).cast("long")
     return melted.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"),
