@@ -245,10 +245,19 @@ def minhash_band_buckets(
             F.col(f"mh_{band * rows_per_band + j}").cast("string")
             for j in range(rows_per_band)
         ]
+        # F.concat (NULL-propagating, like SQL ||), NOT concat_ws: a
+        # doc with no shingle hashes (NULL text) has NULL minhashes,
+        # and concat_ws would SKIP them — collapsing every such doc
+        # into one shared ""-digest bucket and fabricating candidate
+        # pairs; a NULL digest instead drops out of the equi-join on
+        # both engines (null_fuzz_sweep's catch).
+        parts = [cols[0]]
+        for c in cols[1:]:
+            parts.extend([F.lit(","), c])
         bands.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_digest"),
+                F.md5(F.concat(*parts)).alias("band_digest"),
             )
         )
     return signatures_wide.select(

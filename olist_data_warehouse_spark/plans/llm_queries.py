@@ -132,17 +132,19 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {SQL_NORM_TOKENS}
 SELECT doc_id,
+       CASE WHEN t IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(toks,
              t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
          (acc, h) -> (acc * {textops.ROLL_BASE} + h) % {textops.ROLL_MOD})
-         AS roll_hash
+       END AS roll_hash
 FROM tok
 """,
     doc="Document fingerprinting via Rabin-Karp polynomial rolling hash "
     "over the token stream — order-sensitive and O(1)-incremental per "
-    "appended token. Single narrow pass, no shuffle, no UDF.",
+    "appended token. Single narrow pass, no shuffle, no UDF. NULL "
+    "text fingerprints as NULL on both sides (null_fuzz_sweep).",
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
@@ -231,10 +233,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SQL_NORM_TOKENS},
 {SQL_SHINGLES}
 SELECT s.doc_id,
-       round(1.0 - len(list_distinct(k.toks))
-                   / CAST(len(k.toks) AS DOUBLE), 4) AS dup_token_ratio,
-       round(1.0 - len(list_distinct(s.shingles))
-                   / CAST(len(s.shingles) AS DOUBLE), 4) AS dup_shingle_ratio
+       CASE WHEN k.t IS NULL THEN NULL ELSE
+         round(1.0 - len(list_distinct(k.toks))
+                     / CAST(len(k.toks) AS DOUBLE), 4) END
+         AS dup_token_ratio,
+       CASE WHEN k.t IS NULL THEN NULL ELSE
+         round(1.0 - len(list_distinct(s.shingles))
+                     / CAST(len(s.shingles) AS DOUBLE), 4) END
+         AS dup_shingle_ratio
 FROM shingled s JOIN tok k USING (doc_id)
 """,
     doc="Within-document repetition quality filter (Gopher-style): "
@@ -246,10 +252,18 @@ FROM shingled s JOIN tok k USING (doc_id)
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     feats = textops.repetition_features("text")
+    # Missing text has no repetition score — NULL through, pinned on
+    # both sides (the tokenizer's ''-coalesce would otherwise score a
+    # NULL doc as a zero-duplication singleton; null_fuzz_sweep).
+    has_text = F.col("text").isNotNull()
     return d.select(
         "doc_id",
-        feats["dup_token_ratio"].alias("dup_token_ratio"),
-        feats["dup_shingle_ratio"].alias("dup_shingle_ratio"),
+        F.when(has_text, feats["dup_token_ratio"]).alias(
+            "dup_token_ratio"
+        ),
+        F.when(has_text, feats["dup_shingle_ratio"]).alias(
+            "dup_shingle_ratio"
+        ),
     )
 
 
@@ -809,14 +823,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_decode_meta",
     oracle="""
 SELECT doc_id AS item_id,
-       CAST(octet_length(encode(
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE octet_length(encode(
          'FAKEIMG|' || CAST(doc_id % 64 + 16 AS VARCHAR) || '|'
                     || CAST(doc_id % 48 + 16 AS VARCHAR) || '|3|'
-                    || substr(text, 1, 64))) AS INT) AS byte_len,
-       TRUE AS is_valid,
-       CAST(doc_id % 64 + 16 AS INT) AS width,
-       CAST(doc_id % 48 + 16 AS INT) AS height,
-       3 AS channels
+                    || substr(text, 1, 64))) END AS INT) AS byte_len,
+       text IS NOT NULL AS is_valid,
+       CAST(CASE WHEN text IS NULL THEN 0
+                 ELSE doc_id % 64 + 16 END AS INT) AS width,
+       CAST(CASE WHEN text IS NULL THEN 0
+                 ELSE doc_id % 48 + 16 END AS INT) AS height,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 3 END AS INT) AS channels
 FROM documents
 """,
     doc="Multimodal decode stage end-to-end: deterministic fake image "
@@ -824,7 +840,9 @@ FROM documents
     "design), sharded by id-hash for size-skew-uniform tasks, decoded "
     "via the Arrow-batched mapInPandas kernel. The oracle recomputes "
     "the metadata analytically — checking the binary plumbing, batch "
-    "shape, and schema, not a codec.",
+    "shape, and schema, not a codec. A NULL payload (null source "
+    "text) decodes as an INVALID row — zeros + is_valid false, the "
+    "kernel contract — mirrored in the oracle (null_fuzz_sweep).",
 )
 def multi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
@@ -874,6 +892,7 @@ WITH vecs AS (
           CAST(doc_id % 64 + 16 AS DOUBLE) / CAST(doc_id % 48 + 16 AS DOUBLE)
          ] AS features
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT item_id,
        CAST(unnest(generate_series(1, len(features))) - 1 AS INT) AS dim_idx,
@@ -902,10 +921,14 @@ def multi_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_resize_meta",
     oracle="""
 SELECT doc_id AS item_id,
-       CAST(octet_length(encode('FAKEIMG|4|4|3|'))
-            + least(octet_length(encode(substr(text, 1, 64))), 48)
-            AS INT) AS byte_len,
-       TRUE AS is_valid, 4 AS width, 4 AS height, 3 AS channels
+       CAST(CASE WHEN text IS NULL THEN 0
+            ELSE octet_length(encode('FAKEIMG|4|4|3|'))
+                 + least(octet_length(encode(substr(text, 1, 64))), 48)
+            END AS INT) AS byte_len,
+       text IS NOT NULL AS is_valid,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 4 END AS INT) AS width,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 4 END AS INT) AS height,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 3 END AS INT) AS channels
 FROM documents
 """,
     doc="Multimodal resize stage: binary in → binary out with the "
@@ -929,7 +952,9 @@ def multi_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS item_id, CAST(f AS INT) AS frame_idx,
        32 AS width, 24 AS height
-FROM documents, unnest(generate_series(0, CAST(doc_id % 10 AS BIGINT), 3)) AS t(f)
+FROM documents,
+     unnest(generate_series(0, CAST(doc_id % 10 AS BIGINT), 3)) AS t(f)
+WHERE text IS NOT NULL
 """,
     doc="Multimodal frame-sample stage: one FAKEVID payload row fans "
     "out to one row per sampled frame (every 3rd of n_frames = "
@@ -2140,14 +2165,18 @@ def p11_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_audio_meta",
     oracle="""
 SELECT doc_id AS item_id,
-       CAST(octet_length(encode(
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE octet_length(encode(
          'FAKEAUD|16000|' || CAST(doc_id % 48000 + 8000 AS VARCHAR) || '|1|'
-         || substr(text, 1, 64))) AS INT) AS byte_len,
-       TRUE AS is_valid,
-       16000 AS sample_rate,
-       CAST(doc_id % 48000 + 8000 AS INT) AS n_samples,
-       1 AS channels,
-       CAST((doc_id % 48000 + 8000) * 1000 // 16000 AS BIGINT) AS duration_ms
+         || substr(text, 1, 64))) END AS INT) AS byte_len,
+       text IS NOT NULL AS is_valid,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 16000 END AS INT)
+         AS sample_rate,
+       CAST(CASE WHEN text IS NULL THEN 0
+                 ELSE doc_id % 48000 + 8000 END AS INT) AS n_samples,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 1 END AS INT) AS channels,
+       CAST(CASE WHEN text IS NULL THEN 0
+                 ELSE (doc_id % 48000 + 8000) * 1000 // 16000 END AS BIGINT)
+         AS duration_ms
 FROM documents
 """,
     doc="Audio decode stage (completes the image/audio/video triad): "
@@ -2824,6 +2853,7 @@ WITH tok AS (
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
                       ' ') AS t
   FROM documents
+  WHERE text IS NOT NULL
 ),
 fp AS (
   SELECT doc_id, md5(array_to_string(t[1:8], ' ')) AS prefix_fp
@@ -2848,7 +2878,11 @@ def dedup_affix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     fp = F.md5(F.concat_ws(" ", F.slice(textops.tokens("text"), 1, 8)))
     return (
-        d.select("doc_id", fp.alias("prefix_fp"))
+        # Textless docs share no prefix with anything: excluded on both
+        # sides, or concat_ws's null-skip would md5('') them into one
+        # fake 49-doc "template" group (null_fuzz_sweep).
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", fp.alias("prefix_fp"))
         .groupBy("prefix_fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3216,7 +3250,8 @@ def p13_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {SQL_NORM_TOKENS},
 {SQL_SHINGLES},
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+bench AS (SELECT DISTINCT shingle FROM sh
+          WHERE doc_id % 97 = 0 AND shingle IS NOT NULL),
 hashes AS (SELECT unnest([0, 1, 2]) AS i),
 pos AS (
   SELECT DISTINCT
@@ -3224,7 +3259,8 @@ pos AS (
            ::BIGINT % {bloom.M_BITS_DEFAULT} AS p
   FROM bench CROSS JOIN hashes
 ),
-train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+train AS (SELECT doc_id, shingle FROM sh
+          WHERE doc_id % 97 <> 0 AND shingle IS NOT NULL),
 tested AS (
   SELECT doc_id,
          NOT EXISTS (
@@ -3259,9 +3295,20 @@ def decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
-    bench_sh = dedup.shingle_sets(bench, 3).select("shingle").distinct()
+    # A NULL shingle (textless doc) can neither populate nor test the
+    # filter — and on the SQL side a NULL bit position in the set
+    # poisons every NOT IN membership test to 'unknown'. Excluded on
+    # both sides (null_fuzz_sweep).
+    bench_sh = (
+        dedup.shingle_sets(bench, 3)
+        .filter(F.col("shingle").isNotNull())
+        .select("shingle")
+        .distinct()
+    )
     words = bloom.bloom_build(bench_sh, F.col("shingle"))
-    train_sh = dedup.shingle_sets(train, 3)
+    train_sh = dedup.shingle_sets(train, 3).filter(
+        F.col("shingle").isNotNull()
+    )
     hit = F.when(
         bloom.bloom_might_contain(F.col("shingle"), words), 1
     ).otherwise(0)
