@@ -145,3 +145,39 @@ def test_warehouse_build_from_empty_staging_is_readable(spark, tmp_path):
     assert "date_key" in wt["sales_fact"].columns
     # And the DW query on top of it runs to an empty result.
     assert REGISTRY["q1_top_units_dw"].fn(spark, dst).collect() == []
+
+
+def test_null_fuzz_representatives_match_oracle(spark, tmp_path):
+    """In-suite hook for the round-6 null-injection battery: a fuzzed
+    copy (~10% of non-key cells nulled, same parquet for both engines)
+    must keep Spark == DuckDB on one representative of each pinned
+    convention — window null ordering (w4), surrogate keys (f7),
+    exhaustive IVM splits, snapshot membership/IS DISTINCT FROM,
+    null-propagating band digests (minhash), as-of struct carry, and
+    the multimodal invalid-row contract. The full 212-entry sweep is
+    tools/null_fuzz_sweep.py; this keeps the conventions locked in the
+    default suite.
+    """
+    import sys
+
+    sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    from null_fuzz_sweep import make_fuzzed_sf
+
+    from tests.oracle_check import compare_query
+
+    dst = str(tmp_path / "sf_fuzz")
+    __import__("os").makedirs(dst)
+    make_fuzzed_sf(dst, 10)
+    for name in (
+        "w4_ntile_quartiles",
+        "f7_surrogate_keys",
+        "ivm_agg_merge",
+        "dq_snapshot_diff",
+        "dedup_minhash_lsh",
+        "tj_asof_purchase_click",
+        "multi_decode_meta",
+    ):
+        ok, detail = compare_query(spark, dst, name)
+        assert ok, f"{name}: {detail}"
