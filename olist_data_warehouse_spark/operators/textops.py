@@ -31,9 +31,58 @@ LANG_PRIORITY = ("en", "de", "es", "fr")
 STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
 
 
+# Code points where JVM and DuckDB (utf8proc) lowercase DISAGREE —
+# found by tools/unicode_fuzz_sweep.py and then a full BMP scan of
+# Python/JVM str.lower vs DuckDB lower():
+# - U+0130 İ: full case mapping EXPANDS to 'i' + U+0307 combining dot
+#   on the JVM; utf8proc's simple mapping gives plain 'i'. Pinned to
+#   the simple mapping (pre-translate before lower).
+# - Eight rare Latin-extended capitals (U+2C2F, U+A7C0/C7/C9/D0/D6/D8,
+#   U+A7F5) that utf8proc's older Unicode tables do not lower at all;
+#   they round-trip through private-use sentinels so lower() leaves
+#   them uppercase, matching DuckDB.
+# - Greek capital sigma U+03A3: the JVM applies the CONTEXTUAL
+#   SpecialCasing rule (word-final Σ → ς); utf8proc's simple mapping
+#   is always σ. Pre-existing ς is protected through a sentinel, any
+#   ς CREATED by lower() must come from the contextual rule and is
+#   rewritten to σ, then the protected originals are restored —
+#   DuckDB keeps input ς as ς, so both paths agree.
+_LOWER_DIVERGENT_EXPANDING = {"İ": "i"}
+_LOWER_DIVERGENT_UNMAPPED = "ⰯꟀꟇꟉꟐꟖꟘꟵ"
+_PUA_SENTINELS = "".join(
+    chr(0xE000 + i) for i in range(len(_LOWER_DIVERGENT_UNMAPPED))
+)
+_FINAL_SIGMA, _SIGMA, _SIGMA_SENTINEL = "ς", "σ", chr(0xE0FF)
+
+
+def portable_lower(col: Column | str) -> Column:
+    """lowercase that is BYTE-IDENTICAL across Spark (JVM full case
+    mapping) and DuckDB (utf8proc simple mapping): the 10 divergent
+    cases — 9 code points plus the contextual final-sigma rule — are
+    pinned to DuckDB's behavior so md5 fingerprints, shingle hashes,
+    token sorts, and edit distances agree on any input
+    (tools/unicode_fuzz_sweep.py is the gate)."""
+    src = (
+        "".join(_LOWER_DIVERGENT_EXPANDING)
+        + _LOWER_DIVERGENT_UNMAPPED
+        + _FINAL_SIGMA
+    )
+    dst = (
+        "".join(_LOWER_DIVERGENT_EXPANDING.values())
+        + _PUA_SENTINELS
+        + _SIGMA_SENTINEL
+    )
+    return F.translate(
+        F.lower(F.translate(col, src, dst)),
+        _PUA_SENTINELS + _FINAL_SIGMA + _SIGMA_SENTINEL,
+        _LOWER_DIVERGENT_UNMAPPED + _SIGMA + _FINAL_SIGMA,
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
-    """lower + trim + collapse runs of whitespace to single spaces."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """portable_lower + trim + collapse runs of whitespace to single
+    spaces."""
+    return F.regexp_replace(portable_lower(F.trim(col)), r"\s+", " ")
 
 
 def tokens(col: Column | str) -> Column:

@@ -181,3 +181,33 @@ def test_null_fuzz_representatives_match_oracle(spark, tmp_path):
     ):
         ok, detail = compare_query(spark, dst, name)
         assert ok, f"{name}: {detail}"
+
+
+def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
+    """The 10 pinned lowercase divergences (9 code points + the
+    contextual final-sigma rule) must produce DuckDB's exact bytes;
+    ASCII and already-lowercase input pass through untouched."""
+    import duckdb
+
+    from olist_data_warehouse_spark.operators.textops import (
+        portable_lower,
+    )
+
+    cases = [
+        "İstanbul İİ",          # U+0130 expands on the JVM
+        "ΣΟΦΟΣ",                # word-final sigma context
+        "σοφός ΚΑΙ ς",          # pre-existing final sigma survives
+        "ΣΣ Σ word ΑΣ.",        # sigma before punctuation
+        "Ⱟx ꟁ Ꟈ",               # utf8proc-unmapped capitals
+        "café 🌍 ẞ straße",     # agreeing multibyte passes through
+        "plain ASCII Text",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {
+        r["t"]: r["pl"]
+        for r in df.select("t", portable_lower("t").alias("pl")).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        expect = con.execute("SELECT lower(?)", [c]).fetchone()[0]
+        assert got[c] == expect, (c, got[c], expect)
