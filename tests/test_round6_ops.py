@@ -211,3 +211,26 @@ def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
     for c in cases:
         expect = con.execute("SELECT lower(?)", [c]).fetchone()[0]
         assert got[c] == expect, (c, got[c], expect)
+
+
+def test_unicode_fuzz_representatives_match_oracle(spark, tmp_path):
+    """In-suite hook for the Unicode battery: a multibyte-adorned copy
+    must keep Spark == DuckDB on the operators that diverged before
+    portable_lower — exact fingerprints, minhash signatures, and
+    token-rank text analytics. Full sweep: tools/unicode_fuzz_sweep.py."""
+    import sys
+
+    sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    from unicode_fuzz_sweep import make_fuzzed_sf as make_uni
+
+    from tests.oracle_check import compare_query
+
+    dst = str(tmp_path / "sf_uni")
+    __import__("os").makedirs(dst)
+    make_uni(dst)
+    for name in ("dedup_exact", "dedup_minhash_signatures",
+                 "text_keywords_topk", "text_token_stats"):
+        ok, detail = compare_query(spark, dst, name)
+        assert ok, f"{name}: {detail}"
