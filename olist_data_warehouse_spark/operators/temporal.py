@@ -80,6 +80,13 @@ def asof_join(
     if tie_col is None:
         tie_col = right_cols[0]
 
+    # The watermark contract: a row without an event time cannot be
+    # temporally matched — left rows with NULL ts are dropped, right
+    # rows with NULL ts can match nothing. (pandas merge_asof RAISES
+    # on null keys; a distributed pipeline drops them instead;
+    # ts-null fuzz.)
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     dw = Window.partitionBy(*by, right_ts).orderBy(F.col(tie_col).desc())
     r1 = (
         right.withColumn("_rn", F.row_number().over(dw))

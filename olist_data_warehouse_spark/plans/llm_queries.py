@@ -1302,13 +1302,14 @@ def samp_per_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tj_asof_purchase_click",
     oracle="""
 WITH l AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 r0 AS (
   SELECT user_id, ts, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY user_id, ts
                             ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 r1 AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
 SELECT l.user_id, l.ts, l.event_id, l.value,
@@ -1935,6 +1936,7 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM events
+WHERE ts IS NOT NULL
 """,
     doc="Running total per user over event time (frame: unbounded "
     "preceding). Accumulated in integer cents (BIGINT): exact, so the "
@@ -1950,7 +1952,9 @@ FROM events
 def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")["events"]
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()  # timeless rows have no timeline position
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2731,13 +2735,14 @@ def sk_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tj_asof_forward_tol",
     oracle="""
 WITH l AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 r0 AS (
   SELECT user_id, ts, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY user_id, ts
                             ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 r1 AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
 m AS (
@@ -2789,6 +2794,7 @@ SELECT event_id, user_id, event_type,
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS last_purchase_value
 FROM events
+WHERE ts IS NOT NULL
 """,
     doc="Forward fill (LOCF): carry each user's most recent purchase "
     "value onto every subsequent event — the gap-fill primitive for "
@@ -2800,7 +2806,9 @@ FROM events
 def w8_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")["events"]
+    e = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()  # timeless rows have no timeline position
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -6192,7 +6200,7 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE d AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 o AS (
   SELECT event_type, day, cnt,
@@ -6240,7 +6248,9 @@ FROM r
     "aggregate is the only fact-scale pass.",
 )
 def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")["events"]
+    e = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()  # timeless rows are outside event time
+    )
     d = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -8210,13 +8220,13 @@ def pipe_pretrain_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH l AS (
   SELECT event_id, user_id, ts, value FROM events
-  WHERE event_type = 'click'
+  WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 r0 AS (
   SELECT user_id, ts, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY user_id, ts
                             ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 r1 AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
 mb AS (
@@ -9159,6 +9169,7 @@ WITH flagged AS (
          CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -9203,7 +9214,9 @@ FROM trans tr JOIN tot USING (from_type)
 def path_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")["events"]
+    e = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()  # timeless rows have no session
+    )
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
     flagged = e.select(
@@ -9393,6 +9406,7 @@ WITH activity AS (
   SELECT DISTINCT user_id,
          epoch_us(ts) // 86400000000 AS day
   FROM events
+  WHERE ts IS NOT NULL
 ),
 first_seen AS (
   SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
@@ -9427,7 +9441,8 @@ def w16_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")["events"]
     activity = (
-        e.select(
+        e.filter(F.col("ts").isNotNull())  # ts-null fuzz
+        .select(
             "user_id",
             F.expr("unix_micros(ts) div 86400000000").alias("day"),
         )

@@ -24,6 +24,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
     doc="Event-time 1h tumbling window agg — batch twin of the "
@@ -43,6 +44,7 @@ WITH flagged AS (
          CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -266,6 +268,7 @@ WITH ranked AS (
          count(*) OVER (
            PARTITION BY event_type, epoch_us(ts) // 900000000) AS cnt
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT event_type, bucket,
        max(CASE WHEN rn = 1 THEN value END) AS open,

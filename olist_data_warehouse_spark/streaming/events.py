@@ -96,7 +96,12 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     loaded date is skipped" behavior (SURVEY §7.4.8), but windowed and
     principled.
     """
-    w = events.withWatermark("ts", watermark)
+    # A row without an event time is outside event time entirely -
+    # dropped explicitly in BOTH modes (streaming would drop it at
+    # the watermark; the batch twin must agree; ts-null fuzz).
+    w = events.filter(F.col("ts").isNotNull()).withWatermark(
+        "ts", watermark
+    )
     return (
         w.groupBy(
             F.window("ts", "1 hour").alias("win"),
@@ -132,7 +137,12 @@ def ohlc_bars(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     integer floor-division of the window start's epoch micros —
     timezone-free, unlike a formatted window string.
     """
-    w = events.withWatermark("ts", watermark)
+    # A row without an event time is outside event time entirely -
+    # dropped explicitly in BOTH modes (streaming would drop it at
+    # the watermark; the batch twin must agree; ts-null fuzz).
+    w = events.filter(F.col("ts").isNotNull()).withWatermark(
+        "ts", watermark
+    )
     return (
         w.groupBy(
             F.window("ts", "15 minutes").alias("win"),
@@ -385,6 +395,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    events = events.filter(F.col("ts").isNotNull())  # ts-null fuzz
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60
     flagged = events.withColumn(

@@ -52,7 +52,6 @@ KEEP = {
     ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
     ("lineitem", "l_suppkey"), ("lineitem", "l_linenumber"),
     ("events", "event_id"), ("events", "user_id"),
-    ("events", "ts"),  # nanos-ts normalization is schema-level
     ("documents", "doc_id"),
     ("embeddings", "vec_id"), ("embeddings", "embedding"),
 }
