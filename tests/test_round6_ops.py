@@ -184,12 +184,15 @@ def test_null_fuzz_representatives_match_oracle(spark, tmp_path):
 
 
 def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
-    """The 10 pinned lowercase divergences (9 code points + the
-    contextual final-sigma rule) must produce DuckDB's exact bytes;
-    ASCII and already-lowercase input pass through untouched."""
+    """The pinned lowercase divergences (İ expansion + the contextual
+    final-sigma rule) must produce DuckDB's exact bytes; ASCII and
+    already-lowercase input pass through untouched. The eight
+    KNOWN_LOWER_DIVERGENT capitals are asserted as exactly the
+    documented residual divergence — nothing more."""
     import duckdb
 
     from olist_data_warehouse_spark.operators.textops import (
+        KNOWN_LOWER_DIVERGENT,
         portable_lower,
     )
 
@@ -198,11 +201,13 @@ def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
         "ΣΟΦΟΣ",                # word-final sigma context
         "σοφός ΚΑΙ ς",          # pre-existing final sigma survives
         "ΣΣ Σ word ΑΣ.",        # sigma before punctuation
-        "Ⱟx ꟁ Ꟈ",               # utf8proc-unmapped capitals
         "café 🌍 ẞ straße",     # agreeing multibyte passes through
         "plain ASCII Text",
     ]
-    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    divergent = [f"x{c}y" for c in KNOWN_LOWER_DIVERGENT]
+    df = spark.createDataFrame(
+        [(c,) for c in cases + divergent], "t string"
+    )
     got = {
         r["t"]: r["pl"]
         for r in df.select("t", portable_lower("t").alias("pl")).collect()
@@ -211,6 +216,12 @@ def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
     for c in cases:
         expect = con.execute("SELECT lower(?)", [c]).fetchone()[0]
         assert got[c] == expect, (c, got[c], expect)
+    # The residual divergence is EXACTLY the 8 documented capitals:
+    # the JVM lowers them, utf8proc keeps them uppercase.
+    for c, raw in zip(divergent, KNOWN_LOWER_DIVERGENT):
+        dk = con.execute("SELECT lower(?)", [c]).fetchone()[0]
+        assert dk == c  # DuckDB: unchanged
+        assert got[c] == f"x{raw.lower()}y"  # Spark: lowered
 
 
 def test_unicode_fuzz_representatives_match_oracle(spark, tmp_path):
