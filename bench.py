@@ -195,20 +195,32 @@ def main() -> None:
     # past the driver's tail-capture window and the headline number was
     # lost (BENCH_r04.json parsed:null). The driver reads stdout's tail;
     # humans read the detail file.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # Only a FULL run (no query-subset knob, full sf0.1 default) may
+    # overwrite the detail file: in round 6 a 1-run 3-query sf0.001
+    # smoke clobbered the real per-run arrays and the on-disk spread
+    # evidence regressed (VERDICT r6). Partial runs keep their detail
+    # on stdout only.
+    full_run = (
+        not limit
+        and os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
+        and runs >= 3
     )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "queries_median": medians,
-                "queries_raw": raw,
-                "runs": runs,
-                "sf": sf,
-            },
-            f,
-            indent=1,
+    if full_run:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json",
         )
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "queries_median": medians,
+                    "queries_raw": raw,
+                    "runs": runs,
+                    "sf": sf,
+                },
+                f,
+                indent=1,
+            )
 
     spark.stop()
     # Contract line last, alone, after spark.stop() so no late JVM logs

@@ -145,11 +145,55 @@ def sliding_windows(
     )
 
 
+#: Sentinel bands for NULL sort keys (see :func:`banded_global_rank`):
+#: far outside any real ``long``-cast band while leaving headroom so
+#: arithmetic on the band column cannot overflow.
+_NULL_BAND_FIRST = -(2**62)
+_NULL_BAND_LAST = 2**62
+
+
+def _banded(df: DataFrame, band: Column, nulls: str | None) -> DataFrame:
+    """Attach the ``_band`` column with the NULL contract applied.
+
+    A NULL band would silently vanish in the equi-join that carries the
+    band offsets back (NULL never equi-matches), corrupting the global
+    numbering — so NULL is never allowed to pass through implicitly:
+
+    - ``nulls=None`` (default): NULL bands are a contract violation —
+      the plan raises at runtime on the first NULL (cheap ``when``
+      guard, no extra pass), instead of silently dropping rows.
+    - ``nulls="first"`` / ``"last"``: rows with a NULL band are routed
+      to a sentinel band that sorts before / after every real band.
+      The caller must pin the SAME null position in ``order_by``
+      (``asc_nulls_first`` / ``asc_nulls_last`` etc.) and in any
+      cross-engine oracle (``NULLS FIRST`` / ``NULLS LAST``).
+    """
+    b = band.cast("long")
+    if nulls is None:
+        guarded = F.when(
+            b.isNull(),
+            F.raise_error(
+                F.lit(
+                    "banded rank/sum: NULL band (NULL sort key?) — "
+                    "filter NULL keys or pass nulls='first'/'last'"
+                )
+            ).cast("long"),
+        ).otherwise(b)
+    elif nulls == "first":
+        guarded = F.coalesce(b, F.lit(_NULL_BAND_FIRST))
+    elif nulls == "last":
+        guarded = F.coalesce(b, F.lit(_NULL_BAND_LAST))
+    else:
+        raise ValueError("nulls must be None, 'first' or 'last'")
+    return df.withColumn("_band", guarded)
+
+
 def banded_global_rank(
     df: DataFrame,
     band: Column,
     order_by: list[Column],
     rank_name: str = "rk",
+    nulls: str | None = None,
 ) -> DataFrame:
     """Exact global ``ROW_NUMBER() OVER (ORDER BY order_by)`` without a
     single-partition window — the two-pass range-banded rank.
@@ -168,17 +212,17 @@ def banded_global_rank(
        band offsets back: global rank = offset + local rank.
 
     Each window partition is bounded by the rows sharing a band, so the
-    scan-scale table never sorts on one executor. Skew fuse: a
-    point-mass key distribution (every row the same key) collapses to
-    one band — pick the band width from the key's spread, or sub-band
-    on the tiebreak column (itself monotone within a key tie) the same
-    way. The sampling-free alternative is
-    ``repartitionByRange + sortWithinPartitions`` with
-    ``spark_partition_id`` offsets, which adapts to any distribution
-    but makes band boundaries plan-dependent; this form keeps the plan
-    fully deterministic.
+    scan-scale table never sorts on one executor. NULL sort keys are a
+    loud contract, never a silent drop — see :func:`_banded` for the
+    ``nulls`` parameter (default raises at runtime on a NULL band).
+    Skew fuse: a point-mass key distribution (every row the same key)
+    collapses to one band — pick the band width from the key's spread,
+    or use :func:`range_global_rank`, the distribution-adaptive
+    variant that spreads ties across partitions by range-partitioning
+    on the FULL (key, tiebreak) order; this banded form keeps band
+    boundaries plan-independent and deterministic.
     """
-    d = df.withColumn("_band", band.cast("long"))
+    d = _banded(df, band, nulls)
     counts = d.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
     w_off = Window.orderBy("_band").rowsBetween(
         Window.unboundedPreceding, -1
@@ -194,4 +238,109 @@ def banded_global_rank(
             rank_name, F.col("_boff") + F.row_number().over(w_local)
         )
         .drop("_band", "_boff")
+    )
+
+
+def banded_running_sum(
+    df: DataFrame,
+    band: Column,
+    order_by: list[Column],
+    sums: dict[str, str],
+    nulls: str | None = None,
+) -> DataFrame:
+    """Exact global ``SUM(col) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` for one or more columns without a single-partition
+    window — the running-sum sibling of :func:`banded_global_rank`
+    (same two-pass banded decomposition, same ``band`` monotonicity
+    and NULL contract; see there).
+
+    ``sums`` maps output name → input column: each output is the
+    inclusive running total of its input in the global ``order_by``
+    order. Per-band totals are a tiny map-side-combined agg (one row
+    per band); the band table alone takes the single-partition prefix
+    window; scan-scale rows only ever see a within-band window. Used
+    by the KS-drift CDF, where the naive form sorts the whole value
+    domain on one executor.
+    """
+    d = _banded(df, band, nulls)
+    aggs = [F.sum(src).alias(f"_t_{out}") for out, src in sums.items()]
+    totals = d.groupBy("_band").agg(*aggs)
+    w_off = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_band",
+        *[
+            F.coalesce(F.sum(f"_t_{out}").over(w_off), F.lit(0)).alias(
+                f"_o_{out}"
+            )
+            for out in sums
+        ],
+    )
+    w_local = Window.partitionBy("_band").orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = d.join(F.broadcast(offsets), "_band")
+    for name, src in sums.items():
+        out = out.withColumn(
+            name, F.col(f"_o_{name}") + F.sum(src).over(w_local)
+        )
+    return out.drop("_band", *[f"_o_{n}" for n in sums])
+
+
+def range_global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_name: str = "rk",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER()`` that adapts to ANY key
+    distribution — including the point-mass case that collapses
+    :func:`banded_global_rank` to one band.
+
+    ``order_by`` must be a TOTAL order (unique tiebreak column), which
+    every ranking caller in this repo already guarantees; with a total
+    order, ``repartitionByRange`` on the FULL key list spreads rows
+    that tie on the leading key across partitions by their tiebreak,
+    so no partition ever holds more than ~rows/num_partitions rows
+    regardless of skew. Mechanics (the classic zipWithIndex layout,
+    expressed declaratively):
+
+    1. range-partition + sort within partitions on ``order_by``; a
+       ``monotonically_increasing_id`` over that sorted layout encodes
+       (partition, local ordinal) as ``pid * 2^33 + i`` — no window;
+    2. per-partition row counts (num_partitions rows) prefix-summed on
+       one partition — trivially small;
+    3. global rank = broadcast partition offset + local ordinal + 1.
+
+    Range boundaries come from Spark's deterministic reservoir sample,
+    and because the order is total, each row's rank is determined by
+    the ORDER alone — identical whatever boundaries the sampler picks,
+    and identical across the two DAG branches that recompute the
+    layout. ``num_partitions`` is explicit so AQE cannot re-plan the
+    two branches to different partitionings. NULL leading keys follow
+    the ``order_by`` expressions' own null placement (range
+    partitioning keeps Spark's null ordering) — pin ``asc_nulls_*``
+    explicitly when NULLs can reach the sort key.
+    """
+    laid = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftrightunsigned(F.col("_mid"), 33)
+    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    laid = laid.withColumn("_pid", pid).withColumn("_loc", local)
+    counts = laid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_poff"),
+    )
+    return (
+        laid.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, F.col("_poff") + F.col("_loc") + 1)
+        .drop("_mid", "_pid", "_loc", "_poff")
     )

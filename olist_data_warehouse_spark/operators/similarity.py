@@ -1427,6 +1427,11 @@ def ivfpq_topk(
     )
 
 
+#: Persisted handles of the most recent :func:`mmr_rerank` call; the
+#: next call unpersists them, bounding cache residency to one rerank.
+_MMR_CACHES: list[DataFrame] = []
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1465,14 +1470,20 @@ def mmr_rerank(
     emb = embeddings.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
+    # Bounded cache scope (ADVICE r6): the shortlist caches must
+    # outlive this call (the result is returned unevaluated), but they
+    # must not ACCUMULATE across calls — each call releases the
+    # previous call's handles, so at most one rerank's caches are ever
+    # resident no matter how many times it runs in a session.
+    while _MMR_CACHES:
+        _MMR_CACHES.pop().unpersist(blocking=False)
     ce = shortlisted.join(emb, "cand_id").persist()
+    _MMR_CACHES.append(ce)
     # Every downstream reference goes through the persisted `ce` (the
     # round-1 pick and each round's `rem` included), so the corpus-
     # scale shortlist scorer materializes exactly once; reusing the
     # raw `shortlisted` here would re-embed the corpus scan k+1 times
-    # in the unrolled DAG. Persisted lazily and deliberately not
-    # unpersisted: the result is returned unevaluated, so the cache
-    # must outlive this function (LRU eviction reclaims it).
+    # in the unrolled DAG.
     cand = ce.select("query_id", "cand_id", "rel")
     a = ce.select(
         "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea")
@@ -1491,6 +1502,7 @@ def mmr_rerank(
         )
         .persist()
     )
+    _MMR_CACHES.append(sims)
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("cand_id")
     )

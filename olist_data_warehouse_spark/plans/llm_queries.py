@@ -9113,9 +9113,14 @@ FROM sums
     "determinism pattern: identical integer-derived doubles through "
     "one ln each), so the regression inputs — and therefore the "
     "rational slope — are bit-identical on both engines. Plan: one "
-    "vocabulary-bounded count aggregate, a top-1000 rank window "
-    "over the vocabulary, and a 1-row moment reduce; the corpus "
-    "text leaves the scan only as tokens.",
+    "vocabulary-bounded count aggregate, then the top-1000 is "
+    "selected by orderBy().limit() — TakeOrderedAndProject, the "
+    "per-partition-heap top-k every other top-k in the repo uses — "
+    "NOT a rank window over the whole vocabulary (10^8 tokens on a "
+    "web corpus would sort on one partition; VERDICT r6 #2); the "
+    "rank needed for ln(rank) is then re-derived by a window over "
+    "the 1000 SURVIVORS only, and a 1-row moment reduce follows; "
+    "the corpus text leaves the scan only as tokens.",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -9123,11 +9128,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     uni = d.select(F.explode(textops.tokens(F.col("text"))).alias("w"))
     freq = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # (cnt DESC, w ASC) is a total order (w unique after groupBy), so
+    # limit(1000) under it selects exactly the rank <= 1000 set; the
+    # window below then runs over <= 1000 rows — bounded by the limit,
+    # not the vocabulary.
+    top1000 = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(1000)
     wr = Window.orderBy(F.desc("cnt"), F.asc("w"))
-    top = (
-        freq.withColumn("r", F.row_number().over(wr))
-        .filter(F.col("r") <= 1000)
-    )
+    top = top1000.withColumn("r", F.row_number().over(wr))
     pts = top.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000000)
         .cast("long")
@@ -9785,14 +9792,19 @@ GROUP BY tot.na, tot.nb
     "bucket'; KS answers 'largest CDF gap anywhere', the classic "
     "accept/reject test statistic) with zero float CDFs. Plan: the "
     "fact collapses to per-VALUE side counts (map-side combined), "
-    "the two cumulative sums share one window over the value "
-    "domain, and the max reduces to one row — the same "
-    "rollup-before-window discipline as the weighted median; at "
-    "100 TB the value domain (distinct cents) bounds the window "
-    "input, not the row count.",
+    "then BOTH cumulative CDFs run through the two-pass banded "
+    "running sum (packing.banded_running_sum, band = c div 2^20 ≈ "
+    "$10k price slices) — for a near-continuous measure the value "
+    "domain approaches O(rows), so the r6 full-domain window was a "
+    "single-partition sort at 100x (VERDICT r6 #1); banded, each "
+    "window partition holds only one price slice's distinct cents "
+    "and the single-partition prefix touches the O(price_range / "
+    "2^20) band table only. The max reduces to one row.",
 )
 def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from olist_data_warehouse_spark.operators.packing import (
+        banded_running_sum,
+    )
 
     o = _t(spark, sf_dir, "orders")["orders"]
     # An empirical CDF is over OBSERVED values — unpriced rows are
@@ -9810,13 +9822,14 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("na_c"),
         F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("nb_c"),
     )
-    wc = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = counts.select(
-        F.sum("na_c").over(wc).alias("ca"),
-        F.sum("nb_c").over(wc).alias("cb"),
-    )
+    # c is non-null (price-filtered above), so the default loud NULL
+    # contract of the banded primitives applies vacuously.
+    cum = banded_running_sum(
+        counts,
+        band=F.expr("c div 1048576"),
+        order_by=[F.asc("c")],
+        sums={"ca": "na_c", "cb": "nb_c"},
+    ).select("ca", "cb")
     tot = counts.agg(
         F.sum("na_c").alias("na"), F.sum("nb_c").alias("nb")
     )
@@ -9924,7 +9937,7 @@ WITH cents AS (
   SELECT o_custkey,
          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
               AS BIGINT) AS c
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
 ),
 ranked AS (
   SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS i
@@ -9963,10 +9976,21 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders")["orders"]
-    cents = o.groupBy("o_custkey").agg(
-        F.sum(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
-        ).alias("c")
+    # Concentration is over OBSERVED revenue: unpriced orders carry no
+    # amount on either engine (SUM skips NULL), and a customer whose
+    # EVERY order is unpriced has no observed revenue at all — without
+    # this filter their c is NULL, whose band would otherwise vanish
+    # in the banded rank's offset join while the oracle ranks it
+    # NULLS LAST (ADVICE r6). banded_global_rank now also raises on
+    # NULL bands rather than dropping, so this contract is enforced.
+    cents = (
+        o.filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("c")
+        )
     )
     ranked = banded_global_rank(
         cents,
@@ -9998,7 +10022,7 @@ WITH cents AS (
   SELECT o_custkey,
          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
               AS BIGINT) AS c
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
 ),
 tiled AS (
   SELECT c, NTILE(10) OVER (ORDER BY c, o_custkey) AS decile
@@ -10033,10 +10057,18 @@ def a31_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders")["orders"]
-    cents = o.groupBy("o_custkey").agg(
-        F.sum(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
-        ).alias("c")
+    # Observed-revenue contract — same as a29_gini_concentration: an
+    # all-NULL-price customer has no observed revenue; without the
+    # filter their NULL c would vanish in the banded rank's offset
+    # join while the oracle NTILEs it NULLS LAST (ADVICE r6).
+    cents = (
+        o.filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("c")
+        )
     )
     ranked = banded_global_rank(
         cents,

@@ -875,7 +875,12 @@ def cusum_batch(
         )
 
     rows = (
-        events.select(
+        # Watermark contract (SCALING.md): a NULL event time is outside
+        # event time — drop it here like every other temporal twin; a
+        # NULL day would reach the pandas kernel as NaN and raise
+        # (ADVICE r6).
+        events.filter(F.col("ts").isNotNull())
+        .select(
             "event_type",
             F.expr(
                 f"CAST(unix_micros(CAST(ts AS timestamp)) div {_US_PER_DAY}"

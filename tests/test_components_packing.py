@@ -216,3 +216,121 @@ def test_banded_rank_consumers_have_no_scan_scale_global_window(spark):
         for line in plan.splitlines():
             if "windowspecdefinition" in line and "row_number" in line:
                 assert "_band" in line, f"{name}: unbanded rank window"
+
+
+def test_banded_rank_null_band_raises_by_default(spark):
+    """ADVICE r6: a NULL band must never silently drop rows through the
+    offset equi-join — the default contract is a loud runtime error."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    d = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 1)], "id bigint, k bigint"
+    )
+    ranked = packing.banded_global_rank(
+        d, band=F.expr("k div 4"), order_by=[F.asc("k"), F.asc("id")]
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        ranked.collect()
+
+
+def test_banded_rank_null_band_sentinel_routing(spark):
+    """nulls='first'/'last' routes NULL-key rows to a sentinel band that
+    matches the pinned null position of the order_by — equal to the
+    naive window with the same asc_nulls_* pin, no row lost."""
+    from pyspark.sql.window import Window
+
+    rows = [(1, 5), (2, None), (3, 1), (4, None), (5, 9)]
+    d = spark.createDataFrame(rows, "id bigint, k bigint")
+    for nulls, key in (
+        ("first", F.asc_nulls_first("k")),
+        ("last", F.asc_nulls_last("k")),
+    ):
+        naive = d.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(key, F.asc("id")))
+            .alias("rk"),
+        )
+        got = packing.banded_global_rank(
+            d,
+            band=F.expr("k div 4"),
+            order_by=[key, F.asc("id")],
+            nulls=nulls,
+        ).select("id", "rk")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), nulls
+
+
+def test_banded_running_sum_equals_naive_window(spark):
+    """Two-pass banded running sums must match the single-partition
+    cumulative window for several band widths and multiple columns."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, (i * 37) % 13, i % 5, (i * 7) % 11) for i in range(200)]
+    d = spark.createDataFrame(rows, "id bigint, k bigint, a bigint, b bigint")
+    wc = Window.orderBy(F.asc("k"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = d.select(
+        "id",
+        F.sum("a").over(wc).alias("ca"),
+        F.sum("b").over(wc).alias("cb"),
+    )
+    for width in (1, 4, 1000):
+        got = packing.banded_running_sum(
+            d,
+            band=F.expr(f"k div {width}"),
+            order_by=[F.asc("k"), F.asc("id")],
+            sums={"ca": "a", "cb": "b"},
+        ).select("id", "ca", "cb")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), f"width={width}"
+
+
+def test_range_global_rank_matches_naive_incl_point_mass(spark):
+    """The distribution-adaptive rank must equal the naive global
+    ROW_NUMBER on skewed, uniform, and POINT-MASS (every row the same
+    leading key) distributions — the case banded ranking cannot fuse —
+    and stay invariant to input partitioning."""
+    from pyspark.sql.window import Window
+
+    cases = {
+        "uniform": [(i, (i * 37) % 13) for i in range(500)],
+        "point_mass": [(i, 7) for i in range(500)],
+        "two_spikes": [(i, 3 if i % 2 else 4) for i in range(500)],
+    }
+    for label, rows in cases.items():
+        d = spark.createDataFrame(rows, "id bigint, k bigint").repartition(7)
+        naive = d.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.asc("k"), F.asc("id")))
+            .alias("rk"),
+        )
+        got = packing.range_global_rank(
+            d, order_by=[F.asc("k"), F.asc("id")], num_partitions=8
+        ).select("id", "rk")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), label
+
+
+def test_range_global_rank_spreads_point_mass_partitions(spark):
+    """On a point-mass key the range layout must actually SPREAD rows
+    across partitions (the whole reason it exists): no partition holds
+    more than ~2x the even share."""
+    d = spark.createDataFrame(
+        [(i, 7) for i in range(800)], "id bigint, k bigint"
+    ).repartition(5)
+    laid = (
+        d.repartitionByRange(8, F.asc("k"), F.asc("id"))
+        .sortWithinPartitions(F.asc("k"), F.asc("id"))
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+    )
+    sizes = [r["count"] for r in laid.collect()]
+    assert len(sizes) > 1, "point-mass collapsed to one partition"
+    assert max(sizes) <= 2 * (800 // len(sizes) + 1)

@@ -300,3 +300,21 @@ def test_lsh_map_side_dedup_equals_distinct_under_binding_cap(spark):
     )
     got_cand = {(r.vec_a, r.vec_b) for r in got.collect()}
     assert got_cand == ref_cand
+
+
+def test_mmr_rerank_cache_residency_is_bounded(spark):
+    """ADVICE r6: repeated mmr_rerank calls must not accumulate
+    persisted RDDs — each call releases the previous call's handles,
+    so at most one rerank's caches are resident."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.mmr_rerank(df, [0], shortlist=4, k=2).collect()
+    first = list(similarity._MMR_CACHES)
+    assert first and all(h.storageLevel.useMemory for h in first)
+    similarity.mmr_rerank(df, [1], shortlist=4, k=2).collect()
+    assert len(similarity._MMR_CACHES) == len(first)
+    assert all(not h.storageLevel.useMemory for h in first), (
+        "previous call's caches were not released"
+    )

@@ -863,3 +863,27 @@ def test_streaming_hll_register_merge_matches_batch(spark):
             "day", "approx_distinct", "n_zero_registers",
         )
         assert as_of_0 == batch_first
+
+
+def test_cusum_batch_excludes_null_event_times(spark):
+    """Watermark contract (ADVICE r6): a NULL event ts is outside event
+    time — cusum_batch must drop it like every other temporal twin
+    instead of crashing on a NaN day group in the pandas kernel."""
+    events = load_testdata(spark, SF, ("events",))["events"]
+    baseline = {
+        r.event_type: int(r.m)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST((1000000 * count(*)) div count(DISTINCT "
+                "unix_micros(CAST(ts AS timestamp)) div 86400000000) "
+                "AS bigint)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    clean = ev.cusum_batch(events, baseline)
+    dirty = events.unionByName(
+        events.limit(5).withColumn("ts", F.lit(None).cast("timestamp"))
+    )
+    assert ev.cusum_batch(dirty, baseline) == clean
