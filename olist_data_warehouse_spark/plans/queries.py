@@ -1762,53 +1762,42 @@ from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-6 rotation: close the evidence gap. Union r1-r5 left 72
-    # of 211 entries with no driver-green row (all of them round-5
-    # additions past the 50-slot cap; every one passes the full
-    # sf0.01 DuckDB sweep and the continuous sf0.001 replica). The
-    # r6 prefix is exactly 50 of those 72, so every evaluated slot
-    # adds a first-time driver row; the 22 left over lead the r7
-    # pool below.
-    # 1: behavior-changed THIS round, first — the banded-rank swaps
-    #    (pack/gini/lorenz now rank via the two-pass range-banded
-    #    form), the pandas-parity nearest-tolerance change (engine
-    #    AND oracle moved), the once-per-DAG shortlist persist in
-    #    MMR, and the guarded interval-overlap join.
-    "pack_balanced_shards", "a29_gini_concentration", "a31_lorenz_deciles",
-    "tj_asof_nearest", "sim_mmr_rerank", "tj_interval_overlap",
-    # 2: the staged never-evaluated pool, in the r5 risk order
-    #    (driver-env-sensitive types and heaviest compositions
-    #    first).
-    "dq_zscore_outliers", "samp_cluster_split", "graph_triangles",
-    "w13_rolling_median", "dq_mad_outliers", "ts_linear_trend",
-    "ts_seasonal_baseline", "stream_ohlc_bars", "text_collocation_pmi",
-    "w14_activity_streaks", "reco_user_user_cf", "samp_temporal_embargo",
-    "graph_link_prediction", "multi_image_phash", "graph_label_propagation",
-    "pipe_pretrain_layout", "w15_skyline_orders", "dq_uniqueness_profile",
-    "a23_weighted_median", "a24_mode", "dedup_pipeline_eval",
-    "graph_modularity", "samp_apportion_lr", "sim_ann_recall_eval",
-    "sim_threshold_calibration", "text_zipf_fit", "path_markov_transitions",
-    "samp_entity_split", "dq_fk_integrity", "w16_new_vs_returning",
-    "ts_autocorrelation", "sk_hist_merge", "q4_shipping_priority",
-    "dq_ks_drift", "reco_item_cooccurrence", "text_phrase_search",
-    "sim_tfidf_cosine", "graph_pagerank_items", "dq_key_skew_report",
-    "sim_pq_encode", "sim_pq_adc_topk", "path_top_trigrams",
-    "sim_ivfpq_topk", "ts_interpolate_hourly",
-    # --- 50-cap falls here. The 22 below complete the
-    # never-evaluated set in r7; after that the union r1-r7 covers
-    # all 211 entries.
-    "attrib_multi_model", "samp_weighted_fixed_k", "dq_winsorize",
-    "scd2_point_in_time", "ts_cusum_alerts", "t5_keyset_page",
-    "reco_item_lift", "dq_benford_digits", "dq_snapshot_diff",
-    "dq_psi_splits", "ivm_index_merge", "text_keywords_topk",
-    "w10_range_numeric_frame", "sk_hll_set_algebra", "samp_soft_dedup",
-    "f8_calendar_features", "a21_multi_distinct", "w11_ratio_to_report",
-    "w12_rank_variants", "set_except_all", "stream_funnel_users",
-    "stream_unattributed_join",
-    # New in r6 (never evaluated by definition) — join the r7 pool.
-    "a13_approx_percentile_cert",
-    # Flagship pairs and earlier cohorts stay on prior-round
-    # evidence (r1-r5 green at least once each) and run continuously
+    # Round-7 rotation: finish the evidence union. Union r1-r6 =
+    # 189/212 driver-green; the 23 entries never evaluated by any
+    # driver round lead this prefix so the union reaches 212/212.
+    # Every one already passes the full sf0.01 DuckDB sweep and the
+    # continuous sf0.001 replica — this is rotation, not repair.
+    # 1: the never-evaluated pool (risk order: streaming twins and
+    #    heaviest compositions first, simple window/set forms last).
+    "stream_funnel_users", "stream_unattributed_join",
+    "a13_approx_percentile_cert", "scd2_point_in_time",
+    "ts_cusum_alerts", "ivm_index_merge", "dq_snapshot_diff",
+    "attrib_multi_model", "samp_weighted_fixed_k", "samp_soft_dedup",
+    "dq_psi_splits", "reco_item_lift", "dq_benford_digits",
+    "dq_winsorize", "t5_keyset_page", "text_keywords_topk",
+    "sk_hll_set_algebra", "f8_calendar_features", "a21_multi_distinct",
+    "w10_range_numeric_frame", "w11_ratio_to_report",
+    "w12_rank_variants", "set_except_all",
+    # 2: behavior-changed THIS round (engine and/or oracle moved in
+    #    the r6->r7 closure commit) — re-prove on the new plans:
+    #    a29/a31 now filter NULL prices on both engines (observed-
+    #    revenue contract), dq_ks_drift's CDF runs on the banded
+    #    running-sum, text_zipf_fit's rank is limit-bounded.
+    "a29_gini_concentration", "a31_lorenz_deciles", "dq_ks_drift",
+    "text_zipf_fit",
+    # 3: high-value re-proofs backfilling the 50-slot cap — the
+    #    flagship OLTP/DW pairs, incremental merge, the banded-rank
+    #    trio's remaining member, and headline LLM-pipeline ops.
+    "q1_top_units_oltp", "q1_top_units_dw", "q2_top_revenue_oltp",
+    "q2_top_revenue_dw", "q3_conversion_oltp", "q3_conversion_dw",
+    "j7_incremental_delta", "j7_merge_upsert", "pack_balanced_shards",
+    "dedup_minhash_lsh", "dedup_exact", "sim_ivfpq_topk",
+    "sim_mmr_rerank", "tj_asof_nearest", "tj_interval_overlap",
+    "graph_pagerank_items", "samp_cluster_split", "text_bm25_topk",
+    "s1_scan_project_alias", "w13_rolling_median", "stream_ohlc_bars", "multi_image_phash",
+    "sk_hist_merge",
+    # Everything else follows in registration order — each has at
+    # least one prior driver-green row (r1-r6) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

@@ -5,6 +5,10 @@ from olist_data_warehouse_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_parquet,
 )
+from olist_data_warehouse_spark.sources.lakehouse import (  # noqa: F401
+    ConcurrentCommitError,
+    LakeTable,
+)
 from olist_data_warehouse_spark.sources.writers import (  # noqa: F401
     append_rows,
     append_table,

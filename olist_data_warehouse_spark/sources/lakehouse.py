@@ -1,0 +1,468 @@
+"""Log-structured table format on plain parquet — file-level sharing.
+
+Retires the copy-on-write caveat of :func:`writers.write_versioned`
+(every version a full copy): here a version is a LOG COMMIT of
+``add``/``remove`` FILE actions, so
+
+* ``append`` writes only the new files (no rewrite, no copy),
+* ``delete_where`` rewrites ONLY the files that contain matching rows
+  (file-granular copy-on-write; untouched files are shared by
+  reference across versions),
+* per-file column stats (min/max/null-count) recorded at write time
+  give data-skipping reads and stats-pruned deletes — a point delete
+  touches O(matching files), not O(table),
+* ``compact`` bin-packs small files without touching large ones,
+* time travel reads any un-vacuumed version; rollback is a
+  metadata-only commit.
+
+This is the public Delta-Lake/Iceberg design (log of file actions +
+periodic checkpoints; Armbrust et al., "Delta Lake: High-Performance
+ACID Table Storage over Cloud Object Stores", VLDB 2020) reduced to
+its essence on a filesystem: commits are numbered JSON files created
+with O_EXCL, so two writers racing the same version number conflict
+loudly (optimistic concurrency) instead of corrupting the log; a
+reader resolves the table by replaying the latest checkpoint plus the
+commits after it, never seeing a half-committed version.
+
+Scale posture (100 TB): data files are immutable and shared across
+versions, so storage grows with churn, not with version count. Each
+commit is O(files touched); full-state checkpoints every
+``CHECKPOINT_EVERY`` commits bound replay to O(files) once plus
+O(touched) per tail commit — the same shape as Delta's checkpoint
+parquet. Stats pruning happens driver-side over the manifest (a few
+hundred bytes per file — ~1 M entries at 100 TB/128 MB files, fine in
+driver memory; production formats page this through manifest lists).
+
+Reference parity: the reference's DELETE WHERE (SURVEY §2.1 S7,
+`Olist DW.sql` staging reloads) is a full-table operation on SQL
+Server; here it becomes a file-granular logged operation with
+identical row-level semantics (rows where the predicate is TRUE are
+deleted; FALSE and NULL survive — SQL three-valued logic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CHECKPOINT_EVERY = 10
+
+# Stats are kept for flat orderable types only; nested/binary columns
+# are readable but never pruned on.
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string", "boolean",
+)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — re-resolve and retry."""
+
+
+class LakeTable:
+    """Handle to a log-structured table rooted at ``path``.
+
+    Layout::
+
+        path/_log/00000000.json            commit (add/remove actions)
+        path/_log/00000010.checkpoint.json full-state snapshot
+        path/data/<commit-uuid>-*.parquet  immutable data files
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- log plumbing --------------------------------------------------
+
+    def _commit_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def version(self) -> int | None:
+        """Current (highest committed) version, or None if uncreated."""
+        vs = self._commit_versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _write_commit(self, v: int, commit: dict) -> None:
+        """O_EXCL create — the optimistic-concurrency gate. Content is
+        staged to a temp file and linked into place so a crash mid-write
+        never leaves a torn commit at the committed name."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        final = os.path.join(self.log_dir, f"{v:08d}.json")
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(commit, f, indent=1)
+        try:
+            os.link(tmp, final)  # fails with EEXIST if a racer won
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {v} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        if v % CHECKPOINT_EVERY == 0 and v > 0:
+            state = self._state(v)
+            cp = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+            cptmp = cp + ".tmp"
+            with open(cptmp, "w") as f:
+                json.dump(state, f, indent=1)
+            os.replace(cptmp, cp)
+
+    def _state(self, v: int | None = None) -> dict:
+        """Table state at version ``v``: replay latest checkpoint <= v,
+        then the commits after it. O(files) once + O(touched) per tail
+        commit — never a full-log replay past the checkpoint."""
+        if v is None:
+            v = self.version()
+        if v is None:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        cps = sorted(
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json") and int(f.split(".", 1)[0]) <= v
+        )
+        if cps:
+            with open(
+                os.path.join(self.log_dir, f"{cps[-1]:08d}.checkpoint.json")
+            ) as f:
+                state = json.load(f)
+            start = cps[-1] + 1
+        else:
+            state = {"files": {}, "schema": None}
+            start = 0
+        for cv in range(start, v + 1):
+            c = self._read_commit(cv)
+            for p in c.get("remove", []):
+                state["files"].pop(p, None)
+            for fmeta in c.get("add", []):
+                state["files"][fmeta["path"]] = fmeta
+            if c.get("schema") is not None:
+                state["schema"] = c["schema"]
+        state["version"] = v
+        return state
+
+    def history(self) -> list[dict]:
+        """Commit metadata, oldest first — op, counts, predicate."""
+        out = []
+        for v in self._commit_versions():
+            c = self._read_commit(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": c["op"],
+                    "added": len(c.get("add", [])),
+                    "removed": len(c.get("remove", [])),
+                    **{
+                        k: c[k]
+                        for k in ("predicate", "rows_deleted", "rollback_of")
+                        if k in c
+                    },
+                }
+            )
+        return out
+
+    # -- writing -------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df``'s part files into data/, return their metadata
+        (rows, bytes, per-column min/max/nulls) from ONE stats scan."""
+        spark = df.sparkSession
+        os.makedirs(self.data_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(stage)
+        prefix = uuid.uuid4().hex[:8]
+        moved = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"{prefix}-{name}"
+            os.replace(
+                os.path.join(stage, name), os.path.join(self.data_dir, dst)
+            )
+            moved.append(dst)
+        shutil.rmtree(stage)
+        if not moved:
+            return []
+        paths = [os.path.join(self.data_dir, m) for m in moved]
+        statted = [
+            fld.name
+            for fld in df.schema.fields
+            if fld.dataType.simpleString() in _STATS_TYPES
+        ]
+        scan = spark.read.parquet(*paths).withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in statted:
+            aggs += [
+                F.min(c).alias(f"_min_{c}"),
+                F.max(c).alias(f"_max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            ]
+        rows = {r["_file"]: r for r in scan.groupBy("_file").agg(*aggs).collect()}
+        metas = []
+        for m in moved:
+            r = rows.get(m)
+            stats = {}
+            if r is not None:
+                for c in statted:
+                    stats[c] = {
+                        "min": _json_safe(r[f"_min_{c}"]),
+                        "max": _json_safe(r[f"_max_{c}"]),
+                        "nulls": r[f"_nulls_{c}"],
+                    }
+            metas.append(
+                {
+                    "path": f"data/{m}",
+                    "rows": r["_rows"] if r is not None else 0,
+                    "bytes": os.path.getsize(os.path.join(self.data_dir, m)),
+                    "stats": stats,
+                }
+            )
+        return metas
+
+    @classmethod
+    def create(cls, df: DataFrame, path: str) -> "LakeTable":
+        """Create the table at ``path`` as version 0 with ``df``."""
+        t = cls(path)
+        if t.version() is not None:
+            raise FileExistsError(f"lake table already exists at {path}")
+        add = t._stage_files(df)
+        t._write_commit(
+            0, {"op": "create", "add": add, "remove": [],
+                "schema": df.schema.jsonValue()}
+        )
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        """Append-only commit: writes only the NEW files. Columns must
+        match the table schema by name (order-insensitive select)."""
+        state = self._state()
+        cols = [f["name"] for f in state["schema"]["fields"]]
+        if sorted(df.columns) != sorted(cols):
+            raise ValueError(
+                f"append schema mismatch: table {cols} vs df {df.columns}"
+            )
+        add = self._stage_files(df.select(*cols))
+        v = state["version"] + 1
+        self._write_commit(v, {"op": "append", "add": add, "remove": []})
+        return v
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace table contents; old files stay for time travel."""
+        state = self._state()
+        add = self._stage_files(df)
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "overwrite", "add": add,
+             "remove": sorted(state["files"]),
+             "schema": df.schema.jsonValue()},
+        )
+        return v
+
+    def rollback(self, version: int) -> int:
+        """Metadata-only commit restoring ``version``'s file list."""
+        old = self._state(version)
+        cur = self._state()
+        v = cur["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "rollback", "rollback_of": version,
+             "add": [old["files"][p] for p in sorted(old["files"])
+                     if p not in cur["files"]],
+             "remove": sorted(set(cur["files"]) - set(old["files"])),
+             "schema": old["schema"]},
+        )
+        return v
+
+    # -- reading -------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the table AS OF ``version`` (default: current)."""
+        state = self._state(version)
+        schema = StructType.fromJson(state["schema"])
+        paths = [os.path.join(self.path, p) for p in sorted(state["files"])]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def prune_files(
+        self, column: str, op: str, value, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Stats-based file skipping for ``column <op> value``
+        (op in =, <, <=, >, >=): (candidates, provably_clean). A file
+        with no stats for the column is always a candidate (never
+        silently skipped). NULLs never match a comparison, so
+        null-count never widens the candidate set."""
+        state = self._state(version)
+        cand, clean = [], []
+        for p in sorted(state["files"]):
+            st = state["files"][p].get("stats", {}).get(column)
+            if st is None or st["min"] is None or st["max"] is None:
+                # no stats, or all-NULL file for '=' etc. — all-NULL
+                # (min/max None with rows>0) can never match, but only
+                # when stats exist; missing stats stay candidates.
+                if st is not None and st["min"] is None and st["max"] is None:
+                    clean.append(p)
+                else:
+                    cand.append(p)
+                continue
+            lo, hi = st["min"], st["max"]
+            might = {
+                "=": lo <= value <= hi,
+                "<": lo < value,
+                "<=": lo <= value,
+                ">": hi > value,
+                ">=": hi >= value,
+            }.get(op)
+            if might is None:
+                raise ValueError(f"unsupported prune op {op!r}")
+            (cand if might else clean).append(p)
+        return cand, clean
+
+    # -- delete --------------------------------------------------------
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: Column,
+        prune: tuple[str, str, object] | None = None,
+    ) -> dict:
+        """DELETE rows where ``predicate`` is TRUE (FALSE and NULL rows
+        survive — SQL semantics). File-granular copy-on-write:
+
+        1. optional stats prune (``prune=(col, op, value)`` must be
+           implied by the predicate) drops provably-clean files without
+           reading them;
+        2. ONE scan over the candidates counts matches per file
+           (``input_file_name`` group-by — map-side combine, no data
+           movement beyond the per-file counts);
+        3. only files with matches are read again, filtered, and
+           rewritten; every other file is carried by reference.
+
+        Returns ``{version, rows_deleted, files_rewritten, files_kept}``.
+        """
+        state = self._state()
+        all_files = sorted(state["files"])
+        if prune is not None:
+            cand, _ = self.prune_files(*prune)
+        else:
+            cand = all_files
+        touched: list[str] = []
+        rows_deleted = 0
+        if cand:
+            paths = [os.path.join(self.path, p) for p in cand]
+            schema = StructType.fromJson(state["schema"])
+            scan = spark.read.schema(schema).parquet(*paths)
+            hits = (
+                scan.withColumn(
+                    "_file",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .groupBy("_file")
+                .agg(
+                    F.sum(predicate.cast("long")).alias("_matches")
+                )
+                .where(F.col("_matches") > 0)
+                .collect()
+            )
+            by_name = {os.path.basename(p): p for p in cand}
+            for r in hits:
+                touched.append(by_name[r["_file"]])
+                rows_deleted += r["_matches"]
+        add: list[dict] = []
+        if touched:
+            tpaths = [os.path.join(self.path, p) for p in touched]
+            schema = StructType.fromJson(state["schema"])
+            survivors = (
+                spark.read.schema(schema)
+                .parquet(*tpaths)
+                # NULL predicate rows survive: keep unless literally TRUE
+                .where(~predicate.eqNullSafe(F.lit(True)))
+            )
+            add = self._stage_files(survivors)
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "delete", "add": add, "remove": touched,
+             "predicate": str(predicate), "rows_deleted": rows_deleted},
+        )
+        return {
+            "version": v,
+            "rows_deleted": rows_deleted,
+            "files_rewritten": len(touched),
+            "files_kept": len(all_files) - len(touched),
+        }
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_file_bytes: int) -> dict:
+        """Bin-pack files smaller than ``target/2`` into ~target-sized
+        files; files already at size are untouched (shared forward)."""
+        state = self._state()
+        small = [
+            p for p in sorted(state["files"])
+            if state["files"][p]["bytes"] < target_file_bytes // 2
+        ]
+        if len(small) < 2:
+            return {"version": state["version"], "files_compacted": 0}
+        total = sum(state["files"][p]["bytes"] for p in small)
+        n_out = max(1, round(total / target_file_bytes))
+        schema = StructType.fromJson(state["schema"])
+        packed = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, p) for p in small])
+            .coalesce(n_out)
+        )
+        add = self._stage_files(packed)
+        v = state["version"] + 1
+        self._write_commit(
+            v, {"op": "compact", "add": add, "remove": small}
+        )
+        return {"version": v, "files_compacted": len(small),
+                "files_written": len(add)}
+
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Delete data files unreferenced by the newest
+        ``keep_versions`` versions; older versions become unreadable
+        (their commits stay in the log for audit)."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        vs = self._commit_versions()
+        live: set[str] = set()
+        for v in vs[-keep_versions:]:
+            live |= set(self._state(v)["files"])
+        removed = []
+        for name in sorted(os.listdir(self.data_dir)):
+            rel = f"data/{name}"
+            if rel not in live:
+                os.unlink(os.path.join(self.data_dir, name))
+                removed.append(rel)
+        return removed
+
+
+def _json_safe(v):
+    """min/max values serialized losslessly enough to prune with:
+    numbers and strings pass through; dates/timestamps/decimals go to
+    ISO strings (ordering-preserving for same-type comparison)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)

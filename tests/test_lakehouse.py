@@ -1,0 +1,199 @@
+"""Log-structured table format: file-level sharing, stats pruning,
+file-granular DELETE, time travel, compaction, vacuum, concurrency."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.sources.lakehouse import (
+    CHECKPOINT_EVERY,
+    ConcurrentCommitError,
+    LakeTable,
+)
+
+
+def _orders(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).alias("status"),
+        (F.col("id") * 100).cast("double").alias("price"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    t = LakeTable.create(_orders(spark, 0, 100).repartition(4), path)
+    return t
+
+
+def _data_files(t):
+    return sorted(os.listdir(t.data_dir))
+
+
+def test_create_and_read_roundtrip(spark, table):
+    df = table.read(spark)
+    assert df.count() == 100
+    assert set(df.columns) == {"order_id", "status", "price"}
+    assert table.version() == 0
+
+
+def test_append_shares_old_files(spark, table):
+    before = set(_data_files(table))
+    v = table.append(_orders(spark, 100, 150).repartition(2))
+    assert v == 1
+    after = set(_data_files(table))
+    # append added files; every pre-existing file is untouched on disk
+    assert before < after
+    assert table.read(spark).count() == 150
+    # old version still reads the old contents — time travel
+    assert table.read(spark, version=0).count() == 100
+
+
+def test_append_schema_mismatch_raises(spark, table):
+    bad = spark.range(5).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(bad)
+
+
+def test_append_reorders_columns_by_name(spark, table):
+    shuffled = _orders(spark, 200, 210).select("price", "status", "order_id")
+    table.append(shuffled)
+    df = table.read(spark)
+    assert df.count() == 110
+    # the appended rows land in the right columns
+    row = df.where(F.col("order_id") == 205).head()
+    assert row["price"] == 20500.0
+
+
+def test_delete_rewrites_only_touched_files(spark, table):
+    # second batch in a disjoint id range -> its files can't match
+    table.append(_orders(spark, 1000, 1100).repartition(3))
+    before = set(_data_files(table))
+    res = table.delete_where(
+        spark, F.col("order_id") < 10, prune=("order_id", "<", 10)
+    )
+    assert res["rows_deleted"] == 10
+    # pruning proves the high-range files clean without scanning them;
+    # kept files remain bit-identical on disk (same names, still there)
+    assert res["files_kept"] >= 3
+    assert before & set(_data_files(table))  # shared survivors exist
+    assert table.read(spark).count() == 190
+    assert table.read(spark).where(F.col("order_id") < 10).count() == 0
+    # time travel still sees the deleted rows
+    assert table.read(spark, version=1).count() == 200
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=5)]
+    )
+    t = LakeTable.create(df, str(tmp_path / "nulls"))
+    res = t.delete_where(spark, F.col("v") > 6)
+    # v=NULL -> predicate NULL -> row survives (SQL DELETE semantics)
+    assert res["rows_deleted"] == 1
+    remaining = {r["k"] for r in t.read(spark).collect()}
+    assert remaining == {2, 3}
+
+
+def test_delete_with_wrong_manual_prune_is_callers_contract(spark, table):
+    # prune must be implied by the predicate; here it IS, and the scan
+    # confirms only in-range files are counted.
+    res = table.delete_where(
+        spark, F.col("order_id") >= 90, prune=("order_id", ">=", 90)
+    )
+    assert res["rows_deleted"] == 10
+
+
+def test_prune_files_semantics(spark, table):
+    cand, clean = table.prune_files("order_id", "<", 0)
+    assert not cand and len(clean) == len(_data_files(table))
+    cand, clean = table.prune_files("order_id", ">=", 0)
+    assert not clean
+    with pytest.raises(ValueError, match="unsupported prune op"):
+        table.prune_files("order_id", "!=", 5)
+
+
+def test_prune_all_null_file_is_clean(spark, tmp_path):
+    df = spark.createDataFrame([Row(k=None), Row(k=None)], "k int")
+    t = LakeTable.create(df.coalesce(1), str(tmp_path / "allnull"))
+    cand, clean = t.prune_files("k", "=", 1)
+    # min/max both NULL with stats present: no comparison can match
+    assert not cand and len(clean) == 1
+
+
+def test_overwrite_and_rollback_metadata_only(spark, table):
+    files_v0 = set(table._state(0)["files"])
+    table.overwrite(_orders(spark, 0, 5))
+    assert table.read(spark).count() == 5
+    data_before_rollback = set(_data_files(table))
+    v = table.rollback(0)
+    # rollback writes NO data files
+    assert set(_data_files(table)) == data_before_rollback
+    assert set(table._state(v)["files"]) == files_v0
+    assert table.read(spark).count() == 100
+
+
+def test_compact_binpacks_only_small_files(spark, table):
+    # 4 tiny files -> compact with a huge target packs them into 1
+    res = table.compact(spark, target_file_bytes=1 << 30)
+    assert res["files_compacted"] == 4
+    assert res["files_written"] >= 1
+    assert table.read(spark).count() == 100
+    # compacting again is a no-op only if <2 small files remain
+    res2 = table.compact(spark, target_file_bytes=1)
+    assert res2["files_compacted"] == 0
+
+
+def test_vacuum_drops_unreferenced_files(spark, table):
+    table.overwrite(_orders(spark, 0, 10))
+    removed = table.vacuum(keep_versions=1)
+    assert removed  # v0's files are gone
+    assert table.read(spark).count() == 10
+    with pytest.raises(Exception):
+        table.read(spark, version=0).count()
+    with pytest.raises(ValueError):
+        table.vacuum(keep_versions=0)
+
+
+def test_concurrent_commit_conflicts_loudly(spark, table):
+    state = table._state()
+    commit = {"op": "append", "add": [], "remove": []}
+    table._write_commit(state["version"] + 1, dict(commit))
+    with pytest.raises(ConcurrentCommitError):
+        table._write_commit(state["version"] + 1, dict(commit))
+
+
+def test_checkpoint_written_and_used(spark, tmp_path):
+    t = LakeTable.create(_orders(spark, 0, 10).coalesce(1),
+                         str(tmp_path / "cp"))
+    for i in range(CHECKPOINT_EVERY):
+        t.append(_orders(spark, 10 * (i + 1), 10 * (i + 2)).coalesce(1))
+    cps = [f for f in os.listdir(t.log_dir) if f.endswith(".checkpoint.json")]
+    assert cps, "expected a checkpoint commit"
+    # state reconstructed through the checkpoint matches a full replay
+    with open(os.path.join(t.log_dir, cps[-1])) as f:
+        cp_state = json.load(f)
+    assert set(cp_state["files"]) <= set(t._state()["files"])
+    assert t.read(spark).count() == 10 * (CHECKPOINT_EVERY + 1)
+
+
+def test_empty_table_read_has_schema(spark, tmp_path):
+    t = LakeTable.create(_orders(spark, 0, 5), str(tmp_path / "empty"))
+    t.delete_where(spark, F.lit(True))
+    df = t.read(spark)
+    assert df.count() == 0
+    assert set(df.columns) == {"order_id", "status", "price"}
+
+
+def test_history_records_operations(spark, table):
+    table.append(_orders(spark, 100, 110))
+    table.delete_where(spark, F.col("order_id") == 0)
+    hist = table.history()
+    assert [h["op"] for h in hist] == ["create", "append", "delete"]
+    assert hist[-1]["rows_deleted"] == 1

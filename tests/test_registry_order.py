@@ -14,21 +14,25 @@ from olist_data_warehouse_spark.plans.queries import (
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # r5 went 50/50 green, so every round-5 must-prove entry has a
-    # driver row and leaves the set. The round-6 must-prove set is
-    # exactly the entries whose BEHAVIOR changed this round (the rest
-    # of the prefix is evidence rotation over the never-evaluated
-    # pool — desirable, but already sweep-green and unchanged):
-    # the three banded-rank swaps (rank now two-pass range-banded),
-    "pack_balanced_shards", "a29_gini_concentration",
-    "a31_lorenz_deciles",
-    # the pandas-parity per-direction nearest tolerance (engine AND
-    # oracle moved),
-    "tj_asof_nearest",
-    # the once-per-DAG shortlist persist in MMR,
-    "sim_mmr_rerank",
-    # and the degenerate-length guard on the binned interval join.
-    "tj_interval_overlap",
+    # r6 went 50/50 green, so every round-6 must-prove entry has a
+    # driver row and leaves the set. The round-7 must-prove set is
+    # the union of (a) the 23 entries never evaluated by any driver
+    # round (union r1-r6 = 189/212) and (b) the entries whose
+    # behavior changed in the r6->r7 closure commit.
+    # (a) never evaluated r1-r6:
+    "attrib_multi_model", "samp_weighted_fixed_k", "dq_winsorize",
+    "scd2_point_in_time", "ts_cusum_alerts", "t5_keyset_page",
+    "reco_item_lift", "dq_benford_digits", "dq_snapshot_diff",
+    "dq_psi_splits", "ivm_index_merge", "text_keywords_topk",
+    "w10_range_numeric_frame", "sk_hll_set_algebra", "samp_soft_dedup",
+    "f8_calendar_features", "a21_multi_distinct", "w11_ratio_to_report",
+    "w12_rank_variants", "set_except_all", "stream_funnel_users",
+    "stream_unattributed_join", "a13_approx_percentile_cert",
+    # (b) behavior changed this round: a29/a31 observed-revenue
+    # NULL-price contract (both engines moved), dq_ks_drift's banded
+    # running-sum CDF, text_zipf_fit's limit-bounded rank.
+    "a29_gini_concentration", "a31_lorenz_deciles", "dq_ks_drift",
+    "text_zipf_fit",
 }
 
 
