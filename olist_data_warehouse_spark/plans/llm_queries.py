@@ -5414,6 +5414,9 @@ def ivm_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry deterministic and oracle-checkable.
 _BM25_TERMS = ("spark", "merge", "window")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+# Bounded cache scope for the BM25 narrow token-stats frame — at most
+# one call's cache resident per session (mmr_rerank convention).
+_BM25_CACHES: list[DataFrame] = []
 
 
 @register(
@@ -5470,18 +5473,34 @@ ORDER BY score_micro DESC, doc_id LIMIT 10
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents", heal=False)["documents"]
-    base = d.select(
+    # ONE tokenize pass (tokenization — normalize + regex split — is
+    # the dominant per-row cost): a single array filter keeps only
+    # query-term occurrences per doc, so the persisted narrow frame is
+    # (doc_id, dl, qtoks) with |qtoks| = query-term hits (tiny), and
+    # the stats branch and the tf branch share the one tokenize scan.
+    # Non-query tokens are never exploded into rows; the explode that
+    # remains runs codegen over the tiny arrays. Bounded cache scope
+    # per the mmr_rerank convention.
+    toks = textops.tokens("text")
+    def is_query_term(x):
+        cond = x == F.lit(_BM25_TERMS[0])
+        for t in _BM25_TERMS[1:]:
+            cond = cond | (x == F.lit(t))
+        return cond
+    narrow = d.select("doc_id", toks.alias("toks")).select(
         "doc_id",
-        textops.tokens("text").alias("toks"),
-    ).select(
-        "doc_id", "toks", F.size("toks").cast("long").alias("dl")
+        F.size("toks").cast("long").alias("dl"),
+        F.filter("toks", is_query_term).alias("qtoks"),
     )
-    stats = base.agg(
+    while _BM25_CACHES:
+        _BM25_CACHES.pop().unpersist(blocking=False)
+    narrow = narrow.persist()
+    _BM25_CACHES.append(narrow)
+    stats = narrow.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        narrow.select("doc_id", "dl", F.explode("qtoks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
