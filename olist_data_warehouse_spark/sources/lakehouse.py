@@ -147,6 +147,7 @@ class LakeTable:
         else:
             state = {"files": {}, "schema": None}
             start = 0
+        state.setdefault("txns", {})
         for cv in range(start, v + 1):
             c = self._read_commit(cv)
             for p in c.get("remove", []):
@@ -155,6 +156,10 @@ class LakeTable:
                 state["files"][fmeta["path"]] = fmeta
             if c.get("schema") is not None:
                 state["schema"] = c["schema"]
+            if c.get("txn") is not None:
+                t = c["txn"]
+                prev = state["txns"].get(t["app"], -1)
+                state["txns"][t["app"]] = max(prev, t["batch"])
         state["version"] = v
         return state
 
@@ -411,6 +416,133 @@ class LakeTable:
             "files_rewritten": len(touched),
             "files_kept": len(all_files) - len(touched),
         }
+
+    # -- merge (upsert) ------------------------------------------------
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+        prune: tuple[str, str, object] | None = None,
+    ) -> dict:
+        """File-granular MERGE: target rows matching a source row on
+        ``keys`` are replaced by the source row (``when_matched=
+        'update'``) or kept (``'keep'`` — insert-only merge); source
+        rows matching no target row are inserted. The source must be
+        key-unique (the standard MERGE precondition — a multi-match
+        would make the result nondeterministic).
+
+        Same copy-on-write discipline as :meth:`delete_where`: an
+        optional stats ``prune`` plus ONE semi-join scan find the
+        files that contain matched keys; only those are rewritten
+        (their unmatched rows carried over); every other file is
+        shared by reference. Inserts and updates land in new files.
+        At 100 TB a trickle upsert touches O(matched files), not the
+        table — the shape `j7_merge_upsert` runs at DataFrame level,
+        made durable.
+        """
+        if when_matched not in ("update", "keep"):
+            raise ValueError("when_matched must be 'update' or 'keep'")
+        state = self._state()
+        cols = [f["name"] for f in state["schema"]["fields"]]
+        if sorted(source.columns) != sorted(cols):
+            raise ValueError(
+                f"merge schema mismatch: table {cols} vs source "
+                f"{source.columns}"
+            )
+        source = source.select(*cols).localCheckpoint(eager=True)
+        all_files = sorted(state["files"])
+        cand = self.prune_files(*prune)[0] if prune is not None else all_files
+        schema = StructType.fromJson(state["schema"])
+        skeys = source.select(*keys)
+        touched: list[str] = []
+        n_matched = 0
+        if cand:
+            scan = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in cand]
+            )
+            # input_file_name() must be captured ON the scan — after a
+            # join the expression evaluates post-shuffle and is empty
+            hits = (
+                scan.withColumn(
+                    "_file",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .join(skeys, keys, "left_semi")
+                .groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_matches"))
+                .collect()
+            )
+            by_name = {os.path.basename(p): p for p in cand}
+            for r in hits:
+                touched.append(by_name[r["_file"]])
+                n_matched += r["_matches"]
+        add: list[dict] = []
+        if touched:
+            tdf = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in touched]
+            )
+            if when_matched == "update":
+                carried = tdf.join(skeys, keys, "left_anti")
+                incoming = source
+            else:
+                carried = tdf
+                # insert-only: keep target rows, add unmatched source
+                incoming = source.join(
+                    tdf.select(*keys), keys, "left_anti"
+                )
+            add = self._stage_files(carried.unionByName(incoming))
+        else:
+            add = self._stage_files(source)
+        n_source = source.count()
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "merge", "add": add, "remove": touched,
+             "merge_keys": keys, "when_matched": when_matched},
+        )
+        return {
+            "version": v,
+            "rows_matched": n_matched,
+            "rows_source": n_source,
+            "files_rewritten": len(touched),
+            "files_kept": len(all_files) - len(touched),
+        }
+
+    # -- streaming sink (exactly-once) -----------------------------------
+
+    def last_txn_batch(self, app: str) -> int:
+        """Highest streaming batch id committed for ``app`` (-1 if
+        none) — replayed from the log/checkpoint like file state."""
+        return self._state().get("txns", {}).get(app, -1)
+
+    def streaming_sink(self, app: str):
+        """A ``foreachBatch`` function giving EXACTLY-ONCE appends from
+        Structured Streaming: each micro-batch commit carries a
+        ``txn = {app, batch}`` action, and a replayed batch (failure
+        between sink write and checkpoint advance) is detected by
+        ``batch_id <= last committed`` and skipped — the public
+        Delta-sink idempotence protocol. Usage::
+
+            q = (df.writeStream.foreachBatch(table.streaming_sink("job1"))
+                 .option("checkpointLocation", ...).start())
+        """
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= self.last_txn_batch(app):
+                return  # replay of an already-committed batch
+            state = self._state()
+            cols = [f["name"] for f in state["schema"]["fields"]]
+            add = self._stage_files(batch_df.select(*cols))
+            self._write_commit(
+                state["version"] + 1,
+                {"op": "stream_append", "add": add, "remove": [],
+                 "txn": {"app": app, "batch": batch_id}},
+            )
+
+        return write_batch
 
     # -- maintenance ---------------------------------------------------
 

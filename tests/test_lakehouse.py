@@ -191,6 +191,100 @@ def test_empty_table_read_has_schema(spark, tmp_path):
     assert set(df.columns) == {"order_id", "status", "price"}
 
 
+def test_merge_upsert_rewrites_only_matched_files(spark, table):
+    # rows 1000+ live in disjoint files appended after create
+    table.append(_orders(spark, 1000, 1100).repartition(3))
+    src = spark.createDataFrame(
+        [Row(order_id=5, status=99, price=1.0),      # update (low file)
+         Row(order_id=2000, status=1, price=2.0)]    # insert (no match)
+    )
+    res = table.merge_into(
+        spark, src, keys=["order_id"], prune=("order_id", "<=", 2000)
+    )
+    assert res["rows_matched"] == 1
+    assert res["rows_source"] == 2
+    # only the one file holding order_id=5 is rewritten
+    assert res["files_rewritten"] == 1
+    assert res["files_kept"] == 6
+    df = table.read(spark)
+    assert df.count() == 201  # 200 + 1 insert
+    assert df.where("order_id = 5").head()["status"] == 99
+    assert df.where("order_id = 2000").count() == 1
+    # pre-merge version still shows the old row — time travel
+    old = table.read(spark, version=1).where("order_id = 5").head()
+    assert old["status"] == 5 % 7
+
+
+def test_merge_insert_only_keeps_target_rows(spark, table):
+    src = spark.createDataFrame(
+        [Row(order_id=5, status=99, price=1.0),
+         Row(order_id=500, status=1, price=2.0)]
+    )
+    res = table.merge_into(spark, src, ["order_id"], when_matched="keep")
+    assert res["rows_matched"] == 1
+    df = table.read(spark)
+    assert df.count() == 101
+    # matched target row unchanged; unmatched source row inserted
+    assert df.where("order_id = 5").head()["status"] == 5 % 7
+    assert df.where("order_id = 500").count() == 1
+
+
+def test_merge_schema_mismatch_and_bad_mode(spark, table):
+    bad = spark.createDataFrame([Row(order_id=1)])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.merge_into(spark, bad, ["order_id"])
+    src = _orders(spark, 0, 1)
+    with pytest.raises(ValueError, match="when_matched"):
+        table.merge_into(spark, src, ["order_id"], when_matched="boom")
+
+
+def test_merge_into_empty_region_is_pure_insert(spark, table):
+    src = _orders(spark, 10_000, 10_010)
+    res = table.merge_into(
+        spark, src, ["order_id"], prune=("order_id", ">=", 10_000)
+    )
+    assert res["rows_matched"] == 0
+    assert res["files_rewritten"] == 0
+    assert table.read(spark).count() == 110
+
+
+def test_streaming_sink_exactly_once_on_replay(spark, table):
+    sink = table.streaming_sink("job1")
+    b0 = _orders(spark, 5000, 5010)
+    b1 = _orders(spark, 5010, 5020)
+    sink(b0, 0)
+    sink(b1, 1)
+    assert table.read(spark).count() == 120
+    # a replayed micro-batch (failure between commit and checkpoint
+    # advance) must be a no-op
+    sink(b1, 1)
+    sink(b0, 0)
+    assert table.read(spark).count() == 120
+    assert table.last_txn_batch("job1") == 1
+    # a different app has its own txn ledger
+    assert table.last_txn_batch("other") == -1
+    sink(_orders(spark, 5020, 5025), 2)
+    assert table.read(spark).count() == 125
+
+
+def test_streaming_sink_from_real_stream(spark, table, tmp_path):
+    # drive it through actual Structured Streaming micro-batches
+    srcdir = str(tmp_path / "in")
+    _orders(spark, 7000, 7050).coalesce(1).write.parquet(srcdir)
+    stream = (
+        spark.readStream.schema(table.read(spark).schema).parquet(srcdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(table.streaming_sink("s2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).where("order_id >= 7000").count() == 50
+    assert table.last_txn_batch("s2") >= 0
+
+
 def test_history_records_operations(spark, table):
     table.append(_orders(spark, 100, 110))
     table.delete_where(spark, F.col("order_id") == 0)

@@ -10,12 +10,23 @@ ordering defaults, null-skipping aggregates, three-valued predicates)
 and re-runs every oracle-paired registry entry through the standard
 comparator. Usage:
 
-    python tools/null_fuzz_sweep.py [denom]     # default 10 (~10% nulls)
+    python tools/null_fuzz_sweep.py [denom]          # default 10 (~10% nulls)
+    python tools/null_fuzz_sweep.py [denom] --groups # group-kill mode
 
 Key/id columns and join/seed structural columns are kept non-null so
 the sweep measures NULL semantics, not FK chaos; everything else —
 measures, dates, strings, embeddings — takes nulls. Prints one line
 per entry and exits 1 on any crash or mismatch.
+
+``--groups`` nulls a column for EVERY row of ~1/denom of parent
+groups (orders by o_custkey, lineitem by l_orderkey, events by
+user_id, ...) instead of ~1/denom of cells independently. Cell-level
+masks provably cannot produce an all-null GROUP at this scale (the r6
+ADVICE counterexample: a customer whose every order has NULL
+o_totalprice slips past the cell sweep but diverges a NULLS-LAST
+oracle rank from a null-dropping engine join) — this mode generates
+exactly those, so every grouped aggregate's NULL contract is
+exercised cross-engine.
 """
 
 from __future__ import annotations
@@ -57,6 +68,18 @@ KEEP = {
 }
 
 
+# Group-kill parent keys: in --groups mode a column nulls for EVERY
+# row whose group value is selected, so all-null groups exist by
+# construction. Tables absent here fall back to the cell mask.
+GROUP_KEY = {
+    "orders": "o_custkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+    "customer": "c_nationkey",
+    "supplier": "s_nationkey",
+}
+
+
 def _null_mask(table: str, col: str, n: int, denom: int) -> pa.Array:
     # Deterministic per (table, column, row): a cheap LCG-style mix so
     # re-runs and both engines see the byte-identical file. crc32, not
@@ -68,18 +91,42 @@ def _null_mask(table: str, col: str, n: int, denom: int) -> pa.Array:
     return pa.array(vals, type=pa.bool_())
 
 
-def make_fuzzed_sf(dst: str, denom: int) -> None:
+def _group_null_mask(
+    table: str, col: str, group_vals, denom: int
+) -> pa.Array:
+    """Select by GROUP value, not row index: every row of a selected
+    group nulls together (same deterministic mix, keyed on the group
+    value so different columns kill different group subsets)."""
+    import zlib
+
+    seed = (zlib.crc32(f"{table}.{col}".encode()) & 0x7FFFFFFF) or 1
+    vals = [
+        ((seed + 2654435761 * int(g)) >> 7) % denom == 0
+        for g in group_vals
+    ]
+    return pa.array(vals, type=pa.bool_())
+
+
+def make_fuzzed_sf(dst: str, denom: int, groups: bool = False) -> None:
     import pyarrow.compute as pc
 
     for t in TABLES:
         tab = pq.read_table(os.path.join(SF_SRC, f"{t}.parquet"))
+        gvals = (
+            tab.column(GROUP_KEY[t]).to_pylist()
+            if groups and t in GROUP_KEY
+            else None
+        )
         cols = []
         for field in tab.schema:
             col = tab.column(field.name)
             if (t, field.name) in KEEP:
                 cols.append(col)
                 continue
-            mask = _null_mask(t, field.name, len(tab), denom)
+            if gvals is not None:
+                mask = _group_null_mask(t, field.name, gvals, denom)
+            else:
+                mask = _null_mask(t, field.name, len(tab), denom)
             cols.append(
                 pc.if_else(mask, pa.nulls(len(tab), field.type), col)
             )
@@ -93,10 +140,14 @@ def make_fuzzed_sf(dst: str, denom: int) -> None:
 
 
 def main() -> int:
-    denom = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = tempfile.mkdtemp(prefix=f"sf_nullfuzz{denom}_")
-    make_fuzzed_sf(dst, denom)
-    print(f"fuzzed copy at {dst} (~1/{denom} cells nulled)")
+    args = [a for a in sys.argv[1:] if a != "--groups"]
+    groups = "--groups" in sys.argv[1:]
+    denom = int(args[0]) if args else 10
+    mode = "groupkill" if groups else "nullfuzz"
+    dst = tempfile.mkdtemp(prefix=f"sf_{mode}{denom}_")
+    make_fuzzed_sf(dst, denom, groups=groups)
+    unit = "groups per column" if groups else "cells"
+    print(f"fuzzed copy at {dst} (~1/{denom} {unit} nulled)")
 
     from tests.oracle_check import compare_query
 
