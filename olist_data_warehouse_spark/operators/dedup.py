@@ -104,19 +104,21 @@ def shingle_sets(
     return out.distinct() if distinct else out
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+def _shingle_pair_stats(
+    docs: DataFrame, k: int, max_shingle_df: int | None
 ) -> DataFrame:
-    """All-pairs k-word-shingle Jaccard ≥ threshold (doc_a < doc_b).
+    """(doc_a, doc_b, n_inter, size_a, size_b) over hashed k-word
+    shingles (doc_a < doc_b; pairs with no shared shingle never
+    appear) — the common core of set-overlap dedup measures
+    (Jaccard, containment).
 
     Scale posture: sets are represented by their 32-bit shingle hashes
     (same portable hash in the oracle, so results match exactly —
-    "hashed-shingle Jaccard", the standard large-corpus practice): the
+    "hashed-shingle" overlap, the standard large-corpus practice): the
     self-join shuffles compact (id, long) rows instead of strings.
-    ``max_shingle_df`` drops stop-shingles to bound skew. At 100 TB this
-    runs as the verifier behind :func:`minhash_lsh_candidates`, not
-    standalone.
+    ``max_shingle_df`` drops stop-shingles to bound skew. At 100 TB
+    this runs as the verifier behind :func:`minhash_lsh_candidates`,
+    not standalone.
     """
     sh = (
         # distinct=False: dedup happens once at the hash level below —
@@ -156,9 +158,17 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
     )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs k-word-shingle Jaccard ≥ threshold (doc_a < doc_b).
+    See :func:`_shingle_pair_stats` for the scale posture."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_stats(docs, k, max_shingle_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -169,6 +179,37 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-SUPERSET pairs: shingle containment |A∩B| / min(|A|,|B|)
+    ≥ threshold (doc_a < doc_b).
+
+    The measure Jaccard structurally misses: a short document embedded
+    verbatim in a much longer one (boilerplate wrappers, quoted
+    articles, prompt-in-completion leakage) has Jaccard ≈ |A|/|B| → 0
+    but containment ≈ 1. Training-data pipelines run BOTH passes —
+    Jaccard for near-identical pairs, containment for subsumption.
+    Same hashed-shingle core and skew cap as
+    :func:`ngram_jaccard_pairs`; at 100 TB this too runs behind an LSH
+    discovery stage (banding the SMALLER doc's signature biases
+    recall toward the contained side).
+    """
+    return (
+        _shingle_pair_stats(docs, k, max_shingle_df)
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter") / F.least(F.col("size_a"), F.col("size_b")),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 

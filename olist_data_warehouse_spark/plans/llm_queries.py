@@ -507,6 +507,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS text
+  FROM documents WHERE doc_id < 40
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM corpus
+),
+tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [t] END AS shingles
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingled),
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+kept AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 100),
+shf AS (SELECT shh.doc_id, shh.h FROM shh JOIN kept USING (h)),
+sizes AS (SELECT doc_id, count(h) AS set_size FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(a.h) AS n_inter
+  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 4)
+         AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 4)
+      >= 0.6
+""",
+    doc="Shingle CONTAINMENT dedup |A∩B|/min(|A|,|B|) ≥ 0.6 — the "
+    "near-superset pass Jaccard structurally misses (a doc embedded "
+    "verbatim in a longer one scores Jaccard ≈ |A|/|B| → 0 but "
+    "containment ≈ 1). Exercised on a corpus with seeded crops: the "
+    "first half of docs 0-39 re-enters under shifted ids, and every "
+    "crop must surface against its source. Same hashed-shingle core, "
+    "DF-100 skew cap, and plan shape as dedup_ngram_jaccard "
+    "(operators/dedup.py:_shingle_pair_stats — shared verifier core); "
+    "at 100 TB both run as the verify stage behind LSH discovery.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    crops = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) / 2) AS INT))"
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(crops)
+    return dedup.containment_pairs(
+        corpus, k=3, threshold=0.6, max_shingle_df=100
+    )
+
+
+@register(
     "dedup_minhash_signatures",
     oracle=f"""
 WITH {SQL_NORM_TOKENS},

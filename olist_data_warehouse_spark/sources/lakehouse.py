@@ -256,18 +256,59 @@ class LakeTable:
         )
         return t
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append-only commit: writes only the NEW files. Columns must
-        match the table schema by name (order-insensitive select)."""
+        match the table schema by name (order-insensitive select).
+
+        ``merge_schema=True`` allows ADDITIVE evolution: new columns in
+        ``df`` widen the table schema (the commit records it); columns
+        the batch lacks are written as typed NULLs. Old files are never
+        touched — readers backfill their missing columns as NULL
+        because every read applies the CURRENT schema by name over the
+        file set (the Delta/Iceberg evolution contract: schema lives in
+        the log, not the files). Type changes and drops stay errors."""
         state = self._state()
         cols = [f["name"] for f in state["schema"]["fields"]]
-        if sorted(df.columns) != sorted(cols):
+        extra = [c for c in df.columns if c not in cols]
+        if extra and not merge_schema:
             raise ValueError(
                 f"append schema mismatch: table {cols} vs df {df.columns}"
             )
-        add = self._stage_files(df.select(*cols))
+        if not merge_schema and sorted(df.columns) != sorted(cols):
+            raise ValueError(
+                f"append schema mismatch: table {cols} vs df {df.columns}"
+            )
+        commit: dict = {"op": "append", "remove": []}
+        if merge_schema:
+            old = StructType.fromJson(state["schema"])
+            merged = StructType(
+                list(old.fields)
+                + [df.schema[c] for c in df.columns if c not in cols]
+            )
+            for fld in old.fields:
+                if fld.name in df.columns:
+                    got = df.schema[fld.name].dataType
+                    if got != fld.dataType:
+                        raise ValueError(
+                            f"column {fld.name!r} type change "
+                            f"{fld.dataType.simpleString()} -> "
+                            f"{got.simpleString()} is not additive"
+                        )
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged.fields
+                ]
+            )
+            if extra:
+                commit["schema"] = merged.jsonValue()
+        else:
+            df = df.select(*cols)
+        commit["add"] = self._stage_files(df)
         v = state["version"] + 1
-        self._write_commit(v, {"op": "append", "add": add, "remove": []})
+        self._write_commit(v, commit)
         return v
 
     def overwrite(self, df: DataFrame) -> int:

@@ -285,6 +285,34 @@ def test_streaming_sink_from_real_stream(spark, table, tmp_path):
     assert table.last_txn_batch("s2") >= 0
 
 
+def test_append_merge_schema_adds_column_null_backfilled(spark, table):
+    evolved = _orders(spark, 300, 310).withColumn(
+        "channel", F.lit("web")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(evolved)  # additive columns need merge_schema
+    v = table.append(evolved, merge_schema=True)
+    df = table.read(spark)
+    assert "channel" in df.columns
+    assert df.count() == 110
+    # old rows backfill NULL; new rows carry the value
+    assert df.where("channel IS NULL").count() == 100
+    assert df.where("channel = 'web'").count() == 10
+    # time travel to the pre-evolution version keeps the OLD schema
+    assert "channel" not in table.read(spark, version=v - 1).columns
+    # a later batch WITHOUT the new column lands as typed NULLs
+    table.append(_orders(spark, 310, 315), merge_schema=True)
+    assert table.read(spark).where("channel IS NULL").count() == 105
+
+
+def test_append_merge_schema_rejects_type_change(spark, table):
+    changed = _orders(spark, 0, 5).withColumn(
+        "status", F.col("status").cast("string")
+    )
+    with pytest.raises(ValueError, match="not additive"):
+        table.append(changed, merge_schema=True)
+
+
 def test_history_records_operations(spark, table):
     table.append(_orders(spark, 100, 110))
     table.delete_where(spark, F.col("order_id") == 0)

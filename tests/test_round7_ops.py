@@ -108,3 +108,42 @@ def test_zipf_rank_window_is_limit_bounded(spark):
     assert "Limit" in below or "limit" in below, (
         "rank window has no limit beneath it:\n" + plan
     )
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment ≈ 1,
+    Jaccard ≈ |A|/|B| — the measure distinction the containment pass
+    exists for."""
+    from pyspark.sql import Row
+
+    from olist_data_warehouse_spark.operators import dedup
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=small), Row(doc_id=2, text=big),
+         Row(doc_id=3, text="totally unrelated words here only")]
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    jac = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6).collect()
+    assert not [r for r in jac if (r["doc_a"], r["doc_b"]) == (1, 2)], (
+        "Jaccard should NOT flag the embedded pair at the same threshold"
+    )
+    # unrelated doc pairs with nobody
+    assert not [p for p in cont if 3 in p]
+
+
+def test_containment_registry_entry_surfaces_every_seeded_crop(spark):
+    """Each seeded half-doc crop must pair with its source doc."""
+    from olist_data_warehouse_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["dedup_containment"].fn(spark, SF).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    found = {a for a, b in pairs if b == a + 2000000}
+    # docs with enough text to shingle (tiny docs can fall below the
+    # 3-token shingle floor and legitimately self-pair differently)
+    assert len(found) >= 30, f"only {len(found)} crops surfaced"
