@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     # the exact a13 so the sketch-vs-exact tradeoff is a recorded
     # number, not a docstring claim
     "a13_approx_percentile_cert",
+    # round-7: the near-superset containment pass, benched next to
+    # dedup_ngram_jaccard — same _shingle_pair_stats core plus the
+    # crop-seeded corpus, so the shared-verifier cost is a recorded
+    # number
+    "dedup_containment",
 ]
 
 

@@ -341,11 +341,25 @@ class LakeTable:
 
     # -- reading -------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the table AS OF ``version`` (default: current)."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: tuple[str, str, object] | None = None,
+    ) -> DataFrame:
+        """Read the table AS OF ``version`` (default: current).
+
+        ``prune=(col, op, value)`` applies manifest-stats file skipping
+        BEFORE the scan (see :meth:`prune_files`) — the caller still
+        applies the actual row filter; pruning only guarantees the
+        skipped files contain no matching rows. At 100 TB a selective
+        point read then opens O(matching files), not the table."""
         state = self._state(version)
         schema = StructType.fromJson(state["schema"])
-        paths = [os.path.join(self.path, p) for p in sorted(state["files"])]
+        files = sorted(state["files"])
+        if prune is not None:
+            files = sorted(self.prune_files(*prune, version=version)[0])
+        paths = [os.path.join(self.path, p) for p in files]
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)

@@ -305,6 +305,21 @@ def test_append_merge_schema_adds_column_null_backfilled(spark, table):
     assert table.read(spark).where("channel IS NULL").count() == 105
 
 
+def test_read_with_prune_skips_clean_files(spark, table):
+    table.append(_orders(spark, 9000, 9100).repartition(2))
+    pruned = table.read(spark, prune=("order_id", ">=", 9000))
+    # only the 2 high-range files are opened; their rows are complete
+    assert pruned.count() == 100
+    assert pruned.rdd.getNumPartitions() <= 2
+    # prune is a file-level guarantee, not a row filter: the caller
+    # still filters; here the pruned set happens to be exact
+    assert pruned.where("order_id < 9000").count() == 0
+    # an impossible range opens nothing but keeps the schema
+    empty = table.read(spark, prune=("order_id", "<", -1))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"order_id", "status", "price"}
+
+
 def test_append_merge_schema_rejects_type_change(spark, table):
     changed = _orders(spark, 0, 5).withColumn(
         "status", F.col("status").cast("string")
