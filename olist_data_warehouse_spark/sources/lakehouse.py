@@ -638,6 +638,8 @@ class LakeTable:
         for v in vs[-keep_versions:]:
             live |= set(self._state(v)["files"])
         removed = []
+        if not os.path.isdir(self.data_dir):
+            return removed  # zero-file table: nothing staged yet
         for name in sorted(os.listdir(self.data_dir)):
             rel = f"data/{name}"
             if rel not in live:
