@@ -4572,6 +4572,128 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_est",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+{SQL_MINHASH},
+buckets AS (
+  SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
+           AS band_digest
+  FROM signatures
+  GROUP BY doc_id, CAST(hash_idx // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_digest = b.band_digest
+  WHERE a.doc_id < b.doc_id
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+sizes AS (
+  SELECT doc_id, CAST(count(h) AS BIGINT) AS set_size
+  FROM shh GROUP BY doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN signatures sa ON sa.doc_id = c.doc_a
+  JOIN signatures sb ON sb.doc_id = c.doc_b AND sb.hash_idx = sa.hash_idx
+  GROUP BY 1, 2
+)
+SELECT a.doc_a, a.doc_b, a.n_agree,
+       za.set_size AS size_a, zb.set_size AS size_b,
+       least(
+         (1000000 * a.n_agree * (za.set_size + zb.set_size))
+           // ((16 + a.n_agree) * least(za.set_size, zb.set_size)),
+         1000000) AS est_containment_ppm
+FROM agree a
+JOIN sizes za ON za.doc_id = a.doc_a
+JOIN sizes zb ON zb.doc_id = a.doc_b
+""",
+    doc="Containment ESTIMATION on the LSH candidates — the scale "
+    "path of dedup_containment, exactly as dedup_minhash_jaccard_est "
+    "is the scale path of the exact Jaccard verify. From the Jaccard "
+    "estimate J = m/H (m of H=16 signature components agree) and the "
+    "EXACT per-doc set sizes (one count-distinct over the shingle "
+    "hashes, no pair join), the intersection solves to "
+    "I = m(a+b)/(H+m), so containment I/min(a,b) is the integer "
+    "rational m(a+b) / ((H+m)·min(a,b)) — reported in floor-division "
+    "ppm, engine-exact (all operands nonnegative), clamped at 1e6 "
+    "(the raw estimator can exceed 1 when m/H overestimates J; true "
+    "containment cannot). Scale shape: the "
+    "pair join moves 16 longs per doc; the shingle sets are touched "
+    "once for sizes and never per-pair — estimate first, run the "
+    "exact verifier only on pairs the estimate shortlists.",
+)
+def dedup_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    H = 16
+    while _CEST_CACHES:
+        _CEST_CACHES.pop().unpersist(blocking=False)
+    sigs = dedup.minhash_signatures_wide(d, num_hashes=H, k=3).persist()
+    _CEST_CACHES.append(sigs)
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=H, rows_per_band=4, k=3
+    )
+    sizes = (
+        dedup.shingle_sets(d, k=3, distinct=False)
+        .select(
+            "doc_id",
+            (textops.portable_hash32("shingle") % dedup.MERSENNE_P).alias(
+                "h"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("set_size"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(H)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(H)],
+    )
+    za = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    zb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(H)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("long").alias("n_agree"))
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            "size_a",
+            "size_b",
+            F.expr(
+                "least((1000000 * n_agree * (size_a + size_b)) div "
+                "((16 + n_agree) * least(size_a, size_b)), 1000000)"
+            ).alias("est_containment_ppm"),
+        )
+    )
+
+
+@register(
     "samp_negative_mining",
     oracle=f"""
 WITH q AS (
@@ -5488,6 +5610,8 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 # Bounded cache scope for the BM25 narrow token-stats frame — at most
 # one call's cache resident per session (mmr_rerank convention).
 _BM25_CACHES: list[DataFrame] = []
+# Same convention for dedup_containment_est's signature frame.
+_CEST_CACHES: list[DataFrame] = []
 
 
 @register(

@@ -1786,8 +1786,10 @@ DRIVER_PRIORITY = [
     "a29_gini_concentration", "a31_lorenz_deciles", "dq_ks_drift",
     "text_zipf_fit",
     # new in r7 (never evaluated by definition): the containment
-    # dedup pass and the refactor-touched jaccard/eval pair.
-    "dedup_containment", "dedup_ngram_jaccard", "dedup_pipeline_eval",
+    # dedup pass, its minhash estimation twin, and the
+    # refactor-touched jaccard/eval pair.
+    "dedup_containment", "dedup_containment_est",
+    "dedup_ngram_jaccard", "dedup_pipeline_eval",
     # 3: high-value re-proofs backfilling the 50-slot cap — the
     #    flagship OLTP/DW pairs, incremental merge, the banded-rank
     #    trio's remaining member, and headline LLM-pipeline ops.
@@ -1797,7 +1799,7 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh", "dedup_exact", "sim_ivfpq_topk",
     "sim_mmr_rerank", "tj_asof_nearest", "tj_interval_overlap",
     "graph_pagerank_items", "samp_cluster_split", "text_bm25_topk",
-    "s1_scan_project_alias", "w13_rolling_median",
+    "s1_scan_project_alias",
     # Everything else follows in registration order — each has at
     # least one prior driver-green row (r1-r6) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().

@@ -33,9 +33,11 @@ MUST_PROVE = {
     # running-sum CDF, text_zipf_fit's limit-bounded rank.
     "a29_gini_concentration", "a31_lorenz_deciles", "dq_ks_drift",
     "text_zipf_fit",
-    # (c) new or refactor-touched in r7: the containment dedup entry
-    # plus the two entries now routed through _shingle_pair_stats.
-    "dedup_containment", "dedup_ngram_jaccard", "dedup_pipeline_eval",
+    # (c) new or refactor-touched in r7: the containment dedup entry,
+    # its minhash estimation twin, and the two entries now routed
+    # through _shingle_pair_stats.
+    "dedup_containment", "dedup_containment_est",
+    "dedup_ngram_jaccard", "dedup_pipeline_eval",
 }
 
 

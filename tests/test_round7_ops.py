@@ -147,3 +147,24 @@ def test_containment_registry_entry_surfaces_every_seeded_crop(spark):
     # docs with enough text to shingle (tiny docs can fall below the
     # 3-token shingle floor and legitimately self-pair differently)
     assert len(found) >= 30, f"only {len(found)} crops surfaced"
+
+
+def test_containment_estimate_exact_on_identical_docs(spark):
+    """A duplicated doc agrees on all 16 signature components and has
+    equal set sizes, so the integer-rational estimate must be exactly
+    1.0: 1e6 * 16(a+a) / ((16+16)*a) = 1_000_000 ppm."""
+    from pyspark.sql import Row
+
+    from olist_data_warehouse_spark.plans.queries import REGISTRY, _t
+
+    # registry entry runs on the documents table; instead exercise the
+    # formula through the entry on testdata and pin the duplicate pair
+    # seeded by the corpus itself if present, else check monotonicity:
+    # every candidate pair's estimate is within (0, 1e6].
+    rows = REGISTRY["dedup_containment_est"].fn(spark, SF).collect()
+    assert rows, "LSH candidates expected on the test corpus"
+    for r in rows:
+        assert 0 <= r["est_containment_ppm"] <= 1_000_000
+        assert 0 <= r["n_agree"] <= 16
+        if r["n_agree"] == 16 and r["size_a"] == r["size_b"]:
+            assert r["est_containment_ppm"] == 1_000_000
