@@ -8,6 +8,7 @@ from olist_data_warehouse_spark.sources.readers import (  # noqa: F401
 from olist_data_warehouse_spark.sources.lakehouse import (  # noqa: F401
     ConcurrentCommitError,
     LakeTable,
+    with_occ_retry,
 )
 from olist_data_warehouse_spark.sources.writers import (  # noqa: F401
     append_rows,

@@ -599,6 +599,47 @@ class LakeTable:
 
         return write_batch
 
+    # -- incremental consumption ----------------------------------------
+
+    def read_appends_since(
+        self, spark: SparkSession, version: int
+    ) -> tuple[DataFrame, int]:
+        """Change feed for incremental consumers: the rows ADDED by
+        append/stream_append/create commits in ``(version, current]``,
+        plus the current version to checkpoint for the next call.
+        Reading only the delta files is what lets a downstream
+        maintained aggregate (the `ivm_agg_merge` pattern) refresh by
+        scanning the churn, never the table.
+
+        Row-level semantics are only well-defined while the feed is
+        append-only: a delete/merge/compact/overwrite/rollback commit
+        in the range REWRITES row identity, so the call raises and the
+        consumer must fall back to a full re-read (the documented
+        contract of append-only change feeds; a row-level CDF would
+        need per-commit remove-side row diffs).
+        """
+        cur = self.version()
+        if cur is None or version > cur:
+            raise ValueError(f"version {version} ahead of table ({cur})")
+        add_paths: list[str] = []
+        for v in range(version + 1, cur + 1):
+            c = self._read_commit(v)
+            if c["op"] not in ("create", "append", "stream_append"):
+                raise ValueError(
+                    f"non-append commit v{v} ({c['op']}) in range — "
+                    "row identity rewritten; re-read the table"
+                )
+            add_paths += [f["path"] for f in c.get("add", [])]
+        schema = StructType.fromJson(self._state(cur)["schema"])
+        if not add_paths:
+            return spark.createDataFrame([], schema), cur
+        return (
+            spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in sorted(add_paths)]
+            ),
+            cur,
+        )
+
     # -- maintenance ---------------------------------------------------
 
     def compact(self, spark: SparkSession, target_file_bytes: int) -> dict:
@@ -646,6 +687,25 @@ class LakeTable:
                 os.unlink(os.path.join(self.data_dir, name))
                 removed.append(rel)
         return removed
+
+
+def with_occ_retry(op, attempts: int = 5):
+    """Run ``op()`` (a LakeTable mutation closure) retrying on
+    :class:`ConcurrentCommitError` — the standard optimistic-
+    concurrency loop. Safe because every mutator re-resolves table
+    state at entry, so a retry serializes AFTER the winning commit
+    (appends are blind-safe; delete/merge recompute their file sets
+    against the new state). Data files staged by a losing attempt are
+    unreferenced and reclaimed by vacuum. Raises the last conflict if
+    ``attempts`` is exhausted (a genuinely hot table needs a queue,
+    not more retries)."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(attempts):
+        try:
+            return op()
+        except ConcurrentCommitError as e:
+            last = e
+    raise last
 
 
 def _json_safe(v):

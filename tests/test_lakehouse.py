@@ -14,6 +14,7 @@ from olist_data_warehouse_spark.sources.lakehouse import (
     CHECKPOINT_EVERY,
     ConcurrentCommitError,
     LakeTable,
+    with_occ_retry,
 )
 
 
@@ -326,6 +327,59 @@ def test_append_merge_schema_rejects_type_change(spark, table):
     )
     with pytest.raises(ValueError, match="not additive"):
         table.append(changed, merge_schema=True)
+
+
+def test_read_appends_since_yields_only_the_delta(spark, table):
+    v0 = table.version()
+    table.append(_orders(spark, 100, 120))
+    table.streaming_sink("cf")(_orders(spark, 120, 130), 0)
+    delta, cur = table.read_appends_since(spark, v0)
+    assert delta.count() == 30  # only the two new batches, not the 100
+    assert cur == table.version()
+    # consumer checkpoints cur; nothing new -> empty frame, same schema
+    empty, cur2 = table.read_appends_since(spark, cur)
+    assert cur2 == cur and empty.count() == 0
+    assert set(empty.columns) == {"order_id", "status", "price"}
+    # since=-1 bootstraps with the full table (create commit included)
+    full, _ = table.read_appends_since(spark, -1)
+    assert full.count() == 130
+
+
+def test_read_appends_since_raises_across_rewrites(spark, table):
+    v0 = table.version()
+    table.delete_where(spark, F.col("order_id") < 5)
+    table.append(_orders(spark, 200, 210))
+    with pytest.raises(ValueError, match="non-append commit"):
+        table.read_appends_since(spark, v0)
+    with pytest.raises(ValueError, match="ahead of table"):
+        table.read_appends_since(spark, table.version() + 1)
+
+
+def test_with_occ_retry_wins_after_conflict(spark, table, tmp_path):
+    # a competitor racing the same version numbers: inject a winning
+    # commit right before the protected op's first attempt commits
+    competitor = LakeTable(table.path)
+    state = {"raced": False}
+    real_write = table._write_commit
+
+    def racing_write(v, commit):
+        if not state["raced"]:
+            state["raced"] = True
+            competitor._write_commit(v, {"op": "append", "add": [],
+                                         "remove": []})
+        return real_write(v, commit)
+
+    table._write_commit = racing_write
+    v = with_occ_retry(lambda: table.append(_orders(spark, 400, 410)))
+    table._write_commit = real_write
+    assert state["raced"]
+    assert v == table.version()
+    assert table.read(spark).where("order_id >= 400").count() == 10
+    # exhausted attempts re-raise the conflict
+    def always_lose():
+        raise ConcurrentCommitError("hot table")
+    with pytest.raises(ConcurrentCommitError):
+        with_occ_retry(always_lose, attempts=2)
 
 
 def test_history_records_operations(spark, table):
