@@ -39,6 +39,21 @@ HASH_A_MULT = 2654435761
 HASH_B_MULT = 40503
 HASH_B_ADD = 17
 
+# Bounded cache residency (same convention as the _BM25_CACHES /
+# _CEST_CACHES lists in plans/llm_queries.py): each persist site keeps
+# at most ONE cached frame alive — the next call through the same slot
+# unpersists its predecessor — so a session running many dedup passes
+# holds one cached lineage per helper, not an ever-growing set.
+_DEDUP_CACHES: dict[str, DataFrame] = {}
+
+
+def _bounded_persist(slot: str, df: DataFrame) -> DataFrame:
+    prev = _DEDUP_CACHES.pop(slot, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _DEDUP_CACHES[slot] = df.persist()
+    return _DEDUP_CACHES[slot]
+
 
 def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
     """Group documents by normalized-content fingerprint.
@@ -120,18 +135,17 @@ def _shingle_pair_stats(
     this runs as the verifier behind :func:`minhash_lsh_candidates`,
     not standalone.
     """
-    sh = (
+    sh = _bounded_persist(
+        "shingle_pairs",
         # distinct=False: dedup happens once at the hash level below —
         # the string-level distinct would shuffle full shingle text
         # first, the single largest (and avoidable) exchange here.
-        shingle_sets(docs, k, distinct=False)
-        .select(
-            "doc_id", (textops.portable_hash32("shingle") % MERSENNE_P).alias("h")
-        )
-        .distinct()
         # Referenced three times below (sizes + both self-join sides):
-        # persist so the shingle pipeline runs once, not 3×.
-        .persist()
+        # persisted (bounded to one resident copy) so the shingle
+        # pipeline runs once, not 3×.
+        shingle_sets(docs, k, distinct=False).select(
+            "doc_id", (textops.portable_hash32("shingle") % MERSENNE_P).alias("h")
+        ).distinct(),
     )
     if max_shingle_df is not None:
         # Cap as a BROADCAST anti-join against the HOT set: shingles
@@ -314,11 +328,15 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (doc_a < doc_b) from banded
     MinHash — the scale path: only same-bucket docs ever meet."""
-    # Both self-join sides read the bucket table: persist to compute
-    # the signature pipeline once.
-    buckets = minhash_band_buckets(
-        minhash_signatures_wide(docs, num_hashes, k), num_hashes, rows_per_band
-    ).persist()
+    # Both self-join sides read the bucket table: persist (bounded to
+    # one resident copy) to compute the signature pipeline once.
+    buckets = _bounded_persist(
+        "lsh_buckets",
+        minhash_band_buckets(
+            minhash_signatures_wide(docs, num_hashes, k),
+            num_hashes, rows_per_band,
+        ),
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -392,19 +410,23 @@ def simhash_hamming_pairs(
     width = bits // n_bands
     mask = (1 << width) - 1
     sig = simhash(docs, bits)
-    # Persisted: both sides of the band self-join read this table, and
-    # without the persist the simhash aggregation (token explode + 32
-    # bit-vote sums over the whole corpus) executes twice.
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
-                for b in range(n_bands)
-            ])
-        ).alias("band", "val"),
-    ).persist()
+    # Persisted (bounded to one resident copy): both sides of the band
+    # self-join read this table, and without the persist the simhash
+    # aggregation (token explode + 32 bit-vote sums over the whole
+    # corpus) executes twice.
+    bands = _bounded_persist(
+        "simhash_bands",
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(*[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ])
+            ).alias("band", "val"),
+        ),
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
         "band", "val",

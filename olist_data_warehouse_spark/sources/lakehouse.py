@@ -125,6 +125,24 @@ class LakeTable:
                 json.dump(state, f, indent=1)
             os.replace(cptmp, cp)
 
+    def _check_types(self, state: dict, df: DataFrame) -> None:
+        """Shared-column TYPE gate for every write path. Names alone
+        are not enough: a batch whose column type differs from the
+        table schema would commit fine and poison every later read
+        (:meth:`read` applies the table schema over the incompatible
+        parquet, so the failure surfaces at scan time, versions after
+        the bad write). Fail here, before any file is staged."""
+        table = StructType.fromJson(state["schema"])
+        for fld in table.fields:
+            if fld.name in df.columns:
+                got = df.schema[fld.name].dataType
+                if got != fld.dataType:
+                    raise ValueError(
+                        f"column {fld.name!r} type mismatch: table "
+                        f"{fld.dataType.simpleString()} vs batch "
+                        f"{got.simpleString()}"
+                    )
+
     def _state(self, v: int | None = None) -> dict:
         """Table state at version ``v``: replay latest checkpoint <= v,
         then the commits after it. O(files) once + O(touched) per tail
@@ -278,6 +296,7 @@ class LakeTable:
             raise ValueError(
                 f"append schema mismatch: table {cols} vs df {df.columns}"
             )
+        self._check_types(state, df)
         commit: dict = {"op": "append", "remove": []}
         if merge_schema:
             old = StructType.fromJson(state["schema"])
@@ -285,15 +304,6 @@ class LakeTable:
                 list(old.fields)
                 + [df.schema[c] for c in df.columns if c not in cols]
             )
-            for fld in old.fields:
-                if fld.name in df.columns:
-                    got = df.schema[fld.name].dataType
-                    if got != fld.dataType:
-                        raise ValueError(
-                            f"column {fld.name!r} type change "
-                            f"{fld.dataType.simpleString()} -> "
-                            f"{got.simpleString()} is not additive"
-                        )
             df = df.select(
                 *[
                     F.col(f.name)
@@ -371,7 +381,13 @@ class LakeTable:
         (op in =, <, <=, >, >=): (candidates, provably_clean). A file
         with no stats for the column is always a candidate (never
         silently skipped). NULLs never match a comparison, so
-        null-count never widens the candidate set."""
+        null-count never widens the candidate set.
+
+        ``value`` is normalized through the same serialization as the
+        stored stats (:func:`_json_safe`), so native
+        date/datetime/Decimal prune values compare against the ISO
+        strings in the manifest instead of raising ``TypeError``."""
+        value = _json_safe(value)
         state = self._state(version)
         cand, clean = [], []
         for p in sorted(state["files"]):
@@ -491,12 +507,20 @@ class LakeTable:
 
         Same copy-on-write discipline as :meth:`delete_where`: an
         optional stats ``prune`` plus ONE semi-join scan find the
-        files that contain matched keys; only those are rewritten
-        (their unmatched rows carried over); every other file is
-        shared by reference. Inserts and updates land in new files.
-        At 100 TB a trickle upsert touches O(matched files), not the
-        table — the shape `j7_merge_upsert` runs at DataFrame level,
-        made durable.
+        files that contain matched keys; in ``'update'`` mode only
+        those are rewritten (their unmatched rows carried over); every
+        other file is shared by reference. ``'keep'`` mode rewrites
+        ZERO files — matched target rows are already the answer, so
+        only the anti-joined inserts are staged; the trickle-ingest
+        hot path never pays an O(matched files) rewrite. At 100 TB a
+        trickle upsert touches O(matched files), not the table — the
+        shape `j7_merge_upsert` runs at DataFrame level, made durable.
+
+        The source is materialized ONCE by staging its parquet up
+        front: the staging metadata gives ``rows_source`` without a
+        ``count()`` action, in update mode the staged files ARE the
+        commit's incoming files, and the semi/anti joins re-read the
+        staged parquet instead of recomputing the source plan.
         """
         if when_matched not in ("update", "keep"):
             raise ValueError("when_matched must be 'update' or 'keep'")
@@ -507,11 +531,26 @@ class LakeTable:
                 f"merge schema mismatch: table {cols} vs source "
                 f"{source.columns}"
             )
-        source = source.select(*cols).localCheckpoint(eager=True)
+        self._check_types(state, source)
         all_files = sorted(state["files"])
         cand = self.prune_files(*prune)[0] if prune is not None else all_files
         schema = StructType.fromJson(state["schema"])
-        skeys = source.select(*keys)
+
+        src_add = self._stage_files(source.select(*cols))
+        rows_source = sum(m["rows"] for m in src_add)
+        # empty part files carry no rows — drop them from the commit
+        # and from disk so the log never references dead weight
+        for m in [m for m in src_add if m["rows"] == 0]:
+            os.unlink(os.path.join(self.path, m["path"]))
+        src_add = [m for m in src_add if m["rows"] > 0]
+        if src_add:
+            src_df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, m["path"]) for m in src_add]
+            )
+        else:
+            src_df = spark.createDataFrame([], schema)
+        skeys = src_df.select(*keys)
+
         touched: list[str] = []
         n_matched = 0
         if cand:
@@ -534,36 +573,42 @@ class LakeTable:
             for r in hits:
                 touched.append(by_name[r["_file"]])
                 n_matched += r["_matches"]
-        add: list[dict] = []
-        if touched:
-            tdf = spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in touched]
-            )
-            if when_matched == "update":
-                carried = tdf.join(skeys, keys, "left_anti")
-                incoming = source
-            else:
-                carried = tdf
-                # insert-only: keep target rows, add unmatched source
-                incoming = source.join(
-                    tdf.select(*keys), keys, "left_anti"
+
+        if when_matched == "update":
+            add = list(src_add)
+            remove = touched
+            if touched:
+                tdf = spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, p) for p in touched]
                 )
-            add = self._stage_files(carried.unionByName(incoming))
+                add += self._stage_files(tdf.join(skeys, keys, "left_anti"))
         else:
-            add = self._stage_files(source)
-        n_source = source.count()
+            # insert-only: zero files rewritten — stage ONLY the
+            # anti-joined inserts; matched target rows stay in place
+            remove = []
+            if touched:
+                tkeys = spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, p) for p in touched]
+                ).select(*keys)
+                inserted = src_df.join(tkeys, keys, "left_anti")
+            else:
+                inserted = src_df
+            add = self._stage_files(inserted)
+            # the staged source was scratch here — reclaim it eagerly
+            for m in src_add:
+                os.unlink(os.path.join(self.path, m["path"]))
         v = state["version"] + 1
         self._write_commit(
             v,
-            {"op": "merge", "add": add, "remove": touched,
+            {"op": "merge", "add": add, "remove": remove,
              "merge_keys": keys, "when_matched": when_matched},
         )
         return {
             "version": v,
             "rows_matched": n_matched,
-            "rows_source": n_source,
-            "files_rewritten": len(touched),
-            "files_kept": len(all_files) - len(touched),
+            "rows_source": rows_source,
+            "files_rewritten": len(remove),
+            "files_kept": len(all_files) - len(remove),
         }
 
     # -- streaming sink (exactly-once) -----------------------------------
@@ -590,6 +635,7 @@ class LakeTable:
                 return  # replay of an already-committed batch
             state = self._state()
             cols = [f["name"] for f in state["schema"]["fields"]]
+            self._check_types(state, batch_df)
             add = self._stage_files(batch_df.select(*cols))
             self._write_commit(
                 state["version"] + 1,
@@ -668,12 +714,25 @@ class LakeTable:
         return {"version": v, "files_compacted": len(small),
                 "files_written": len(add)}
 
-    def vacuum(self, keep_versions: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 2, retention_seconds: float = 86400.0
+    ) -> list[str]:
         """Delete data files unreferenced by the newest
         ``keep_versions`` versions; older versions become unreadable
-        (their commits stay in the log for audit)."""
+        (their commits stay in the log for audit).
+
+        ``retention_seconds`` is the concurrent-writer safety window
+        (Delta's tombstone-retention shape): writers stage files into
+        data/ BEFORE their commit attempt, so a file that is
+        unreferenced RIGHT NOW may belong to an in-flight commit. Only
+        files older than the window are reclaimed — an in-flight
+        commit that takes a day is a crashed writer, whose staged
+        files are exactly what vacuum exists to collect. Pass 0 only
+        when no writer can be live (tests, offline maintenance)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        import time
+
         vs = self._commit_versions()
         live: set[str] = set()
         for v in vs[-keep_versions:]:
@@ -681,10 +740,12 @@ class LakeTable:
         removed = []
         if not os.path.isdir(self.data_dir):
             return removed  # zero-file table: nothing staged yet
+        cutoff = time.time() - retention_seconds
         for name in sorted(os.listdir(self.data_dir)):
             rel = f"data/{name}"
-            if rel not in live:
-                os.unlink(os.path.join(self.data_dir, name))
+            full = os.path.join(self.data_dir, name)
+            if rel not in live and os.path.getmtime(full) <= cutoff:
+                os.unlink(full)
                 removed.append(rel)
         return removed
 

@@ -153,7 +153,10 @@ def test_compact_binpacks_only_small_files(spark, table):
 
 def test_vacuum_drops_unreferenced_files(spark, table):
     table.overwrite(_orders(spark, 0, 10))
-    removed = table.vacuum(keep_versions=1)
+    # default retention keeps just-written files: a racing writer's
+    # staged-but-not-yet-committed files must survive a vacuum
+    assert table.vacuum(keep_versions=1) == []
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
     assert removed  # v0's files are gone
     assert table.read(spark).count() == 10
     with pytest.raises(Exception):
@@ -223,11 +226,81 @@ def test_merge_insert_only_keeps_target_rows(spark, table):
     )
     res = table.merge_into(spark, src, ["order_id"], when_matched="keep")
     assert res["rows_matched"] == 1
+    assert res["rows_source"] == 2
+    # insert-only merge is zero-rewrite: matched rows stay in place
+    assert res["files_rewritten"] == 0
     df = table.read(spark)
     assert df.count() == 101
     # matched target row unchanged; unmatched source row inserted
     assert df.where("order_id = 5").head()["status"] == 5 % 7
     assert df.where("order_id = 500").count() == 1
+
+
+def test_merge_keep_zero_rewrite_when_every_file_matched(spark, tmp_path):
+    # every file holds a matched key -> the old implementation rewrote
+    # ALL of them; keep-mode must rewrite none and still match
+    t = LakeTable.create(_orders(spark, 0, 100).repartition(4),
+                         str(tmp_path / "keep"))
+    before = set(_data_files(t))
+    src = _orders(spark, 0, 120)  # 100 matches spread over all files
+    res = t.merge_into(spark, src, ["order_id"], when_matched="keep")
+    assert res["rows_matched"] == 100
+    assert res["rows_source"] == 120
+    assert res["files_rewritten"] == 0
+    assert res["files_kept"] == 4
+    # every original data file is still referenced and on disk
+    assert before <= set(_data_files(t))
+    assert set(p for p in t._state()["files"]) >= {
+        f"data/{n}" for n in before
+    }
+    df = t.read(spark)
+    assert df.count() == 120
+    # matched rows kept target values (same here), inserts landed
+    assert df.where("order_id >= 100").count() == 20
+
+
+def test_merge_keep_scratch_source_files_reclaimed(spark, table):
+    src = _orders(spark, 0, 50)
+    table.merge_into(spark, src, ["order_id"], when_matched="keep")
+    # the staged source was scratch (all rows matched, zero inserts
+    # beyond none) — no unreferenced source files left behind
+    state_files = {os.path.basename(p) for p in table._state()["files"]}
+    on_disk = set(_data_files(table))
+    # every on-disk file is either referenced now or belonged to v0
+    v0_files = {os.path.basename(p) for p in table._state(0)["files"]}
+    assert on_disk <= state_files | v0_files
+
+
+def test_write_paths_reject_type_mismatch_before_commit(spark, table):
+    bad = _orders(spark, 0, 5).withColumn(
+        "price", F.col("price").cast("string")
+    )
+    v_before = table.version()
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.append(bad)
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.merge_into(spark, bad, ["order_id"])
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.streaming_sink("tj")(bad, 0)
+    # nothing committed, table still fully readable
+    assert table.version() == v_before
+    assert table.read(spark).count() == 100
+
+
+def test_prune_files_accepts_native_datetime_value(spark, tmp_path):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [Row(k=1, ts=dt.datetime(2024, 1, 1, 12)),
+         Row(k=2, ts=dt.datetime(2024, 6, 1, 12))],
+    )
+    t = LakeTable.create(df.repartition(2, "k"), str(tmp_path / "ts"))
+    # native datetime prune value: normalized to the stats' ISO form
+    cand, clean = t.prune_files("ts", ">=", dt.datetime(2024, 3, 1))
+    assert len(cand) >= 1
+    got = t.read(spark, prune=("ts", ">=", dt.datetime(2024, 3, 1)))
+    rows = got.where(F.col("ts") >= F.lit(dt.datetime(2024, 3, 1))).collect()
+    assert {r["k"] for r in rows} == {2}
 
 
 def test_merge_schema_mismatch_and_bad_mode(spark, table):
@@ -325,7 +398,7 @@ def test_append_merge_schema_rejects_type_change(spark, table):
     changed = _orders(spark, 0, 5).withColumn(
         "status", F.col("status").cast("string")
     )
-    with pytest.raises(ValueError, match="not additive"):
+    with pytest.raises(ValueError, match="type mismatch"):
         table.append(changed, merge_schema=True)
 
 
