@@ -119,6 +119,12 @@ BENCH_QUERIES = [
     # crop-seeded corpus, so the shared-verifier cost is a recorded
     # number
     "dedup_containment",
+    # round-8: the lakehouse family's two heaviest end-to-end shapes —
+    # file-granular DELETE (create + stats-pruned delete + readback)
+    # and the append-only change feed driving an incremental aggregate
+    # merge. Both time the full durable round-trip, not just a scan.
+    "lake_delete_where",
+    "lake_change_feed",
 ]
 
 

@@ -1,0 +1,270 @@
+"""Driver-gated lakehouse queries: every LakeTable mutator as a
+(Spark plan, DuckDB oracle) pair.
+
+The log-structured table format (:mod:`..sources.lakehouse`) is the
+engine's durability layer; until round 8 its correctness rested only on
+self-authored pytest. These entries put each mutator behind the same
+mechanized differential gate as every other operator: the Spark side
+CREATEs a real lake table from the round's parquet input, runs the
+mutation (file-granular DELETE, MERGE upsert, additive schema
+evolution, append-only change feed, overwrite+rollback time travel,
+stats-pruned read), and returns the full READBACK; the oracle states
+the end result relationally over the same raw tables. A wrong commit
+log, a lost file action, a broken NULL contract, or a pruning bug all
+surface as a hash mismatch.
+
+Scratch discipline: tables are built under a per-process tmp root,
+rebuilt from scratch on every call (the driver may re-run entries),
+and torn down lazily by the OS tmp reaper — the returned DataFrame
+lazily reads the staged parquet, so the files must outlive the call.
+
+Reference parity: the reference's staging reloads are DELETE+INSERT
+over SQL Server tables (`Olist DW.sql:39-186`); here the same row
+semantics run as logged, versioned, file-granular commits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.plans.queries import _t, register
+from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+
+# Per-process scratch root: concurrent runners (driver, pytest, bench)
+# never collide; a process rebuilds its own table dirs per call.
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(), f"odw-lake-queries-{os.getpid()}"
+)
+
+
+def _fresh(name: str, sf_dir: str) -> str:
+    """A clean table path for (entry, sf_dir) — removed if it exists,
+    so every call builds the table from the current input."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(_SCRATCH_ROOT, tag, name)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@register(
+    "lake_delete_where",
+    oracle="""
+SELECT * FROM orders
+WHERE o_totalprice IS NULL OR o_totalprice <= 400000.0
+""",
+    doc="Durable DELETE WHERE on the lake format: create the table "
+    "range-clustered on o_totalprice (8 files with disjoint stats), "
+    "delete rows above the threshold with a stats prune, read back "
+    "the committed version. The oracle states the survivor set with "
+    "SQL three-valued semantics (NULL-predicate rows survive). "
+    "Clustering makes the prune real: the delete opens only the "
+    "files whose [min,max] straddles the threshold — at 100 TB a "
+    "point delete touches O(matching files), not the table. "
+    "Reference parity: S7 DELETE WHERE (SURVEY §2.1) made versioned.",
+)
+def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_totalprice"),
+        _fresh("delete_where", sf_dir),
+    )
+    t.delete_where(
+        spark,
+        F.col("o_totalprice") > 400000.0,
+        prune=("o_totalprice", ">", 400000.0),
+    )
+    return t.read(spark)
+
+
+@register(
+    "lake_merge_upsert",
+    oracle="""
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+),
+source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 0.5 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM source
+UNION ALL
+SELECT * FROM target t
+WHERE NOT EXISTS (
+  SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey
+)
+""",
+    doc="Durable MERGE upsert on the lake format: target = orders with "
+    "key % 4 <> 0, source = key % 2 = 0 at half price — overlapping "
+    "keys are updates (file-granular rewrite of only the files that "
+    "hold them), the rest are inserts (new files). The oracle is the "
+    "standard MERGE expansion: source wins on match, anti-joined "
+    "target rows carry over. Halving a double is exact, so values "
+    "hash-match bit-for-bit. The J7 merge shape (SURVEY §2.3) made "
+    "durable and versioned.",
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    target = orders.where(F.col("o_orderkey") % 4 != 0)
+    t = LakeTable.create(
+        target.repartitionByRange(8, "o_orderkey"),
+        _fresh("merge_upsert", sf_dir),
+    )
+    source = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.5
+    )
+    t.merge_into(spark, source, keys=["o_orderkey"])
+    return t.read(spark)
+
+
+@register(
+    "lake_schema_evolution",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       CAST(NULL AS VARCHAR) AS bal_band
+FROM customer WHERE c_custkey % 2 = 1
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal IS NOT NULL THEN 'pos' END AS bal_band
+FROM customer WHERE c_custkey % 2 = 0
+""",
+    doc="Additive schema evolution on the lake format: create from the "
+    "odd-key half of customer, append the even-key half carrying a "
+    "new bal_band column with merge_schema=True, read back. Old files "
+    "are NEVER rewritten — the read applies the evolved schema by "
+    "name, so pre-evolution rows surface bal_band as typed NULL (the "
+    "Delta/Iceberg evolution contract: schema lives in the log, not "
+    "the files). The oracle is the UNION of both generations with an "
+    "explicit NULL column for the old one.",
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    t = LakeTable.create(
+        cust.where(F.col("c_custkey") % 2 == 1),
+        _fresh("schema_evolution", sf_dir),
+    )
+    evolved = cust.where(F.col("c_custkey") % 2 == 0).withColumn(
+        "bal_band",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal").isNotNull(), "pos"),
+    )
+    t.append(evolved, merge_schema=True)
+    return t.read(spark)
+
+
+@register(
+    "lake_change_feed",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+""",
+    doc="Append-only change feed driving incremental view maintenance: "
+    "events split three ways (pmod of event_id; NULL ids ride slice "
+    "0, so the slices PARTITION the table). Create = slice 0; snapshot "
+    "the aggregate at v0; land slice 1 via append and slice 2 via the "
+    "exactly-once streaming sink; read_appends_since(v0) yields ONLY "
+    "the two delta batches, whose aggregate merges into the v0 "
+    "snapshot (count-add; sum-add with the all-NULL-group identity "
+    "preserved). The oracle is the FULL recompute — if the feed "
+    "leaked, duplicated, or re-read base rows, the merge would "
+    "diverge. This is `ivm_agg_merge` fed by durable storage churn: "
+    "at 100 TB the refresh scans the delta, never the table.",
+)
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    part = F.pmod(F.col("event_id"), F.lit(3))
+    slices = [
+        ev.where((part == 0) | F.col("event_id").isNull()),
+        ev.where(part == 1),
+        ev.where(part == 2),
+    ]
+    t = LakeTable.create(slices[0], _fresh("change_feed", sf_dir))
+    v0 = t.version()
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("cents"),
+        )
+
+    base = agg(t.read(spark, version=v0))
+    t.append(slices[1])
+    t.streaming_sink("cf")(slices[2], 0)
+    delta, _cur = t.read_appends_since(spark, v0)
+    dagg = agg(delta)
+    b, d = base.alias("b"), dagg.alias("d")
+    return b.join(d, ["event_type"], "full_outer").select(
+        "event_type",
+        (
+            F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).alias("n_events"),
+        # SUM identity: a group whose every value is NULL sums to NULL,
+        # and that must survive the incremental merge too
+        F.when(
+            F.col("b.cents").isNull() & F.col("d.cents").isNull(),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            + F.coalesce(F.col("d.cents"), F.lit(0))
+        )
+        .alias("cents"),
+    )
+
+
+@register(
+    "lake_time_travel",
+    oracle="SELECT * FROM orders",
+    doc="Time travel and metadata-only rollback: create from orders, "
+    "OVERWRITE with a small slice (old files stay on disk, shared by "
+    "the old version), then ROLLBACK to v0 — a commit that restores "
+    "v0's file list without writing a single data file — and read "
+    "back. The readback must equal the original table bit-for-bit; "
+    "the oracle is the table itself. Exercises the log-replay path "
+    "(checkpointless replay across create/overwrite/rollback).",
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartition(4), _fresh("time_travel", sf_dir)
+    )
+    t.overwrite(orders.where(F.col("o_orderstatus") == "F"))
+    t.rollback(0)
+    return t.read(spark)
+
+
+@register(
+    "lake_prune_read",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey < 3000",
+    doc="Stats-pruned point read: lineitem range-clustered on "
+    "l_orderkey into 8 files; read with prune=(l_orderkey,<,3000) "
+    "opens only the files whose [min,max] can match, then applies the "
+    "actual row filter. Pruning is a file-level guarantee (skipped "
+    "files provably hold no matching rows), so the result must equal "
+    "the plain filtered scan — a prune that skipped a dirty file "
+    "would LOSE rows and hash-mismatch. The manifest prune is the "
+    "100 TB read path: O(matching files) opened, not the table.",
+)
+def lake_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    t = LakeTable.create(
+        li.repartitionByRange(8, "l_orderkey"),
+        _fresh("prune_read", sf_dir),
+    )
+    pruned = t.read(spark, prune=("l_orderkey", "<", 3000))
+    return pruned.where(F.col("l_orderkey") < 3000)

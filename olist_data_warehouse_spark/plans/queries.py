@@ -1744,10 +1744,12 @@ def w7_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Extended LLM-pipeline and streaming operators register themselves into
-# REGISTRY on import (sibling modules keep this file reference-focused).
+# Extended LLM-pipeline, streaming, and lakehouse operators register
+# themselves into REGISTRY on import (sibling modules keep this file
+# reference-focused).
 from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
 from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
+from olist_data_warehouse_spark.plans import lake_queries  # noqa: E402,F401
 
 
 # The correctness driver evaluates the FIRST ~50 registry entries per
@@ -1762,46 +1764,43 @@ from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-7 rotation: finish the evidence union. Union r1-r6 =
-    # 189/212 driver-green; the 23 entries never evaluated by any
-    # driver round lead this prefix so the union reaches 212/212.
-    # Every one already passes the full sf0.01 DuckDB sweep and the
-    # continuous sf0.001 replica — this is rotation, not repair.
-    # 1: the never-evaluated pool (risk order: streaming twins and
-    #    heaviest compositions first, simple window/set forms last).
-    "stream_funnel_users", "stream_unattributed_join",
-    "a13_approx_percentile_cert", "scd2_point_in_time",
-    "ts_cusum_alerts", "ivm_index_merge", "dq_snapshot_diff",
-    "attrib_multi_model", "samp_weighted_fixed_k", "samp_soft_dedup",
-    "dq_psi_splits", "reco_item_lift", "dq_benford_digits",
-    "dq_winsorize", "t5_keyset_page", "text_keywords_topk",
-    "sk_hll_set_algebra", "f8_calendar_features", "a21_multi_distinct",
-    "w10_range_numeric_frame", "w11_ratio_to_report",
-    "w12_rank_variants", "set_except_all",
-    # 2: behavior-changed THIS round (engine and/or oracle moved in
-    #    the r6->r7 closure commit) — re-prove on the new plans:
-    #    a29/a31 now filter NULL prices on both engines (observed-
-    #    revenue contract), dq_ks_drift's CDF runs on the banded
-    #    running-sum, text_zipf_fit's rank is limit-bounded.
-    "a29_gini_concentration", "a31_lorenz_deciles", "dq_ks_drift",
-    "text_zipf_fit",
-    # new in r7 (never evaluated by definition): the containment
-    # dedup pass, its minhash estimation twin, and the
-    # refactor-touched jaccard/eval pair.
-    "dedup_containment", "dedup_containment_est",
-    "dedup_ngram_jaccard", "dedup_pipeline_eval",
-    # 3: high-value re-proofs backfilling the 50-slot cap — the
-    #    flagship OLTP/DW pairs, incremental merge, the banded-rank
-    #    trio's remaining member, and headline LLM-pipeline ops.
+    # Round-8 prefix. Union r1-r7 = 214/214 pre-r8 entries driver-green
+    # (r7 closed it), so no rotation debt remains — per the standing
+    # discipline only NEW or TOUCHED entries lead; the rest of the 50
+    # slots are high-value re-proofs.
+    # 1: NEW this round (never evaluated by definition): the lakehouse
+    #    mutators behind the driver's differential gate — durable
+    #    DELETE, MERGE upsert, additive schema evolution, append-only
+    #    change feed, rollback time travel, stats-pruned read.
+    "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
+    "lake_change_feed", "lake_time_travel", "lake_prune_read",
+    # 2: TOUCHED this round: every entry routed through the dedup
+    #    helpers whose persist sites moved to the bounded-cache
+    #    convention (_shingle_pair_stats / minhash_lsh_candidates /
+    #    simhash_hamming_pairs). Caching mechanics only — semantics
+    #    unchanged — but the plan objects changed, so re-prove.
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
+    "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
+    "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
+    "samp_cluster_split",
+    # 3: high-value re-proofs backfilling the 50-slot cap — flagship
+    #    OLTP/DW pairs, incremental/merge shapes, and one headliner
+    #    per operator family (similarity, temporal, graph, sketch,
+    #    sampling, SCD, streaming, DQ, text, multimodal).
     "q1_top_units_oltp", "q1_top_units_dw", "q2_top_revenue_oltp",
     "q2_top_revenue_dw", "q3_conversion_oltp", "q3_conversion_dw",
-    "j7_incremental_delta", "j7_merge_upsert", "pack_balanced_shards",
-    "dedup_minhash_lsh", "dedup_exact", "sim_ivfpq_topk",
-    "sim_mmr_rerank", "tj_asof_nearest", "tj_interval_overlap",
-    "graph_pagerank_items", "samp_cluster_split", "text_bm25_topk",
-    "s1_scan_project_alias",
+    "q4_shipping_priority", "j7_incremental_delta", "j7_merge_upsert",
+    "pack_balanced_shards", "dedup_exact", "sim_ivfpq_topk",
+    "sim_mmr_rerank", "sim_bruteforce_topk", "tj_asof_nearest",
+    "tj_interval_overlap", "graph_pagerank_items", "graph_triangles",
+    "text_bm25_topk", "text_inverted_index", "text_collocation_pmi",
+    "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
+    "stream_purchase_click_join", "ivm_agg_merge", "scd2_supplier_merge",
+    "sk_hll_distinct_users", "dq_zscore_outliers", "samp_hash_split",
+    "ts_ohlc_bars", "link_fuzzy_parts", "funnel_steps",
+    "a13_median_percentile", "multi_decode_meta",
     # Everything else follows in registration order — each has at
-    # least one prior driver-green row (r1-r6) and runs continuously
+    # least one prior driver-green row (r1-r7) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

@@ -14,30 +14,19 @@ from olist_data_warehouse_spark.plans.queries import (
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # r6 went 50/50 green, so every round-6 must-prove entry has a
-    # driver row and leaves the set. The round-7 must-prove set is
-    # the union of (a) the 23 entries never evaluated by any driver
-    # round (union r1-r6 = 189/212) and (b) the entries whose
-    # behavior changed in the r6->r7 closure commit.
-    # (a) never evaluated r1-r6:
-    "attrib_multi_model", "samp_weighted_fixed_k", "dq_winsorize",
-    "scd2_point_in_time", "ts_cusum_alerts", "t5_keyset_page",
-    "reco_item_lift", "dq_benford_digits", "dq_snapshot_diff",
-    "dq_psi_splits", "ivm_index_merge", "text_keywords_topk",
-    "w10_range_numeric_frame", "sk_hll_set_algebra", "samp_soft_dedup",
-    "f8_calendar_features", "a21_multi_distinct", "w11_ratio_to_report",
-    "w12_rank_variants", "set_except_all", "stream_funnel_users",
-    "stream_unattributed_join", "a13_approx_percentile_cert",
-    # (b) behavior changed this round: a29/a31 observed-revenue
-    # NULL-price contract (both engines moved), dq_ks_drift's banded
-    # running-sum CDF, text_zipf_fit's limit-bounded rank.
-    "a29_gini_concentration", "a31_lorenz_deciles", "dq_ks_drift",
-    "text_zipf_fit",
-    # (c) new or refactor-touched in r7: the containment dedup entry,
-    # its minhash estimation twin, and the two entries now routed
-    # through _shingle_pair_stats.
-    "dedup_containment", "dedup_containment_est",
-    "dedup_ngram_jaccard", "dedup_pipeline_eval",
+    # r7 went 50/50 green, closing the union at 214/214 — every pre-r8
+    # entry has a driver row. The round-8 must-prove set is
+    # (a) the six NEW lakehouse entries and (b) every entry routed
+    # through the dedup persist sites moved to the bounded-cache
+    # convention this round (mechanics-only change; re-proven anyway).
+    # (a) new in r8:
+    "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
+    "lake_change_feed", "lake_time_travel", "lake_prune_read",
+    # (b) cache-convention-touched in r8:
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
+    "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
+    "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
+    "samp_cluster_split",
 }
 
 
