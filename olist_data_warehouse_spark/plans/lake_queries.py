@@ -207,8 +207,16 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta, _cur = t.read_appends_since(spark, v0)
     dagg = agg(delta)
     b, d = base.alias("b"), dagg.alias("d")
-    return b.join(d, ["event_type"], "full_outer").select(
-        "event_type",
+    # null-SAFE group-key join: SQL GROUP BY has one NULL group, so
+    # the merge must treat NULL event_type as one key, not two
+    return b.join(
+        d,
+        F.col("b.event_type").eqNullSafe(F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
         (
             F.coalesce(F.col("b.n_events"), F.lit(0))
             + F.coalesce(F.col("d.n_events"), F.lit(0))
@@ -224,6 +232,102 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("d.cents"), F.lit(0))
         )
         .alias("cents"),
+    )
+
+
+@register(
+    "lake_cdf_incremental",
+    oracle="""
+WITH s01 AS (
+  SELECT * FROM events
+  WHERE ((event_id % 3) + 3) % 3 IN (0, 1) OR event_id IS NULL
+),
+surv AS (
+  SELECT * FROM s01 WHERE value IS NULL OR value <= 100.0
+),
+src AS (
+  SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+  FROM events WHERE event_id % 2 = 0 AND event_id IS NOT NULL
+),
+final AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT * FROM surv t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM final
+GROUP BY event_type
+HAVING COUNT(*) > 0
+""",
+    doc="Row-level change-data feed maintaining an aggregate through "
+    "CHURN, not just appends: create (cdf=True) from two event "
+    "slices, snapshot the per-type aggregate, then DELETE high-value "
+    "rows and MERGE in the even-key half at doubled value — commits "
+    "the append-only feed cannot replay. read_changes_since yields "
+    "insert/delete row deltas (deletes from persisted pre-images; "
+    "merge = pre-image deletes + source inserts); the consumer folds "
+    "them as signed counts/sums, tracking the non-null count so an "
+    "all-NULL group still sums to NULL and a group deleted to zero "
+    "rows drops out. The oracle replays the same mutations "
+    "relationally and recomputes from scratch — any leak, duplicate, "
+    "or sign error in the feed diverges. At 100 TB the refresh scans "
+    "O(churn); the full recompute is the thing this operator exists "
+    "to avoid.",
+)
+def lake_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    part = F.pmod(F.col("event_id"), F.lit(3))
+    s01 = ev.where(part.isin(0, 1) | F.col("event_id").isNull())
+    t = LakeTable.create(s01, _fresh("cdf_incremental", sf_dir), cdf=True)
+    v0 = t.version()
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def agg(df: DataFrame, sign=None) -> DataFrame:
+        s = F.lit(1) if sign is None else sign
+        return df.groupBy("event_type").agg(
+            F.sum(s).alias("n_events"),
+            F.sum(cents * s).alias("cents"),
+            F.sum(F.when(F.col("value").isNotNull(), s).otherwise(0)
+                  ).alias("nn"),
+        )
+
+    base = agg(t.read(spark, version=v0))
+    t.delete_where(spark, F.col("value") > 100.0)
+    source = ev.where(
+        (F.col("event_id") % 2 == 0) & F.col("event_id").isNotNull()
+    ).withColumn("value", F.col("value") * 2)
+    t.merge_into(spark, source, keys=["event_id"])
+    changes, _cur = t.read_changes_since(spark, v0)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = agg(changes, sign=sign)
+    b, d = base.alias("b"), delta.alias("d")
+    zero = F.lit(0).cast("long")
+    n = F.coalesce("b.n_events", zero) + F.coalesce("d.n_events", zero)
+    nn = F.coalesce("b.nn", zero) + F.coalesce("d.nn", zero)
+    return (
+        # null-SAFE group-key join (one NULL group, as in SQL GROUP BY)
+        b.join(
+            d,
+            F.col("b.event_type").eqNullSafe(F.col("d.event_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            n.alias("n_events"),
+            # SUM identity: a group left with zero non-NULL values is
+            # NULL, even when the signed cents happen to cancel to 0
+            F.when(nn == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.coalesce("b.cents", zero) + F.coalesce("d.cents", zero)
+            )
+            .alias("cents"),
+        )
+        .where(F.col("n_events") > 0)
     )
 
 

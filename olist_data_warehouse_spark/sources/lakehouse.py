@@ -166,6 +166,7 @@ class LakeTable:
             state = {"files": {}, "schema": None}
             start = 0
         state.setdefault("txns", {})
+        state.setdefault("config", {})
         for cv in range(start, v + 1):
             c = self._read_commit(cv)
             for p in c.get("remove", []):
@@ -174,6 +175,8 @@ class LakeTable:
                 state["files"][fmeta["path"]] = fmeta
             if c.get("schema") is not None:
                 state["schema"] = c["schema"]
+            if c.get("config") is not None:
+                state["config"] = c["config"]
             if c.get("txn") is not None:
                 t = c["txn"]
                 prev = state["txns"].get(t["app"], -1)
@@ -262,17 +265,30 @@ class LakeTable:
         return metas
 
     @classmethod
-    def create(cls, df: DataFrame, path: str) -> "LakeTable":
-        """Create the table at ``path`` as version 0 with ``df``."""
+    def create(
+        cls, df: DataFrame, path: str, cdf: bool = False
+    ) -> "LakeTable":
+        """Create the table at ``path`` as version 0 with ``df``.
+
+        ``cdf=True`` enables the row-level change-data feed: commits
+        that rewrite rows (delete, update-mode merge) additionally
+        persist their removed-row pre-images, so
+        :meth:`read_changes_since` can replay EVERY commit as
+        insert/delete row deltas (see there). Costs one extra filtered
+        write per rewriting commit — the Delta CDF tradeoff."""
         t = cls(path)
         if t.version() is not None:
             raise FileExistsError(f"lake table already exists at {path}")
         add = t._stage_files(df)
         t._write_commit(
             0, {"op": "create", "add": add, "remove": [],
-                "schema": df.schema.jsonValue()}
+                "schema": df.schema.jsonValue(),
+                "config": {"cdf": bool(cdf)}}
         )
         return t
+
+    def _cdf_enabled(self, state: dict) -> bool:
+        return bool(state.get("config", {}).get("cdf"))
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append-only commit: writes only the NEW files. Columns must
@@ -465,6 +481,7 @@ class LakeTable:
                 touched.append(by_name[r["_file"]])
                 rows_deleted += r["_matches"]
         add: list[dict] = []
+        cdf_delete: list[dict] = []
         if touched:
             tpaths = [os.path.join(self.path, p) for p in touched]
             schema = StructType.fromJson(state["schema"])
@@ -475,11 +492,21 @@ class LakeTable:
                 .where(~predicate.eqNullSafe(F.lit(True)))
             )
             add = self._stage_files(survivors)
+            if self._cdf_enabled(state):
+                # change feed: persist the removed-row pre-images so
+                # read_changes_since can replay this commit as -1 rows
+                cdf_delete = self._stage_files(
+                    spark.read.schema(schema)
+                    .parquet(*tpaths)
+                    .where(predicate.eqNullSafe(F.lit(True)))
+                )
         v = state["version"] + 1
         self._write_commit(
             v,
             {"op": "delete", "add": add, "remove": touched,
-             "predicate": str(predicate), "rows_deleted": rows_deleted},
+             "predicate": str(predicate), "rows_deleted": rows_deleted,
+             **({"cdf_delete": cdf_delete}
+                if self._cdf_enabled(state) else {})},
         )
         return {
             "version": v,
@@ -574,6 +601,7 @@ class LakeTable:
                 touched.append(by_name[r["_file"]])
                 n_matched += r["_matches"]
 
+        cdf_delete: list[dict] = []
         if when_matched == "update":
             add = list(src_add)
             remove = touched
@@ -582,6 +610,12 @@ class LakeTable:
                     *[os.path.join(self.path, p) for p in touched]
                 )
                 add += self._stage_files(tdf.join(skeys, keys, "left_anti"))
+                if self._cdf_enabled(state):
+                    # matched target pre-images: the -1 side of the
+                    # merge's row delta (the +1 side is src_add itself)
+                    cdf_delete = self._stage_files(
+                        tdf.join(skeys, keys, "left_semi")
+                    )
         else:
             # insert-only: zero files rewritten — stage ONLY the
             # anti-joined inserts; matched target rows stay in place
@@ -597,11 +631,21 @@ class LakeTable:
             # the staged source was scratch here — reclaim it eagerly
             for m in src_add:
                 os.unlink(os.path.join(self.path, m["path"]))
+            src_add = []
+        # change-feed sides: +1 rows are the incoming files (update:
+        # the staged source; keep: the anti-joined inserts), -1 rows
+        # are the matched pre-images staged above (update mode only)
+        cdf_insert = [
+            m["path"]
+            for m in (src_add if when_matched == "update" else add)
+        ]
         v = state["version"] + 1
         self._write_commit(
             v,
             {"op": "merge", "add": add, "remove": remove,
-             "merge_keys": keys, "when_matched": when_matched},
+             "merge_keys": keys, "when_matched": when_matched,
+             **({"cdf_delete": cdf_delete, "cdf_insert": cdf_insert}
+                if self._cdf_enabled(state) else {})},
         )
         return {
             "version": v,
@@ -660,9 +704,9 @@ class LakeTable:
         Row-level semantics are only well-defined while the feed is
         append-only: a delete/merge/compact/overwrite/rollback commit
         in the range REWRITES row identity, so the call raises and the
-        consumer must fall back to a full re-read (the documented
-        contract of append-only change feeds; a row-level CDF would
-        need per-commit remove-side row diffs).
+        consumer must fall back to a full re-read — or use
+        :meth:`read_changes_since` on a ``cdf=True`` table, which
+        replays those commits as insert/delete row deltas.
         """
         cur = self.version()
         if cur is None or version > cur:
@@ -685,6 +729,82 @@ class LakeTable:
             ),
             cur,
         )
+
+    def read_changes_since(
+        self, spark: SparkSession, version: int
+    ) -> tuple[DataFrame, int]:
+        """Row-level change-data feed: every row inserted or deleted by
+        the commits in ``(version, current]``, as the table's columns
+        plus ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``. The two-type multiset-delta model (an
+        update is delete-of-pre-image + insert-of-post-image) is the
+        classic IVM delta representation — sufficient to maintain any
+        additive aggregate, and simpler than Delta's four-type CDF.
+
+        Unlike :meth:`read_appends_since`, the feed survives
+        delete/merge/compact in the range: deletes and update-merges
+        replay from their persisted pre-images (``cdf=True`` at
+        :meth:`create` — a rewriting commit on a non-CDF table raises,
+        telling the consumer to fall back to a full re-read), and a
+        compact is invisible (rewrite-identity: zero row changes).
+        overwrite/rollback need no pre-images at all — their remove
+        list IS the delete side, file-exact. At 100 TB the consumer
+        scans O(churn), never the table; vacuum respects the feed's
+        pre-image files for the versions it keeps."""
+        cur = self.version()
+        if cur is None or version > cur:
+            raise ValueError(f"version {version} ahead of table ({cur})")
+        ins: list[tuple[int, str]] = []
+        dels: list[tuple[int, str]] = []
+        need_state_before: list[tuple[int, dict]] = []
+        for v in range(version + 1, cur + 1):
+            c = self._read_commit(v)
+            op = c["op"]
+            if op in ("create", "append", "stream_append"):
+                ins += [(v, f["path"]) for f in c.get("add", [])]
+            elif op == "compact":
+                continue  # rewrite-identity: no row-level change
+            elif op in ("overwrite", "rollback"):
+                ins += [(v, f["path"]) for f in c.get("add", [])]
+                dels += [(v, p) for p in c.get("remove", [])]
+            elif op in ("delete", "merge"):
+                if "cdf_delete" not in c:
+                    raise ValueError(
+                        f"commit v{v} ({op}) predates CDF or the table "
+                        "was created without cdf=True — row deltas "
+                        "unavailable; re-read the table"
+                    )
+                dels += [(v, f["path"]) for f in c["cdf_delete"]]
+                if op == "merge":
+                    ins += [(v, p) for p in c.get("cdf_insert", [])]
+            else:
+                raise ValueError(f"unknown commit op {op!r} at v{v}")
+        schema = StructType.fromJson(self._state(cur)["schema"])
+        parts: list[DataFrame] = []
+        for kind, pairs in (("insert", ins), ("delete", dels)):
+            by_v: dict[int, list[str]] = {}
+            for v, p in pairs:
+                by_v.setdefault(v, []).append(p)
+            for v, paths in sorted(by_v.items()):
+                parts.append(
+                    spark.read.schema(schema)
+                    .parquet(*[os.path.join(self.path, p)
+                               for p in sorted(paths)])
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        if not parts:
+            empty = StructType(
+                schema.fields
+                + StructType.fromDDL(
+                    "_change_type string, _commit_version long"
+                ).fields
+            )
+            return spark.createDataFrame([], empty), cur
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, cur
 
     # -- maintenance ---------------------------------------------------
 
@@ -737,6 +857,11 @@ class LakeTable:
         live: set[str] = set()
         for v in vs[-keep_versions:]:
             live |= set(self._state(v)["files"])
+        # change-feed pre-image files of the KEPT commit range stay:
+        # a consumer may still replay those versions' row deltas
+        for v in vs[-keep_versions:]:
+            c = self._read_commit(v)
+            live |= {f["path"] for f in c.get("cdf_delete", [])}
         removed = []
         if not os.path.isdir(self.data_dir):
             return removed  # zero-file table: nothing staged yet
