@@ -353,6 +353,64 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_stream_pipeline",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'purchase'
+""",
+    doc="The full lake -> lake STREAMING loop as one gated operator: "
+    "events land in a source lake table over two commits; a real "
+    "Structured Streaming query reads it through the lakestream "
+    "Python DataSource (offsets = commit versions, one added FILE per "
+    "input partition, Arrow executor reads), filters to purchases and "
+    "derives integer cents, and lands in a second lake table through "
+    "the exactly-once foreachBatch sink; the result is the "
+    "DESTINATION's committed readback. The oracle is the plain "
+    "relational transform — any dropped/duplicated micro-batch, "
+    "offset error, or sink replay diverges. At 100 TB this is the "
+    "trickle-ingest topology: each hop moves O(churn), and both ends "
+    "are versioned, time-travelable tables.",
+)
+def lake_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakestream
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    part = F.pmod(F.col("event_id"), F.lit(2))
+    src = LakeTable.create(
+        ev.where((part == 0) | F.col("event_id").isNull()),
+        _fresh("stream_pipe_src", sf_dir),
+    )
+    src.append(ev.where(part == 1))
+    transform = lambda df: (  # noqa: E731 — applied to stream AND seed
+        df.where(F.col("event_type") == "purchase").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    dst = LakeTable.create(
+        transform(ev).limit(0), _fresh("stream_pipe_dst", sf_dir)
+    )
+    lakestream.register(spark)
+    ckpt = _fresh("stream_pipe_ckpt", sf_dir)
+    q = (
+        transform(
+            spark.readStream.format("lakestream")
+            .option("path", src.path)
+            .load()
+        )
+        .writeStream.foreachBatch(dst.streaming_sink("pipe"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return dst.read(spark)
+
+
+@register(
     "lake_prune_read",
     oracle="SELECT * FROM lineitem WHERE l_orderkey < 3000",
     doc="Stats-pruned point read: lineitem range-clustered on "

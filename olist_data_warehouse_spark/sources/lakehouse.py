@@ -315,10 +315,19 @@ class LakeTable:
         self._check_types(state, df)
         commit: dict = {"op": "append", "remove": []}
         if merge_schema:
+            from pyspark.sql.types import StructField
+
             old = StructType.fromJson(state["schema"])
             merged = StructType(
                 list(old.fields)
-                + [df.schema[c] for c in df.columns if c not in cols]
+                + [
+                    # widened columns are ALWAYS nullable: every
+                    # pre-evolution row backfills them as NULL, whatever
+                    # the batch's own nullability said
+                    StructField(c, df.schema[c].dataType, True)
+                    for c in df.columns
+                    if c not in cols
+                ]
             )
             df = df.select(
                 *[

@@ -1,0 +1,177 @@
+"""Streaming source over the lake commit log (sources/lakestream.py):
+offset = version, partitions = added files, Arrow executor reads,
+checkpoint resume, schema evolution, rewrite semantics, and the full
+lake -> lake streaming loop against the exactly-once sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_data_warehouse_spark.sources import lakestream
+from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+@pytest.fixture()
+def registered(spark):
+    lakestream.register(spark)
+    return spark
+
+
+def _run_available_now(spark, src_path, name, ckpt, **opts):
+    """Drain the stream into a driver-side row list via foreachBatch
+    (the memory sink cannot recover from a checkpoint, and checkpoint
+    resume is exactly what these tests exercise)."""
+    rows: list = []
+    reader = spark.readStream.format("lakestream").option("path", src_path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(bdf.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return rows
+
+
+def test_stream_reads_all_appends(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 20).repartition(2),
+                         str(tmp_path / "src"))
+    t.append(_df(spark, 20, 30))
+    rows = _run_available_now(spark, t.path, "ls_all", str(tmp_path / "c1"))
+    assert len(rows) == 30
+    ks = [r["k"] for r in rows]
+    assert (min(ks), max(ks)) == (0, 29)
+
+
+def test_checkpoint_resume_reads_only_new_commits(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10), str(tmp_path / "src"))
+    ckpt = str(tmp_path / "ck")
+    rows = _run_available_now(spark, t.path, "ls_r1", ckpt)
+    assert len(rows) == 10
+    t.append(_df(spark, 10, 14))
+    t.append(_df(spark, 14, 18))
+    rows = _run_available_now(spark, t.path, "ls_r2", ckpt)
+    # a resumed checkpoint receives ONLY the delta
+    assert {r["k"] for r in rows} == set(range(10, 18))
+    # nothing new -> empty batch, no duplicates
+    rows = _run_available_now(spark, t.path, "ls_r3", ckpt)
+    assert rows == []
+
+
+def test_starting_version_skips_history(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10), str(tmp_path / "src"))
+    v1 = t.append(_df(spark, 10, 20))
+    t.append(_df(spark, 20, 25))
+    rows = _run_available_now(
+        spark, t.path, "ls_sv", str(tmp_path / "c"),
+        starting_version=str(v1),
+    )
+    assert {r["k"] for r in rows} == set(range(20, 25))
+
+
+def test_schema_evolution_mid_stream_backfills_nulls(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 5), str(tmp_path / "src"))
+    t.append(
+        _df(spark, 5, 8).withColumn("tag", F.lit("new")),
+        merge_schema=True,
+    )
+    rows = _run_available_now(spark, t.path, "ls_ev", str(tmp_path / "c"))
+    assert set(rows[0].asDict()) == {"k", "g", "v", "tag"}
+    assert sum(1 for r in rows if r["tag"] is None) == 5
+    assert sum(1 for r in rows if r["tag"] == "new") == 3
+
+
+def test_rewriting_commit_fails_stream_by_default(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10), str(tmp_path / "src"))
+    t.delete_where(spark, F.col("k") < 2)
+    q = (
+        spark.readStream.format("lakestream").option("path", t.path)
+        .load()
+        .writeStream.format("memory").queryName("ls_fail")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrites rows"):
+        q.awaitTermination(180)
+
+
+def test_skip_rewrites_streams_appends_around_churn(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10), str(tmp_path / "src"))
+    t.delete_where(spark, F.col("k") < 2)   # skipped (rewrite)
+    t.append(_df(spark, 10, 15))            # streamed
+    t.compact(spark, target_file_bytes=1 << 30)  # skipped (rewrite)
+    t.append(_df(spark, 15, 18))            # streamed
+    rows = _run_available_now(
+        spark, t.path, "ls_skip", str(tmp_path / "c"),
+        skip_rewrites="true",
+    )
+    # at-least-once-minus-deletes: the create batch plus both appends;
+    # the delete's survivor rewrite and the compact copies never stream
+    assert {r["k"] for r in rows} == set(range(0, 18))
+
+
+def test_lake_to_lake_streaming_loop(registered, tmp_path):
+    """The full loop: lakestream SOURCE -> transformation -> exactly-
+    once lake SINK. Restarting the query moves only the new commits."""
+    spark = registered
+    src = LakeTable.create(_df(spark, 0, 20), str(tmp_path / "a"))
+    dst = LakeTable.create(
+        _df(spark, 0, 0).withColumn("v2", F.col("v") * 2),
+        str(tmp_path / "b"),
+    )
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("lakestream")
+            .option("path", src.path).load()
+            .withColumn("v2", F.col("v") * 2)
+            .writeStream.foreachBatch(dst.streaming_sink("loop"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert dst.read(spark).count() == 20
+    src.append(_df(spark, 20, 26))
+    run()
+    got = dst.read(spark)
+    assert got.count() == 26
+    assert got.where(F.col("v2") != F.col("v") * 2).count() == 0
+    # exactly-once held across the restart: no duplicated keys
+    assert got.select("k").distinct().count() == 26
+
+
+def test_missing_table_and_path_errors(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="no lake table"):
+        spark.readStream.format("lakestream").option(
+            "path", str(tmp_path / "nope")
+        ).load()
+    with pytest.raises(Exception, match="requires .option"):
+        spark.readStream.format("lakestream").load()
