@@ -430,3 +430,35 @@ def lake_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = t.read(spark, prune=("l_orderkey", "<", 3000))
     return pruned.where(F.col("l_orderkey") < 3000)
+
+
+@register(
+    "lake_zorder_prune",
+    oracle="SELECT * FROM lineitem WHERE l_partkey <= 50",
+    doc="Z-ORDER clustering (compact(cluster_by=[l_orderkey, "
+    "l_partkey]), the public Delta OPTIMIZE ZORDER design): the table "
+    "lands in ingest order, is rewritten along the interleaved-bit "
+    "curve of BOTH columns, and is then read with a stats prune on "
+    "l_partkey — the SECOND clustering column, which a linear sort "
+    "would leave unprunable. The z-value is a pure column expression "
+    "(min-max scale to 16-bit buckets, bit interleave — codegen'd, no "
+    "UDF); the rewrite is identity, so the oracle is the plain "
+    "filtered scan and any row lost or duplicated by the re-layout "
+    "hash-mismatches. The readback applies the real row filter, so "
+    "correctness never depends on pruning precision — pruning only "
+    "bounds I/O. At 100 TB this is the maintenance job that keeps "
+    "point reads O(matching files) on every frequent filter column.",
+)
+def lake_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    t = LakeTable.create(
+        li.repartition(8), _fresh("zorder_prune", sf_dir)
+    )
+    total = sum(m["bytes"] for m in t._state()["files"].values())
+    t.compact(
+        spark,
+        target_file_bytes=max(1, total // 12),
+        cluster_by=["l_orderkey", "l_partkey"],
+    )
+    pruned = t.read(spark, prune=("l_partkey", "<=", 50))
+    return pruned.where(F.col("l_partkey") <= 50)

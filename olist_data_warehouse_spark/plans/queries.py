@@ -1774,7 +1774,7 @@ DRIVER_PRIORITY = [
     #    change feed, rollback time travel, stats-pruned read.
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
-    "lake_time_travel", "lake_prune_read",
+    "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
     # 2: TOUCHED this round: every entry routed through the dedup
     #    helpers whose persist sites moved to the bounded-cache
     #    convention (_shingle_pair_stats / minhash_lsh_candidates /
@@ -1798,7 +1798,7 @@ DRIVER_PRIORITY = [
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
     "stream_purchase_click_join", "ivm_agg_merge", "scd2_supplier_merge",
     "sk_hll_distinct_users", "dq_zscore_outliers", "samp_hash_split",
-    "ts_ohlc_bars", "link_fuzzy_parts", "multi_decode_meta",
+    "ts_ohlc_bars", "multi_decode_meta",
     # Everything else follows in registration order — each has at
     # least one prior driver-green row (r1-r7) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().

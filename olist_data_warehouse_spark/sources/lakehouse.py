@@ -817,10 +817,57 @@ class LakeTable:
 
     # -- maintenance ---------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_file_bytes: int) -> dict:
-        """Bin-pack files smaller than ``target/2`` into ~target-sized
-        files; files already at size are untouched (shared forward)."""
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """Without ``cluster_by``: bin-pack files smaller than
+        ``target/2`` into ~target-sized files; files already at size
+        are untouched (shared forward).
+
+        With ``cluster_by``: Z-ORDER the WHOLE table (the public Delta
+        ``OPTIMIZE ZORDER BY`` design) — every file rewrites, laid out
+        along the interleaved-bit curve of the named columns, so the
+        per-file min/max stats become tight on ALL of them at once and
+        :meth:`prune_files` / ``read(prune=...)`` skip effectively on
+        any of the clustered columns. Linear sort gives one column
+        perfect stats and the others none; the z-curve trades a little
+        of the first column's locality for skipping power on each —
+        THE multi-dimensional data-skipping layout. Rewrite-identity
+        (rows unchanged), so the commit is a ``compact``: invisible to
+        the CDF, rejected by the strict streaming source like any
+        rewrite. At 100 TB this is the periodic maintenance job that
+        keeps point/range reads O(matching files) on every frequent
+        filter column, not just the ingest-order one."""
         state = self._state()
+        schema = StructType.fromJson(state["schema"])
+        if cluster_by:
+            files = sorted(state["files"])
+            if not files:
+                return {"version": state["version"], "files_compacted": 0}
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in files]
+            )
+            total = sum(state["files"][p]["bytes"] for p in files)
+            n_out = max(1, round(total / target_file_bytes))
+            zed = df.withColumn(
+                "_z", _zorder_column(df, cluster_by)
+            )
+            packed = (
+                zed.repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            add = self._stage_files(packed)
+            v = state["version"] + 1
+            self._write_commit(
+                v, {"op": "compact", "add": add, "remove": files,
+                    "cluster_by": cluster_by}
+            )
+            return {"version": v, "files_compacted": len(files),
+                    "files_written": len(add)}
         small = [
             p for p in sorted(state["files"])
             if state["files"][p]["bytes"] < target_file_bytes // 2
@@ -829,7 +876,6 @@ class LakeTable:
             return {"version": state["version"], "files_compacted": 0}
         total = sum(state["files"][p]["bytes"] for p in small)
         n_out = max(1, round(total / target_file_bytes))
-        schema = StructType.fromJson(state["schema"])
         packed = (
             spark.read.schema(schema)
             .parquet(*[os.path.join(self.path, p) for p in small])
@@ -882,6 +928,57 @@ class LakeTable:
                 os.unlink(full)
                 removed.append(rel)
         return removed
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Interleaved-bit z-value over ``cols`` — pure column expressions
+    (codegen'd; no UDF). Each column is min-max scaled to a ``bits``-bit
+    bucket (one tiny driver-side agg for the ranges; NULLs and
+    constant/non-numeric columns bucket to 0, i.e. sort first), then
+    the buckets' bits interleave LSB-first. Two 16-bit columns fill 32
+    bits of the long — plenty of curve resolution for file-level
+    skipping, where only ~log2(n_files) leading bits matter.
+
+    Sibling of ``writers.zorder_value`` (the standalone parquet-layout
+    primitive): that one quantile-buckets exactly two columns from a
+    caller-sampled bounds list — better under heavy value skew, at the
+    cost of a sample pass and a 2-column limit. Here the curve only
+    steers WHICH FILE a row lands in and the lake's min/max manifest
+    stats do the skipping, so cheap min-max scaling over N columns is
+    the right tradeoff; tables with pathological skew can pre-bucket
+    the column themselves."""
+    top = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}")
+          for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}")
+          for i, c in enumerate(cols)],
+    ).first()
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(float(mx) - float(mn)) * top
+        )
+        b = (
+            F.least(F.lit(float(top)), F.greatest(F.lit(0.0), scaled))
+            .cast("long")
+        )
+        buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * len(buckets) + i,
+                )
+            )
+    return z
 
 
 def with_occ_retry(op, attempts: int = 5):

@@ -455,6 +455,50 @@ def test_with_occ_retry_wins_after_conflict(spark, table, tmp_path):
         with_occ_retry(always_lose, attempts=2)
 
 
+def test_zorder_compact_skips_on_both_columns(spark, tmp_path):
+    # x and y are independent: ingest order (by id) clusters NEITHER;
+    # after z-order BOTH columns prune most files
+    df = spark.range(4000).select(
+        (F.col("id") % 64).alias("x"),
+        (F.pmod(F.hash(F.col("id")), F.lit(64))).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t = LakeTable.create(df.repartition(16), str(tmp_path / "z"))
+    n_files = len(t._state()["files"])
+    # ingest layout: a point filter on x or y prunes nothing
+    assert len(t.prune_files("x", "=", 7)[0]) == n_files
+    assert len(t.prune_files("y", "=", 7)[0]) == n_files
+    res = t.compact(spark, target_file_bytes=3000, cluster_by=["x", "y"])
+    assert res["files_compacted"] == n_files
+    state = t._state()
+    n_after = len(state["files"])
+    assert n_after >= 8  # enough output files for skipping to show
+    cx = len(t.prune_files("x", "=", 7)[0])
+    cy = len(t.prune_files("y", "=", 7)[0])
+    # the z-curve gives BOTH columns real skipping power
+    assert cx <= n_after // 2, f"x candidates {cx}/{n_after}"
+    assert cy <= n_after // 2, f"y candidates {cy}/{n_after}"
+    # rewrite-identity: contents unchanged
+    got = t.read(spark)
+    assert got.count() == 4000
+    assert got.agg(F.sum("payload")).first()[0] == sum(range(4000))
+    # pruned read still returns every matching row
+    pr = t.read(spark, prune=("y", "=", 7)).where(F.col("y") == 7)
+    truth = df.where(F.col("y") == 7).count()
+    assert pr.count() == truth
+
+
+def test_zorder_compact_is_cdf_invisible(spark, tmp_path):
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), F.col("id").alias("y")
+    )
+    t = LakeTable.create(df.repartition(4), str(tmp_path / "zc"), cdf=True)
+    v0 = t.version()
+    t.compact(spark, target_file_bytes=10_000, cluster_by=["x", "y"])
+    ch, _ = t.read_changes_since(spark, v0)
+    assert ch.count() == 0  # rewrite-identity: no row-level change
+
+
 def test_history_records_operations(spark, table):
     table.append(_orders(spark, 100, 110))
     table.delete_where(spark, F.col("order_id") == 0)

@@ -22,7 +22,7 @@ MUST_PROVE = {
     # (a) new in r8:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
-    "lake_time_travel", "lake_prune_read",
+    "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
     # (b) cache-convention-touched in r8:
     "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
     "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
