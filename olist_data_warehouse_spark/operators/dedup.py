@@ -44,15 +44,36 @@ HASH_B_ADD = 17
 # at most ONE cached frame alive — the next call through the same slot
 # unpersists its predecessor — so a session running many dedup passes
 # holds one cached lineage per helper, not an ever-growing set.
-_DEDUP_CACHES: dict[str, DataFrame] = {}
+#
+# Semantic reuse, not blind eviction: re-running the SAME plan (bench
+# repetitions, a verify pass after a discovery pass over one corpus)
+# must keep hitting the resident cache — Spark's CacheManager matches
+# cached data by logical plan, so evicting and re-persisting an
+# identical plan would recompute the whole shingle pipeline per call.
+# A small LRU per slot (not a single frame): several registered
+# pipelines legitimately interleave DIFFERENT plans through one slot
+# (jaccard / containment / eval over different corpus preps), and a
+# one-frame cache would thrash on exactly that alternation. Residency
+# stays bounded at _CACHE_CAP lineages per slot; genuinely new plans
+# (new corpus, new k) evict the least-recently-used one.
+_DEDUP_CACHES: dict[str, list[DataFrame]] = {}
+_CACHE_CAP = 4
 
 
 def _bounded_persist(slot: str, df: DataFrame) -> DataFrame:
-    prev = _DEDUP_CACHES.pop(slot, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    _DEDUP_CACHES[slot] = df.persist()
-    return _DEDUP_CACHES[slot]
+    frames = _DEDUP_CACHES.setdefault(slot, [])
+    for i, prev in enumerate(frames):
+        try:
+            same = prev.sameSemantics(df)
+        except Exception:
+            same = False  # plan comparison is best-effort
+        if same:
+            frames.append(frames.pop(i))  # LRU bump
+            return frames[-1]
+    if len(frames) >= _CACHE_CAP:
+        frames.pop(0).unpersist(blocking=False)
+    frames.append(df.persist())
+    return frames[-1]
 
 
 def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
