@@ -10320,3 +10320,131 @@ def a31_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "samp_dsir_importance",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+words AS (SELECT doc_id, lang, unnest(toks) AS word FROM tok),
+w AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS b
+  FROM words WHERE word != ''
+),
+spine AS (SELECT unnest(generate_series(0, 63)) AS b),
+c AS (
+  SELECT s.b,
+         CAST(COALESCE(SUM(CASE WHEN w.lang = 'en' THEN 1 END), 0) + 1
+              AS BIGINT) AS a,
+         CAST(COUNT(w.b) + 1 AS BIGINT) AS r
+  FROM spine s LEFT JOIN w ON w.b = s.b
+  GROUP BY s.b
+),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(r) AS BIGINT) AS tr
+      FROM c),
+sc AS (
+  SELECT c.b,
+         CAST(floor(1000000.0 * ln(
+             CAST(GREATEST((1000000 * c.a) // t.ta, 1) AS DOUBLE) /
+             GREATEST((1000000 * c.r) // t.tr, 1))) AS BIGINT)
+           AS score_micro
+  FROM c CROSS JOIN t
+),
+dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+dw AS (
+  SELECT dc.doc_id,
+         CAST(SUM(dc.cnt * sc.score_micro) AS BIGINT) AS weight_micro
+  FROM dc JOIN sc ON sc.b = dc.b
+  GROUP BY dc.doc_id
+)
+SELECT doc_id, weight_micro FROM dw WHERE weight_micro > 0
+""",
+    doc="Importance resampling for target-domain data selection — the "
+    "public DSIR recipe (Xie et al., 'Data Selection for Language "
+    "Models via Importance Resampling', NeurIPS 2023) with this "
+    "repo's determinism discipline. Features are hashed word unigrams "
+    "(portable 32-bit hash mod 64 buckets); target (lang='en') and "
+    "raw bag-of-buckets models get add-one smoothing over the full "
+    "bucket spine; per-bucket log-likelihood ratios follow the "
+    "PSI/BM25 precedent — shares in floor-div ppm clamped >= 1, ONE "
+    "ln per BUCKET floored to micro-nats — so each document's "
+    "importance weight is an exact BIGINT dot product (token-bucket "
+    "counts x bucket scores) and selection (weight > 0: more "
+    "target-like than the raw average) is engine-exact, no float "
+    "boundary can flip membership. Scale shape: the 64-row bucket "
+    "model is a broadcast; the heavy operations are one token-bucket "
+    "shuffle bounded by |docs| x 64 partial-aggregated rows and a "
+    "map-side dot product. At 100 TB this runs once per target domain "
+    "to score the whole raw corpus; the paper's Gumbel top-k variant "
+    "swaps the deterministic threshold for a seeded-noise threshold "
+    "on the same weights.",
+)
+def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n_buckets = 64
+    w = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(textops.tokens("text")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (textops.portable_hash32("word") % n_buckets).alias("b"),
+        )
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("b"))
+    c = (
+        spine.join(w, "b", "left")
+        .groupBy("b")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("lang") == "en", 1)), F.lit(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("a"),
+            (F.count("doc_id") + 1).cast("long").alias("r"),
+        )
+    )
+    t = c.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("r").cast("long").alias("tr"),
+    )
+    sc = c.crossJoin(F.broadcast(t)).select(
+        "b",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                F.greatest(
+                    F.expr("(1000000 * a) div ta"), F.lit(1).cast("long")
+                ).cast("double")
+                / F.greatest(
+                    F.expr("(1000000 * r) div tr"), F.lit(1).cast("long")
+                )
+            )
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    dc = w.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    dw = (
+        dc.join(F.broadcast(sc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("score_micro"))
+            .cast("long")
+            .alias("weight_micro")
+        )
+    )
+    return dw.where(F.col("weight_micro") > 0)

@@ -1784,6 +1784,9 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
     "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
     "samp_cluster_split",
+    #    ...and the round's new sampling operator (DSIR importance
+    #    resampling — never evaluated by definition).
+    "samp_dsir_importance",
     # 3: high-value re-proofs backfilling the 50-slot cap — flagship
     #    OLTP/DW pairs, incremental/merge shapes, and one headliner
     #    per operator family (similarity, temporal, graph, sketch,
@@ -1798,7 +1801,7 @@ DRIVER_PRIORITY = [
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
     "stream_purchase_click_join", "ivm_agg_merge", "scd2_supplier_merge",
     "sk_hll_distinct_users", "dq_zscore_outliers", "samp_hash_split",
-    "ts_ohlc_bars", "multi_decode_meta",
+    "multi_decode_meta",
     # Everything else follows in registration order — each has at
     # least one prior driver-green row (r1-r7) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().

@@ -28,6 +28,8 @@ MUST_PROVE = {
     "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
     "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
     "samp_cluster_split",
+    # (c) new sampling operator in r8:
+    "samp_dsir_importance",
 }
 
 
