@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     # merge. Both time the full durable round-trip, not just a scan.
     "lake_delete_where",
     "lake_change_feed",
+    # round-8: DSIR importance resampling — the sampling family's
+    # token-level representative (bucket-model fit + corpus scoring)
+    "samp_dsir_importance",
 ]
 
 

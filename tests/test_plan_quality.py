@@ -1024,6 +1024,9 @@ BNLJ_ALLOWED = frozenset({
     "pack_balanced_shards",
     "reco_item_lift",
     "samp_apportion_lr",
+    # r8: 1-row (ta, tr) bucket-model totals broadcast onto the 64-row
+    # bucket table — same audited scalar-aggregate pattern as dq_psi
+    "samp_dsir_importance",
     "samp_label_balance",
     "samp_negative_mining",
     "sim_ann_recall_eval",
