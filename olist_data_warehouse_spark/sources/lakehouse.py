@@ -380,20 +380,28 @@ class LakeTable:
         self,
         spark: SparkSession,
         version: int | None = None,
-        prune: tuple[str, str, object] | None = None,
+        prune: tuple[str, str, object] | list[tuple[str, str, object]]
+        | None = None,
     ) -> DataFrame:
         """Read the table AS OF ``version`` (default: current).
 
         ``prune=(col, op, value)`` applies manifest-stats file skipping
         BEFORE the scan (see :meth:`prune_files`) — the caller still
         applies the actual row filter; pruning only guarantees the
-        skipped files contain no matching rows. At 100 TB a selective
+        skipped files contain no matching rows. A LIST of conditions
+        is a conjunction: a file survives only if every condition
+        admits it — the compound form a z-ordered table exists for
+        (both clustered columns prune at once). At 100 TB a selective
         point read then opens O(matching files), not the table."""
         state = self._state(version)
         schema = StructType.fromJson(state["schema"])
         files = sorted(state["files"])
         if prune is not None:
-            files = sorted(self.prune_files(*prune, version=version)[0])
+            conds = prune if isinstance(prune, list) else [prune]
+            keep = set(files)
+            for cond in conds:
+                keep &= set(self.prune_files(*cond, version=version)[0])
+            files = sorted(keep)
         paths = [os.path.join(self.path, p) for p in files]
         if not paths:
             return spark.createDataFrame([], schema)
@@ -403,16 +411,21 @@ class LakeTable:
         self, column: str, op: str, value, version: int | None = None
     ) -> tuple[list[str], list[str]]:
         """Stats-based file skipping for ``column <op> value``
-        (op in =, <, <=, >, >=): (candidates, provably_clean). A file
-        with no stats for the column is always a candidate (never
+        (op in =, <, <=, >, >=, in): (candidates, provably_clean). A
+        file with no stats for the column is always a candidate (never
         silently skipped). NULLs never match a comparison, so
-        null-count never widens the candidate set.
+        null-count never widens the candidate set. ``op='in'`` takes a
+        collection and admits a file if ANY member lands in its
+        [min, max] — the IN-list point-lookup shape.
 
         ``value`` is normalized through the same serialization as the
         stored stats (:func:`_json_safe`), so native
         date/datetime/Decimal prune values compare against the ISO
         strings in the manifest instead of raising ``TypeError``."""
-        value = _json_safe(value)
+        if op == "in":
+            values = [_json_safe(v) for v in value]
+        else:
+            value = _json_safe(value)
         state = self._state(version)
         cand, clean = [], []
         for p in sorted(state["files"]):
@@ -427,15 +440,18 @@ class LakeTable:
                     cand.append(p)
                 continue
             lo, hi = st["min"], st["max"]
-            might = {
-                "=": lo <= value <= hi,
-                "<": lo < value,
-                "<=": lo <= value,
-                ">": hi > value,
-                ">=": hi >= value,
-            }.get(op)
-            if might is None:
-                raise ValueError(f"unsupported prune op {op!r}")
+            if op == "in":
+                might = any(lo <= v <= hi for v in values)
+            else:
+                might = {
+                    "=": lo <= value <= hi,
+                    "<": lo < value,
+                    "<=": lo <= value,
+                    ">": hi > value,
+                    ">=": hi >= value,
+                }.get(op)
+                if might is None:
+                    raise ValueError(f"unsupported prune op {op!r}")
             (cand if might else clean).append(p)
         return cand, clean
 

@@ -488,6 +488,37 @@ def test_zorder_compact_skips_on_both_columns(spark, tmp_path):
     assert pr.count() == truth
 
 
+def test_compound_and_inlist_pruning(spark, tmp_path):
+    df = spark.range(4000).select(
+        (F.col("id") % 64).alias("x"),
+        (F.pmod(F.hash(F.col("id")), F.lit(64))).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t = LakeTable.create(df.repartition(16), str(tmp_path / "cp"))
+    t.compact(spark, target_file_bytes=3000, cluster_by=["x", "y"])
+    n = len(t._state()["files"])
+    cx = set(t.prune_files("x", "=", 7)[0])
+    cy = set(t.prune_files("y", "=", 9)[0])
+    # conjunction prunes to the intersection — tighter than either
+    both = t.read(spark, prune=[("x", "=", 7), ("y", "=", 9)])
+    assert both.rdd.getNumPartitions() <= len(cx & cy) or not (cx & cy)
+    got = both.where((F.col("x") == 7) & (F.col("y") == 9))
+    truth = df.where((F.col("x") == 7) & (F.col("y") == 9))
+    assert sorted(r["payload"] for r in got.collect()) == sorted(
+        r["payload"] for r in truth.collect()
+    )
+    # IN-list pruning: candidates = union of per-value candidates
+    cin = set(t.prune_files("x", "in", [7, 50])[0])
+    assert cin <= set(t.prune_files("x", "=", 7)[0]) | set(
+        t.prune_files("x", "=", 50)[0]
+    )
+    assert len(cin) < n
+    inread = t.read(spark, prune=("x", "in", [7, 50])).where(
+        F.col("x").isin(7, 50)
+    )
+    assert inread.count() == df.where(F.col("x").isin(7, 50)).count()
+
+
 def test_zorder_compact_is_cdf_invisible(spark, tmp_path):
     df = spark.range(100).select(
         (F.col("id") % 10).alias("x"), F.col("id").alias("y")
