@@ -86,6 +86,11 @@ SMOKE_ENTRIES = [
     # epoch-gap comparison — both carries must agree under any session
     # timezone.
     "tj_asof_nearest",
+    # r8: the lake streaming loop is the newest conf-sensitive stack —
+    # a real Structured Streaming query through the Python DataSource
+    # (Arrow timestamp transfer on executors) into the exactly-once
+    # sink, with event-time cents derivation at the end.
+    "lake_stream_pipeline",
 ]
 
 
