@@ -92,11 +92,22 @@ class LakeStreamReader(DataSourceStreamReader):
             return json.load(f)
 
     def _schema_json_at(self, v: int) -> str:
-        """Latest schema action at or before ``v`` (scan backwards —
-        commits carry schema only when it changes)."""
+        """Latest schema action at or before ``v``. Commits carry
+        schema only when it changes, so scan backwards — but stop at
+        the first checkpoint (full-state snapshots embed the schema),
+        which bounds the walk to CHECKPOINT_EVERY commit reads however
+        long the log grows."""
         import json
 
         for cv in range(v, -1, -1):
+            cp = os.path.join(
+                self.table_path, "_log", f"{cv:08d}.checkpoint.json"
+            )
+            if os.path.exists(cp):
+                with open(cp) as f:
+                    state = json.load(f)
+                if state.get("schema") is not None:
+                    return json.dumps(state["schema"])
             c = self._commit(cv)
             if c.get("schema") is not None:
                 return json.dumps(c["schema"])

@@ -167,6 +167,28 @@ def test_lake_to_lake_streaming_loop(registered, tmp_path):
     assert got.select("k").distinct().count() == 26
 
 
+def test_long_log_schema_resolution_uses_checkpoint(registered, tmp_path):
+    """Schema lookup stops at the newest checkpoint instead of walking
+    the whole log: evolve early, then append past CHECKPOINT_EVERY
+    commits whose log entries carry no schema action."""
+    from olist_data_warehouse_spark.sources.lakehouse import (
+        CHECKPOINT_EVERY,
+    )
+
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 5), str(tmp_path / "src"))
+    t.append(
+        _df(spark, 5, 8).withColumn("tag", F.lit("x")), merge_schema=True
+    )
+    for i in range(CHECKPOINT_EVERY + 2):
+        t.append(_df(spark, 10 + i, 11 + i).withColumn(
+            "tag", F.lit("y")
+        ), merge_schema=True)
+    rows = _run_available_now(spark, t.path, "ls_long", str(tmp_path / "c"))
+    assert len(rows) == 5 + 3 + CHECKPOINT_EVERY + 2
+    assert set(rows[0].asDict()) == {"k", "g", "v", "tag"}
+
+
 def test_missing_table_and_path_errors(registered, tmp_path):
     spark = registered
     with pytest.raises(Exception, match="no lake table"):
