@@ -62,6 +62,24 @@ _CACHE_CAP = 4
 
 def _bounded_persist(slot: str, df: DataFrame) -> DataFrame:
     frames = _DEDUP_CACHES.setdefault(slot, [])
+    # Drop frames bound to a stopped/replaced session first: comparing
+    # against (or returning) one would break the CURRENT call, and its
+    # unpersist may itself raise — every cache-management touch of a
+    # possibly-dead frame is best-effort.
+    alive: list[DataFrame] = []
+    for prev in frames:
+        try:
+            stale = prev.sparkSession is not df.sparkSession
+        except Exception:
+            stale = True
+        if stale:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
+        else:
+            alive.append(prev)
+    frames[:] = alive
     for i, prev in enumerate(frames):
         try:
             same = prev.sameSemantics(df)
@@ -71,7 +89,11 @@ def _bounded_persist(slot: str, df: DataFrame) -> DataFrame:
             frames.append(frames.pop(i))  # LRU bump
             return frames[-1]
     if len(frames) >= _CACHE_CAP:
-        frames.pop(0).unpersist(blocking=False)
+        evicted = frames.pop(0)
+        try:
+            evicted.unpersist(blocking=False)
+        except Exception:
+            pass
     frames.append(df.persist())
     return frames[-1]
 

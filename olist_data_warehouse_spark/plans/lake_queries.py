@@ -406,7 +406,10 @@ def lake_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on timeout with the query
+    # still running — reading dst then would return a silently PARTIAL
+    # result the driver could not tell from a real lakestream/sink bug.
+    assert q.awaitTermination(300), "stream did not drain within 300s"
     return dst.read(spark)
 
 

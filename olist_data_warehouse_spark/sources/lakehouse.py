@@ -946,7 +946,9 @@ class LakeTable:
         return removed
 
 
-def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+def _zorder_column(
+    df: DataFrame, cols: list[str], bits: int | None = None
+) -> Column:
     """Interleaved-bit z-value over ``cols`` — pure column expressions
     (codegen'd; no UDF). Each column is min-max scaled to a ``bits``-bit
     bucket (one tiny driver-side agg for the ranges; NULLs and
@@ -954,6 +956,13 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     the buckets' bits interleave LSB-first. Two 16-bit columns fill 32
     bits of the long — plenty of curve resolution for file-level
     skipping, where only ~log2(n_files) leading bits matter.
+
+    ``bits`` defaults to ``min(16, 63 // len(cols))`` so every
+    interleaved position stays below the long's sign bit: Java's
+    ``shiftleft`` masks the shift amount mod 64, so a position >= 64
+    would silently collide with a LOW-order bit and scramble the
+    curve's locality (rows stay correct — only clustering power dies).
+    Explicit ``bits`` values that would overflow are rejected.
 
     Sibling of ``writers.zorder_value`` (the standalone parquet-layout
     primitive): that one quantile-buckets exactly two columns from a
@@ -963,6 +972,18 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     stats do the skipping, so cheap min-max scaling over N columns is
     the right tradeoff; tables with pathological skew can pre-bucket
     the column themselves."""
+    if not cols:
+        raise ValueError("cluster_by needs at least one column")
+    if bits is None:
+        bits = min(16, 63 // len(cols))
+    # highest interleaved position is (bits-1)*len(cols) + len(cols)-1
+    if bits * len(cols) - 1 >= 63:
+        raise ValueError(
+            f"bits={bits} x {len(cols)} columns needs bit positions past "
+            "the long's sign bit (Java shiftleft wraps mod 64 and would "
+            "silently scramble the curve) — lower bits or cluster fewer "
+            "columns"
+        )
     top = (1 << bits) - 1
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}")

@@ -15,31 +15,68 @@ micro-batch's partitions are the parquet FILES added by the commits in
 `(start, end]` — one file per partition, read ON EXECUTORS as Arrow
 record batches (the vectorized path of the Python DataSource API), so
 the driver only plans and the scan parallelism equals the churn's file
-count. Schema evolution mid-stream is handled the same way the batch
-reader handles it: every file is projected to the CURRENT table schema
-by name, missing columns backfilled as typed NULLs.
+count.
+
+SCHEMA is fixed at query start (the Delta streaming contract): the
+running query reads every file projected BY NAME to the schema Spark
+analyzed the stream with (threaded from ``streamReader(schema)``), so
+a `merge_schema` append landing mid-stream neither fails the query nor
+changes its output shape — pre-evolution files surface missing columns
+as typed NULLs, post-evolution files have their new columns dropped
+until the query RESTARTS and re-resolves the current table schema.
+
+RATE LIMITING (`max_files_per_batch` / `max_bytes_per_batch`): the
+direct analog of Delta's `maxFilesPerTrigger`, bounding how much of a
+backlog one micro-batch admits so a consumer catching up replays in
+bounded steps instead of one unbounded batch. The Python DataSource
+API has no admission-control hook (`latestOffset()` receives neither
+the start offset nor a ReadLimit — pyspark.sql.datasource as of 4.1),
+so the reader anchors its budget on the furthest version it has SEEN
+planned or committed (`initialOffset`/`partitions`/`commit` all
+advance the anchor). A COLD restart (new driver process, existing
+checkpoint) starts anchorless; rather than replaying the whole backlog,
+the reader emits one PROBE offset — a nonce-tagged no-op end that never
+equals the checkpointed offset — whose empty batch makes Spark call
+`partitions(checkpoint_start, probe)` and hand the anchor over; every
+batch after is budget-bounded. Spark passes each batch's END back as
+the NEXT batch's start, so a probe offset must keep denoting the same
+consumed point across crash-replay in a fresh process: `partitions`
+durably records `probe-nonce -> consumed version` under
+`<table>/_probes/` the moment it resolves one (a ~30-byte file per
+cold restart), and any later batch whose start is a probe reads the
+nonce back instead of trusting the probe's placeholder version — no
+rewind, no skip, deterministic replay. Cost: one empty micro-batch per
+cold restart. Use with processingTime triggers; an `availableNow` run
+fixes its target at the FIRST `latestOffset`, so with a limit set it
+drains one budget per run (and a cold restart's probe round drains
+none) — the same pre-`SupportsTriggerAvailableNow` tradeoff the old
+DSv1 rate-limited sources had.
 
 Semantics follow the public Delta streaming-source contract: the feed
 is the APPEND feed (create/append/stream_append commits). A commit
-that rewrites rows (delete/merge/compact/overwrite/rollback) breaks
-row-identity for a streaming consumer, so by default the reader raises
-at planning time; `.option("skip_rewrites", "true")` opts into
-skipping those commits entirely (their adds are rewrite copies whose
-rows were already streamed — streaming them would duplicate; their
-removes were already delivered and cannot be unsent), the documented
+that rewrites rows (delete/merge/compact/overwrite/rollback/
+drop_partitions) breaks row-identity for a streaming consumer, so by
+default the reader raises at planning time;
+`.option("skip_rewrites", "true")` opts into skipping those commits
+entirely (their adds are rewrite copies whose rows were already
+streamed — streaming them would duplicate; their removes were already
+delivered and cannot be unsent), the documented
 at-least-once-minus-deletes tradeoff of Delta's `ignoreChanges`
 family. Consumers that need row-level churn use the batch CDF
 (`LakeTable.read_changes_since`) instead.
 
-Scale posture (100 TB): latestOffset is an O(1) log listing;
-partition planning is O(commits in range) driver-side JSON reads;
-data movement is exactly the added files — a trickle-ingest table
-streams at the cost of its churn, never its size.
+Scale posture (100 TB): latestOffset is an O(1) log listing plus an
+O(commits in budget window) admission scan; partition planning is
+O(commits in range) driver-side JSON reads; data movement is exactly
+the added files — a trickle-ingest table streams at the cost of its
+churn, never its size, and a post-downtime catch-up is paced at
+`max_files_per_batch` files per trigger.
 """
 
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -56,11 +93,12 @@ APPEND_OPS = ("create", "append", "stream_append")
 @dataclass
 class _FileSlice(InputPartition):
     path: str              # absolute parquet file path
-    schema_json: str       # CURRENT table schema (projection target)
+    schema_json: str       # fixed query schema (projection target)
+    partition_json: str | None = None  # {col: value} for partitioned tables
 
 
 class LakeStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema_json: str | None = None):
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("lakestream requires .option('path', ...)")
@@ -69,6 +107,22 @@ class LakeStreamReader(DataSourceStreamReader):
         )
         start = options.get("starting_version")
         self._start = int(start) if start is not None else -1
+        mf = options.get("max_files_per_batch")
+        mb = options.get("max_bytes_per_batch")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_batch must be >= 1")
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("max_bytes_per_batch must be >= 1")
+        # Fixed analysis-time schema, threaded from streamReader(schema).
+        # None only when the reader is constructed directly (tests):
+        # then each batch falls back to the log's schema at its end.
+        self.schema_json = schema_json
+        # Admission anchor: furthest version this process has seen
+        # planned or committed. None until initialOffset (fresh query)
+        # or the first partitions/commit call (restart) reveals it.
+        self._anchor: int | None = None
 
     # -- log helpers (driver side; mirrors LakeTable without importing
     # pyspark-session machinery into the executor-pickled reader) -----
@@ -113,20 +167,109 @@ class LakeStreamReader(DataSourceStreamReader):
                 return json.dumps(c["schema"])
         raise ValueError(f"no schema action in log of {self.table_path}")
 
+    def _bump_anchor(self, v: int) -> None:
+        if self._anchor is None or v > self._anchor:
+            self._anchor = v
+
+    # -- probe offsets (cold-restart admission handshake) --------------
+
+    def _probe_path(self, nonce) -> str:
+        return os.path.join(self.table_path, "_probes", f"{nonce}.json")
+
+    def _record_probe(self, nonce, version: int) -> None:
+        """Durably pin what consumed point a probe offset denotes —
+        idempotent and atomic, so crash-replay re-records the same
+        value (the input `version` comes from the durable offset log
+        via the start offset, never from in-process state)."""
+        import json
+
+        d = os.path.dirname(self._probe_path(nonce))
+        os.makedirs(d, exist_ok=True)
+        tmp = self._probe_path(nonce) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._probe_path(nonce))
+
+    def _resolve_version(self, off: dict) -> int:
+        """The consumed version an offset denotes. Plain offsets carry
+        it; probe offsets alias the consumed point current when they
+        were first planned, read back from the durable record."""
+        if "probe" not in off:
+            return off["version"]
+        import json
+
+        try:
+            with open(self._probe_path(off["probe"])) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"probe offset {off} has no resolution record under "
+                f"{self.table_path}/_probes — the record was deleted; "
+                "re-seed the stream from a fresh checkpoint"
+            ) from None
+
     # -- DataSourceStreamReader contract -------------------------------
 
     def initialOffset(self) -> dict:
+        self._bump_anchor(self._start)
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         vs = self._versions()
-        return {"version": vs[-1] if vs else self._start}
+        newest = vs[-1] if vs else self._start
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": newest}
+        if self._anchor is None:
+            # Cold restart: the checkpointed start is invisible to this
+            # API (latestOffset gets no start and no ReadLimit), so emit
+            # a no-op probe end. Its (empty) batch makes Spark call
+            # partitions(checkpoint_start, probe) — handing the anchor
+            # over — after which every batch is bounded. The nonce keeps
+            # the probe unequal to any checkpointed offset (including a
+            # previous run's probe), so the batch is always planned and
+            # the handshake cannot deadlock.
+            return {
+                "version": self._start,
+                "probe": f"{int(time.time() * 1000)}-{os.getpid()}",
+            }
+        end, files, nbytes = self._anchor, 0, 0
+        for v in range(self._anchor + 1, newest + 1):
+            c = self._commit(v)
+            adds = c.get("add", []) if c["op"] in APPEND_OPS else []
+            nf, nb = len(adds), sum(f.get("bytes", 0) for f in adds)
+            over = (
+                self.max_files is not None and files + nf > self.max_files
+            ) or (
+                self.max_bytes is not None and nbytes + nb > self.max_bytes
+            )
+            # always admit at least one commit per batch, or a single
+            # commit larger than the budget would stall the stream
+            if over and end > self._anchor:
+                break
+            end, files, nbytes = v, files + nf, nbytes + nb
+        # the anchor advances in partitions()/commit(), not here: an end
+        # Spark never plans (no-progress trigger) must not consume budget
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start["version"], end["version"]
+        lo = self._resolve_version(start)
+        if "probe" in end:
+            # the probe's no-op batch: pin its meaning to the consumed
+            # point Spark just revealed, deliver nothing
+            self._record_probe(end["probe"], lo)
+            hi = lo
+        else:
+            hi = end["version"]
+        self._bump_anchor(max(lo, hi))
         if hi <= lo:
             return []
-        schema_json = self._schema_json_at(hi)
+        import json
+
+        schema_json = (
+            self.schema_json
+            if self.schema_json is not None
+            else self._schema_json_at(hi)
+        )
         out: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             c = self._commit(v)
@@ -143,6 +286,11 @@ class LakeStreamReader(DataSourceStreamReader):
                 _FileSlice(
                     path=os.path.join(self.table_path, f["path"]),
                     schema_json=schema_json,
+                    partition_json=(
+                        json.dumps(f["partition"])
+                        if f.get("partition") is not None
+                        else None
+                    ),
                 )
                 for f in c.get("add", [])
             ]
@@ -150,8 +298,10 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FileSlice) -> Iterator:
         """Executor-side: one parquet file -> Arrow record batches
-        projected to the current table schema (missing columns from a
-        pre-evolution file become typed NULL arrays)."""
+        projected to the FIXED query schema (missing columns from a
+        pre-evolution file become typed NULL arrays; columns a
+        post-evolution file added after query start are dropped;
+        partition-only columns fill from the manifest's value)."""
         import json
 
         import pyarrow as pa
@@ -167,6 +317,11 @@ class LakeStreamReader(DataSourceStreamReader):
             [StructField(f.name, f.dataType, True) for f in declared]
         )
         target = to_arrow_schema(spark_schema)
+        pvals = (
+            json.loads(partition.partition_json)
+            if partition.partition_json
+            else {}
+        )
         table = pq.read_table(partition.path)
         arrays = []
         for field in target:
@@ -174,13 +329,27 @@ class LakeStreamReader(DataSourceStreamReader):
                 arrays.append(
                     table.column(field.name).cast(field.type).combine_chunks()
                 )
+            elif field.name in pvals:
+                # Hive-layout partition column: constant per file, not
+                # stored in the data pages — fill from the manifest
+                v = pvals[field.name]
+                arrays.append(
+                    pa.nulls(len(table), field.type)
+                    if v is None
+                    else pa.array([v] * len(table)).cast(field.type)
+                )
             else:
                 arrays.append(pa.nulls(len(table), field.type))
         aligned = pa.table(arrays, schema=target)
         yield from aligned.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # checkpointing is Spark's; the log itself never mutates
+        # checkpointing is Spark's; the log itself never mutates — but
+        # a committed end is a valid admission anchor
+        try:
+            self._bump_anchor(self._resolve_version(end))
+        except ValueError:
+            pass  # unresolvable probe: anchor advances via partitions
 
 
 class LakeStreamDataSource(DataSource):
@@ -212,7 +381,16 @@ class LakeStreamDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> LakeStreamReader:
-        return LakeStreamReader(self.options)
+        import json
+
+        # Thread the ANALYSIS-TIME schema into the reader: the running
+        # query's shape is fixed here; the log's schema may move on.
+        sj = (
+            json.dumps(schema.jsonValue())
+            if isinstance(schema, StructType)
+            else None
+        )
+        return LakeStreamReader(self.options, schema_json=sj)
 
 
 def register(spark) -> None:

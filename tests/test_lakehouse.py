@@ -536,3 +536,41 @@ def test_history_records_operations(spark, table):
     hist = table.history()
     assert [h["op"] for h in hist] == ["create", "append", "delete"]
     assert hist[-1]["rows_deleted"] == 1
+
+
+def test_zorder_bits_stay_below_sign_bit(spark, tmp_path):
+    """ADVICE r8: with 4+ cluster columns at bits=16 the interleave
+    reached (or passed) bit 63, where Java shiftleft wraps mod 64 and
+    silently folds high-order bits onto low ones. Default bits now
+    derive as min(16, 63 // n_cols); explicit overflowing bits raise."""
+    from olist_data_warehouse_spark.sources.lakehouse import _zorder_column
+
+    df = spark.range(2000).select(
+        (F.col("id") % 8).alias("a"),
+        (F.col("id") % 11).alias("b"),
+        (F.col("id") % 13).alias("c"),
+        (F.pmod(F.hash("id"), F.lit(17))).alias("d"),
+        F.col("id").alias("payload"),
+    )
+    with pytest.raises(ValueError, match="sign bit"):
+        _zorder_column(df, ["a", "b", "c", "d"], bits=16)
+    # auto-derived bits: 4 cols -> 15 bits each, top position 62
+    z = df.withColumn("_z", _zorder_column(df, ["a", "b", "c", "d"]))
+    assert z.where(F.col("_z") < 0).count() == 0  # never hits sign bit
+    # end-to-end: 4-column z-order compact keeps rows and gives every
+    # clustered column non-trivial pruning power
+    t = LakeTable.create(df.repartition(16), str(tmp_path / "z4"))
+    # ~32 output files: one full interleave round (4 cols) of leading
+    # curve bits, so EVERY clustered column owns at least one — with
+    # fewer files a single column legitimately cannot prune
+    total = sum(m["bytes"] for m in t._state()["files"].values())
+    t.compact(spark, target_file_bytes=max(1, total // 32),
+              cluster_by=["a", "b", "c", "d"])
+    n = len(t._state()["files"])
+    got = t.read(spark)
+    assert got.count() == 2000
+    assert got.agg(F.sum("payload")).first()[0] == sum(range(2000))
+    assert n >= 16
+    for col, val in (("a", 3), ("d", 5)):
+        cand = len(t.prune_files(col, "=", val)[0])
+        assert cand < n, f"{col}: {cand}/{n} files pruned nothing"

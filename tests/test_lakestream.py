@@ -197,3 +197,154 @@ def test_missing_table_and_path_errors(registered, tmp_path):
         ).load()
     with pytest.raises(Exception, match="requires .option"):
         spark.readStream.format("lakestream").load()
+
+
+# -- rate limiting (max_files_per_batch / max_bytes_per_batch) ---------
+
+
+def _drain_bounded(spark, src_path, ckpt, expect_rows, **opts):
+    """Run a processingTime (default-trigger) rate-limited stream until
+    ``expect_rows`` rows have arrived, collecting (batch_id, rows) per
+    non-empty micro-batch; returns the batch list."""
+    import time as _time
+
+    batches: list[tuple[int, list]] = []
+
+    def sink(bdf, bid):
+        got = bdf.collect()
+        if got:
+            batches.append((bid, got))
+
+    reader = spark.readStream.format("lakestream").option("path", src_path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            if sum(len(r) for _, r in batches) >= expect_rows:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return batches
+
+
+def test_rate_limit_bounds_each_batch_over_backlog(registered, tmp_path):
+    """A pre-existing 10-commit backlog drains in >= 3 bounded
+    micro-batches through one checkpoint, with exact final parity —
+    never as one unbounded batch (the Delta maxFilesPerTrigger shape)."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    for i in range(1, 10):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))  # 1 file each
+    batches = _drain_bounded(
+        spark, t.path, str(tmp_path / "c"), expect_rows=20,
+        max_files_per_batch="3",
+    )
+    rows = [r for _, rs in batches for r in rs]
+    assert {r["k"] for r in rows} == set(range(20))  # parity, no dup/loss
+    assert len(batches) >= 3                          # bounded catch-up
+    # 3 files x 2 rows: no batch ever exceeds the admission budget
+    assert max(len(rs) for _, rs in batches) <= 6
+
+
+def test_rate_limit_max_bytes_bounds_batches(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    for i in range(1, 6):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))
+    one_file_bytes = max(
+        m["bytes"] for m in t._state()["files"].values()
+    )
+    batches = _drain_bounded(
+        spark, t.path, str(tmp_path / "c"), expect_rows=12,
+        max_bytes_per_batch=str(one_file_bytes),  # ~1 file per batch
+    )
+    rows = [r for _, rs in batches for r in rs]
+    assert {r["k"] for r in rows} == set(range(12))
+    assert len(batches) >= 4
+    assert max(len(rs) for _, rs in batches) <= 2
+
+
+def test_rate_limit_cold_restart_probes_then_bounds(registered, tmp_path):
+    """A NEW query over an existing checkpoint (fresh source process =
+    no in-memory anchor) must not replay the backlog as one batch: the
+    probe handshake recovers the consumed point from the offset log,
+    then every batch is budget-bounded."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    ckpt = str(tmp_path / "c")
+    b1 = _drain_bounded(
+        spark, t.path, ckpt, expect_rows=2, max_files_per_batch="2"
+    )
+    assert {r["k"] for _, rs in b1 for r in rs} == {0, 1}
+    # 8-commit backlog lands while the consumer is down
+    for i in range(1, 9):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))
+    b2 = _drain_bounded(
+        spark, t.path, ckpt, expect_rows=16, max_files_per_batch="2"
+    )
+    rows = [r for _, rs in b2 for r in rs]
+    assert {r["k"] for r in rows} == set(range(2, 18))  # delta only, exact
+    assert len(b2) >= 4                                 # bounded catch-up
+    assert max(len(rs) for _, rs in b2) <= 4            # 2 files x 2 rows
+    # the cold start left its durable probe resolution behind
+    probes = os.listdir(os.path.join(t.path, "_probes"))
+    assert probes
+
+
+def test_mid_stream_evolution_keeps_query_schema(registered, tmp_path):
+    """ADVICE r8: a merge_schema append landing WHILE a query runs must
+    not change (or fail) the running query's shape — files are projected
+    to the analysis-time schema; the new column appears only after a
+    RESTART re-resolves the table schema (the Delta contract)."""
+    import time as _time
+
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 5), str(tmp_path / "s"))
+    ckpt = str(tmp_path / "c")
+    batches: list[list] = []
+
+    def sink(bdf, bid):
+        got = bdf.collect()
+        if got:
+            batches.append(got)
+
+    q = (
+        spark.readStream.format("lakestream").option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and sum(map(len, batches)) < 5:
+            _time.sleep(0.3)
+        # evolution lands MID-STREAM, while the query is running
+        t.append(
+            _df(spark, 5, 8).withColumn("tag", F.lit("new")),
+            merge_schema=True,
+        )
+        while _time.time() < deadline and sum(map(len, batches)) < 8:
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert sum(map(len, batches)) == 8
+    # every batch kept the analysis-time shape: no tag column, no error
+    for got in batches:
+        assert set(got[0].asDict()) == {"k", "g", "v"}
+    # a restarted query re-resolves: the evolved column appears
+    t.append(_df(spark, 8, 10).withColumn("tag", F.lit("new2")),
+             merge_schema=True)
+    rows = _run_available_now(spark, t.path, "ls_ev2", ckpt)
+    assert {r["k"] for r in rows} == {8, 9}
+    assert set(rows[0].asDict()) == {"k", "g", "v", "tag"}
