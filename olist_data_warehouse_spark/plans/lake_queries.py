@@ -465,3 +465,40 @@ def lake_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = t.read(spark, prune=("l_partkey", "<=", 50))
     return pruned.where(F.col("l_partkey") <= 50)
+
+
+@register(
+    "lake_partition_drop",
+    oracle="""
+SELECT * FROM orders
+WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+""",
+    doc="METADATA-ONLY partition retirement on the lake format: orders "
+    "lands partitioned by o_orderstatus (native partition columns — "
+    "Hive data/col=val layout, per-file partition values in the "
+    "manifest), then drop_partitions({'o_orderstatus': 'F'}) removes "
+    "the whole partition as a manifest edit: zero files read, zero "
+    "files written, survivors byte-untouched, old versions still "
+    "time-travel to the dropped rows. The oracle states the survivor "
+    "set relationally (NULL-status rows ride the null partition and "
+    "survive a value drop). This is the retention/GDPR shape at "
+    "100 TB: reference parity is S7 DELETE (SURVEY §2.1) at partition "
+    "granularity, an O(matched files) metadata action instead of a "
+    "rewrite — the versioned twin of writers.drop_partitions.",
+)
+def lake_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders,
+        _fresh("partition_drop", sf_dir),
+        partition_by=["o_orderstatus"],
+    )
+    before = {
+        p: m["bytes"] for p, m in t._state()["files"].items()
+    }
+    t.drop_partitions({"o_orderstatus": "F"})
+    after = t._state()["files"]
+    # self-audit: drop is metadata-only — no file rewritten or added
+    assert all(p in before and before[p] == m["bytes"]
+               for p, m in after.items()), "drop rewrote files"
+    return t.read(spark)

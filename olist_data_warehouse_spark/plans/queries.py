@@ -1764,33 +1764,34 @@ from olist_data_warehouse_spark.plans import lake_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-8 prefix. Union r1-r7 = 214/214 pre-r8 entries driver-green
-    # (r7 closed it), so no rotation debt remains — per the standing
-    # discipline only NEW or TOUCHED entries lead; the rest of the 50
-    # slots are high-value re-proofs.
-    # 1: NEW this round (never evaluated by definition): the lakehouse
-    #    mutators behind the driver's differential gate — durable
-    #    DELETE, MERGE upsert, additive schema evolution, append-only
-    #    change feed, rollback time travel, stats-pruned read.
+    # Round-9 prefix. Union r1-r8 = 224/224 entries driver-green, so no
+    # rotation debt remains — per the standing discipline only NEW or
+    # TOUCHED entries lead; the rest of the 50 slots are high-value
+    # re-proofs.
+    # 1: NEW this round: metadata-only partition retirement on the
+    #    native-partition-column lake format.
+    "lake_partition_drop",
+    # 2: TOUCHED this round: every lake entry — lakehouse.py's staging
+    #    and scan paths were refactored for native partition columns
+    #    (Hive-layout staging, basePath scans, uniform CDF commit
+    #    shape, 2-scan bounded CDF catch-up plan) and lakestream.py
+    #    gained rate limiting + fixed analysis-time schema. Semantics
+    #    should be unchanged on unpartitioned tables — prove it.
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
-    # 2: TOUCHED this round: every entry routed through the dedup
-    #    helpers whose persist sites moved to the bounded-cache
-    #    convention (_shingle_pair_stats / minhash_lsh_candidates /
-    #    simhash_hamming_pairs). Caching mechanics only — semantics
-    #    unchanged — but the plan objects changed, so re-prove.
+    # 3: TOUCHED this round: entries routed through the dedup bounded
+    #    cache, whose eviction was hardened against stopped-session
+    #    frames (ADVICE r8). Mechanics only — re-prove anyway.
     "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
     "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
     "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
     "samp_cluster_split",
-    #    ...and the round's new sampling operator (DSIR importance
-    #    resampling — never evaluated by definition).
-    "samp_dsir_importance",
-    # 3: high-value re-proofs backfilling the 50-slot cap — flagship
+    # 4: high-value re-proofs backfilling the 50-slot cap — flagship
     #    OLTP/DW pairs, incremental/merge shapes, and one headliner
     #    per operator family (similarity, temporal, graph, sketch,
-    #    sampling, SCD, streaming, DQ, text, multimodal).
+    #    sampling, SCD, streaming, DQ, text, multimodal, DSIR).
+    "samp_dsir_importance",
     "q1_top_units_oltp", "q1_top_units_dw", "q2_top_revenue_oltp",
     "q2_top_revenue_dw", "q3_conversion_oltp", "q3_conversion_dw",
     "q4_shipping_priority", "j7_incremental_delta", "j7_merge_upsert",
@@ -1801,9 +1802,8 @@ DRIVER_PRIORITY = [
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
     "stream_purchase_click_join", "ivm_agg_merge", "scd2_supplier_merge",
     "sk_hll_distinct_users", "dq_zscore_outliers", "samp_hash_split",
-    "multi_decode_meta",
     # Everything else follows in registration order — each has at
-    # least one prior driver-green row (r1-r7) and runs continuously
+    # least one prior driver-green row (r1-r8) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

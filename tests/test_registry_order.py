@@ -14,22 +14,25 @@ from olist_data_warehouse_spark.plans.queries import (
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # r7 went 50/50 green, closing the union at 214/214 — every pre-r8
-    # entry has a driver row. The round-8 must-prove set is
-    # (a) the six NEW lakehouse entries and (b) every entry routed
-    # through the dedup persist sites moved to the bounded-cache
-    # convention this round (mechanics-only change; re-proven anyway).
-    # (a) new in r8:
+    # r8 went 50/50 green, closing the union at 224/224 — every pre-r9
+    # entry has a driver row. The round-9 must-prove set is
+    # (a) the NEW metadata-only partition-drop entry, (b) every lake
+    # entry (lakehouse staging/scan refactor for native partition
+    # columns + uniform CDF shape + bounded catch-up plan; lakestream
+    # rate limiting + fixed query schema), and (c) every entry routed
+    # through the dedup bounded cache whose eviction was hardened
+    # (ADVICE r8; mechanics-only, re-proven anyway).
+    # (a) new in r9:
+    "lake_partition_drop",
+    # (b) lake-refactor-touched in r9:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
-    # (b) cache-convention-touched in r8:
+    # (c) cache-hardening-touched in r9:
     "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
     "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
     "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
     "samp_cluster_split",
-    # (c) new sampling operator in r8:
-    "samp_dsir_importance",
 }
 
 
