@@ -502,3 +502,102 @@ def lake_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert all(p in before and before[p] == m["bytes"]
                for p, m in after.items()), "drop rewrote files"
     return t.read(spark)
+
+
+@register(
+    "lake_stream_cdf",
+    oracle="""
+WITH s01 AS (
+  SELECT * FROM events
+  WHERE ((event_id % 3) + 3) % 3 IN (0, 1) OR event_id IS NULL
+),
+surv AS (
+  SELECT * FROM s01 WHERE value IS NULL OR value <= 100.0
+),
+src AS (
+  SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+  FROM events WHERE event_id % 2 = 0 AND event_id IS NOT NULL
+),
+final AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT * FROM surv t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM final
+GROUP BY event_type
+HAVING COUNT(*) > 0
+""",
+    doc="The row-level change feed as a STREAMING source (mode='cdf' on "
+    "lakestream — the streaming twin of read_changes_since, Delta's "
+    "readChangeFeed shape): a cdf=True table takes a DELETE and a "
+    "MERGE (commits the append feed must refuse), then one real "
+    "Structured Streaming query replays the whole log as signed row "
+    "deltas (+_change_type/_commit_version) through the exactly-once "
+    "sink into a second lake table, and the entry folds the landed "
+    "deltas into the per-type aggregate (signed counts/sums; non-null "
+    "tracking keeps the all-NULL-group SUM identity; groups deleted "
+    "to zero rows drop out). The oracle replays the same mutations "
+    "relationally and recomputes from scratch — a dropped/duplicated "
+    "micro-batch, a wrong pre-image, or a sign error diverges. This "
+    "lifts the skip_rewrites at-least-once-minus-deletes tradeoff: at "
+    "100 TB a downstream consumer maintains state through churn while "
+    "moving O(churn) bytes per trigger.",
+)
+def lake_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakestream
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    part = F.pmod(F.col("event_id"), F.lit(3))
+    s01 = ev.where(part.isin(0, 1) | F.col("event_id").isNull())
+    src = LakeTable.create(s01, _fresh("stream_cdf_src", sf_dir), cdf=True)
+    src.delete_where(spark, F.col("value") > 100.0)
+    merge_src = ev.where(
+        (F.col("event_id") % 2 == 0) & F.col("event_id").isNotNull()
+    ).withColumn("value", F.col("value") * 2)
+    src.merge_into(spark, merge_src, keys=["event_id"])
+
+    dst = LakeTable.create(
+        ev.limit(0)
+        .withColumn("_change_type", F.lit("x"))
+        .withColumn("_commit_version", F.lit(0).cast("long")),
+        _fresh("stream_cdf_dst", sf_dir),
+    )
+    lakestream.register(spark)
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", src.path)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.foreachBatch(dst.streaming_sink("cdfpipe"))
+        .option("checkpointLocation", _fresh("stream_cdf_ckpt", sf_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "cdf stream did not drain within 300s"
+
+    d = dst.read(spark)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    nn = F.sum(F.when(F.col("value").isNotNull(), sign).otherwise(0))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.sum(sign).alias("n_events"),
+            F.sum(cents * sign).alias("cents_raw"),
+            nn.alias("nn"),
+        )
+        .where(F.col("n_events") > 0)
+        .select(
+            "event_type",
+            "n_events",
+            # SUM identity: zero surviving non-NULL values means NULL,
+            # even when the signed cents cancel to 0
+            F.when(F.col("nn") == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("cents_raw"))
+            .alias("cents"),
+        )
+    )

@@ -52,18 +52,26 @@ drains one budget per run (and a cold restart's probe round drains
 none) — the same pre-`SupportsTriggerAvailableNow` tradeoff the old
 DSv1 rate-limited sources had.
 
-Semantics follow the public Delta streaming-source contract: the feed
-is the APPEND feed (create/append/stream_append commits). A commit
-that rewrites rows (delete/merge/compact/overwrite/rollback/
+Semantics follow the public Delta streaming-source contract. The
+default feed is the APPEND feed (create/append/stream_append commits):
+a commit that rewrites rows (delete/merge/compact/overwrite/rollback/
 drop_partitions) breaks row-identity for a streaming consumer, so by
 default the reader raises at planning time;
 `.option("skip_rewrites", "true")` opts into skipping those commits
 entirely (their adds are rewrite copies whose rows were already
 streamed — streaming them would duplicate; their removes were already
 delivered and cannot be unsent), the documented
-at-least-once-minus-deletes tradeoff of Delta's `ignoreChanges`
-family. Consumers that need row-level churn use the batch CDF
-(`LakeTable.read_changes_since`) instead.
+at-least-once-minus-deletes tradeoff of Delta's `ignoreChanges` family.
+
+`.option("mode", "cdf")` lifts that tradeoff on a `cdf=True` table:
+the stream emits ROW-LEVEL DELTAS — the table's columns plus
+`_change_type` ('insert' | 'delete') and `_commit_version` — replaying
+every commit the way `LakeTable.read_changes_since` does (deletes and
+update-merges from their vacuum-protected pre-images;
+overwrite/rollback/drop_partitions file-exact from their remove lists;
+compaction invisible). A downstream consumer folds the deltas as
+signed counts/sums and maintains state through arbitrary churn — the
+streaming twin of the batch CDF, Delta's `readChangeFeed` shape.
 
 Scale posture (100 TB): latestOffset is an O(1) log listing plus an
 O(commits in budget window) admission scan; partition planning is
@@ -95,6 +103,36 @@ class _FileSlice(InputPartition):
     path: str              # absolute parquet file path
     schema_json: str       # fixed query schema (projection target)
     partition_json: str | None = None  # {col: value} for partitioned tables
+    change_type: str | None = None     # cdf mode: 'insert' | 'delete'
+    version: int | None = None         # cdf mode: _commit_version
+
+
+def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
+    """A commit's row-delta contributions as (kind, file-entry) pairs —
+    the streaming twin of LakeTable.read_changes_since's dispatch.
+    Raises when a rewriting commit has no persisted pre-images (table
+    created without cdf=True)."""
+    op = c["op"]
+    if op in APPEND_OPS:
+        return [("insert", f) for f in c.get("add", [])]
+    if op == "compact":
+        return []  # rewrite-identity: no row-level change
+    if op in ("overwrite", "rollback", "drop_partitions"):
+        return [("insert", f) for f in c.get("add", [])] + [
+            ("delete", p) for p in c.get("remove", [])
+        ]
+    if op in ("delete", "merge"):
+        if "cdf_delete" not in c:
+            raise ValueError(
+                f"{op} commit predates CDF or the table was created "
+                "without cdf=True — row deltas unavailable for the "
+                "cdf-mode stream; re-seed from a full read"
+            )
+        pairs = [("delete", f) for f in c["cdf_delete"]]
+        if op == "merge":
+            pairs += [("insert", e) for e in c.get("cdf_insert", [])]
+        return pairs
+    raise ValueError(f"unknown commit op {op!r}")
 
 
 class LakeStreamReader(DataSourceStreamReader):
@@ -105,6 +143,9 @@ class LakeStreamReader(DataSourceStreamReader):
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
         )
+        self.mode = str(options.get("mode", "append")).lower()
+        if self.mode not in ("append", "cdf"):
+            raise ValueError("mode must be 'append' or 'cdf'")
         start = options.get("starting_version")
         self._start = int(start) if start is not None else -1
         mf = options.get("max_files_per_batch")
@@ -166,6 +207,23 @@ class LakeStreamReader(DataSourceStreamReader):
             if c.get("schema") is not None:
                 return json.dumps(c["schema"])
         raise ValueError(f"no schema action in log of {self.table_path}")
+
+    def _stream_schema_json(self, v: int) -> str:
+        """The stream's output schema at ``v``: the table schema, plus
+        the two delta columns in cdf mode."""
+        import json
+
+        base = self._schema_json_at(v)
+        if self.mode != "cdf":
+            return base
+        d = json.loads(base)
+        d["fields"] = list(d["fields"]) + [
+            {"name": "_change_type", "type": "string",
+             "nullable": True, "metadata": {}},
+            {"name": "_commit_version", "type": "long",
+             "nullable": True, "metadata": {}},
+        ]
+        return json.dumps(d)
 
     def _bump_anchor(self, v: int) -> None:
         if self._anchor is None or v > self._anchor:
@@ -235,8 +293,17 @@ class LakeStreamReader(DataSourceStreamReader):
         end, files, nbytes = self._anchor, 0, 0
         for v in range(self._anchor + 1, newest + 1):
             c = self._commit(v)
-            adds = c.get("add", []) if c["op"] in APPEND_OPS else []
-            nf, nb = len(adds), sum(f.get("bytes", 0) for f in adds)
+            if self.mode == "cdf":
+                try:
+                    entries = [e for _, e in _cdf_pairs(c)]
+                except ValueError:
+                    entries = []  # partitions() raises the real error
+            else:
+                entries = c.get("add", []) if c["op"] in APPEND_OPS else []
+            nf = len(entries)
+            nb = sum(
+                e.get("bytes", 0) for e in entries if isinstance(e, dict)
+            )
             over = (
                 self.max_files is not None and files + nf > self.max_files
             ) or (
@@ -268,11 +335,38 @@ class LakeStreamReader(DataSourceStreamReader):
         schema_json = (
             self.schema_json
             if self.schema_json is not None
-            else self._schema_json_at(hi)
+            else self._stream_schema_json(hi)
         )
+
+        def pj(entry) -> str | None:
+            return (
+                json.dumps(entry["partition"])
+                if isinstance(entry, dict)
+                and entry.get("partition") is not None
+                else None
+            )
+
         out: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             c = self._commit(v)
+            if self.mode == "cdf":
+                # row-level delta feed: every commit replays as signed
+                # file slices — deletes from pre-images/file-exact
+                # removes, inserts from the incoming files
+                out += [
+                    _FileSlice(
+                        path=os.path.join(
+                            self.table_path,
+                            e["path"] if isinstance(e, dict) else e,
+                        ),
+                        schema_json=schema_json,
+                        partition_json=pj(e),
+                        change_type=kind,
+                        version=v,
+                    )
+                    for kind, e in _cdf_pairs(c)
+                ]
+                continue
             if c["op"] not in APPEND_OPS:
                 if self.skip_rewrites:
                     continue
@@ -280,17 +374,14 @@ class LakeStreamReader(DataSourceStreamReader):
                     f"commit v{v} ({c['op']}) rewrites rows — a "
                     "streaming consumer cannot replay it. Re-seed the "
                     "stream, use skip_rewrites=true (at-least-once, "
-                    "deletes unsent), or consume read_changes_since."
+                    "deletes unsent), switch to .option('mode','cdf') "
+                    "on a cdf=True table, or consume read_changes_since."
                 )
             out += [
                 _FileSlice(
                     path=os.path.join(self.table_path, f["path"]),
                     schema_json=schema_json,
-                    partition_json=(
-                        json.dumps(f["partition"])
-                        if f.get("partition") is not None
-                        else None
-                    ),
+                    partition_json=pj(f),
                 )
                 for f in c.get("add", [])
             ]
@@ -301,8 +392,10 @@ class LakeStreamReader(DataSourceStreamReader):
         projected to the FIXED query schema (missing columns from a
         pre-evolution file become typed NULL arrays; columns a
         post-evolution file added after query start are dropped;
-        partition-only columns fill from the manifest's value)."""
+        partition-only columns fill from the manifest's value or the
+        Hive path; cdf mode adds the constant delta columns)."""
         import json
+        from urllib.parse import unquote
 
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -320,8 +413,24 @@ class LakeStreamReader(DataSourceStreamReader):
         pvals = (
             json.loads(partition.partition_json)
             if partition.partition_json
-            else {}
+            else None
         )
+        if pvals is None:
+            # remove-side cdf slices carry bare paths — recover the
+            # partition values from the Hive directory segments
+            pvals = {}
+            for seg in partition.path.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    pvals[unquote(k)] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(raw)
+                    )
+        consts = {}
+        if partition.change_type is not None:
+            consts["_change_type"] = partition.change_type
+            consts["_commit_version"] = partition.version
         table = pq.read_table(partition.path)
         arrays = []
         for field in target:
@@ -329,9 +438,15 @@ class LakeStreamReader(DataSourceStreamReader):
                 arrays.append(
                     table.column(field.name).cast(field.type).combine_chunks()
                 )
+            elif field.name in consts:
+                arrays.append(
+                    pa.array([consts[field.name]] * len(table)).cast(
+                        field.type
+                    )
+                )
             elif field.name in pvals:
                 # Hive-layout partition column: constant per file, not
-                # stored in the data pages — fill from the manifest
+                # stored in the data pages
                 v = pvals[field.name]
                 arrays.append(
                     pa.nulls(len(table), field.type)
@@ -371,7 +486,7 @@ class LakeStreamDataSource(DataSource):
         from pyspark.sql.types import StructField
 
         declared = StructType.fromJson(
-            json.loads(reader._schema_json_at(vs[-1]))
+            json.loads(reader._stream_schema_json(vs[-1]))
         )
         # defensively nullable, like Spark's own file sources: schema
         # evolution backfills NULLs into columns regardless of what

@@ -348,3 +348,98 @@ def test_mid_stream_evolution_keeps_query_schema(registered, tmp_path):
     rows = _run_available_now(spark, t.path, "ls_ev2", ckpt)
     assert {r["k"] for r in rows} == {8, 9}
     assert set(rows[0].asDict()) == {"k", "g", "v", "tag"}
+
+
+# -- cdf mode: row-level delta stream ----------------------------------
+
+
+def test_cdf_mode_streams_row_deltas_through_churn(registered, tmp_path):
+    """mode=cdf replays delete/merge commits as signed row deltas (the
+    append feed would refuse them): folding the streamed deltas equals
+    the table's final state exactly."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 20), str(tmp_path / "s"), cdf=True)
+    t.append(_df(spark, 20, 30))
+    t.delete_where(spark, F.col("k") < 5)
+    src = _df(spark, 25, 35).withColumn("v", F.lit(-1.0))
+    t.merge_into(spark, src, keys=["k"])
+    t.compact(spark, target_file_bytes=1 << 30)  # invisible to the feed
+    rows = _run_available_now(
+        spark, t.path, "cdf1", str(tmp_path / "c"), mode="cdf"
+    )
+    assert set(rows[0].asDict()) == {
+        "k", "g", "v", "_change_type", "_commit_version"
+    }
+    from collections import Counter
+
+    folded = Counter()
+    for r in rows:
+        sign = 1 if r["_change_type"] == "insert" else -1
+        folded[(r["k"], r["v"])] += sign
+    survivors = {kv for kv, n in folded.items() if n > 0}
+    assert all(n in (0, 1) for n in folded.values())
+    truth = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert survivors == truth
+    # checkpoint resume: further churn streams only the delta
+    t.delete_where(spark, F.col("k") >= 30)
+    more = _run_available_now(
+        spark, t.path, "cdf2", str(tmp_path / "c"), mode="cdf"
+    )
+    assert {r["_change_type"] for r in more} == {"delete"}
+    assert {r["k"] for r in more} == set(range(30, 35))
+
+
+def test_cdf_mode_requires_cdf_table(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10), str(tmp_path / "s"))  # no cdf
+    t.delete_where(spark, F.col("k") < 2)
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", t.path).option("mode", "cdf")
+        .load()
+        .writeStream.format("memory").queryName("cdf_fail")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="cdf=True"):
+        q.awaitTermination(180)
+
+
+def test_cdf_mode_partitioned_drop_streams_deletes(registered, tmp_path):
+    """drop_partitions' remove-side slices carry bare paths; the reader
+    recovers partition values from the Hive directory segments."""
+    spark = registered
+    t = LakeTable.create(
+        _df(spark, 0, 20),
+        str(tmp_path / "s"),
+        cdf=True,
+        partition_by=["g"],
+    )
+    t.drop_partitions({"g": "2"})
+    rows = _run_available_now(
+        spark, t.path, "cdfp", str(tmp_path / "c"), mode="cdf"
+    )
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    assert dels and all(r["g"] == "2" for r in dels)
+    assert {r["k"] for r in dels} == {2, 6, 10, 14, 18}
+    ins = [r for r in rows if r["_change_type"] == "insert"]
+    assert len(ins) == 20  # the create, partition values filled
+
+
+def test_cdf_mode_respects_rate_limit(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(
+        _df(spark, 0, 2).coalesce(1), str(tmp_path / "s"), cdf=True
+    )
+    for i in range(1, 6):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))
+    t.delete_where(spark, F.col("k") == 0)
+    batches = _drain_bounded(
+        spark, t.path, str(tmp_path / "c"), expect_rows=13,
+        mode="cdf", max_files_per_batch="2",
+    )
+    rows = [r for _, rs in batches for r in rs]
+    assert len(rows) == 13  # 12 inserts + 1 delete pre-image
+    assert len(batches) >= 3
+    assert max(len(rs) for _, rs in batches) <= 4
