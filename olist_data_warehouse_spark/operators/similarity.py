@@ -1570,3 +1570,156 @@ def mmr_rerank(
     for p in out[1:]:
         result = result.unionByName(p)
     return result.select("query_id", "pos", "doc_id", "mmr_score")
+
+
+def pq_train_residual_codebooks(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> tuple[list[list[tuple[int, list[float]]]], DataFrame]:
+    """TRAINED product-quantization codebooks over coarse-quantizer
+    RESIDUALS — the full IVF-PQ training recipe of Jegou, Douze &
+    Schmid, "Product Quantization for Nearest Neighbor Search" (TPAMI
+    2011), upgrading :func:`pq_codebooks`'s seeded words to Lloyd-
+    trained ones:
+
+    1. assign each vector to its nearest seed centroid with EXACT
+       integer squared distance on 1e-6 fixed-point vectors (the
+       :func:`kmeans_refine` trick — bit-reproducible on any engine);
+    2. residual r = x - centroid(x), an exact BIGINT array;
+    3. per subspace, ``iters`` Lloyd rounds over the residual slices
+       (broadcast of M*K codewords against one corpus pass; update is
+       a bounded (M*K*sub) exact-integer partial aggregate);
+    4. final encode against the trained books.
+
+    Returns ``(books, encoded)``: books in the
+    :func:`pq_codebooks` shape (drop-in for the ADC scans), and the
+    encoding (vec_id, centroid_id, code_0..code_{M-1}).
+
+    Scale shape: every corpus pass is a narrow scan + broadcast of
+    model parameters; nothing wider than (M*K*sub) integer sums ever
+    aggregates; the corpus is never self-joined. Residual training is
+    what makes PQ distortion small *within* an IVF bucket — at 100 TB
+    this is the difference between a shortlist that needs 20 rerank
+    candidates and one that needs 200.
+    """
+    dim = _emb_dim(embeddings)
+    if dim is None:
+        empty = embeddings.sparkSession.createDataFrame(
+            [],
+            "vec_id long, centroid_id long, "
+            + ", ".join(f"code_{m} int" for m in range(n_subspaces)),
+        )
+        return [], empty
+    sub = dim // n_subspaces
+    q = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("qe")
+    ).localCheckpoint()
+
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qe").alias("qc")
+    )
+    int_sqd = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqd", "centroid_id")
+    asg = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sqd", int_sqd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                F.col("qe"), F.col("qc"), lambda a, b: a - b
+            ).alias("r"),
+        )
+    )
+    slices = asg.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("r"), m * sub + 1, sub)
+                for m in range(n_subspaces)
+            ])
+        ).alias("m", "rs"),
+    ).localCheckpoint()
+
+    # Codebook seeds come from the vectors AFTER the IVF seeds: the
+    # first n_centroids vec_ids ARE the coarse centroids, so their
+    # residuals are exactly zero — seeding from them would hand Lloyd
+    # K identical all-zero words and collapse every subspace to one
+    # code on the first assignment.
+    books_df = slices.filter(
+        (F.col("vec_id") >= n_centroids)
+        & (F.col("vec_id") < n_centroids + n_codes)
+    ).select(
+        "m",
+        (F.col("vec_id") - n_centroids).cast("int").alias("code"),
+        F.transform(
+            F.col("rs"), lambda v: v / F.lit(float(KM_SCALE))
+        ).alias("cw"),
+    )
+    dbl_dist = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("rs"), lambda v: v / F.lit(float(KM_SCALE))),
+            F.col("cw"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+
+    def _assign(books):
+        return (
+            slices.join(F.broadcast(books), "m")
+            .withColumn("dist", dbl_dist)
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "m", "rs", "code")
+        )
+
+    for _ in range(iters):
+        a = _assign(books_df)
+        sums = (
+            a.select("m", "code", F.posexplode("rs").alias("d", "v"))
+            .groupBy("m", "code", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        books_df = (
+            sums.withColumn(
+                "val", F.col("s") / F.col("n") / F.lit(float(KM_SCALE))
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "val"))),
+                    lambda s: s["val"],
+                ).alias("cw")
+            )
+        )
+
+    final = _assign(books_df)
+    encoded = final.groupBy("vec_id", "centroid_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+    books_rows = books_df.collect()
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in books_rows:
+        by_m.setdefault(r["m"], []).append(
+            (r["code"], [float(x) for x in r["cw"]])
+        )
+    books = [
+        sorted(by_m.get(m, [])) for m in range(n_subspaces)
+    ]
+    return books, encoded

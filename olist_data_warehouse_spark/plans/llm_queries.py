@@ -10448,3 +10448,102 @@ def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dw.where(F.col("weight_micro") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Trained residual PQ codebooks (Jegou et al. 2011 IVF-PQ training)
+# ---------------------------------------------------------------------------
+
+# Per-subspace Lloyd assignment over residual slices vs codebook {bk}:
+# identical left-fold double arithmetic on both engines, ties by code.
+_PQ_ASSIGN_SQL = """
+SELECT * FROM (
+  SELECT s.vec_id, s.centroid_id, s.m, s.rs, b.code,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, 16),
+               j -> (s.rs[j] / 1000000.0 - b.cw[j])
+                  * (s.rs[j] / 1000000.0 - b.cw[j]))),
+             (a, x) -> a + x),
+           b.code) AS rn
+  FROM slices s JOIN {bk} b ON s.m = b.m
+) WHERE rn = 1
+""".strip()
+
+_PQ_UPDATE_SQL = """
+SELECT m, code, list(s / n / 1000000.0 ORDER BY d) AS cw FROM (
+  SELECT m, code, j.j AS d, sum(rs[j.j]) AS s, count(*) AS n
+  FROM {asg} CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) j
+  GROUP BY 1, 2, 3
+) GROUP BY 1, 2
+""".strip()
+
+
+@register(
+    "sim_pq_trained_encode",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS centroid_id, qe AS qc FROM q WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, centroid_id,
+         list_transform(generate_series(1, 64), j -> qe[j] - qc[j]) AS r
+  FROM (
+    SELECT q.vec_id, q.qe, c.centroid_id, c.qc,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64),
+                 j -> (q.qe[j] - c.qc[j]) * (q.qe[j] - c.qc[j]))),
+               (a, x) -> a + x),
+             c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+slices AS (
+  SELECT vec_id, centroid_id, m.m,
+         list_slice(r, m.m * 16 + 1, m.m * 16 + 16) AS rs
+  FROM asg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) m
+),
+b0 AS (
+  SELECT m, CAST(vec_id - 8 AS INTEGER) AS code,
+         list_transform(rs, v -> v / 1000000.0) AS cw
+  FROM slices WHERE vec_id >= 8 AND vec_id < 16
+),
+a1 AS ({_PQ_ASSIGN_SQL.format(bk="b0")}),
+b1 AS ({_PQ_UPDATE_SQL.format(asg="a1")}),
+a2 AS ({_PQ_ASSIGN_SQL.format(bk="b1")}),
+b2 AS ({_PQ_UPDATE_SQL.format(asg="a2")}),
+a3 AS ({_PQ_ASSIGN_SQL.format(bk="b2")})
+SELECT vec_id, max(centroid_id) AS centroid_id,
+       max(CASE WHEN m = 0 THEN code END) AS code_0,
+       max(CASE WHEN m = 1 THEN code END) AS code_1,
+       max(CASE WHEN m = 2 THEN code END) AS code_2,
+       max(CASE WHEN m = 3 THEN code END) AS code_3
+FROM a3 GROUP BY vec_id
+""",
+    doc="TRAINED product-quantization codebooks over coarse-quantizer "
+    "residuals — the full IVF-PQ training recipe (Jegou, Douze & "
+    "Schmid, TPAMI 2011), upgrading the retrieval stack's seeded "
+    "codebooks to Lloyd-trained ones: exact-integer coarse assignment "
+    "on 1e-6 fixed-point vectors, BIGINT residuals, two Lloyd rounds "
+    "per subspace over residual slices (broadcast M*K codewords; "
+    "update = bounded M*K*16 exact-integer partial aggregate), final "
+    "encode against the trained books. The fixed-point discipline "
+    "(sim_kmeans_refine's) makes the whole iterative pipeline bit-"
+    "reproducible, so the DuckDB oracle replays training verbatim and "
+    "the ENCODING hash-matches. Codebook seeds are the vectors after "
+    "the IVF seeds (whose residuals are identically zero — seeding "
+    "from them collapses Lloyd). At 100 TB the corpus is scanned once "
+    "per round against broadcast model parameters; nothing wider than "
+    "M*K*sub integer sums aggregates, and the corpus never self-joins.",
+)
+def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    _books, encoded = similarity.pq_train_residual_codebooks(
+        e, n_subspaces=4, n_codes=8, n_centroids=8, iters=2
+    )
+    return encoded

@@ -318,3 +318,42 @@ def test_mmr_rerank_cache_residency_is_bounded(spark):
     assert all(not h.storageLevel.useMemory for h in first), (
         "previous call's caches were not released"
     )
+
+
+def test_pq_trained_codebooks_beat_seeded(spark, sf_dir):
+    """The point of training: Lloyd rounds over residuals must not
+    increase total quantization distortion vs the seeded words
+    (iters=0 encodes against the raw seeds)."""
+    from olist_data_warehouse_spark.operators.similarity import (
+        KM_SCALE,
+        pq_train_residual_codebooks,
+    )
+    from olist_data_warehouse_spark.sources.readers import load_testdata
+
+    e = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+
+    def distortion(iters):
+        books, enc = pq_train_residual_codebooks(e, iters=iters)
+        # recompute residual slices driver-side (500 x 64 — test scale)
+        rows = e.select("vec_id", "embedding").collect()
+        qe = {
+            r["vec_id"]: [round(float(x) * KM_SCALE) for x in r["embedding"]]
+            for r in rows
+        }
+        cents = {v: qe[v] for v in range(8) if v in qe}
+        total = 0.0
+        for r in enc.collect():
+            v = qe[r["vec_id"]]
+            c = cents[r["centroid_id"]]
+            resid = [(a - b) / KM_SCALE for a, b in zip(v, c)]
+            for m in range(4):
+                cw = dict(books[m])[r[f"code_{m}"]]
+                rs = resid[m * 16 : (m + 1) * 16]
+                total += sum((x - y) ** 2 for x, y in zip(rs, cw))
+        return total
+
+    seeded = distortion(0)
+    trained = distortion(2)
+    assert trained < seeded, (trained, seeded)
+    # and strictly better, not merely equal: training moved the words
+    assert trained < seeded * 0.95
