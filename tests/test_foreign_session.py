@@ -91,6 +91,12 @@ SMOKE_ENTRIES = [
     # (Arrow timestamp transfer on executors) into the exactly-once
     # sink, with event-time cents derivation at the end.
     "lake_stream_pipeline",
+    # r9: the CDF stream moves event TIMESTAMPs through Arrow executor
+    # reads (including delete pre-images) and folds signed aggregates;
+    # the partition drop round-trips partition values through the Hive
+    # directory encoding under a foreign locale/timezone.
+    "lake_stream_cdf",
+    "lake_partition_drop",
 ]
 
 
