@@ -70,10 +70,17 @@ class LakeTable:
 
     Layout::
 
-        path/_log/00000000.json            commit (add/remove actions)
-        path/_log/00000010.checkpoint.json full-state snapshot
-        path/data/<commit-uuid>-*.parquet  immutable data files
-    """
+        path/_log/00000000.json               commit (add/remove actions)
+        path/_log/00000010.checkpoint.parquet full-state snapshot
+        path/data/<commit-uuid>-*.parquet     immutable data files
+
+    Checkpoints are PARQUET (one row per live file: path, rows, bytes,
+    stats; table-level schema/config/txns in the file metadata) — the
+    Delta checkpoint design (Armbrust et al., VLDB 2020). At 100 TB /
+    ~1M files a JSON snapshot is hundreds of MB of text to parse on
+    every state resolution; the columnar form is ~10x smaller and
+    decodes in bulk. Tables written before the switch (JSON
+    checkpoints) stay readable."""
 
     def __init__(self, path: str):
         self.path = path
@@ -118,12 +125,100 @@ class LakeTable:
         finally:
             os.unlink(tmp)
         if v % CHECKPOINT_EVERY == 0 and v > 0:
-            state = self._state(v)
-            cp = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
-            cptmp = cp + ".tmp"
-            with open(cptmp, "w") as f:
-                json.dump(state, f, indent=1)
-            os.replace(cptmp, cp)
+            self._write_checkpoint(v, self._state(v))
+
+    def _write_checkpoint(self, v: int, state: dict) -> None:
+        """Columnar full-state snapshot (see class docstring): one row
+        per live file, schema/config/txns/version as table metadata.
+        Written atomically; readers prefer it over legacy JSON."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = state["files"]
+        paths = sorted(files)
+        table = pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "rows": pa.array(
+                    [files[p].get("rows", 0) for p in paths], pa.int64()
+                ),
+                "bytes": pa.array(
+                    [files[p].get("bytes", 0) for p in paths], pa.int64()
+                ),
+                "stats": pa.array(
+                    [json.dumps(files[p].get("stats", {})) for p in paths],
+                    pa.string(),
+                ),
+                "partition": pa.array(
+                    [
+                        json.dumps(files[p]["partition"])
+                        if "partition" in files[p]
+                        else None
+                        for p in paths
+                    ],
+                    pa.string(),
+                ),
+            }
+        ).replace_schema_metadata(
+            {
+                "lake_state": json.dumps(
+                    {
+                        "schema": state.get("schema"),
+                        "config": state.get("config", {}),
+                        "txns": state.get("txns", {}),
+                        "version": v,
+                    }
+                )
+            }
+        )
+        cp = os.path.join(self.log_dir, f"{v:08d}.checkpoint.parquet")
+        tmp = cp + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, cp)
+
+    def _checkpoint_versions(self, upto: int) -> list[int]:
+        return sorted(
+            {
+                int(f.split(".", 1)[0])
+                for f in os.listdir(self.log_dir)
+                if (
+                    f.endswith(".checkpoint.parquet")
+                    or f.endswith(".checkpoint.json")
+                )
+                and int(f.split(".", 1)[0]) <= upto
+            }
+        )
+
+    def _load_checkpoint(self, v: int) -> dict:
+        pqp = os.path.join(self.log_dir, f"{v:08d}.checkpoint.parquet")
+        if os.path.exists(pqp):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(pqp)
+            meta = json.loads(t.schema.metadata[b"lake_state"])
+            d = t.to_pydict()
+            files = {}
+            for i, p in enumerate(d["path"]):
+                m = {
+                    "path": p,
+                    "rows": d["rows"][i],
+                    "bytes": d["bytes"][i],
+                    "stats": json.loads(d["stats"][i]),
+                }
+                if d["partition"][i] is not None:
+                    m["partition"] = json.loads(d["partition"][i])
+                files[p] = m
+            return {
+                "files": files,
+                "schema": meta["schema"],
+                "config": meta["config"],
+                "txns": meta["txns"],
+                "version": meta["version"],
+            }
+        with open(
+            os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+        ) as f:
+            return json.load(f)  # legacy JSON checkpoint (pre-parquet)
 
     def _check_types(self, state: dict, df: DataFrame) -> None:
         """Shared-column TYPE gate for every write path. Names alone
@@ -151,16 +246,9 @@ class LakeTable:
             v = self.version()
         if v is None:
             raise FileNotFoundError(f"no committed versions at {self.path}")
-        cps = sorted(
-            int(f.split(".", 1)[0])
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".checkpoint.json") and int(f.split(".", 1)[0]) <= v
-        )
+        cps = self._checkpoint_versions(v)
         if cps:
-            with open(
-                os.path.join(self.log_dir, f"{cps[-1]:08d}.checkpoint.json")
-            ) as f:
-                state = json.load(f)
+            state = self._load_checkpoint(cps[-1])
             start = cps[-1] + 1
         else:
             state = {"files": {}, "schema": None}

@@ -191,15 +191,25 @@ class LakeStreamReader(DataSourceStreamReader):
         schema only when it changes, so scan backwards — but stop at
         the first checkpoint (full-state snapshots embed the schema),
         which bounds the walk to CHECKPOINT_EVERY commit reads however
-        long the log grows."""
+        long the log grows. Parquet checkpoints yield the schema from
+        FILE METADATA alone — no data pages read; legacy JSON
+        checkpoints stay supported."""
         import json
 
+        log = os.path.join(self.table_path, "_log")
         for cv in range(v, -1, -1):
-            cp = os.path.join(
-                self.table_path, "_log", f"{cv:08d}.checkpoint.json"
-            )
-            if os.path.exists(cp):
-                with open(cp) as f:
+            cpq = os.path.join(log, f"{cv:08d}.checkpoint.parquet")
+            if os.path.exists(cpq):
+                import pyarrow.parquet as pq
+
+                meta = json.loads(
+                    pq.read_schema(cpq).metadata[b"lake_state"]
+                )
+                if meta.get("schema") is not None:
+                    return json.dumps(meta["schema"])
+            cpj = os.path.join(log, f"{cv:08d}.checkpoint.json")
+            if os.path.exists(cpj):
+                with open(cpj) as f:
                     state = json.load(f)
                 if state.get("schema") is not None:
                     return json.dumps(state["schema"])
