@@ -601,3 +601,42 @@ def lake_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+
+
+@register(
+    "lake_shallow_clone",
+    oracle="""
+SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+""",
+    doc="SHALLOW CLONE (the public Delta CLONE shape): fork orders as "
+    "a metadata-only table — the clone's create commit references the "
+    "source's data files by absolute path, zero bytes copied — then "
+    "mutate ONLY the clone (delete multiples of 3, re-append the "
+    "multiples of 21) and read the clone back. The oracle states the "
+    "clone's end state relationally; a separate assertion pins that "
+    "the SOURCE still reads its full original row count, so a clone "
+    "mutation that leaked into shared files would fail loudly before "
+    "the hash compare. At 100 TB this is the experimentation/branch "
+    "move: fork a full table for a pipeline trial in O(manifest), "
+    "pay storage only for the clone's own churn.",
+)
+def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    src = LakeTable.create(
+        orders.repartition(6), _fresh("clone_src", sf_dir)
+    )
+    n_src = orders.count()
+    clone = src.clone_shallow(_fresh("clone_dst", sf_dir))
+    clone.delete_where(spark, F.col("o_orderkey") % 3 == 0)
+    clone.append(
+        orders.where(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0)
+        )
+    )
+    # divergence audit: the source is byte-identical and fully readable
+    assert src.read(spark).count() == n_src, "clone mutated the source"
+    return clone.read(spark)

@@ -1103,6 +1103,47 @@ class LakeTable:
         return {"version": v, "files_compacted": len(small),
                 "files_written": len(add)}
 
+    def clone_shallow(self, dst_path: str) -> "LakeTable":
+        """SHALLOW CLONE (the public Delta ``CLONE`` shape): a new
+        table at ``dst_path`` whose create commit references this
+        table's CURRENT data files by ABSOLUTE path — zero bytes
+        copied, zero files read. The clone then evolves independently:
+        its deletes/merges rewrite only its own new files (under its
+        own data/), while untouched rows keep reading the source's
+        files. This is the experimentation/branching move at 100 TB —
+        fork a full table for a pipeline trial in O(manifest).
+
+        Caveat (same as Delta's): the clone references, it does not
+        own. ``vacuum`` on the SOURCE can reclaim files the clone
+        still lists (the clone's own vacuum never touches them — it
+        sweeps only its own data/). Clone from a version you retain,
+        or deep-copy when the source's retention is short."""
+        state = self._state()
+        if self._partition_by(state):
+            # a clone mixes files under two roots; the partitioned read
+            # path needs ONE basePath ancestor for Hive discovery —
+            # deep-copy partitioned tables instead
+            raise ValueError(
+                "shallow clone of a partitioned table is not supported"
+            )
+        t = LakeTable(dst_path)
+        if t.version() is not None:
+            raise FileExistsError(f"lake table already exists at {dst_path}")
+        add = []
+        for p in sorted(state["files"]):
+            m = dict(state["files"][p])
+            m["path"] = os.path.join(self.path, p)  # absolute reference
+            add.append(m)
+        t._write_commit(
+            0,
+            {"op": "create", "add": add, "remove": [],
+             "schema": state["schema"],
+             "config": dict(state.get("config", {})),
+             "cloned_from": {"path": self.path,
+                             "version": state["version"]}},
+        )
+        return t
+
     def drop_partitions(
         self, specs: dict | list[dict]
     ) -> dict:

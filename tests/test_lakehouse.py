@@ -714,3 +714,42 @@ def test_checkpoint_scales_past_json(spark, tmp_path):
         os.path.join(t.log_dir, "00000001.checkpoint.parquet")
     )
     assert size < 8_000_000, f"checkpoint unexpectedly large: {size}"
+
+
+def test_shallow_clone_zero_copy_then_diverges(spark, table, tmp_path):
+    """Shallow clone references the source's files by absolute path —
+    zero bytes copied — then evolves independently: the clone's delete
+    rewrites into its OWN data dir, the source never changes, and each
+    side's vacuum stays inside its own directory."""
+    src_files = set(_data_files(table))
+    c = table.clone_shallow(str(tmp_path / "clone"))
+    # zero data files under the clone; readback identical
+    assert not os.path.isdir(c.data_dir) or not os.listdir(c.data_dir)
+    assert c.read(spark).count() == 100
+    assert c._read_commit(0)["cloned_from"]["path"] == table.path
+    # clone diverges without touching the source
+    c.delete_where(spark, F.col("order_id") < 50)
+    assert c.read(spark).count() == 50
+    assert table.read(spark).count() == 100
+    assert set(_data_files(table)) == src_files
+    # source diverges without touching the clone
+    table.append(_orders(spark, 500, 520))
+    assert table.read(spark).count() == 120
+    assert c.read(spark).count() == 50
+    # the clone's vacuum sweeps only its own data dir
+    c.overwrite(_orders(spark, 0, 3))
+    removed = c.vacuum(keep_versions=1, retention_seconds=0)
+    assert all(not os.path.isabs(r) for r in removed)
+    assert set(_data_files(table)) >= src_files  # source intact
+    assert c.read(spark).count() == 3
+    # cloning onto an existing table refuses
+    with pytest.raises(FileExistsError):
+        table.clone_shallow(str(tmp_path / "clone"))
+
+
+def test_shallow_clone_partitioned_refuses(spark, tmp_path):
+    t = LakeTable.create(
+        _orders(spark, 0, 20), str(tmp_path / "p"), partition_by=["status"]
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        t.clone_shallow(str(tmp_path / "pc"))
