@@ -1706,13 +1706,13 @@ def pq_train_residual_codebooks(
             )
         )
 
-    final = _assign(books_df)
-    encoded = final.groupBy("vec_id", "centroid_id").agg(
-        *[
-            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
-            for m in range(n_subspaces)
-        ]
-    )
+    # Materialize the trained words ONCE and rebuild them as a literal
+    # table for the final encode: otherwise every execution of
+    # `encoded` (bench reps, the driver's collect) replays the whole
+    # iterative training lineage — `iters` window+aggregate rounds —
+    # instead of one slices ⋈ 32-row join. The words are model
+    # parameters (M*K*sub doubles); collecting them is the same
+    # scale-correct move as the IVF centroids.
     books_rows = books_df.collect()
     by_m: dict[int, list[tuple[int, list[float]]]] = {}
     for r in books_rows:
@@ -1722,4 +1722,19 @@ def pq_train_residual_codebooks(
     books = [
         sorted(by_m.get(m, [])) for m in range(n_subspaces)
     ]
+    spark = embeddings.sparkSession
+    books_lit = spark.createDataFrame(
+        [
+            (int(r["m"]), int(r["code"]), [float(x) for x in r["cw"]])
+            for r in books_rows
+        ],
+        "m int, code int, cw array<double>",
+    )
+    final = _assign(books_lit)
+    encoded = final.groupBy("vec_id", "centroid_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
+            for m in range(n_subspaces)
+        ]
+    )
     return books, encoded
