@@ -640,3 +640,61 @@ def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divergence audit: the source is byte-identical and fully readable
     assert src.read(spark).count() == n_src, "clone mutated the source"
     return clone.read(spark)
+
+
+@register(
+    "lake_pushdown_read",
+    oracle="""
+SELECT * FROM lineitem
+WHERE l_orderkey >= 300 AND l_orderkey < 900 AND l_quantity >= 25.0
+""",
+    doc="The lake format as a first-class Spark BATCH source with "
+    "FILTER PUSHDOWN: lineitem lands range-clustered on l_orderkey, "
+    "registers as spark.read.format('lake'), and the query is a plain "
+    "DataFrame .where() — Catalyst hands the conjuncts to pushFilters "
+    "(Python DataSource pushdown API, Spark 4.1), the source prunes "
+    "the manifest's per-file [min,max] stats, and partitions() plans "
+    "only the files whose ranges can match. Every filter is reported "
+    "residual, so Spark re-applies the exact row predicate: pruning "
+    "bounds I/O, never semantics (the l_quantity conjunct filters "
+    "rows inside surviving files). A self-audit pins that the pushed "
+    "range actually pruned input partitions. At 100 TB this is the "
+    "zero-cooperation read path: any WHERE on a clustered column "
+    "skips files with no caller-side prune hints.",
+)
+def lake_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch
+    from olist_data_warehouse_spark.sources.lakebatch import (
+        LakeBatchDataSource,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    t = LakeTable.create(
+        li.repartitionByRange(8, "l_orderkey"),
+        _fresh("pushdown_read", sf_dir),
+    )
+    # self-audit: the pushed range must prune planning, not just rows
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    ds = LakeBatchDataSource({"path": t.path})
+    rd = ds.reader(None)
+    list(rd.pushFilters([
+        GreaterThanOrEqual(("l_orderkey",), 300),
+        LessThan(("l_orderkey",), 900),
+    ]))
+    n_all = len(t._state()["files"])
+    n_pruned = len(rd.partitions())
+    assert n_pruned < n_all, (
+        f"pushdown pruned nothing ({n_pruned}/{n_all})"
+    )
+    lakebatch.register(spark)
+    return (
+        spark.read.format("lake")
+        .option("path", t.path)
+        .load()
+        .where(
+            (F.col("l_orderkey") >= 300)
+            & (F.col("l_orderkey") < 900)
+            & (F.col("l_quantity") >= 25.0)
+        )
+    )

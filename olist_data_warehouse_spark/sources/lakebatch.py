@@ -1,0 +1,173 @@
+"""Batch DataSource over the lake format — `spark.read.format("lake")`
+with FILTER PUSHDOWN into manifest-stats file skipping.
+
+`LakeTable.read(prune=...)` skips files when the CALLER states the
+prune conditions by hand. This source closes the loop Spark-natively:
+registered once, a lake table reads as
+
+    spark.read.format("lake").option("path", p).load().where(...)
+
+and Catalyst hands the WHERE's conjuncts to ``pushFilters`` (the
+Python DataSource pushdown API, Spark 4.1) — =, <, <=, >, >=, IN,
+translated straight onto the manifest's per-file min/max stats, so
+``partitions()`` plans ONLY the files whose ranges can match. Every
+filter is RETURNED to Spark (reported as residual), so Spark still
+applies the exact row predicate after the scan: pruning bounds I/O,
+never semantics — the same contract as ``read(prune=...)``, now
+automatic. ``.option("version", N)`` time-travels the scan.
+
+Executor side shares :func:`lakestream.read_file_slice` — one file
+per input partition, Arrow record batches projected by name to the
+table schema (partition columns fill as constants from the manifest).
+
+Scale posture (100 TB): planning is one manifest resolution
+(checkpoint-bounded) plus an O(files) driver-side stats pass; the scan
+opens O(matching files). A point read on a clustered/z-ordered table
+does at 100 TB exactly what it does here: skips everything the stats
+can prove clean, with zero caller cooperation.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructField, StructType
+
+# Filter class -> prune_files op. Only flat single-column references
+# with plain literal values translate; everything else stays
+# Spark-side (and ALL filters stay Spark-side for evaluation anyway).
+_FILTER_OPS = {
+    EqualTo: "=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    In: "in",
+}
+
+
+class LakeBatchReader(DataSourceReader):
+    def __init__(self, options, schema_json: str):
+        self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("lake source requires .option('path', ...)")
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.schema_json = schema_json
+        self._prune: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            op = _FILTER_OPS.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                value = list(f.value) if op == "in" else f.value
+                self._prune.append((f.attribute[0], op, value))
+            # every filter is yielded back: the source prunes FILES,
+            # Spark evaluates the exact ROW predicate post-scan
+            yield f
+
+    def partitions(self):
+        import os
+
+        from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+        from olist_data_warehouse_spark.sources.lakestream import _FileSlice
+
+        t = LakeTable(self.table_path)
+        state = t._state(self.version)
+        files = sorted(state["files"])
+        for cond in self._prune:
+            try:
+                keep = set(t.prune_files(*cond, version=self.version)[0])
+            except ValueError:
+                continue  # unprunable op/type: skip, Spark filters rows
+            files = [p for p in files if p in keep]
+        if not files:
+            # Spark requires >= 1 partition; an empty slice yields an
+            # empty but correctly-typed scan
+            return [
+                _FileSlice(path="", schema_json=self.schema_json)
+            ]
+        return [
+            _FileSlice(
+                path=os.path.join(self.table_path, p),
+                schema_json=self.schema_json,
+                partition_json=(
+                    json.dumps(state["files"][p]["partition"])
+                    if state["files"][p].get("partition") is not None
+                    else None
+                ),
+            )
+            for p in files
+        ]
+
+    def read(self, partition) -> Iterator:
+        from olist_data_warehouse_spark.sources.lakestream import (
+            read_file_slice,
+        )
+
+        if not partition.path:
+            return  # empty-table / fully-pruned sentinel slice
+        yield from read_file_slice(partition)
+
+
+class LakeBatchDataSource(DataSource):
+    """`spark.read.format("lake")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake"
+
+    def _schema_json(self) -> str:
+        from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lake source requires .option('path', ...)")
+        v = self.options.get("version")
+        t = LakeTable(path)
+        if t.version() is None:
+            raise ValueError(f"no lake table at {path!r}")
+        state = t._state(int(v) if v is not None else None)
+        declared = StructType.fromJson(state["schema"])
+        # defensively nullable, like every other file source here:
+        # evolution backfills NULLs whatever the writer's batch claimed
+        return json.dumps(
+            StructType(
+                [StructField(f.name, f.dataType, True) for f in declared]
+            ).jsonValue()
+        )
+
+    def schema(self):
+        return StructType.fromJson(json.loads(self._schema_json()))
+
+    def reader(self, schema) -> LakeBatchReader:
+        sj = (
+            json.dumps(schema.jsonValue())
+            if isinstance(schema, StructType)
+            else self._schema_json()
+        )
+        return LakeBatchReader(self.options, schema_json=sj)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown ships disabled; the whole point of
+    # this source is stats pruning from pushed filters, so opt in here
+    # (runtime SQL conf) — same visible-conf posture as the IVF probe's
+    # autoBucketedScan toggle. A foreign session that skips register()
+    # cannot plan this format at all, so the conf always travels with
+    # the capability.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakeBatchDataSource)

@@ -107,6 +107,76 @@ class _FileSlice(InputPartition):
     version: int | None = None         # cdf mode: _commit_version
 
 
+def read_file_slice(partition: _FileSlice) -> Iterator:
+    """Executor-side kernel shared by the streaming and batch lake
+    sources: one parquet file -> Arrow record batches projected BY NAME
+    to the slice's schema. Missing columns become typed NULL arrays;
+    extra file columns are dropped; Hive-partition columns fill as
+    constants from the manifest value (or, for bare-path slices, the
+    directory segments); cdf slices add their constant delta columns."""
+    import json
+    from urllib.parse import unquote
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from pyspark.sql.types import StructField
+
+    declared = StructType.fromJson(json.loads(partition.schema_json))
+    # nullable-normalized to match schema() (old logs may carry
+    # non-nullable evolved columns written before the widening fix)
+    spark_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in declared]
+    )
+    target = to_arrow_schema(spark_schema)
+    pvals = (
+        json.loads(partition.partition_json)
+        if partition.partition_json
+        else None
+    )
+    if pvals is None:
+        # bare-path slices (cdf remove side) — recover the partition
+        # values from the Hive directory segments
+        pvals = {}
+        for seg in partition.path.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, raw = seg.partition("=")
+                pvals[unquote(k)] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+    consts = {}
+    if partition.change_type is not None:
+        consts["_change_type"] = partition.change_type
+        consts["_commit_version"] = partition.version
+    table = pq.read_table(partition.path)
+    arrays = []
+    for field in target:
+        if field.name in table.column_names:
+            arrays.append(
+                table.column(field.name).cast(field.type).combine_chunks()
+            )
+        elif field.name in consts:
+            arrays.append(
+                pa.array([consts[field.name]] * len(table)).cast(field.type)
+            )
+        elif field.name in pvals:
+            # Hive-layout partition column: constant per file, not
+            # stored in the data pages
+            v = pvals[field.name]
+            arrays.append(
+                pa.nulls(len(table), field.type)
+                if v is None
+                else pa.array([v] * len(table)).cast(field.type)
+            )
+        else:
+            arrays.append(pa.nulls(len(table), field.type))
+    aligned = pa.table(arrays, schema=target)
+    yield from aligned.to_batches()
+
+
 def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
     """A commit's row-delta contributions as (kind, file-entry) pairs —
     the streaming twin of LakeTable.read_changes_since's dispatch.
@@ -404,69 +474,7 @@ class LakeStreamReader(DataSourceStreamReader):
         post-evolution file added after query start are dropped;
         partition-only columns fill from the manifest's value or the
         Hive path; cdf mode adds the constant delta columns)."""
-        import json
-        from urllib.parse import unquote
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from pyspark.sql.types import StructField
-
-        declared = StructType.fromJson(json.loads(partition.schema_json))
-        # nullable-normalized to match schema() (old logs may carry
-        # non-nullable evolved columns written before the widening fix)
-        spark_schema = StructType(
-            [StructField(f.name, f.dataType, True) for f in declared]
-        )
-        target = to_arrow_schema(spark_schema)
-        pvals = (
-            json.loads(partition.partition_json)
-            if partition.partition_json
-            else None
-        )
-        if pvals is None:
-            # remove-side cdf slices carry bare paths — recover the
-            # partition values from the Hive directory segments
-            pvals = {}
-            for seg in partition.path.split(os.sep)[:-1]:
-                if "=" in seg:
-                    k, _, raw = seg.partition("=")
-                    pvals[unquote(k)] = (
-                        None
-                        if raw == "__HIVE_DEFAULT_PARTITION__"
-                        else unquote(raw)
-                    )
-        consts = {}
-        if partition.change_type is not None:
-            consts["_change_type"] = partition.change_type
-            consts["_commit_version"] = partition.version
-        table = pq.read_table(partition.path)
-        arrays = []
-        for field in target:
-            if field.name in table.column_names:
-                arrays.append(
-                    table.column(field.name).cast(field.type).combine_chunks()
-                )
-            elif field.name in consts:
-                arrays.append(
-                    pa.array([consts[field.name]] * len(table)).cast(
-                        field.type
-                    )
-                )
-            elif field.name in pvals:
-                # Hive-layout partition column: constant per file, not
-                # stored in the data pages
-                v = pvals[field.name]
-                arrays.append(
-                    pa.nulls(len(table), field.type)
-                    if v is None
-                    else pa.array([v] * len(table)).cast(field.type)
-                )
-            else:
-                arrays.append(pa.nulls(len(table), field.type))
-        aligned = pa.table(arrays, schema=target)
-        yield from aligned.to_batches()
+        yield from read_file_slice(partition)
 
     def commit(self, end: dict) -> None:
         # checkpointing is Spark's; the log itself never mutates — but
