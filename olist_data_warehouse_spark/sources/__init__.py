@@ -10,6 +10,9 @@ from olist_data_warehouse_spark.sources.lakehouse import (  # noqa: F401
     LakeTable,
     with_occ_retry,
 )
+from olist_data_warehouse_spark.sources.lakebatch import (  # noqa: F401
+    LakeBatchDataSource,
+)
 from olist_data_warehouse_spark.sources.lakestream import (  # noqa: F401
     LakeStreamDataSource,
 )
