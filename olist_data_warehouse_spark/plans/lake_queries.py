@@ -684,7 +684,10 @@ def lake_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]))
     n_all = len(t._state()["files"])
     n_pruned = len(rd.partitions())
-    assert n_pruned < n_all, (
+    # a 0/1-file table (degenerate corpora in the input batteries) has
+    # nothing to prune; with real range-clustered files the pushed
+    # range must shrink planning
+    assert n_all < 2 or n_pruned < n_all, (
         f"pushdown pruned nothing ({n_pruned}/{n_all})"
     )
     lakebatch.register(spark)

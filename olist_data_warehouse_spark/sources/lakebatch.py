@@ -74,7 +74,15 @@ class LakeBatchReader(DataSourceReader):
             op = _FILTER_OPS.get(type(f))
             if op is not None and len(f.attribute) == 1:
                 value = list(f.value) if op == "in" else f.value
-                self._prune.append((f.attribute[0], op, value))
+                # NULL comparisons match no row in SQL and no range in
+                # the manifest — don't hand None to the stats compare
+                ok = (
+                    all(v is not None for v in value)
+                    if op == "in"
+                    else value is not None
+                )
+                if ok:
+                    self._prune.append((f.attribute[0], op, value))
             # every filter is yielded back: the source prunes FILES,
             # Spark evaluates the exact ROW predicate post-scan
             yield f
