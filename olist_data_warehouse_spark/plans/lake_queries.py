@@ -701,3 +701,44 @@ def lake_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") >= 25.0)
         )
     )
+
+
+@register(
+    "lake_write_roundtrip",
+    oracle="SELECT * FROM orders",
+    doc="The lake format's WRITE side as a Spark sink: "
+    "df.write.format('lake') creates the table from the odd-key half "
+    "of orders and appends the even-key half — each executor task "
+    "streams its Arrow batches into one immutable parquet file and "
+    "computes the manifest's min/max/null stats EXECUTOR-SIDE (no "
+    "second Spark scan; the driver's commit assembles the log entry "
+    "under the standard OCC retry). The readback goes through the "
+    "batch 'lake' source, so the entry proves the full native "
+    "write -> log -> pushdown-capable read loop; the oracle is orders "
+    "itself — a lost task file, a double commit, or a schema drift "
+    "diverges. A self-audit pins that every committed file carries "
+    "stats for the sort key, i.e. the written manifest is PRUNABLE. "
+    "At 100 TB this is the ingest path: stats ride the write, the "
+    "commit is O(files), and the table is immediately skippable.",
+)
+def lake_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch
+
+    lakebatch.register(spark)
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    path = _fresh("write_roundtrip", sf_dir)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd.repartition(4).write.format("lake").option("path", path).mode(
+        "append"
+    ).save()
+    even.repartition(3).write.format("lake").option("path", path).mode(
+        "append"
+    ).save()
+    t = LakeTable(path)
+    assert t.version() == 1, f"expected 2 commits, at v{t.version()}"
+    # written manifest must be prunable: stats rode the executor write
+    for m in t._state()["files"].values():
+        if m["rows"] > 0:
+            assert "o_orderkey" in m["stats"], "file missing write stats"
+    return spark.read.format("lake").option("path", path).load()

@@ -1773,7 +1773,7 @@ DRIVER_PRIORITY = [
     #    STREAMING mode (signed delta feed through a real query); and
     #    trained residual PQ codebooks (IVF-PQ Lloyd training).
     "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read", "sim_pq_trained_encode",
+    "lake_pushdown_read", "lake_write_roundtrip", "sim_pq_trained_encode",
     # 2: TOUCHED this round: every lake entry — lakehouse.py's staging
     #    and scan paths were refactored for native partition columns
     #    (Hive-layout staging, basePath scans, uniform CDF commit
@@ -1803,7 +1803,7 @@ DRIVER_PRIORITY = [
     "tj_interval_overlap", "graph_pagerank_items", "graph_triangles",
     "text_bm25_topk", "text_inverted_index", "text_collocation_pmi",
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
-    "stream_purchase_click_join", "ivm_agg_merge",
+    "stream_purchase_click_join",
     # Everything else follows in registration order — each has at
     # least one prior driver-green row (r1-r8) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().

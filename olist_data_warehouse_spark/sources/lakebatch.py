@@ -30,10 +30,12 @@ can prove clean, with zero caller cooperation.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from typing import Iterator, List
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -43,8 +45,11 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructField, StructType
+
+from olist_data_warehouse_spark.sources.lakehouse import _STATS_TYPES
 
 # Filter class -> prune_files op. Only flat single-column references
 # with plain literal values translate; everything else stays
@@ -131,6 +136,154 @@ class LakeBatchReader(DataSourceReader):
         yield from read_file_slice(partition)
 
 
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    rel_path: str | None = None   # None: the task saw zero rows
+    rows: int = 0
+    nbytes: int = 0
+    stats_json: str | None = None
+
+
+class LakeBatchWriter(DataSourceArrowWriter):
+    """`df.write.format("lake")` — the write side of the source.
+
+    Each executor task streams its Arrow batches into ONE parquet file
+    directly under the table's data/ (immutable unique name — a crashed
+    or aborted task's file is simply never referenced, and vacuum's
+    retention window reclaims it, exactly like a losing OCC writer's
+    staging). Per-column min/max/null stats compute EXECUTOR-SIDE from
+    the Arrow data — the manifest needs no second Spark scan, unlike
+    the LakeTable.append path. The driver's ``commit`` assembles the
+    add list and writes the log commit under the standard OCC retry;
+    ``abort`` unlinks every staged file.
+
+    Floating-point caveat handled: Spark orders NaN above every double
+    while Arrow's min_max ignores NaN, so a float column whose task
+    data contains ANY NaN records no stats for that column (absent
+    stats = always a scan candidate — pruning stays sound).
+    """
+
+    def __init__(self, path: str, schema_json: str, overwrite: bool,
+                 exists: bool):
+        self.path = path
+        self.schema_json = schema_json
+        self.overwrite = overwrite
+        self.exists = exists
+
+    def write(self, iterator) -> _WrittenFile:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            return _WrittenFile()
+        table = pa.Table.from_batches(batches)
+        name = f"w-{uuid.uuid4().hex}.parquet"
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        full = os.path.join(data_dir, name)
+        pq.write_table(table, full)
+
+        import json
+
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(json.loads(self.schema_json))
+        stats = {}
+        for fld in declared.fields:
+            st = fld.dataType.simpleString()
+            if st not in _STATS_TYPES or fld.name not in table.column_names:
+                continue
+            col = table.column(fld.name)
+            if st in ("float", "double") and len(col) > 0:
+                nan = pc.any(
+                    pc.is_nan(pc.drop_null(col))
+                ).as_py()
+                if nan:
+                    continue  # NaN-bearing file: no stats, stays candidate
+            mm = pc.min_max(col)
+            stats[fld.name] = {
+                "min": mm["min"].as_py(),
+                "max": mm["max"].as_py(),
+                "nulls": col.null_count,
+            }
+        return _WrittenFile(
+            rel_path=f"data/{name}",
+            rows=table.num_rows,
+            nbytes=os.path.getsize(full),
+            stats_json=json.dumps(stats, default=str),
+        )
+
+    def commit(self, messages) -> None:
+        import json
+
+        from olist_data_warehouse_spark.sources.lakehouse import (
+            LakeTable,
+            _json_safe,
+            with_occ_retry,
+        )
+
+        add = []
+        for m in messages:
+            if m is None or m.rel_path is None:
+                continue
+            raw = json.loads(m.stats_json or "{}")
+            add.append(
+                {
+                    "path": m.rel_path,
+                    "rows": m.rows,
+                    "bytes": m.nbytes,
+                    "stats": {
+                        c: {
+                            "min": _json_safe(s["min"]),
+                            "max": _json_safe(s["max"]),
+                            "nulls": s["nulls"],
+                        }
+                        for c, s in raw.items()
+                    },
+                }
+            )
+        t = LakeTable(self.path)
+        schema = json.loads(self.schema_json)
+
+        def _commit_once():
+            if t.version() is None:
+                t._write_commit(
+                    0,
+                    {"op": "create", "add": add, "remove": [],
+                     "schema": schema, "config": {"cdf": False}},
+                )
+                return
+            state = t._state()
+            v = state["version"] + 1
+            if self.overwrite:
+                t._write_commit(
+                    v,
+                    {"op": "overwrite", "add": add,
+                     "remove": sorted(state["files"]), "schema": schema},
+                )
+            else:
+                t._write_commit(
+                    v, {"op": "append", "add": add, "remove": []}
+                )
+
+        with_occ_retry(_commit_once)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.rel_path))
+                except OSError:
+                    pass
+
+
 class LakeBatchDataSource(DataSource):
     """`spark.read.format("lake")` — see module docstring."""
 
@@ -168,6 +321,47 @@ class LakeBatchDataSource(DataSource):
             else self._schema_json()
         )
         return LakeBatchReader(self.options, schema_json=sj)
+
+    def writer(self, schema, overwrite: bool) -> LakeBatchWriter:
+        from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lake sink requires .option('path', ...)")
+        t = LakeTable(path)
+        exists = t.version() is not None
+        if exists:
+            state = t._state()
+            if t._partition_by(state):
+                raise ValueError(
+                    "the lake writer does not target partitioned tables "
+                    "yet — use LakeTable.append / merge_into"
+                )
+            table_schema = StructType.fromJson(state["schema"])
+            for fld in table_schema.fields:
+                if fld.name in schema.fieldNames():
+                    got = schema[fld.name].dataType
+                    if got != fld.dataType:
+                        raise ValueError(
+                            f"column {fld.name!r} type mismatch: table "
+                            f"{fld.dataType.simpleString()} vs write "
+                            f"{got.simpleString()}"
+                        )
+            if not overwrite and sorted(schema.fieldNames()) != sorted(
+                table_schema.fieldNames()
+            ):
+                raise ValueError(
+                    f"append schema mismatch: table "
+                    f"{table_schema.fieldNames()} vs write "
+                    f"{schema.fieldNames()} (no merge_schema on this "
+                    "path — use LakeTable.append)"
+                )
+        return LakeBatchWriter(
+            path,
+            json.dumps(schema.jsonValue()),
+            overwrite=bool(overwrite),
+            exists=exists,
+        )
 
 
 def register(spark) -> None:

@@ -129,3 +129,100 @@ def test_missing_table_and_path_errors(registered, tmp_path):
         ).load()
     with pytest.raises(Exception, match="requires .option"):
         spark.read.format("lake").load()
+
+
+# -- write side: df.write.format("lake") -------------------------------
+
+
+def test_writer_create_append_overwrite_roundtrip(registered, tmp_path):
+    spark = registered
+    p = str(tmp_path / "w")
+    _df(spark, 0, 300).repartition(3).write.format("lake").option(
+        "path", p
+    ).mode("append").save()
+    t = LakeTable(p)
+    assert t.version() == 0 and t.read(spark).count() == 300
+    # executor-side stats landed for every file and column
+    for m in t._state()["files"].values():
+        assert set(m["stats"]) == {"k", "g", "v"}
+        assert m["stats"]["k"]["nulls"] == 0
+    _df(spark, 300, 400).write.format("lake").option("path", p).mode(
+        "append"
+    ).save()
+    assert t.read(spark).count() == 400
+    _df(spark, 0, 7).write.format("lake").option("path", p).mode(
+        "overwrite"
+    ).save()
+    assert t.read(spark).count() == 7
+    # overwrite is a logged version, not a truncation: time travel holds
+    assert t.read(spark, version=1).count() == 400
+    # the format round-trips through its own reader
+    assert (
+        spark.read.format("lake").option("path", p).load().count() == 7
+    )
+
+
+def test_writer_stats_feed_pushdown_pruning(registered, tmp_path):
+    """Stats computed on EXECUTORS at write time must be the same
+    currency the read side prunes with: write range-clustered, then a
+    plain .where() on the clustered column plans fewer files."""
+    spark = registered
+    p = str(tmp_path / "w")
+    _df(spark, 0, 1000).repartitionByRange(8, "k").write.format(
+        "lake"
+    ).option("path", p).mode("append").save()
+    from olist_data_warehouse_spark.sources.lakebatch import (
+        LakeBatchDataSource,
+    )
+    from pyspark.sql.datasource import LessThan
+
+    ds = LakeBatchDataSource({"path": p})
+    rd = ds.reader(None)
+    list(rd.pushFilters([LessThan(("k",), 125)]))
+    assert len(rd.partitions()) < 8
+    r = spark.read.format("lake").option("path", p).load()
+    assert r.where(F.col("k") < 125).count() == 125
+
+
+def test_writer_nan_column_records_no_stats(registered, tmp_path):
+    """Spark orders NaN above every double; Arrow's min_max ignores
+    it. A NaN-bearing file must record NO stats for that column so it
+    can never be wrongly pruned."""
+    spark = registered
+    p = str(tmp_path / "n")
+    nan_df = spark.range(5).coalesce(1).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 2, float("nan"))
+        .otherwise(F.col("id") * 1.0)
+        .alias("v"),
+    )
+    nan_df.write.format("lake").option("path", p).mode("append").save()
+    t = LakeTable(p)
+    (meta,) = t._state()["files"].values()
+    assert "v" not in meta["stats"] and "k" in meta["stats"]
+    # and the file is a candidate for any v-comparison (never skipped)
+    cand, clean = t.prune_files("v", ">", 1e12)
+    assert len(cand) == 1 and not clean
+
+
+def test_writer_validates_schema_and_partitioned(registered, tmp_path):
+    spark = registered
+    p = str(tmp_path / "w")
+    _df(spark, 0, 10).write.format("lake").option("path", p).mode(
+        "append"
+    ).save()
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(3).selectExpr("id as zzz").write.format(
+            "lake"
+        ).option("path", p).mode("append").save()
+    with pytest.raises(Exception, match="type mismatch"):
+        _df(spark, 0, 3).withColumn(
+            "v", F.col("v").cast("float")
+        ).write.format("lake").option("path", p).mode("append").save()
+    pt = LakeTable.create(
+        _df(spark, 0, 10), str(tmp_path / "pt"), partition_by=["g"]
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        _df(spark, 10, 20).write.format("lake").option(
+            "path", pt.path
+        ).mode("append").save()

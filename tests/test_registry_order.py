@@ -24,7 +24,7 @@ MUST_PROVE = {
     # (ADVICE r8; mechanics-only, re-proven anyway).
     # (a) new in r9:
     "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read", "sim_pq_trained_encode",
+    "lake_pushdown_read", "lake_write_roundtrip", "sim_pq_trained_encode",
     # (b) lake-refactor-touched in r9:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
