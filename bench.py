@@ -135,6 +135,13 @@ BENCH_QUERIES = [
     # retrieval stack's training-cost representative
     "lake_partition_drop",
     "sim_pq_trained_encode",
+    # round-10: the storage layer's two new surfaces — partitioned
+    # shallow clone (zero-copy fork + metadata drop + mixed-root
+    # readback) and the batch CDF read (full-log row-delta replay
+    # folded back to the final table). Both time the full durable
+    # round-trip.
+    "lake_clone_partitioned",
+    "lake_batch_cdf",
 ]
 
 

@@ -643,6 +643,55 @@ def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_clone_partitioned",
+    oracle="""
+SELECT * FROM orders
+WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+""",
+    doc="SHALLOW CLONE of a PARTITIONED table (r9 verdict item #2 — "
+    "the r9 refusal is lifted): orders lands partitioned by "
+    "o_orderstatus, the clone's create commit references the source's "
+    "Hive-layout files by absolute path with their manifest partition "
+    "values (zero bytes copied, audited in-entry), then the CLONE "
+    "alone takes a metadata-only drop_partitions of the 'F' partition "
+    "and appends the key%5 'F' slice into its OWN data/ — so the "
+    "readback mixes files under TWO roots. The scan groups files by "
+    "their data/ ancestor: one Hive-discovery leaf per root, never "
+    "per file. The oracle states the clone's end state; in-entry "
+    "audits pin zero data files copied at clone time and the source "
+    "still reading its full row count. At 100 TB this is branching a "
+    "partitioned production table for a retention trial in "
+    "O(manifest).",
+)
+def lake_clone_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    src = LakeTable.create(
+        orders,
+        _fresh("clone_part_src", sf_dir),
+        partition_by=["o_orderstatus"],
+    )
+    n_src = orders.count()
+    clone = src.clone_shallow(_fresh("clone_part_dst", sf_dir))
+    # zero-copy audit: the clone owns no data files at creation
+    assert not os.path.isdir(clone.data_dir) or not any(
+        names for _r, _d, names in os.walk(clone.data_dir)
+    ), "clone copied data files"
+    clone.drop_partitions({"o_orderstatus": "F"})
+    clone.append(
+        orders.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+        )
+    )
+    # divergence audit: the source is untouched and fully readable
+    assert src.read(spark).count() == n_src, "clone mutated the source"
+    return clone.read(spark)
+
+
+@register(
     "lake_pushdown_read",
     oracle="""
 SELECT * FROM lineitem
@@ -701,6 +750,68 @@ def lake_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") >= 25.0)
         )
     )
+
+
+@register(
+    "lake_batch_cdf",
+    oracle="""
+WITH s01 AS (
+  SELECT * FROM events
+  WHERE ((event_id % 3) + 3) % 3 IN (0, 1) OR event_id IS NULL
+),
+surv AS (
+  SELECT * FROM s01 WHERE value IS NULL OR value <= 100.0
+),
+src AS (
+  SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+  FROM events WHERE event_id % 2 = 0 AND event_id IS NOT NULL
+)
+SELECT * FROM src
+UNION ALL
+SELECT * FROM surv t
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+""",
+    doc="The row-level change feed through the BATCH DataSource "
+    "(r9 verdict item #4 — spark.read.format('lake').option('mode',"
+    "'cdf'), Delta's readChangeFeed shape): a cdf=True events table "
+    "takes a DELETE and a MERGE, then ONE batch read with since=-1 "
+    "replays the whole log as the table's columns plus _change_type/"
+    "_commit_version, and the entry reconstructs the FINAL table as "
+    "the multiset difference inserts exceptAll deletes — if the feed "
+    "leaked, duplicated, or mis-signed a single row, the "
+    "reconstruction diverges from the oracle's relational replay. "
+    "Pre-images ride their persisted files; the plan moves O(churn) "
+    "file slices through the same Arrow kernel as the snapshot read. "
+    "Uniform surface: stream (lakestream mode=cdf), Python API "
+    "(read_changes_since), and now plain spark.read all serve the "
+    "same delta contract.",
+)
+def lake_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    part = F.pmod(F.col("event_id"), F.lit(3))
+    s01 = ev.where(part.isin(0, 1) | F.col("event_id").isNull())
+    t = LakeTable.create(s01, _fresh("batch_cdf", sf_dir), cdf=True)
+    t.delete_where(spark, F.col("value") > 100.0)
+    source = ev.where(
+        (F.col("event_id") % 2 == 0) & F.col("event_id").isNotNull()
+    ).withColumn("value", F.col("value") * 2)
+    t.merge_into(spark, source, keys=["event_id"])
+
+    lakebatch.register(spark)
+    ch = (
+        spark.read.format("lake")
+        .option("path", t.path)
+        .option("mode", "cdf")
+        .option("since", "-1")
+        .load()
+    )
+    cols = [c for c in ch.columns
+            if c not in ("_change_type", "_commit_version")]
+    ins = ch.where(F.col("_change_type") == "insert").select(*cols)
+    dels = ch.where(F.col("_change_type") == "delete").select(*cols)
+    return ins.exceptAll(dels)
 
 
 @register(

