@@ -414,6 +414,76 @@ def lake_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_stream_drain",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'click'
+""",
+    doc="One-command RUN-TO-COMPLETION drain of a rate-limited backlog "
+    "(r10 verdict item #1 — the availableNow+limit trap's supported "
+    "recipe): events lands as SIX one-file commits, a lakestream query "
+    "with max_files_per_batch=2 is handed to lakestream.drain(), which "
+    "paces the whole backlog through bounded processingTime "
+    "micro-batches, stops at the call-time target, and reports the "
+    "batch count — a self-audit pins batches >= ceil(files/2), i.e. "
+    "the catch-up really was budget-paced, never one unbounded batch. "
+    "The result is the DESTINATION lake table's committed readback "
+    "through the exactly-once sink; the oracle is the plain relational "
+    "transform, so a dropped/duplicated micro-batch, a probe "
+    "mis-anchor, or an early stop diverges. Reference parity: the E3 "
+    "incremental load (Package.dtsx:657-673) is exactly this "
+    "bounded-buffer run-to-completion drain.",
+)
+def lake_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakestream
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    part = F.pmod(F.col("event_id"), F.lit(6))
+    src = LakeTable.create(
+        ev.where((part == 0) | F.col("event_id").isNull()).coalesce(1),
+        _fresh("stream_drain_src", sf_dir),
+    )
+    for i in range(1, 6):
+        src.append(ev.where(part == i).coalesce(1))
+    transform = lambda df: (  # noqa: E731 — applied to stream AND seed
+        df.where(F.col("event_type") == "click").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    dst = LakeTable.create(
+        transform(ev).limit(0), _fresh("stream_drain_dst", sf_dir)
+    )
+    lakestream.register(spark)
+    writer = (
+        transform(
+            spark.readStream.format("lakestream")
+            .option("path", src.path)
+            .option("max_files_per_batch", "2")
+            .load()
+        )
+        .writeStream.foreachBatch(dst.streaming_sink("drain"))
+        .option("checkpointLocation", _fresh("stream_drain_ckpt", sf_dir))
+    )
+    res = lakestream.drain(writer, src.path, timeout=300)
+    # self-audit: the drain was BUDGET-PACED to completion — at most 2
+    # files per micro-batch means at most 2 NON-EMPTY files per batch,
+    # so the row-moving batch count is >= ceil(live_files/2) (an
+    # unbounded single batch would fail here; degenerate corpora stage
+    # empty files, which move no rows and bound accordingly)
+    n_live = sum(
+        1 for m in src._state()["files"].values() if m.get("rows", 0) > 0
+    )
+    assert res["batches"] >= (n_live + 1) // 2, (
+        f"drain not budget-paced: {res} over {n_live} non-empty files"
+    )
+    return dst.read(spark)
+
+
+@register(
     "lake_prune_read",
     oracle="SELECT * FROM lineitem WHERE l_orderkey < 3000",
     doc="Stats-pruned point read: lineitem range-clustered on "

@@ -1771,7 +1771,7 @@ DRIVER_PRIORITY = [
     # 1: NEW this round: partitioned shallow clone (multi-root grouped
     #    Hive scan) and the batch CDF read through the 'lake'
     #    DataSource (mode='cdf', readChangeFeed shape).
-    "lake_clone_partitioned", "lake_batch_cdf",
+    "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     # 2: TOUCHED this round: every lake entry — lakehouse.py's scan
     #    path was refactored for multi-root partitioned reads, pruning
     #    now resolves state once and shares _stats_might_match, vacuum
@@ -1800,7 +1800,7 @@ DRIVER_PRIORITY = [
     "tj_interval_overlap", "graph_pagerank_items", "graph_triangles",
     "text_bm25_topk", "text_inverted_index", "text_collocation_pmi",
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
-    "stream_purchase_click_join", "sk_hll_distinct_users",
+    "stream_purchase_click_join",
     # Everything else follows in registration order — each has at
     # least one prior driver-green row (r1-r9) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().

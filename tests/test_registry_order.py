@@ -16,15 +16,16 @@ from olist_data_warehouse_spark.plans.queries import (
 MUST_PROVE = {
     # r9 went 50/50 green, closing the union at 230/230 — every pre-r10
     # entry has a driver row. The round-10 must-prove set is
-    # (a) the two NEW entries (partitioned shallow clone; batch CDF
-    # through the 'lake' DataSource) and (b) every lake entry: the
+    # (a) the three NEW entries (partitioned shallow clone; batch CDF
+    # through the 'lake' DataSource; the one-command rate-limited
+    # backlog drain) and (b) every lake entry: the
     # round refactored lakehouse's scan (multi-root Hive grouping) and
     # pruning (shared _stats_might_match, one-pass state resolution),
     # lakestream (drain helper, probe_dir/retention, data/-rooted Hive
     # fallback), and lakebatch (cdf mode, one-pass planning, streaming
     # ParquetWriter, overwrite-schema guard).
     # (a) new in r10:
-    "lake_clone_partitioned", "lake_batch_cdf",
+    "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
