@@ -651,7 +651,9 @@ def drain(
     durable ``_probes/`` record, so a cold restart's handshake round
     counts correctly), then stops the query and returns
     ``{"target_version", "batches", "rows"}`` (batches = micro-batches
-    that moved rows, from the query's recent progress).
+    that moved rows, from the query's recent progress — Spark retains
+    the last ~100 progress events, so on a multi-hundred-batch drain
+    the counts are a floor while the PARITY guarantee is unaffected).
 
     Commits landing AFTER the call starts are NOT part of the
     contract (they may or may not be included — same as availableNow);
