@@ -313,6 +313,13 @@ def test_partitioned_clone_of_clone_reads_three_roots(spark, tmp_path):
     truth = _sales(spark, 0, 90)
     assert got.count() == 90
     assert got.exceptAll(truth).count() == 0
+    # the grouped scan plans O(distinct roots) leaves — exactly 3 here
+    # (grandparent, parent, own), NEVER one per file
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain()
+    n_scans = buf.getvalue().count("Scan parquet")
+    assert n_scans == 3, f"{n_scans} scan leaves:\n{buf.getvalue()}"
     # prune still works across roots (manifest stats are root-agnostic)
     pruned = c.read(spark, prune=("k", "<", 10)).where(F.col("k") < 10)
     assert pruned.count() == 10
