@@ -14,7 +14,9 @@ translated straight onto the manifest's per-file min/max stats, so
 filter is RETURNED to Spark (reported as residual), so Spark still
 applies the exact row predicate after the scan: pruning bounds I/O,
 never semantics — the same contract as ``read(prune=...)``, now
-automatic. ``.option("version", N)`` time-travels the scan.
+automatic. ``.option("version", N)`` time-travels the scan;
+``.option("timestamp", ts)`` resolves an epoch/ISO timestamp to the
+last commit at or before it (Delta's ``timestampAsOf``).
 
 ``.option("mode", "cdf").option("since", v)`` reads the row-level
 CHANGE FEED through the same surface (Delta's ``readChangeFeed``
@@ -74,13 +76,30 @@ _FILTER_OPS = {
 }
 
 
+def _resolve_as_of(options) -> int | None:
+    """The scan's pinned version from the 'version' / 'timestamp'
+    options (mutually exclusive): 'timestamp' resolves through
+    LakeTable.resolve_timestamp (Delta's timestampAsOf), 'version' is
+    exact, neither means the current version."""
+    v = options.get("version")
+    ts = options.get("timestamp")
+    if ts is not None:
+        if v is not None:
+            raise ValueError(
+                "pass option 'version' OR 'timestamp', not both"
+            )
+        from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+
+        return LakeTable(options.get("path")).resolve_timestamp(ts)
+    return int(v) if v is not None else None
+
+
 class LakeBatchReader(DataSourceReader):
     def __init__(self, options, schema_json: str):
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("lake source requires .option('path', ...)")
-        v = options.get("version")
-        self.version = int(v) if v is not None else None
+        self.version = _resolve_as_of(options)
         self.mode = str(options.get("mode", "read")).lower()
         if self.mode not in ("read", "cdf"):
             raise ValueError("mode must be 'read' or 'cdf'")
@@ -420,11 +439,10 @@ class LakeBatchDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("lake source requires .option('path', ...)")
-        v = self.options.get("version")
         t = LakeTable(path)
         if t.version() is None:
             raise ValueError(f"no lake table at {path!r}")
-        state = t._state(int(v) if v is not None else None)
+        state = t._state(_resolve_as_of(self.options))
         declared = StructType.fromJson(state["schema"])
         # defensively nullable, like every other file source here:
         # evolution backfills NULLs whatever the writer's batch claimed

@@ -112,6 +112,13 @@ class LakeTable:
         staged to a temp file and linked into place so a crash mid-write
         never leaves a torn commit at the committed name."""
         os.makedirs(self.log_dir, exist_ok=True)
+        if "ts" not in commit:
+            import time
+
+            # commit wall-clock (epoch seconds) — what timestamp time
+            # travel resolves against; legacy commits without it fall
+            # back to the log file's mtime
+            commit["ts"] = time.time()
         final = os.path.join(self.log_dir, f"{v:08d}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -297,7 +304,9 @@ class LakeTable:
                     "removed": len(c.get("remove", [])),
                     **{
                         k: c[k]
-                        for k in ("predicate", "rows_deleted", "rollback_of")
+                        for k in (
+                            "ts", "predicate", "rows_deleted", "rollback_of",
+                        )
                         if k in c
                     },
                 }
@@ -608,14 +617,67 @@ class LakeTable:
 
     # -- reading -------------------------------------------------------
 
+    def _commit_ts(self, v: int) -> float:
+        """A commit's wall-clock time: the recorded 'ts' action, or the
+        log file's mtime for commits written before ts existed."""
+        c = self._read_commit(v)
+        if "ts" in c:
+            return float(c["ts"])
+        return os.path.getmtime(
+            os.path.join(self.log_dir, f"{v:08d}.json")
+        )
+
+    def resolve_timestamp(self, ts) -> int:
+        """The version a TIMESTAMP denotes: the LAST commit at or
+        before ``ts`` (epoch seconds, ``datetime``, or an ISO-8601
+        string — naive strings read as UTC) — Delta's ``timestampAsOf``
+        shape. O(log commits) commit reads by bisection: commit times
+        are nondecreasing in version order on a table (the OCC gate
+        admits one writer per version; a skewed writer's clock shifts
+        WHICH version a boundary timestamp resolves to, never breaks
+        resolution). Raises when ``ts`` predates the table."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            try:  # numeric string (DataSource options are strings)
+                ts = float(ts)
+            except ValueError:
+                d = _dt.datetime.fromisoformat(ts)
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                ts = d.timestamp()
+        elif isinstance(ts, _dt.datetime):
+            d = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+            ts = d.timestamp()
+        ts = float(ts)
+        vs = self._commit_versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        if self._commit_ts(vs[0]) > ts:
+            raise ValueError(
+                f"timestamp {ts} predates the table's first commit"
+            )
+        lo, hi = 0, len(vs) - 1
+        while lo < hi:  # last index with commit_ts <= ts
+            mid = (lo + hi + 1) // 2
+            if self._commit_ts(vs[mid]) <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return vs[lo]
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         prune: tuple[str, str, object] | list[tuple[str, str, object]]
         | None = None,
+        timestamp=None,
     ) -> DataFrame:
-        """Read the table AS OF ``version`` (default: current).
+        """Read the table AS OF ``version`` (default: current), or AS
+        OF ``timestamp`` (epoch seconds / datetime / ISO string —
+        resolved to the last commit at or before it, Delta's
+        ``timestampAsOf``; mutually exclusive with ``version``).
 
         ``prune=(col, op, value)`` applies manifest-stats file skipping
         BEFORE the scan (see :meth:`prune_files`) — the caller still
@@ -625,6 +687,10 @@ class LakeTable:
         admits it — the compound form a z-ordered table exists for
         (both clustered columns prune at once). At 100 TB a selective
         point read then opens O(matching files), not the table."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.resolve_timestamp(timestamp)
         state = self._state(version)
         if prune is not None:
             conds = prune if isinstance(prune, list) else [prune]

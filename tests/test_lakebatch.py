@@ -113,6 +113,17 @@ def test_version_time_travel_option(registered, tmp_path):
         .option("version", "0").load()
     )
     assert cur.count() == 80 and v0.count() == 100
+    # timestamp option resolves like timestampAsOf
+    at0 = (
+        spark.read.format("lake").option("path", t.path)
+        .option("timestamp", str((t._commit_ts(0) + t._commit_ts(1)) / 2))
+        .load()
+    )
+    assert at0.count() == 100
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("lake").option("path", t.path).option(
+            "version", "0"
+        ).option("timestamp", str(t._commit_ts(1))).load().count()
 
 
 def test_partitioned_table_reads_and_prunes(registered, tmp_path):

@@ -812,6 +812,60 @@ def test_cleanup_checkpoints_bounds_log_dir(spark, tmp_path):
         t.cleanup_checkpoints(keep=0)
 
 
+def test_timestamp_time_travel(spark, tmp_path):
+    """Delta's timestampAsOf shape: read(timestamp=...) resolves to
+    the LAST commit at or before the given time — epoch float, ISO
+    string, and datetime all accepted; legacy commits without a
+    recorded ts resolve via the log file's mtime."""
+    import datetime as dt
+    import json as _json
+    import time as _time
+
+    t = LakeTable.create(_orders(spark, 0, 10), str(tmp_path / "t"))
+    _time.sleep(0.05)
+    t.append(_orders(spark, 10, 30))
+    _time.sleep(0.05)
+    t.overwrite(_orders(spark, 0, 5))
+    ts = [t._commit_ts(v) for v in range(3)]
+    assert ts == sorted(ts)
+    # between commits -> the earlier one; exact boundary -> that commit
+    assert t.resolve_timestamp((ts[0] + ts[1]) / 2) == 0
+    assert t.resolve_timestamp(ts[1]) == 1
+    assert t.read(spark, timestamp=(ts[1] + ts[2]) / 2).count() == 30
+    # far future -> current; ISO string and datetime accepted
+    assert t.read(spark, timestamp=ts[2] + 3600).count() == 5
+    iso = dt.datetime.fromtimestamp(
+        (ts[0] + ts[1]) / 2, dt.timezone.utc
+    ).isoformat()
+    assert t.read(spark, timestamp=iso).count() == 10
+    # datetime form: midpoint, not the exact boundary — the datetime
+    # round-trip truncates to microseconds, which can land a hair
+    # BEFORE the stored float and legitimately resolve one earlier
+    assert t.read(
+        spark,
+        timestamp=dt.datetime.fromtimestamp(
+            (ts[1] + ts[2]) / 2, dt.timezone.utc
+        ),
+    ).count() == 30
+    # history carries the commit time
+    assert all("ts" in h for h in t.history())
+    # predating the table / both-pinned refuse loudly
+    with pytest.raises(ValueError, match="predates"):
+        t.resolve_timestamp(ts[0] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, timestamp=ts[1])
+    # legacy commit (no recorded ts): mtime fallback still resolves
+    p = os.path.join(t.log_dir, "00000001.json")
+    with open(p) as f:
+        c = _json.load(f)
+    c.pop("ts")
+    with open(p, "w") as f:
+        _json.dump(c, f)
+    os.utime(p, (ts[1], ts[1]))
+    assert abs(t._commit_ts(1) - ts[1]) < 1.0
+    assert t.resolve_timestamp(ts[1] + 0.001) == 1
+
+
 def test_history_limit_is_bounded(spark, tmp_path, monkeypatch):
     """r9 verdict item #5: history(limit=N) pages the newest N commits
     with O(limit) commit READS — a long-log table never forces a

@@ -205,7 +205,14 @@ def test_missing_table_and_path_errors(registered, tmp_path):
 def _drain_bounded(spark, src_path, ckpt, expect_rows, **opts):
     """Run a processingTime (default-trigger) rate-limited stream until
     ``expect_rows`` rows have arrived, collecting (batch_id, rows) per
-    non-empty micro-batch; returns the batch list."""
+    non-empty micro-batch; returns the batch list.
+
+    The wait condition reads the query's PROGRESS events (emitted only
+    after a batch fully commits to the checkpoint), not the sink list:
+    stopping the instant rows land in foreachBatch races the offset
+    commit, and a later restart then legitimately REPLAYS the in-flight
+    batch (at-least-once delivery; the lake sink dedups, this list
+    sink doesn't) — a prior flake, not a source bug."""
     import time as _time
 
     batches: list[tuple[int, list]] = []
@@ -227,7 +234,10 @@ def _drain_bounded(spark, src_path, ckpt, expect_rows, **opts):
     try:
         deadline = _time.time() + 180
         while _time.time() < deadline:
-            if sum(len(r) for _, r in batches) >= expect_rows:
+            committed = sum(
+                (p.get("numInputRows") or 0) for p in q.recentProgress
+            )
+            if committed >= expect_rows:
                 break
             _time.sleep(0.3)
     finally:
