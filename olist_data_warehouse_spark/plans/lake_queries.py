@@ -414,6 +414,30 @@ def lake_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_timestamp_travel",
+    oracle="SELECT * FROM orders",
+    doc="TIMESTAMP time travel (Delta's timestampAsOf): create from "
+    "orders, OVERWRITE with a small slice, then read AS OF an instant "
+    "between the two commits — resolve_timestamp bisects the log's "
+    "recorded commit wall-clocks (O(log commits) reads) to the last "
+    "commit at or before the instant, and the readback must equal the "
+    "pre-overwrite table bit-for-bit; the oracle is orders itself. An "
+    "in-entry assert pins the resolution to version 0. This is the "
+    "operator-facing answer to 'what did the table look like at "
+    "HH:MM' that version numbers alone can't give.",
+)
+def lake_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartition(4), _fresh("ts_travel", sf_dir)
+    )
+    t.overwrite(orders.where(F.col("o_orderstatus") == "F"))
+    mid = (t._commit_ts(0) + t._commit_ts(1)) / 2
+    assert t.resolve_timestamp(mid) == 0, "timestamp resolved wrong commit"
+    return t.read(spark, timestamp=mid)
+
+
+@register(
     "lake_stream_drain",
     oracle="""
 SELECT event_id, user_id,

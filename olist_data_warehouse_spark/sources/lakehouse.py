@@ -1234,7 +1234,11 @@ class LakeTable:
         old it gets — so a clone stays readable through the source's
         routine GC, lifting the Delta caveat where a source vacuum
         strands its clones. Release a retired clone's claim with
-        :meth:`remove_pin`. ``pin_source=False`` skips the pin
+        :meth:`remove_pin`. Clone CHAINS stay safe transitively: a
+        grandchild's references to grandparent files are a subset of
+        what the parent's pin on the grandparent already protects —
+        releasing an intermediate pin while descendants live is the
+        one way to strand them. ``pin_source=False`` skips the pin
         (read-only source mounts) — then the old caveat applies: the
         source's vacuum can reclaim files the clone still lists;
         clone from a version you retain, or deep-copy."""
