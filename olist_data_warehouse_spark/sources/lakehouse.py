@@ -1366,12 +1366,38 @@ class LakeTable:
             "rows_deleted": rows,
         }
 
+    def detail(self) -> dict:
+        """One-call table summary (Delta's ``DESCRIBE DETAIL`` shape):
+        current version and its commit time, file/row/byte counts,
+        partition columns, CDF flag, clone lineage, and held pins —
+        everything an operator dashboard needs, computed from ONE
+        checkpoint-bounded state resolution plus the create commit."""
+        state = self._state()
+        files = state["files"]
+        c0 = self._read_commit(0)
+        return {
+            "path": self.path,
+            "version": state["version"],
+            "ts": self._commit_ts(state["version"]),
+            "num_files": len(files),
+            "rows": sum(m.get("rows", 0) for m in files.values()),
+            "bytes": sum(m.get("bytes", 0) for m in files.values()),
+            "partition_by": self._partition_by(state) or [],
+            "cdf": self._cdf_enabled(state),
+            "cloned_from": c0.get("cloned_from"),
+            "pins": self.pins(),
+        }
+
     def vacuum(
-        self, keep_versions: int = 2, retention_seconds: float = 86400.0
+        self, keep_versions: int = 2, retention_seconds: float = 86400.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files unreferenced by the newest
         ``keep_versions`` versions; older versions become unreadable
-        (their commits stay in the log for audit).
+        (their commits stay in the log for audit). ``dry_run=True``
+        returns what WOULD be reclaimed without touching a byte —
+        Delta's ``VACUUM ... DRY RUN``, the look-before-you-leap an
+        operator wants before an irreversible GC.
 
         ``retention_seconds`` is the concurrent-writer safety window
         (Delta's tombstone-retention shape): writers stage files into
@@ -1420,7 +1446,8 @@ class LakeTable:
                 full = os.path.join(probes, name)
                 try:
                     if os.path.getmtime(full) <= pcut:
-                        os.unlink(full)
+                        if not dry_run:
+                            os.unlink(full)
                         removed.append(os.path.join("_probes", name))
                 except OSError:
                     pass  # concurrent sweeper / already gone
@@ -1434,7 +1461,8 @@ class LakeTable:
                     "data", os.path.relpath(full, self.data_dir)
                 )
                 if rel not in live and os.path.getmtime(full) <= cutoff:
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                     removed.append(rel)
         return removed
 

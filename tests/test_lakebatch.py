@@ -415,6 +415,64 @@ def test_writer_overwrite_schema_requires_opt_in(registered, tmp_path):
     assert r.columns == ["k", "g"] and r.count() == 5
 
 
+def test_writer_races_table_api_under_occ(registered, tmp_path):
+    """Cross-PATH concurrency: df.write.format('lake') commits race
+    LakeTable.append commits on one table — the shared O_EXCL gate +
+    retry must serialize both sides with zero lost or doubled
+    commits (the in-process twin of test_lakehouse_occ's race)."""
+    import threading
+
+    from olist_data_warehouse_spark.sources.lakehouse import with_occ_retry
+
+    spark = registered
+    p = str(tmp_path / "race")
+    _df(spark, 0, 10).write.format("lake").option("path", p).mode(
+        "append"
+    ).save()
+    t = LakeTable(p)
+    errs = []
+
+    def api_side():
+        try:
+            for i in range(3):
+                with_occ_retry(
+                    lambda i=i: t.append(
+                        _df(spark, 100 + 10 * i, 110 + 10 * i)
+                    ),
+                    attempts=50,
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via assert
+            errs.append(e)
+
+    def ds_side():
+        try:
+            # Python data source lookup consults the JVM's THREAD-LOCAL
+            # active session; a fresh Python thread's py4j connection
+            # starts without one, so the registered 'lake' format would
+            # not resolve here without this
+            spark._jvm.SparkSession.setActiveSession(spark._jsparkSession)
+            for i in range(3):
+                _df(spark, 200 + 10 * i, 210 + 10 * i).write.format(
+                    "lake"
+                ).option("path", p).mode("append").save()
+        except Exception as e:  # noqa: BLE001 - surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=api_side),
+               threading.Thread(target=ds_side)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    # six commits landed on contiguous versions, none lost or doubled
+    assert t._commit_versions() == list(range(7))
+    got = t.read(spark)
+    assert got.count() == 70
+    ks = {r["k"] for r in got.select("k").collect()}
+    assert ks == {*range(0, 10), *range(100, 130), *range(200, 230)}
+
+
 def test_writer_validates_schema_and_partitioned(registered, tmp_path):
     spark = registered
     p = str(tmp_path / "w")

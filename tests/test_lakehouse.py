@@ -812,6 +812,26 @@ def test_cleanup_checkpoints_bounds_log_dir(spark, tmp_path):
         t.cleanup_checkpoints(keep=0)
 
 
+def test_detail_and_vacuum_dry_run(spark, table):
+    """Operator surface: detail() is the DESCRIBE DETAIL one-call
+    summary; vacuum(dry_run=True) reports what WOULD be reclaimed
+    without touching a byte, and the subsequent real vacuum reclaims
+    exactly that set."""
+    d = table.detail()
+    assert d["version"] == 0 and d["rows"] == 100 and d["num_files"] == 4
+    assert d["partition_by"] == [] and d["cdf"] is False
+    assert d["cloned_from"] is None and d["pins"] == []
+    assert d["bytes"] > 0 and d["ts"] > 0
+    table.overwrite(_orders(spark, 0, 5))
+    would = table.vacuum(keep_versions=1, retention_seconds=0,
+                         dry_run=True)
+    assert would
+    # dry run touched nothing: the old version is still fully readable
+    assert table.read(spark, version=0).count() == 100
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert sorted(removed) == sorted(would)
+
+
 def test_timestamp_time_travel(spark, tmp_path):
     """Delta's timestampAsOf shape: read(timestamp=...) resolves to
     the LAST commit at or before the given time — epoch float, ISO
