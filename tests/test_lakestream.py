@@ -380,6 +380,51 @@ def test_drain_cold_restart_handles_probe_round(registered, tmp_path):
     assert rows3 == [] and res3["batches"] == 0
 
 
+def test_drain_cdf_mode_folds_to_final_table(registered, tmp_path):
+    """drain() composes with mode='cdf': a rate-limited full-log delta
+    replay drains to completion, and folding the landed deltas
+    (inserts minus deletes) reproduces the final table exactly."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10).coalesce(1),
+                         str(tmp_path / "s"), cdf=True)
+    t.delete_where(spark, F.col("k") < 3)
+    for i in range(1, 4):
+        t.append(_df(spark, 10 * i, 10 * i + 10).coalesce(1))
+    rows: list = []
+    lakestream.drain(
+        _drain_writer(spark, t.path, str(tmp_path / "c"), rows,
+                      max_files_per_batch="2", mode="cdf"),
+        t.path,
+    )
+    from collections import Counter
+
+    net = Counter()
+    for r in rows:
+        net[r["k"]] += 1 if r["_change_type"] == "insert" else -1
+    folded = {k for k, n in net.items() if n > 0}
+    assert all(n in (0, 1) for n in net.values())
+    final = {r["k"] for r in t.read(spark).select("k").collect()}
+    assert folded == final
+
+
+def test_drain_surfaces_query_failure(registered, tmp_path):
+    """A failing drained query must raise out of drain(), never hang
+    until timeout: the strict append feed refuses a rewriting commit
+    at planning time."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10).coalesce(1),
+                         str(tmp_path / "s"))
+    t.delete_where(spark, F.col("k") < 3)  # rewriting commit, no cdf
+    rows: list = []
+    with pytest.raises(Exception, match="rewrites rows"):
+        lakestream.drain(
+            _drain_writer(spark, t.path, str(tmp_path / "c"), rows,
+                          max_files_per_batch="2"),
+            t.path,
+            timeout=120,
+        )
+
+
 def test_drain_probe_dir_keeps_table_readonly(registered, tmp_path):
     """r9 ADVICE: probe records default under the table, but
     .option('probe_dir', scratch) must keep a cold-restart drain off
