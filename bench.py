@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     # round-trip.
     "lake_clone_partitioned",
     "lake_batch_cdf",
+    # round-10: SemDeDup — cluster-then-intra-cluster-cosine semantic
+    # dedup (the embedding family's discovery-cost representative)
+    "dedup_semdedup",
 ]
 
 

@@ -112,6 +112,60 @@ def cosine_near_dup_pairs(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.32,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the public
+    semantic-dedup recipe): cluster the embeddings, then compare pairs
+    only WITHIN each cluster — k·O((N/k)²) intra-cluster cosines
+    instead of the O(N²) all-pairs, the move that made embedding dedup
+    tractable on LAION/C4-scale corpora. Clustering here is the
+    deterministic :func:`ivf_assign` (first-``n_centroids`` seed
+    vectors as literal centroids — same argmax-in-scan shape, nothing
+    shuffles for assignment); at 100 TB ``n_centroids`` grows with the
+    corpus (k ≈ N / target_cluster_size) so per-cluster pairwise work
+    stays bounded, exactly the paper's k=50k-for-600M setting.
+
+    Returns the SURVIVORS (vec_id, centroid_id): a vector is removed
+    iff some SMALLER-id vector in its cluster reaches ``threshold``
+    cosine — the keep-lowest-id convention of the exact-dedup family
+    (the paper keeps one exemplar per duplicate group; lowest-id is
+    the deterministic, cross-engine-expressible choice). NULL vec_ids
+    are excluded up front (they can never key a pair). Plan shape:
+    one assignment scan, one per-cluster equi self-join on
+    centroid_id (hash join, never a cartesian), one broadcast-size
+    distinct of removed ids, one anti-join."""
+    assigned = ivf_assign(embeddings, n_centroids).where(
+        F.col("vec_id").isNotNull()
+    ).select("vec_id", "centroid_id")
+    vecs = assigned.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)
+            >= threshold
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dup_ids, "vec_id", "left_anti")
+
+
 def cosine_pandas_udf(dim: int):
     """Arrow-batched Pandas-UDF cosine — the §2.10 'slow path done
     right' demonstration: used only when an expression can't stay in

@@ -1192,6 +1192,54 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semdedup",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 16
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a="e.embedding", b="c.c_emb")} AS cos_sim
+  FROM embeddings e CROSS JOIN c
+  WHERE e.vec_id IS NOT NULL
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.32
+)
+SELECT vec_id, centroid_id FROM assigned s
+WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = s.vec_id)
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "dedup by k-means-style clustering then WITHIN-CLUSTER pairwise "
+    "cosine — the public recipe that replaced O(N^2) all-pairs "
+    "embedding dedup with k*(N/k)^2 intra-cluster work on LAION/C4 "
+    "corpora. Clustering = the deterministic IVF seed assignment "
+    "(literal centroids, argmax inside the corpus scan); survivors = "
+    "vectors with no smaller-id cluster-mate at >= 0.32 cosine (the "
+    "keep-lowest-id convention). The oracle restates assignment, "
+    "intra-cluster pair discovery, and the NOT-EXISTS survivor set "
+    "relationally — a wrong cluster boundary, a missed pair, or a "
+    "tie-break drift all hash-mismatch. At 100 TB n_centroids grows "
+    "as N/target_cluster_size so the self-join stays bounded per "
+    "cluster; discovery cost is the paper's headline saving.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.semdedup(e, n_centroids=16, threshold=0.32)
+
+
+@register(
     "sim_ivf_topk_mp",
     oracle=f"""
 WITH c AS (

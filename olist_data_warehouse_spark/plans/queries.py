@@ -1772,7 +1772,7 @@ DRIVER_PRIORITY = [
     #    Hive scan) and the batch CDF read through the 'lake'
     #    DataSource (mode='cdf', readChangeFeed shape).
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
-    "lake_timestamp_travel",
+    "lake_timestamp_travel", "dedup_semdedup",
     # 2: TOUCHED this round: every lake entry — lakehouse.py's scan
     #    path was refactored for multi-root partitioned reads, pruning
     #    now resolves state once and shares _stats_might_match, vacuum
@@ -1796,7 +1796,7 @@ DRIVER_PRIORITY = [
     "q4_shipping_priority", "j7_incremental_delta", "j7_merge_upsert",
     "pack_balanced_shards", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "dedup_cc_groups",
-    "dedup_pipeline_eval", "samp_cluster_split", "sim_ivfpq_topk",
+    "samp_cluster_split", "sim_ivfpq_topk",
     "sim_mmr_rerank", "tj_asof_nearest",
     "tj_interval_overlap", "graph_pagerank_items", "graph_triangles",
     "text_bm25_topk", "text_inverted_index", "text_collocation_pmi",
