@@ -993,11 +993,23 @@ class LakeTable:
                 batch_df.select(*cols),
                 partition_by=self._partition_by(state),
             )
-            self._write_commit(
-                state["version"] + 1,
-                {"op": "stream_append", "add": add, "remove": [],
-                 "txn": {"app": app, "batch": batch_id}},
-            )
+
+            def _commit() -> None:
+                # files are staged ONCE above; only the commit decision
+                # retries under fresh state, so a CONCURRENT writer
+                # (another app's sink, a batch job, a compaction)
+                # landing mid-batch costs one cheap log retry, never a
+                # restage — and never fails the streaming query
+                cur = self._state()
+                if batch_id <= cur["txns"].get(app, -1):
+                    return  # a replica of this app won the replay race
+                self._write_commit(
+                    cur["version"] + 1,
+                    {"op": "stream_append", "add": add, "remove": [],
+                     "txn": {"app": app, "batch": batch_id}},
+                )
+
+            with_occ_retry(_commit)
 
         return write_batch
 

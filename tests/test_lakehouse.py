@@ -343,6 +343,90 @@ def test_streaming_sink_exactly_once_on_replay(spark, table):
     assert table.read(spark).count() == 125
 
 
+def test_streaming_sink_survives_concurrent_commit(spark, table,
+                                                   monkeypatch):
+    """A concurrent writer landing a commit MID-BATCH must cost the
+    sink one OCC retry, never fail the streaming query: files are
+    staged once, only the commit decision re-runs under fresh state."""
+    sink = table.streaming_sink("appA")
+    competitor = LakeTable(table.path)
+    raced = {"done": False}
+    real = LakeTable._write_commit
+
+    def racing(self, v, commit):
+        if self is table and not raced["done"]:
+            raced["done"] = True
+            competitor.append(_orders(spark, 500, 510))  # racer wins v
+        return real(self, v, commit)
+
+    monkeypatch.setattr(LakeTable, "_write_commit", racing)
+    sink(_orders(spark, 600, 620), 0)
+    monkeypatch.setattr(LakeTable, "_write_commit", real)
+    # both landed: the racer's append and the sink's retried commit
+    hist = table.history()
+    assert [h["op"] for h in hist] == ["create", "append", "stream_append"]
+    assert table.last_txn_batch("appA") == 0
+    got = table.read(spark)
+    assert got.count() == 130
+    ks = {r["order_id"] for r in got.select("order_id").collect()}
+    assert ks == {*range(100), *range(500, 510), *range(600, 620)}
+
+
+def test_two_streaming_sinks_one_table(spark, table, tmp_path):
+    """Two REAL streaming queries (different app ids) land in one lake
+    table concurrently — the txn protocol keeps each app exactly-once
+    while the OCC retry serializes their interleaved commits."""
+    import threading
+
+    from olist_data_warehouse_spark.sources import lakestream
+
+    lakestream.register(spark)
+    srcs = []
+    for i, lo in enumerate((1000, 2000)):
+        s = LakeTable.create(
+            _orders(spark, lo, lo + 10).coalesce(1),
+            str(tmp_path / f"src{i}"),
+        )
+        for j in range(1, 4):
+            s.append(_orders(spark, lo + 10 * j, lo + 10 * j + 10)
+                     .coalesce(1))
+        srcs.append(s)
+    errs = []
+
+    def run(i):
+        try:
+            # availableNow + limit is the documented one-budget trap —
+            # drain() is the run-to-completion recipe, here exercised
+            # CONCURRENTLY from two queries into one destination
+            writer = (
+                spark.readStream.format("lakestream")
+                .option("path", srcs[i].path)
+                .option("max_files_per_batch", "1")  # many small commits
+                .load()
+                .writeStream.foreachBatch(table.streaming_sink(f"app{i}"))
+                .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            )
+            lakestream.drain(writer, srcs[i].path, timeout=240)
+        except Exception as e:  # noqa: BLE001 - surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    got = table.read(spark)
+    assert got.count() == 180
+    ks = {r["order_id"] for r in got.select("order_id").collect()}
+    assert ks == {*range(100), *range(1000, 1040), *range(2000, 2040)}
+    # both apps recorded their last batch; versions are contiguous
+    assert table.last_txn_batch("app0") >= 0
+    assert table.last_txn_batch("app1") >= 0
+    vs = table._commit_versions()
+    assert vs == list(range(len(vs)))
+
+
 def test_streaming_sink_from_real_stream(spark, table, tmp_path):
     # drive it through actual Structured Streaming micro-batches
     srcdir = str(tmp_path / "in")
