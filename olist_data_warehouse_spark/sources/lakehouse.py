@@ -80,7 +80,20 @@ class LakeTable:
     ~1M files a JSON snapshot is hundreds of MB of text to parse on
     every state resolution; the columnar form is ~10x smaller and
     decodes in bulk. Tables written before the switch (JSON
-    checkpoints) stay readable."""
+    checkpoints) stay readable.
+
+    Concurrency contract: every commit races the O_EXCL gate
+    (:meth:`_write_commit`). The streaming sink auto-retries its
+    commit — stream_append is append-only with no read set, so a
+    fresh-state retry is always serializable. The read-dependent
+    mutators (append's schema read, overwrite/delete_where/merge_into/
+    compact's file-set reads) deliberately surface
+    :class:`ConcurrentCommitError` to the CALLER, who retries the
+    WHOLE operation (``with_occ_retry(lambda: t.delete_where(...))``)
+    so the mutation recomputes against current state — blindly
+    re-committing a stale rewrite would silently drop a concurrent
+    writer's changes (the write-skew Delta's conflict checker exists
+    to prevent)."""
 
     def __init__(self, path: str):
         self.path = path
