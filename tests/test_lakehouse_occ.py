@@ -135,6 +135,48 @@ def test_loser_staged_files_are_vacuumable(spark, tmp_path):
         t.read(spark, version=v).count()
 
 
+def test_racing_mutators_serialize_via_whole_op_retry(spark, tmp_path):
+    """The documented contract for read-dependent mutators: wrap the
+    WHOLE operation in with_occ_retry, so the loser recomputes against
+    fresh state. Two concurrent delete_where calls must both apply —
+    the end state equals both predicates regardless of commit order."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from olist_data_warehouse_spark.sources.lakehouse import with_occ_retry
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    t = LakeTable.create(base.repartition(4), str(tmp_path / "t"))
+    errs = []
+
+    def deleter(pred):
+        try:
+            handle = LakeTable(t.path)  # own handle, fresh state reads
+            with_occ_retry(
+                lambda: handle.delete_where(spark, pred), attempts=50
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via assert
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=deleter, args=(F.col("k") < 30,)),
+        threading.Thread(target=deleter, args=(F.col("k") >= 70,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    got = t.read(spark)
+    assert got.count() == 40
+    assert {r["k"] for r in got.select("k").collect()} == set(range(30, 70))
+    # three commits, contiguous — the loser retried as a NEW version
+    assert t._commit_versions() == [0, 1, 2]
+
+
 def test_worker_commit_payload_is_json_clean(tmp_path):
     # guard for the raced-commit shape: history() tolerates commits
     # carrying extra writer-audit keys
