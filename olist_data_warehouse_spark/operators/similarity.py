@@ -136,30 +136,45 @@ def semdedup(
     are excluded up front (they can never key a pair). Plan shape:
     one assignment scan, one per-cluster equi self-join on
     centroid_id (hash join, never a cartesian), one broadcast-size
-    distinct of removed ids, one anti-join."""
-    assigned = ivf_assign(embeddings, n_centroids).where(
-        F.col("vec_id").isNotNull()
-    ).select("vec_id", "centroid_id")
+    distinct of removed ids, one anti-join. The assignment is
+    consumed three times (both self-join sides and the anti-join
+    left), so it rides the bounded dedup cache — without it Catalyst
+    inlines the C-centroid argmax into every consumer."""
+    from olist_data_warehouse_spark.operators.dedup import _bounded_persist
+
+    assigned = _bounded_persist(
+        "semdedup_assign",
+        ivf_assign(embeddings, n_centroids)
+        .where(F.col("vec_id").isNotNull())
+        .select("vec_id", "centroid_id"),
+    )
+    # norms hoisted to ONCE PER VECTOR (the brute_force_topk trick):
+    # cosine(a, b) recomputes both norms per PAIR — O(pairs·dim) extra
+    # work the per-row form avoids
     vecs = assigned.join(
         embeddings.select("vec_id", "embedding"), "vec_id"
-    )
+    ).withColumn("_nrm", l2_norm(F.col("embedding")))
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("centroid_id").alias("cid"),
         F.col("embedding").alias("emb_a"),
+        F.col("_nrm").alias("nrm_a"),
     )
     b = vecs.select(
         F.col("vec_id").alias("vec_b"),
         F.col("centroid_id").alias("cid"),
         F.col("embedding").alias("emb_b"),
+        F.col("_nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        4,
     )
     dup_ids = (
         a.join(b, "cid")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .where(
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)
-            >= threshold
-        )
+        .where(cos >= threshold)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
