@@ -909,6 +909,49 @@ def lake_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_sql_view",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       round(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderkey >= 1000 AND o_orderkey < 20000
+GROUP BY o_orderstatus
+""",
+    doc="The lake format behind plain SQL: orders lands range-"
+    "clustered in a lake table, register_table exposes it as a temp "
+    "view over the pushdown-capable batch source, and the query is "
+    "pure spark.sql — the WHERE's range conjuncts flow through "
+    "Catalyst into pushFilters and prune manifest files before the "
+    "aggregate. Reference parity: the reference IS a SQL warehouse "
+    "(every §2 query is T-SQL over tables), so its users' zero-"
+    "DataFrame read path must work here too. A catalog TABLE (CREATE "
+    "TABLE ... USING lake) is not possible on Spark 4.1 — Python "
+    "data sources do not forward storage options into scan-time "
+    "reads — so the view is the documented SQL surface; the oracle "
+    "is the identical SQL over raw orders.",
+)
+def lake_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(6, "o_orderkey"),
+        _fresh("sql_view", sf_dir),
+    )
+    name = "lake_sql_view_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lakebatch.register_table(spark, name, t.path)
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS revenue
+        FROM {name}
+        WHERE o_orderkey >= 1000 AND o_orderkey < 20000
+        GROUP BY o_orderstatus
+    """)
+
+
+@register(
     "lake_write_roundtrip",
     oracle="SELECT * FROM orders",
     doc="The lake format's WRITE side as a Spark sink: "

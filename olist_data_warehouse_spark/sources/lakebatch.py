@@ -61,7 +61,10 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
-from olist_data_warehouse_spark.sources.lakehouse import _STATS_TYPES
+from olist_data_warehouse_spark.sources.lakehouse import (
+    _STATS_TYPES,
+    _norm_path,
+)
 
 # Filter class -> prune_files op. Only flat single-column references
 # with plain literal values translate; everything else stays
@@ -90,13 +93,15 @@ def _resolve_as_of(options) -> int | None:
             )
         from olist_data_warehouse_spark.sources.lakehouse import LakeTable
 
-        return LakeTable(options.get("path")).resolve_timestamp(ts)
+        return LakeTable(
+            _norm_path(options.get("path"))
+        ).resolve_timestamp(ts)
     return int(v) if v is not None else None
 
 
 class LakeBatchReader(DataSourceReader):
     def __init__(self, options, schema_json: str):
-        self.table_path = options.get("path")
+        self.table_path = _norm_path(options.get("path"))
         if not self.table_path:
             raise ValueError("lake source requires .option('path', ...)")
         self.version = _resolve_as_of(options)
@@ -436,7 +441,7 @@ class LakeBatchDataSource(DataSource):
     def _schema_json(self) -> str:
         from olist_data_warehouse_spark.sources.lakehouse import LakeTable
 
-        path = self.options.get("path")
+        path = _norm_path(self.options.get("path"))
         if not path:
             raise ValueError("lake source requires .option('path', ...)")
         t = LakeTable(path)
@@ -472,7 +477,7 @@ class LakeBatchDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> LakeBatchWriter:
         from olist_data_warehouse_spark.sources.lakehouse import LakeTable
 
-        path = self.options.get("path")
+        path = _norm_path(self.options.get("path"))
         if not path:
             raise ValueError("lake sink requires .option('path', ...)")
         t = LakeTable(path)
@@ -527,6 +532,31 @@ class LakeBatchDataSource(DataSource):
             overwrite=bool(overwrite),
             exists=exists,
         )
+
+
+def register_table(spark, name: str, path: str, **options) -> None:
+    """Expose a lake table to SQL as ``name`` — a temp view over the
+    pushdown-capable batch source, so plain ``spark.sql`` queries
+    (joins, aggregates, WHEREs that prune files) run against the lake
+    format with zero Python-API coupling::
+
+        lakebatch.register_table(spark, "orders_lake", path)
+        spark.sql("SELECT ... FROM orders_lake WHERE ...")
+
+    ``options`` pass through (``version=N`` / ``timestamp=ts`` time
+    travel, ``mode='cdf'`` + ``since`` for the change feed). A view,
+    not a catalog table: Spark 4.1's Python data sources do not
+    forward ``CREATE TABLE ... USING <source> OPTIONS(...)`` storage
+    properties into scan-time reads (the reader receives empty
+    options), so the catalog-table form cannot locate the table —
+    the view is the supported SQL read surface until that lands
+    upstream. Writes stay on ``df.write.format('lake')`` / the
+    Python API."""
+    register(spark)
+    reader = spark.read.format("lake").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    reader.load().createOrReplaceTempView(name)
 
 
 def register(spark) -> None:

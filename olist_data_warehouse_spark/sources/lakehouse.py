@@ -1588,6 +1588,19 @@ def _zorder_column(
     return z
 
 
+def _norm_path(p: str | None) -> str | None:
+    """Accept `file:` URIs for table paths: the SQL surface
+    (``CREATE TABLE t USING lake OPTIONS (path ...)``) hands the
+    catalog-qualified URI to the source, while the Python surface
+    passes plain filesystem paths — both must resolve to the same
+    table."""
+    if p and p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
 def _stats_might_match(meta: dict, column: str, op: str, value) -> bool:
     """False only when ``meta``'s per-column stats PROVE no row of the
     file can satisfy ``column <op> value`` — the single stats compare

@@ -234,7 +234,11 @@ def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
 
 class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema_json: str | None = None):
-        self.table_path = options.get("path")
+        from olist_data_warehouse_spark.sources.lakehouse import (
+            _norm_path,
+        )
+
+        self.table_path = _norm_path(options.get("path"))
         if not self.table_path:
             raise ValueError("lakestream requires .option('path', ...)")
         self.skip_rewrites = (
