@@ -245,6 +245,28 @@ def test_evolution_and_empty_table(registered, tmp_path):
     assert er.count() == 0 and er.columns == ["k", "g", "v"]
 
 
+def test_register_table_sql_surface_and_uri_paths(registered, tmp_path):
+    """register_table exposes the lake format to plain spark.sql (the
+    SQL read surface); file: URIs resolve like plain paths at every
+    option boundary; time-travel options pass through the view."""
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 100), str(tmp_path / "t"))
+    t.delete_where(spark, F.col("k") < 20)
+    lakebatch.register_table(spark, "sqlv", t.path)
+    assert spark.sql("SELECT count(*) FROM sqlv").first()[0] == 80
+    got = spark.sql(
+        "SELECT g, count(*) AS n FROM sqlv WHERE k >= 50 GROUP BY g"
+    )
+    assert {r["n"] for r in got.collect()} == {17, 17, 16}
+    # version option through the view
+    lakebatch.register_table(spark, "sqlv0", t.path, version=0)
+    assert spark.sql("SELECT count(*) FROM sqlv0").first()[0] == 100
+    # file: URI forms resolve to the same table
+    for uri in (f"file:{t.path}", f"file://{t.path}"):
+        r = spark.read.format("lake").option("path", uri).load()
+        assert r.count() == 80, uri
+
+
 def test_missing_table_and_path_errors(registered, tmp_path):
     spark = registered
     with pytest.raises(Exception, match="no lake table"):
