@@ -127,6 +127,72 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_apply_changes",
+    oracle="""
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+),
+ups AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 0.5 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+)
+SELECT * FROM ups
+UNION ALL
+SELECT * FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.o_orderkey = t.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM dels d WHERE d.o_orderkey = t.o_orderkey)
+""",
+    doc="CDC APPLY in ONE atomic commit (the Delta APPLY CHANGES INTO "
+    "/ Debezium-apply shape): target = orders with key%4<>0; the "
+    "change batch carries UPSERTS (even keys at half price, _op='u') "
+    "and TOMBSTONES (odd multiples of 3 as NULL-payload delete rows, "
+    "_op='d') — one apply_changes call deletes, updates, and inserts "
+    "file-granularly, so no reader can ever observe the deletes "
+    "without the upserts (composing delete_where + merge_into would "
+    "expose that half-applied state between two commits). The oracle "
+    "is the three-way relational expansion: upserts win, targets "
+    "survive only if neither upserted nor deleted. Halving a double "
+    "is exact, so values hash bit-for-bit; tombstone payloads are "
+    "NULL to pin that delete rows apply by KEY alone. At 100 TB this "
+    "is the hourly CDC-ingest shape: O(affected files) rewritten, "
+    "delete keys frozen distributed, one commit per batch.",
+)
+def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    target = orders.where(F.col("o_orderkey") % 4 != 0)
+    t = LakeTable.create(
+        target.repartitionByRange(8, "o_orderkey"),
+        _fresh("apply_changes", sf_dir),
+    )
+    ups = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.5
+    ).withColumn("_op", F.lit("u"))
+    dels = (
+        orders.where(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0)
+        )
+        .select(
+            "o_orderkey",
+            # NULL payload: deletes must apply by KEY alone
+            *[
+                F.lit(None).cast(orders.schema[c].dataType).alias(c)
+                for c in orders.columns
+                if c != "o_orderkey"
+            ],
+        )
+        .withColumn("_op", F.lit("d"))
+    )
+    t.apply_changes(spark, ups.unionByName(dels), keys=["o_orderkey"])
+    return t.read(spark)
+
+
+@register(
     "lake_schema_evolution",
     oracle="""
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

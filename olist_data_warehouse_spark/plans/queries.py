@@ -1773,6 +1773,7 @@ DRIVER_PRIORITY = [
     #    DataSource (mode='cdf', readChangeFeed shape).
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
+    "lake_apply_changes",
     # 2: TOUCHED this round: every lake entry — lakehouse.py's scan
     #    path was refactored for multi-root partitioned reads, pruning
     #    now resolves state once and shares _stats_might_match, vacuum
@@ -1798,7 +1799,7 @@ DRIVER_PRIORITY = [
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "dedup_cc_groups",
     "samp_cluster_split", "sim_ivfpq_topk",
     "sim_mmr_rerank", "tj_asof_nearest",
-    "tj_interval_overlap", "graph_pagerank_items", "graph_triangles",
+    "tj_interval_overlap", "graph_pagerank_items",
     "text_bm25_topk", "text_inverted_index",
     "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
     "stream_purchase_click_join",

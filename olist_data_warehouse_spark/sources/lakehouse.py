@@ -977,6 +977,136 @@ class LakeTable:
             "files_kept": len(all_files) - len(remove),
         }
 
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        op_col: str = "_op",
+        prune: tuple[str, str, object] | None = None,
+    ) -> dict:
+        """Apply a CDC batch — upserts AND tombstones — in ONE atomic
+        commit (the Delta ``APPLY CHANGES INTO`` / Debezium-apply
+        shape). ``source`` carries the table's columns plus ``op_col``
+        with ``'u'`` (upsert: replace the matched target row, insert
+        if unmatched) or ``'d'`` (delete: remove the matched target
+        row; the payload beyond ``keys`` is ignored, so a tombstone
+        with NULL non-key columns applies cleanly). Composing
+        delete_where + merge_into would take TWO commits and expose
+        the half-applied state to every reader in between; CDC
+        consumers need the batch boundary to be the consistency
+        boundary.
+
+        Same copy-on-write discipline as :meth:`merge_into`: one
+        semi-join scan (against the keys of BOTH ops) finds the files
+        holding any affected row; only those rewrite — their surviving
+        rows (not upserted, not deleted) carry over — and every other
+        file is shared by reference. Upsert rows stage once and their
+        frozen scan feeds both the key join and the commit; delete
+        keys freeze via ``localCheckpoint`` (distributed, never a
+        driver collect). The commit is a ``merge`` (with
+        ``cdc: True``): the strict streaming feed refuses it like any
+        rewrite, CDF mode replays it exactly — removed pre-images
+        (updated + deleted) are the -1 side, the staged upserts the
+        +1 side. Source must be key-unique across BOTH ops (the MERGE
+        precondition — a key that is both upserted and deleted in one
+        batch is ambiguous); NULL keys never match (SQL semantics):
+        a NULL-key 'u' inserts, a NULL-key 'd' no-ops. Returns
+        ``{version, rows_upserts, rows_deletes, rows_matched,
+        files_rewritten, files_kept}``."""
+        state = self._state()
+        cols = [f["name"] for f in state["schema"]["fields"]]
+        if op_col not in source.columns:
+            raise ValueError(f"source lacks op column {op_col!r}")
+        if sorted(c for c in source.columns if c != op_col) != sorted(
+            cols
+        ):
+            raise ValueError(
+                f"apply_changes schema mismatch: table {cols} vs source "
+                f"{[c for c in source.columns if c != op_col]}"
+            )
+        self._check_types(state, source.drop(op_col))
+        op = F.col(op_col)
+        bad = source.where(~op.isin("u", "d")).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{op_col!r} must be 'u' or 'd' for every source row"
+            )
+        all_files = sorted(state["files"])
+        cand = (
+            self._prune_split(state, *prune)[0]
+            if prune is not None
+            else all_files
+        )
+        pby = self._partition_by(state)
+
+        ups_add = self._stage_files(
+            source.where(op == "u").select(*cols), partition_by=pby
+        )
+        rows_upserts = sum(m["rows"] for m in ups_add)
+        for m in [m for m in ups_add if m["rows"] == 0]:
+            os.unlink(os.path.join(self.path, m["path"]))
+        ups_add = [m for m in ups_add if m["rows"] > 0]
+        ups_df = self._scan(spark, state, [m["path"] for m in ups_add])
+        # tombstone keys: frozen DISTRIBUTED (localCheckpoint), so the
+        # key join and the CDF pre-image scan see one snapshot of a
+        # possibly nondeterministic source lineage — never a collect
+        dkeys = (
+            source.where(op == "d").select(*keys).localCheckpoint()
+        )
+        rows_deletes = dkeys.count()
+        skeys = ups_df.select(*keys).unionByName(dkeys)
+
+        touched: list[str] = []
+        n_matched = 0
+        if cand:
+            scan = self._scan(spark, state, cand)
+            hits = (
+                scan.withColumn(
+                    "_file",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .join(skeys, keys, "left_semi")
+                .groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_matches"))
+                .collect()
+            )
+            by_name = {os.path.basename(p): p for p in cand}
+            for r in hits:
+                touched.append(by_name[r["_file"]])
+                n_matched += r["_matches"]
+
+        add = list(ups_add)
+        cdf_delete: list[dict] = []
+        if touched:
+            tdf = self._scan(spark, state, touched)
+            add += self._stage_files(
+                tdf.join(skeys, keys, "left_anti"), partition_by=pby
+            )
+            if self._cdf_enabled(state):
+                # pre-images of EVERYTHING removed — updated and
+                # deleted rows alike are the feed's -1 side
+                cdf_delete = self._stage_files(
+                    tdf.join(skeys, keys, "left_semi"), partition_by=pby
+                )
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "merge", "add": add, "remove": touched,
+             "merge_keys": keys, "when_matched": "update", "cdc": True,
+             **({"cdf_delete": cdf_delete,
+                 "cdf_insert": list(ups_add)}
+                if self._cdf_enabled(state) else {})},
+        )
+        return {
+            "version": v,
+            "rows_upserts": rows_upserts,
+            "rows_deletes": rows_deletes,
+            "rows_matched": n_matched,
+            "files_rewritten": len(touched),
+            "files_kept": len(all_files) - len(touched),
+        }
+
     # -- streaming sink (exactly-once) -----------------------------------
 
     def last_txn_batch(self, app: str) -> int:

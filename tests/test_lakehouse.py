@@ -343,6 +343,69 @@ def test_streaming_sink_exactly_once_on_replay(spark, table):
     assert table.read(spark).count() == 125
 
 
+def test_apply_changes_single_commit_cdc(spark, tmp_path):
+    """CDC apply: upserts + tombstones land as ONE commit; the change
+    feed replays it as exact row deltas; tombstones apply by key
+    alone (NULL payloads); validation refuses malformed batches."""
+    t = LakeTable.create(
+        _orders(spark, 0, 100).repartitionByRange(4, "order_id"),
+        str(tmp_path / "t"),
+        cdf=True,
+    )
+    v0 = t.version()
+    ups = _orders(spark, 50, 120).withColumn(
+        "price", F.lit(0.0)
+    ).withColumn("_op", F.lit("u"))
+    dels = (
+        _orders(spark, 0, 10)
+        .select(
+            "order_id",
+            F.lit(None).cast("bigint").alias("status"),
+            F.lit(None).cast("double").alias("price"),
+        )
+        .withColumn("_op", F.lit("d"))
+    )
+    res = t.apply_changes(spark, ups.unionByName(dels), keys=["order_id"])
+    assert res["version"] == v0 + 1  # ONE atomic commit
+    assert res["rows_upserts"] == 70 and res["rows_deletes"] == 10
+    assert res["rows_matched"] == 60  # 50..99 updates + 0..9 deletes
+    assert res["files_kept"] >= 1    # untouched mid-range files shared
+    got = t.read(spark)
+    assert got.count() == 110  # 40 survivors + 70 upserts
+    assert got.where(F.col("order_id") < 10).count() == 0
+    assert got.where(
+        (F.col("order_id") >= 50) & (F.col("price") != 0.0)
+    ).count() == 0
+    # the change feed replays the CDC commit exactly
+    ch, _cur = t.read_changes_since(spark, v0)
+    base = t.read(spark, version=v0)
+    cols = base.columns
+    rebuilt = base.unionByName(
+        ch.where(F.col("_change_type") == "insert").select(*cols)
+    ).exceptAll(
+        ch.where(F.col("_change_type") == "delete").select(*cols)
+    )
+    assert rebuilt.exceptAll(got).count() == 0
+    assert got.exceptAll(rebuilt).count() == 0
+    # validation: bad op value, missing op col, schema mismatch
+    with pytest.raises(ValueError, match="must be 'u' or 'd'"):
+        t.apply_changes(
+            spark,
+            _orders(spark, 0, 3).withColumn("_op", F.lit("x")),
+            keys=["order_id"],
+        )
+    with pytest.raises(ValueError, match="lacks op column"):
+        t.apply_changes(spark, _orders(spark, 0, 3), keys=["order_id"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.apply_changes(
+            spark,
+            _orders(spark, 0, 3).drop("price").withColumn(
+                "_op", F.lit("u")
+            ),
+            keys=["order_id"],
+        )
+
+
 def test_streaming_sink_survives_concurrent_commit(spark, table,
                                                    monkeypatch):
     """A concurrent writer landing a commit MID-BATCH must cost the

@@ -27,6 +27,7 @@ MUST_PROVE = {
     # (a) new in r10:
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
+    "lake_apply_changes",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
