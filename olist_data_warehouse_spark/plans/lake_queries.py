@@ -1056,3 +1056,155 @@ def lake_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if m["rows"] > 0:
             assert "o_orderkey" in m["stats"], "file missing write stats"
     return spark.read.format("lake").option("path", path).load()
+
+
+@register(
+    "lake_delete_dv",
+    oracle="""
+SELECT * FROM orders
+WHERE (o_totalprice IS NULL OR o_totalprice <= 400000.0)
+  AND o_orderkey % 7 <> 0
+""",
+    doc="MERGE-ON-READ delete via DELETION VECTORS (the public Delta "
+    "DV design, VLDB 2023, re-expressed Spark-first as a "
+    "_metadata.row_index anti-join against parquet index sidecars): "
+    "orders lands range-clustered in 8 files, then TWO successive "
+    "delete_where(mode='dv') calls — price threshold, then a key "
+    "modulus — record matched (file, row-index) pairs and rewrite "
+    "ZERO data files. Self-audits pin the contract: files_rewritten "
+    "== 0 on both commits, every original data file byte-identical "
+    "(mtime+size), and the second delete counted only LIVE rows (the "
+    "match scan runs on the dv-filtered view, so overlap rows never "
+    "double-count). The oracle states the survivor set with SQL "
+    "three-valued semantics. At 100 TB this is the GDPR/retention "
+    "point-delete path: O(matched indexes) written instead of "
+    "rewriting every straddled file.",
+)
+def lake_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_totalprice"),
+        _fresh("delete_dv", sf_dir),
+    )
+    sig_before = {
+        p: (
+            os.path.getsize(os.path.join(t.path, p)),
+            os.path.getmtime(os.path.join(t.path, p)),
+        )
+        for p in t._state()["files"]
+    }
+    r1 = t.delete_where(
+        spark,
+        F.col("o_totalprice") > 400000.0,
+        prune=("o_totalprice", ">", 400000.0),
+        mode="dv",
+    )
+    r2 = t.delete_where(spark, F.col("o_orderkey") % 7 == 0, mode="dv")
+    assert r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0, (
+        r1, r2,
+    )
+    sig_after = {
+        p: (
+            os.path.getsize(os.path.join(t.path, p)),
+            os.path.getmtime(os.path.join(t.path, p)),
+        )
+        for p in sig_before
+    }
+    assert sig_after == sig_before, "a dv delete touched a data file"
+    # live-view accounting: the second delete must have counted ONLY
+    # rows the first left alive (overlap rows — high price AND key%7
+    # — were already dv-deleted and must not double-count)
+    expect2 = orders.where(
+        (F.col("o_orderkey") % 7 == 0)
+        & (
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") <= 400000.0)
+        )
+    ).count()
+    assert r2["rows_deleted"] == expect2, (r2, expect2)
+    return t.read(spark)
+
+
+@register(
+    "lake_dv_compact",
+    oracle="""
+SELECT * FROM lineitem
+WHERE l_quantity IS NULL OR l_quantity <= 45.0
+""",
+    doc="Deletion-vector lifecycle closed by COMPACTION (Delta's "
+    "REORG ... APPLY (PURGE) role): lineitem takes a dv delete "
+    "(quantity threshold; zero files rewritten), then compact() "
+    "bin-packs WITH dv'd files force-included — the rewrite "
+    "materializes the vectors into plain parquet, the new manifest "
+    "carries no dv references, and reads stop paying the anti-join. "
+    "Self-audits pin both halves: dv present after the delete, ZERO "
+    "dv references and strictly fewer files after the compact. The "
+    "oracle is the survivor set — if materialization dropped or "
+    "resurrected a row, the hash diverges. At 100 TB this is the "
+    "maintenance loop that keeps merge-on-read bounded: deletes stay "
+    "O(indexes) on the write path, and the periodic compact folds "
+    "them into the data before vectors accumulate.",
+)
+def lake_dv_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    t = LakeTable.create(
+        li.repartition(8), _fresh("dv_compact", sf_dir)
+    )
+    t.delete_where(spark, F.col("l_quantity") > 45.0, mode="dv")
+    st = t._state()
+    assert any(m.get("dv") for m in st["files"].values()), (
+        "dv delete recorded no vectors"
+    )
+    n_before = len(st["files"])
+    t.compact(spark, target_file_bytes=256 * 1024 * 1024)
+    st = t._state()
+    assert not any(m.get("dv") for m in st["files"].values()), (
+        "compact left dv references behind"
+    )
+    assert len(st["files"]) < n_before, "compact did not bin-pack"
+    return t.read(spark)
+
+
+@register(
+    "lake_dv_cdf",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 11 = 3
+""",
+    doc="Change-feed EXACTNESS across deletion vectors: a cdf=True "
+    "orders table takes a dv delete (-matched live rows) and then an "
+    "OVERWRITE (whose remove side must replay the removed files' "
+    "LIVE rows only — the commit's remove_dv record routes the "
+    "replay through the dv-filtered scan; a raw-file replay would "
+    "re-delete already-deleted rows and corrupt every downstream "
+    "fold). The entry folds the full signed feed (+1 insert / -1 "
+    "delete per row, grouped over the row's columns) and returns the "
+    "rows with positive net count — which must equal the final "
+    "overwrite payload, the oracle. Net-zero rows vanishing proves "
+    "insert/delete symmetry at row granularity across create, dv "
+    "delete, and overwrite; this is the IVM contract a maintained "
+    "aggregate depends on.",
+)
+def lake_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartition(4), _fresh("dv_cdf", sf_dir), cdf=True
+    )
+    t.delete_where(spark, F.col("o_orderkey") % 3 == 0, mode="dv")
+    final = orders.where(F.col("o_orderkey") % 11 == 3)
+    t.overwrite(final)
+    ch, _ = t.read_changes_since(spark, -1)
+    cols = [c for c in ch.columns if not c.startswith("_")]
+    signed = ch.withColumn(
+        "_sign",
+        F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    return (
+        signed.groupBy(*cols)
+        .agg(F.sum("_sign").alias("_net"))
+        .where(F.col("_net") > 0)
+        .drop("_net")
+    )

@@ -1768,9 +1768,12 @@ DRIVER_PRIORITY = [
     # no rotation debt remains — per the standing discipline only NEW
     # or TOUCHED entries lead; the rest of the 50 slots are high-value
     # re-proofs.
-    # 1: NEW this round: partitioned shallow clone (multi-root grouped
-    #    Hive scan) and the batch CDF read through the 'lake'
-    #    DataSource (mode='cdf', readChangeFeed shape).
+    # 1: NEW this round: deletion vectors (merge-on-read delete +
+    #    compaction purge + CDF exactness), partitioned shallow clone
+    #    (multi-root grouped Hive scan), and the batch CDF read
+    #    through the 'lake' DataSource (mode='cdf', readChangeFeed
+    #    shape).
+    "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
     "lake_apply_changes",
@@ -1780,8 +1783,12 @@ DRIVER_PRIORITY = [
     #    sweeps probe records; lakestream.py gained drain() + probe_dir
     #    + data/-rooted Hive fallback; lakebatch.py gained cdf mode,
     #    one-pass pushdown planning, a streaming ParquetWriter sink,
-    #    and the overwrite-schema guard. Semantics should be unchanged
-    #    on every existing shape — prove it.
+    #    and the overwrite-schema guard. The deletion-vector work then
+    #    touched the same surfaces again: _scan grew the metadata
+    #    capture, every mutator scans the LIVE view, rollback restores
+    #    dv-changed metas, CDF replay is dv-filtered end to end.
+    #    Semantics should be unchanged on every existing shape —
+    #    prove it.
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
@@ -1801,8 +1808,7 @@ DRIVER_PRIORITY = [
     "sim_mmr_rerank", "tj_asof_nearest",
     "tj_interval_overlap", "graph_pagerank_items",
     "text_bm25_topk", "text_inverted_index",
-    "s1_scan_project_alias", "dedup_embedding_lsh", "stream_sessionize",
-    "stream_purchase_click_join",
+    "s1_scan_project_alias", "stream_sessionize",
     # Everything else follows in registration order — each has at
     # least one prior driver-green row (r1-r9) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().

@@ -182,6 +182,18 @@ class LakeBatchReader(DataSourceReader):
                     if meta.get("partition") is not None
                     else None
                 ),
+                # deletion vectors: thread the sidecar paths so the
+                # executor masks deleted row indexes (merge-on-read)
+                dv_json=(
+                    json.dumps(
+                        [
+                            os.path.join(self.table_path, q)
+                            for q in meta["dv"]["paths"]
+                        ]
+                    )
+                    if meta.get("dv")
+                    else None
+                ),
                 **delta,
             )
 

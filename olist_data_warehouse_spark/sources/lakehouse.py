@@ -8,6 +8,13 @@ Retires the copy-on-write caveat of :func:`writers.write_versioned`
 * ``delete_where`` rewrites ONLY the files that contain matching rows
   (file-granular copy-on-write; untouched files are shared by
   reference across versions),
+* ``delete_where(mode="dv")`` rewrites NOTHING: it records the matched
+  rows' (file, row-index) pairs as parquet DELETION VECTORS and the
+  read path anti-joins them out (merge-on-read — the public Delta
+  design: Kryukov et al., "Deletion Vectors in Delta Lake", VLDB
+  2023, re-expressed Spark-first as a `_metadata.row_index` anti-join
+  instead of a reader-side bitmap). At 100 TB, deleting 0.1% of rows
+  stops rewriting terabytes: the delete writes O(matched indexes),
 * per-file column stats (min/max/null-count) recorded at write time
   give data-skipping reads and stats-pruned deletes — a point delete
   touches O(matching files), not O(table),
@@ -178,6 +185,15 @@ class LakeTable:
                     ],
                     pa.string(),
                 ),
+                "dv": pa.array(
+                    [
+                        json.dumps(files[p]["dv"])
+                        if files[p].get("dv")
+                        else None
+                        for p in paths
+                    ],
+                    pa.string(),
+                ),
             }
         ).replace_schema_metadata(
             {
@@ -227,6 +243,10 @@ class LakeTable:
                 }
                 if d["partition"][i] is not None:
                     m["partition"] = json.loads(d["partition"][i])
+                # checkpoints written before deletion vectors lack the
+                # dv column — absent means no dv, same as None
+                if d.get("dv") is not None and d["dv"][i] is not None:
+                    m["dv"] = json.loads(d["dv"][i])
                 files[p] = m
             return {
                 "files": files,
@@ -281,6 +301,13 @@ class LakeTable:
                 state["files"].pop(p, None)
             for fmeta in c.get("add", []):
                 state["files"][fmeta["path"]] = fmeta
+            for fmeta in c.get("dv", []):
+                # deletion-vector update: the commit carries the FULL
+                # updated meta (cumulative dv paths + deleted count),
+                # so folding is the same meta replacement as add — but
+                # under a distinct action so append/CDF consumers never
+                # mistake a dv update for new rows
+                state["files"][fmeta["path"]] = fmeta
             if c.get("schema") is not None:
                 state["schema"] = c["schema"]
             if c.get("config") is not None:
@@ -318,7 +345,8 @@ class LakeTable:
                     **{
                         k: c[k]
                         for k in (
-                            "ts", "predicate", "rows_deleted", "rollback_of",
+                            "ts", "predicate", "rows_deleted",
+                            "rollback_of", "mode",
                         )
                         if k in c
                     },
@@ -436,19 +464,50 @@ class LakeTable:
         state: dict,
         rel_paths: list[str],
         schema: StructType | None = None,
+        meta: bool = False,
     ) -> DataFrame:
         """Read ``rel_paths`` with the table schema. Partitioned tables
         read through Hive partition discovery rooted at data/
         (``basePath``), so the directory-borne partition columns come
         back as typed columns in every scan — reads, delete/merge
-        rewrites, CDF replays alike."""
+        rewrites, CDF replays alike.
+
+        ``meta=True`` adds ``_lake_file`` (file basename) and
+        ``_lake_ridx`` (``_metadata.row_index``), captured ON each
+        reader (metadata columns must be selected at scan level — after
+        a join they are gone), for deletion-vector anti-joins and
+        per-file bookkeeping."""
         if schema is None:
             schema = StructType.fromJson(state["schema"])
+        data_names = [f.name for f in schema.fields]
+        names = (
+            data_names + ["_lake_file", "_lake_ridx"] if meta else data_names
+        )
+
+        def with_meta(df: DataFrame) -> DataFrame:
+            if not meta:
+                return df
+            return df.select(
+                *data_names,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_lake_file"),
+                F.col("_metadata.row_index").alias("_lake_ridx"),
+            )
         if not rel_paths:
-            return spark.createDataFrame([], schema)
+            out = spark.createDataFrame([], schema)
+            if meta:
+                out = out.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_lake_file"),
+                    F.lit(None).cast("long").alias("_lake_ridx"),
+                )
+            return out
         if not self._partition_by(state):
-            return spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in rel_paths]
+            return with_meta(
+                spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, p) for p in rel_paths]
+                )
             )
         # Hive partition discovery needs ONE basePath ancestor per
         # reader, but a SHALLOW CLONE's manifest mixes files under
@@ -470,9 +529,11 @@ class LakeTable:
                 )
             groups.setdefault(root + os.sep + "data", []).append(full)
         parts = [
-            spark.read.schema(schema)
-            .option("basePath", base)
-            .parquet(*sorted(paths))
+            with_meta(
+                spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*sorted(paths))
+            )
             for base, paths in sorted(groups.items())
         ]
         out = parts[0]
@@ -480,7 +541,117 @@ class LakeTable:
             out = out.unionByName(more)
         # Hive discovery surfaces partition columns LAST whatever the
         # declared schema said — restore the table's column order
-        return out.select(*[f.name for f in schema.fields])
+        # (with_meta already ordered its selection; a second select by
+        # the same names is a no-op projection)
+        return out.select(*names)
+
+    @staticmethod
+    def _dv_paths_of(state: dict, rel_paths: list[str]) -> list[str]:
+        """The deletion-vector sidecar paths referenced by
+        ``rel_paths``'s manifest entries (deduped, sorted)."""
+        return sorted(
+            {
+                p
+                for rp in rel_paths
+                for p in (
+                    (state["files"].get(rp) or {}).get("dv") or {}
+                ).get("paths", [])
+            }
+        )
+
+    def _scan_live(
+        self,
+        spark: SparkSession,
+        state: dict,
+        rel_paths: list[str],
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """The LIVE rows of ``rel_paths``: :meth:`_scan`, minus every
+        (file, row-index) pair recorded in the files' deletion vectors
+        — merge-on-read, as one anti-join against the dv parquet (AQE
+        broadcasts a small dv side; a huge dv side shuffles, which is
+        the signal to :meth:`compact`). A dv-free file set returns the
+        PLAIN scan — zero plan change on the common path.
+
+        ``keep_meta=True`` keeps the ``_lake_file``/``_lake_ridx``
+        columns for callers that need per-file bookkeeping (delete/
+        merge hit counting) — captured at scan level, so they stay
+        valid after this join."""
+        dvp = self._dv_paths_of(state, rel_paths)
+        if not dvp and not keep_meta:
+            return self._scan(spark, state, rel_paths)
+        base = self._scan(spark, state, rel_paths, meta=True)
+        if dvp:
+            dv = spark.read.schema("_dv_file string, _dv_row long").parquet(
+                *[os.path.join(self.path, p) for p in dvp]
+            )
+            base = base.join(
+                dv,
+                (base["_lake_file"] == dv["_dv_file"])
+                & (base["_lake_ridx"] == dv["_dv_row"]),
+                "left_anti",
+            )
+        return base if keep_meta else base.drop("_lake_file", "_lake_ridx")
+
+    def _stage_dv(self, matched: DataFrame) -> dict[str, dict]:
+        """Write ``matched`` (columns ``_dv_file`` string basename,
+        ``_dv_row`` long) as deletion-vector parquet under data/ and
+        return ``{data-file basename: {"paths": [rel], "deleted": n}}``.
+
+        Hash-repartitioned by ``_dv_file`` so one data file's indexes
+        land in O(1) dv parts (a part may serve several data files —
+        the read path filters by ``_dv_file``); the per-file map comes
+        from ONE tiny scan over the written indexes."""
+        spark = matched.sparkSession
+        os.makedirs(self.data_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        (
+            matched.repartition("_dv_file")
+            .write.mode("errorifexists")
+            .parquet(stage)
+        )
+        prefix = f"dv-{uuid.uuid4().hex[:8]}"
+        moved = []
+        seq = 0
+        for name in sorted(os.listdir(stage)):
+            if name.endswith(".parquet"):
+                dst = f"{prefix}-{seq:05d}.parquet"
+                seq += 1
+                os.replace(
+                    os.path.join(stage, name),
+                    os.path.join(self.data_dir, dst),
+                )
+                moved.append(dst)
+        shutil.rmtree(stage)
+        if not moved:
+            return {}
+        scan = spark.read.schema("_dv_file string, _dv_row long").parquet(
+            *[os.path.join(self.data_dir, m) for m in moved]
+        )
+        rows = (
+            scan.withColumn(
+                "_p", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .groupBy("_dv_file", "_p")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in sorted(rows, key=lambda r: (r["_dv_file"], r["_p"])):
+            d = out.setdefault(
+                r["_dv_file"], {"paths": [], "deleted": 0}
+            )
+            d["paths"].append(f"data/{r['_p']}")
+            d["deleted"] += r["_n"]
+        referenced = {
+            os.path.basename(p)
+            for d in out.values()
+            for p in d["paths"]
+        }
+        for m in moved:
+            if m not in referenced:  # empty shuffle partition's part
+                os.unlink(os.path.join(self.data_dir, m))
+        return out
 
     @classmethod
     def create(
@@ -609,21 +780,37 @@ class LakeTable:
             v,
             {"op": "overwrite", "add": add,
              "remove": sorted(state["files"]),
+             **_remove_dv_of(state, state["files"]),
              "schema": df.schema.jsonValue()},
         )
         return v
 
     def rollback(self, version: int) -> int:
-        """Metadata-only commit restoring ``version``'s file list."""
+        """Metadata-only commit restoring ``version``'s file list.
+
+        A file present in BOTH versions whose META changed in between
+        (a deletion vector accrued after ``version``) is restored as a
+        remove + re-add pair: the state fold lands on the OLD meta
+        (resurrecting the dv-deleted rows), and the CDF replays
+        -live(current) +live(old) — exactly the resurrected rows —
+        through the same dv-filtered slice machinery as every other
+        commit."""
         old = self._state(version)
         cur = self._state()
+        changed = {
+            p
+            for p in old["files"]
+            if p in cur["files"] and old["files"][p] != cur["files"][p]
+        }
+        removed = (set(cur["files"]) - set(old["files"])) | changed
         v = cur["version"] + 1
         self._write_commit(
             v,
             {"op": "rollback", "rollback_of": version,
              "add": [old["files"][p] for p in sorted(old["files"])
-                     if p not in cur["files"]],
-             "remove": sorted(set(cur["files"]) - set(old["files"])),
+                     if p not in cur["files"] or p in changed],
+             "remove": sorted(removed),
+             **_remove_dv_of(cur, removed),
              "schema": old["schema"]},
         )
         return v
@@ -710,7 +897,9 @@ class LakeTable:
             files = self._prune_candidates(state, conds)
         else:
             files = sorted(state["files"])
-        return self._scan(spark, state, files)
+        # merge-on-read: anti-join out any deletion-vector rows (a
+        # dv-free file set keeps the plain scan plan)
+        return self._scan_live(spark, state, files)
 
     def prune_files(
         self, column: str, op: str, value, version: int | None = None
@@ -767,37 +956,60 @@ class LakeTable:
         spark: SparkSession,
         predicate: Column,
         prune: tuple[str, str, object] | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """DELETE rows where ``predicate`` is TRUE (FALSE and NULL rows
-        survive — SQL semantics). File-granular copy-on-write:
+        survive — SQL semantics).
+
+        ``mode='rewrite'`` (default) — file-granular copy-on-write:
 
         1. optional stats prune (``prune=(col, op, value)`` must be
            implied by the predicate) drops provably-clean files without
            reading them;
         2. ONE scan over the candidates counts matches per file
-           (``input_file_name`` group-by — map-side combine, no data
-           movement beyond the per-file counts);
+           (per-file group-by — map-side combine, no data movement
+           beyond the per-file counts);
         3. only files with matches are read again, filtered, and
            rewritten; every other file is carried by reference.
 
-        Returns ``{version, rows_deleted, files_rewritten, files_kept}``.
+        ``mode='dv'`` — MERGE-ON-READ deletion vectors (the public
+        Delta DV design, VLDB 2023): no data file is read twice or
+        rewritten at all. The matched rows' (file, row-index) pairs are
+        written as parquet sidecars under data/ and recorded per file
+        in the manifest; every snapshot read anti-joins them out. The
+        delete costs O(matched indexes) writes — at 100 TB, removing
+        0.1% of rows stops rewriting terabytes. The flip side is a
+        read-path anti-join and stats that become upper bounds
+        (pruning stays sound: deleted rows only shrink a file's true
+        range, never widen it); :meth:`compact` materializes the
+        vectors away when they accumulate. Repeated dv deletes are
+        cumulative and exact: the match scan runs on the LIVE view, so
+        already-deleted rows can never re-match or double-count.
+
+        Both modes persist CDF pre-images on ``cdf=True`` tables and
+        commit with ``op='delete'``, so the change feed and the strict
+        streaming source treat them identically.
+
+        Returns ``{version, rows_deleted, files_rewritten, files_kept}``
+        (``files_rewritten`` is always 0 in dv mode).
         """
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
         state = self._state()
         all_files = sorted(state["files"])
         if prune is not None:
             cand, _ = self._prune_split(state, *prune)
         else:
             cand = all_files
+        pby = self._partition_by(state)
+        if mode == "dv":
+            return self._delete_where_dv(spark, state, predicate, cand)
         touched: list[str] = []
         rows_deleted = 0
         if cand:
-            scan = self._scan(spark, state, cand)
+            scan = self._scan_live(spark, state, cand, keep_meta=True)
             hits = (
-                scan.withColumn(
-                    "_file",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                )
-                .groupBy("_file")
+                scan.groupBy("_lake_file")
                 .agg(
                     F.sum(predicate.cast("long")).alias("_matches")
                 )
@@ -806,13 +1018,12 @@ class LakeTable:
             )
             by_name = {os.path.basename(p): p for p in cand}
             for r in hits:
-                touched.append(by_name[r["_file"]])
+                touched.append(by_name[r["_lake_file"]])
                 rows_deleted += r["_matches"]
         add: list[dict] = []
         cdf_delete: list[dict] = []
         if touched:
-            pby = self._partition_by(state)
-            survivors = self._scan(spark, state, touched).where(
+            survivors = self._scan_live(spark, state, touched).where(
                 # NULL predicate rows survive: keep unless literally TRUE
                 ~predicate.eqNullSafe(F.lit(True))
             )
@@ -821,7 +1032,7 @@ class LakeTable:
                 # change feed: persist the removed-row pre-images so
                 # read_changes_since can replay this commit as -1 rows
                 cdf_delete = self._stage_files(
-                    self._scan(spark, state, touched).where(
+                    self._scan_live(spark, state, touched).where(
                         predicate.eqNullSafe(F.lit(True))
                     ),
                     partition_by=pby,
@@ -839,6 +1050,61 @@ class LakeTable:
             "rows_deleted": rows_deleted,
             "files_rewritten": len(touched),
             "files_kept": len(all_files) - len(touched),
+        }
+
+    def _delete_where_dv(
+        self,
+        spark: SparkSession,
+        state: dict,
+        predicate: Column,
+        cand: list[str],
+    ) -> dict:
+        """The dv-mode body of :meth:`delete_where`: match on the LIVE
+        view of the candidates, stage the matched (file, row-index)
+        pairs as dv parquet, and commit the cumulatively-merged file
+        metas under the ``dv`` action — zero data files rewritten."""
+        dv_metas: list[dict] = []
+        cdf_delete: list[dict] = []
+        rows_deleted = 0
+        if cand:
+            live = self._scan_live(spark, state, cand, keep_meta=True)
+            matched = live.where(predicate.eqNullSafe(F.lit(True)))
+            new_dv = self._stage_dv(
+                matched.select(
+                    F.col("_lake_file").alias("_dv_file"),
+                    F.col("_lake_ridx").alias("_dv_row"),
+                )
+            )
+            rows_deleted = sum(d["deleted"] for d in new_dv.values())
+            by_name = {os.path.basename(p): p for p in cand}
+            for base in sorted(new_dv):
+                rel = by_name[base]
+                m = dict(state["files"][rel])
+                old = m.get("dv") or {"paths": [], "deleted": 0}
+                m["dv"] = {
+                    "paths": old["paths"] + new_dv[base]["paths"],
+                    "deleted": old["deleted"] + new_dv[base]["deleted"],
+                }
+                dv_metas.append(m)
+            if dv_metas and self._cdf_enabled(state):
+                cdf_delete = self._stage_files(
+                    matched.drop("_lake_file", "_lake_ridx"),
+                    partition_by=self._partition_by(state),
+                )
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "delete", "mode": "dv", "add": [], "remove": [],
+             "dv": dv_metas, "predicate": str(predicate),
+             "rows_deleted": rows_deleted,
+             **({"cdf_delete": cdf_delete}
+                if self._cdf_enabled(state) else {})},
+        )
+        return {
+            "version": v,
+            "rows_deleted": rows_deleted,
+            "files_rewritten": 0,
+            "files_kept": len(state["files"]),
         }
 
     # -- merge (upsert) ------------------------------------------------
@@ -906,22 +1172,19 @@ class LakeTable:
         touched: list[str] = []
         n_matched = 0
         if cand:
-            scan = self._scan(spark, state, cand)
-            # input_file_name() must be captured ON the scan — after a
-            # join the expression evaluates post-shuffle and is empty
+            # _lake_file is captured ON the scan (metadata columns are
+            # gone after a join), and the live scan excludes dv rows so
+            # a previously-deleted row never counts as a match
+            scan = self._scan_live(spark, state, cand, keep_meta=True)
             hits = (
-                scan.withColumn(
-                    "_file",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                )
-                .join(skeys, keys, "left_semi")
-                .groupBy("_file")
+                scan.join(skeys, keys, "left_semi")
+                .groupBy("_lake_file")
                 .agg(F.count(F.lit(1)).alias("_matches"))
                 .collect()
             )
             by_name = {os.path.basename(p): p for p in cand}
             for r in hits:
-                touched.append(by_name[r["_file"]])
+                touched.append(by_name[r["_lake_file"]])
                 n_matched += r["_matches"]
 
         cdf_delete: list[dict] = []
@@ -929,7 +1192,7 @@ class LakeTable:
             add = list(src_add)
             remove = touched
             if touched:
-                tdf = self._scan(spark, state, touched)
+                tdf = self._scan_live(spark, state, touched)
                 add += self._stage_files(
                     tdf.join(skeys, keys, "left_anti"), partition_by=pby
                 )
@@ -945,7 +1208,9 @@ class LakeTable:
             # anti-joined inserts; matched target rows stay in place
             remove = []
             if touched:
-                tkeys = self._scan(spark, state, touched).select(*keys)
+                tkeys = self._scan_live(spark, state, touched).select(
+                    *keys
+                )
                 inserted = src_df.join(tkeys, keys, "left_anti")
             else:
                 inserted = src_df
@@ -1060,26 +1325,24 @@ class LakeTable:
         touched: list[str] = []
         n_matched = 0
         if cand:
-            scan = self._scan(spark, state, cand)
+            # live scan: dv-deleted rows never match; _lake_file is
+            # captured at scan level so the semi-join can't erase it
+            scan = self._scan_live(spark, state, cand, keep_meta=True)
             hits = (
-                scan.withColumn(
-                    "_file",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                )
-                .join(skeys, keys, "left_semi")
-                .groupBy("_file")
+                scan.join(skeys, keys, "left_semi")
+                .groupBy("_lake_file")
                 .agg(F.count(F.lit(1)).alias("_matches"))
                 .collect()
             )
             by_name = {os.path.basename(p): p for p in cand}
             for r in hits:
-                touched.append(by_name[r["_file"]])
+                touched.append(by_name[r["_lake_file"]])
                 n_matched += r["_matches"]
 
         add = list(ups_add)
         cdf_delete: list[dict] = []
         if touched:
-            tdf = self._scan(spark, state, touched)
+            tdf = self._scan_live(spark, state, touched)
             add += self._stage_files(
                 tdf.join(skeys, keys, "left_anti"), partition_by=pby
             )
@@ -1230,18 +1493,34 @@ class LakeTable:
             # accepted for logs written before the normalization
             return entry["path"] if isinstance(entry, dict) else entry
 
-        ins: list[tuple[int, str]] = []
-        dels: list[tuple[int, str]] = []
+        def _dvk(entry) -> tuple:
+            # an entry's deletion-vector identity: replaying a
+            # dv-carrying file (a rollback re-add, or a removal
+            # recorded in remove_dv) must be dv-FILTERED — the live
+            # rows are the delta, not the physical rows
+            if isinstance(entry, dict) and entry.get("dv"):
+                return tuple(entry["dv"]["paths"])
+            return ()
+
+        # (version, path, dv-key) triples per side
+        ins: list[tuple[int, str, tuple]] = []
+        dels: list[tuple[int, str, tuple]] = []
         for v in range(version + 1, cur + 1):
             c = self._read_commit(v)
             op = c["op"]
             if op in ("create", "append", "stream_append"):
-                ins += [(v, f["path"]) for f in c.get("add", [])]
+                ins += [(v, f["path"], ()) for f in c.get("add", [])]
             elif op == "compact":
                 continue  # rewrite-identity: no row-level change
             elif op in ("overwrite", "rollback", "drop_partitions"):
-                ins += [(v, f["path"]) for f in c.get("add", [])]
-                dels += [(v, _p(p)) for p in c.get("remove", [])]
+                ins += [
+                    (v, f["path"], _dvk(f)) for f in c.get("add", [])
+                ]
+                rd = c.get("remove_dv") or {}
+                dels += [
+                    (v, _p(p), _dvk({"path": _p(p), "dv": rd.get(_p(p))}))
+                    for p in c.get("remove", [])
+                ]
             elif op in ("delete", "merge"):
                 if "cdf_delete" not in c:
                     raise ValueError(
@@ -1249,9 +1528,9 @@ class LakeTable:
                         "was created without cdf=True — row deltas "
                         "unavailable; re-read the table"
                     )
-                dels += [(v, _p(f)) for f in c["cdf_delete"]]
+                dels += [(v, _p(f), ()) for f in c["cdf_delete"]]
                 if op == "merge":
-                    ins += [(v, _p(p)) for p in c.get("cdf_insert", [])]
+                    ins += [(v, _p(p), ()) for p in c.get("cdf_insert", [])]
             else:
                 raise ValueError(f"unknown commit op {op!r} at v{v}")
         state = self._state(cur)
@@ -1260,23 +1539,54 @@ class LakeTable:
             "_change_type", "_commit_version",
         ]
         sides: list[DataFrame] = []
-        for kind, pairs in (("insert", ins), ("delete", dels)):
-            if not pairs:
+        for kind, triples in (("insert", ins), ("delete", dels)):
+            if not triples:
                 continue
-            lookup = spark.createDataFrame(
-                [(os.path.basename(p), v) for v, p in pairs],
-                StructType.fromDDL("_cdf_file string, _commit_version long"),
-            )
-            scan = self._scan(spark, state, sorted({p for _, p in pairs}))
-            sides.append(
-                scan.withColumn(
-                    "_cdf_file",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+            # one scan per DISTINCT dv-set: dv-free entries (the
+            # overwhelming case) share the single plain scan exactly as
+            # before; each dv-set group anti-joins its own sidecars
+            # (grouping keeps a file replayed at two versions under
+            # DIFFERENT dv states exact — a union'd dv would over-
+            # filter the older replay). Plan stays O(dv-churn commits).
+            by_dv: dict[tuple, list[tuple[int, str]]] = {}
+            for v, p, dvk in triples:
+                by_dv.setdefault(dvk, []).append((v, p))
+            for dvk in sorted(by_dv):
+                pairs = by_dv[dvk]
+                lookup = spark.createDataFrame(
+                    [(os.path.basename(p), v) for v, p in pairs],
+                    StructType.fromDDL(
+                        "_cdf_file string, _commit_version long"
+                    ),
                 )
-                .join(F.broadcast(lookup), "_cdf_file")
-                .withColumn("_change_type", F.lit(kind))
-                .select(*out_cols)
-            )
+                rels = sorted({p for _, p in pairs})
+                if dvk:
+                    base = self._scan(spark, state, rels, meta=True)
+                    dv = spark.read.schema(
+                        "_dv_file string, _dv_row long"
+                    ).parquet(*[os.path.join(self.path, q) for q in dvk])
+                    scan = (
+                        base.join(
+                            dv,
+                            (base["_lake_file"] == dv["_dv_file"])
+                            & (base["_lake_ridx"] == dv["_dv_row"]),
+                            "left_anti",
+                        )
+                        .withColumnRenamed("_lake_file", "_cdf_file")
+                        .drop("_lake_ridx")
+                    )
+                else:
+                    scan = self._scan(spark, state, rels).withColumn(
+                        "_cdf_file",
+                        F.element_at(
+                            F.split(F.input_file_name(), "/"), -1
+                        ),
+                    )
+                sides.append(
+                    scan.join(F.broadcast(lookup), "_cdf_file")
+                    .withColumn("_change_type", F.lit(kind))
+                    .select(*out_cols)
+                )
         if not sides:
             empty = StructType(
                 schema.fields
@@ -1327,7 +1637,10 @@ class LakeTable:
             files = sorted(state["files"])
             if not files:
                 return {"version": state["version"], "files_compacted": 0}
-            df = self._scan(spark, state, files)
+            # live scan: a z-order rewrite MATERIALIZES deletion
+            # vectors away — the rewritten files carry no dv and the
+            # old sidecars age out with their versions
+            df = self._scan_live(spark, state, files)
             total = sum(state["files"][p]["bytes"] for p in files)
             n_out = max(1, round(total / target_file_bytes))
             zed = df.withColumn(
@@ -1346,15 +1659,26 @@ class LakeTable:
             )
             return {"version": v, "files_compacted": len(files),
                     "files_written": len(add)}
-        small = [
+        # bin-pack candidates: undersized files, plus any file carrying
+        # a deletion vector — rewriting it MATERIALIZES the dv away
+        # (Delta's REORG...APPLY(PURGE) role), so reads stop paying the
+        # anti-join once churn has been compacted
+        dved = [
             p for p in sorted(state["files"])
-            if state["files"][p]["bytes"] < target_file_bytes // 2
+            if (state["files"][p].get("dv") or {}).get("deleted", 0) > 0
         ]
-        if len(small) < 2:
+        small = sorted(
+            {
+                p for p in sorted(state["files"])
+                if state["files"][p]["bytes"] < target_file_bytes // 2
+            }
+            | set(dved)
+        )
+        if len(small) < 2 and not dved:
             return {"version": state["version"], "files_compacted": 0}
         total = sum(state["files"][p]["bytes"] for p in small)
         n_out = max(1, round(total / target_file_bytes))
-        packed = self._scan(spark, state, small).coalesce(n_out)
+        packed = self._scan_live(spark, state, small).coalesce(n_out)
         add = self._stage_files(packed, partition_by=pby)
         v = state["version"] + 1
         self._write_commit(
@@ -1414,6 +1738,18 @@ class LakeTable:
         for p in sorted(state["files"]):
             m = dict(state["files"][p])
             m["path"] = os.path.join(self.path, p)  # absolute reference
+            if m.get("dv"):
+                # deletion-vector sidecars absolutize exactly like the
+                # data file they mask — the clone's reads keep anti-
+                # joining the source's dv parquet, and the pin keeps
+                # those sidecars alive through the source's vacuum
+                m["dv"] = {
+                    "paths": [
+                        os.path.join(self.path, q)
+                        for q in m["dv"]["paths"]
+                    ],
+                    "deleted": m["dv"]["deleted"],
+                }
             add.append(m)
         try:
             t._write_commit(
@@ -1508,11 +1844,14 @@ class LakeTable:
                 for spec in norm
             ):
                 dropped.append(p)
-                rows += state["files"][p].get("rows", 0)
+                rows += state["files"][p].get("rows", 0) - (
+                    state["files"][p].get("dv") or {}
+                ).get("deleted", 0)
         v = state["version"] + 1
         self._write_commit(
             v,
             {"op": "drop_partitions", "add": [], "remove": dropped,
+             **_remove_dv_of(state, dropped),
              "partition_spec": norm, "rows_deleted": rows},
         )
         return {
@@ -1530,12 +1869,18 @@ class LakeTable:
         state = self._state()
         files = state["files"]
         c0 = self._read_commit(0)
+        dv_deleted = sum(
+            (m.get("dv") or {}).get("deleted", 0) for m in files.values()
+        )
         return {
             "path": self.path,
             "version": state["version"],
             "ts": self._commit_ts(state["version"]),
             "num_files": len(files),
-            "rows": sum(m.get("rows", 0) for m in files.values()),
+            # live rows: physical rows minus deletion-vector masks
+            "rows": sum(m.get("rows", 0) for m in files.values())
+            - dv_deleted,
+            "dv_deleted": dv_deleted,
             "bytes": sum(m.get("bytes", 0) for m in files.values()),
             "partition_by": self._partition_by(state) or [],
             "cdf": self._cdf_enabled(state),
@@ -1567,9 +1912,19 @@ class LakeTable:
         import time
 
         vs = self._commit_versions()
+
+        def _live_of(state: dict) -> set[str]:
+            # a version's live set is its data files PLUS the deletion-
+            # vector sidecars its manifest references — reclaiming a dv
+            # would resurrect deleted rows
+            out = set(state["files"])
+            for m in state["files"].values():
+                out |= set((m.get("dv") or {}).get("paths", []))
+            return out
+
         live: set[str] = set()
         for v in vs[-keep_versions:]:
-            live |= set(self._state(v)["files"])
+            live |= _live_of(self._state(v))
         # change-feed pre-image files of the KEPT commit range stay:
         # a consumer may still replay those versions' row deltas
         for v in vs[-keep_versions:]:
@@ -1581,7 +1936,7 @@ class LakeTable:
         for pin in self.pins():
             pv = pin.get("version")
             if vs and isinstance(pv, int) and 0 <= pv <= vs[-1]:
-                live |= set(self._state(pv)["files"])
+                live |= _live_of(self._state(pv))
         removed = []
         # streaming-probe records (lakestream cold-restart handshake)
         # are load-bearing for ~one micro-batch; sweep those past their
@@ -1716,6 +2071,21 @@ def _zorder_column(
                 )
             )
     return z
+
+
+def _remove_dv_of(state: dict, paths) -> dict:
+    """The ``remove_dv`` commit fragment: for every removed path that
+    carried a deletion vector, record it so CDF consumers replay the
+    removal as a delete of the file's LIVE rows only — a raw-file
+    replay would re-delete rows the dv had already deleted and corrupt
+    the fold. Empty when no removed file has a dv (the common case),
+    keeping those commits byte-identical to the pre-dv shape."""
+    rd = {
+        p: state["files"][p]["dv"]
+        for p in paths
+        if (state["files"].get(p) or {}).get("dv")
+    }
+    return {"remove_dv": rd} if rd else {}
 
 
 def _norm_path(p: str | None) -> str | None:

@@ -125,6 +125,9 @@ class _FileSlice(InputPartition):
     partition_json: str | None = None  # {col: value} for partitioned tables
     change_type: str | None = None     # cdf mode: 'insert' | 'delete'
     version: int | None = None         # cdf mode: _commit_version
+    dv_json: str | None = None         # deletion vectors: JSON list of
+    #                                    absolute sidecar parquet paths
+    #                                    masking this file's row indexes
 
 
 def read_file_slice(partition: _FileSlice) -> Iterator:
@@ -179,6 +182,26 @@ def read_file_slice(partition: _FileSlice) -> Iterator:
         consts["_change_type"] = partition.change_type
         consts["_commit_version"] = partition.version
     table = pq.read_table(partition.path)
+    if partition.dv_json:
+        # deletion vectors: mask this file's deleted row indexes out
+        # BEFORE projection (sidecars are tiny index parquets; the
+        # pushed _dv_file filter reads only this file's rows). Full-
+        # file reads mean physical position == row index.
+        import numpy as np
+
+        base = os.path.basename(partition.path)
+        idx: list[int] = []
+        for dvp in json.loads(partition.dv_json):
+            dvt = pq.read_table(
+                dvp,
+                filters=[("_dv_file", "=", base)],
+                columns=["_dv_row"],
+            )
+            idx.extend(dvt.column("_dv_row").to_pylist())
+        if idx:
+            mask = np.ones(len(table), dtype=bool)
+            mask[np.asarray(idx, dtype=np.int64)] = False
+            table = table.filter(pa.array(mask))
     arrays = []
     for field in target:
         if field.name in table.column_names:
@@ -215,8 +238,18 @@ def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
     if op == "compact":
         return []  # rewrite-identity: no row-level change
     if op in ("overwrite", "rollback", "drop_partitions"):
+        # a removed file that carried a deletion vector replays its
+        # LIVE rows only: merge the commit's remove_dv record into the
+        # entry so the slice builder threads the mask to the reader
+        rd = c.get("remove_dv") or {}
         return [("insert", f) for f in c.get("add", [])] + [
-            ("delete", p) for p in c.get("remove", [])
+            (
+                "delete",
+                {"path": p, "dv": rd[p]}
+                if (isinstance(p, str) and p in rd)
+                else p,
+            )
+            for p in c.get("remove", [])
         ]
     if op in ("delete", "merge"):
         if "cdf_delete" not in c:
@@ -473,6 +506,19 @@ class LakeStreamReader(DataSourceStreamReader):
                 else None
             )
 
+        def dvj(entry) -> str | None:
+            # deletion-vector mask for a dv-carrying entry (rollback
+            # re-add, remove_dv-annotated removal): absolute sidecar
+            # paths for the executor-side reader
+            if isinstance(entry, dict) and entry.get("dv"):
+                return json.dumps(
+                    [
+                        os.path.join(self.table_path, q)
+                        for q in entry["dv"]["paths"]
+                    ]
+                )
+            return None
+
         out: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             c = self._commit(v)
@@ -490,6 +536,7 @@ class LakeStreamReader(DataSourceStreamReader):
                         partition_json=pj(e),
                         change_type=kind,
                         version=v,
+                        dv_json=dvj(e),
                     )
                     for kind, e in _cdf_pairs(c)
                 ]

@@ -28,6 +28,8 @@ MUST_PROVE = {
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
     "lake_apply_changes",
+    # deletion vectors (merge-on-read delete; second r10 session):
+    "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
