@@ -1208,3 +1208,56 @@ def lake_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_net") > 0)
         .drop("_net")
     )
+
+
+@register(
+    "lake_update_where",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN o_totalprice + 1.0 ELSE o_totalprice
+       END AS o_totalprice,
+       o_orderdate,
+       CASE WHEN o_totalprice > 400000.0
+            THEN 'REPRICED' ELSE o_orderpriority
+       END AS o_orderpriority
+FROM orders
+""",
+    doc="UPDATE ... SET ... WHERE in both Delta modes, composed: a "
+    "COPY-ON-WRITE update (stats-pruned on the range-clustered sort "
+    "key, so only files whose min/max admit the predicate rewrite — "
+    "files_kept > 0 asserted in-entry) retags o_orderpriority above a "
+    "price threshold, then a MERGE-ON-READ update (mode='dv') bumps "
+    "o_totalprice on a key modulus with ZERO files rewritten "
+    "(files_rewritten == 0 asserted). The oracle states both as CASE "
+    "projections — the dv update's CASE reads the ORIGINAL price "
+    "because the first update never changed it, pinning that each "
+    "assignment evaluates against its own pre-update row. NULL "
+    "predicate rows pass through both updates untouched (three-valued "
+    "semantics). At 100 TB the rewrite mode is the bulk-correction "
+    "path (O(matching files)) and the dv mode the point-fix path "
+    "(O(matched rows) written); both land as one atomic commit.",
+)
+def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_totalprice"),
+        _fresh("update_where", sf_dir),
+    )
+    r1 = t.update_where(
+        spark,
+        F.col("o_totalprice") > 400000.0,
+        {"o_orderpriority": F.lit("REPRICED")},
+        prune=("o_totalprice", ">", 400000.0),
+    )
+    assert r1["files_kept"] > 0, (
+        "stats prune rewrote every file on a range-clustered table"
+    )
+    r2 = t.update_where(
+        spark,
+        F.col("o_orderkey") % 10 == 0,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+        mode="dv",
+    )
+    assert r2["files_rewritten"] == 0, r2
+    return t.read(spark)

@@ -346,7 +346,7 @@ class LakeTable:
                         k: c[k]
                         for k in (
                             "ts", "predicate", "rows_deleted",
-                            "rollback_of", "mode",
+                            "rows_updated", "rollback_of", "mode",
                         )
                         if k in c
                     },
@@ -1076,16 +1076,7 @@ class LakeTable:
                 )
             )
             rows_deleted = sum(d["deleted"] for d in new_dv.values())
-            by_name = {os.path.basename(p): p for p in cand}
-            for base in sorted(new_dv):
-                rel = by_name[base]
-                m = dict(state["files"][rel])
-                old = m.get("dv") or {"paths": [], "deleted": 0}
-                m["dv"] = {
-                    "paths": old["paths"] + new_dv[base]["paths"],
-                    "deleted": old["deleted"] + new_dv[base]["deleted"],
-                }
-                dv_metas.append(m)
+            dv_metas = self._fold_dv_metas(state, cand, new_dv)
             if dv_metas and self._cdf_enabled(state):
                 cdf_delete = self._stage_files(
                     matched.drop("_lake_file", "_lake_ridx"),
@@ -1103,6 +1094,227 @@ class LakeTable:
         return {
             "version": v,
             "rows_deleted": rows_deleted,
+            "files_rewritten": 0,
+            "files_kept": len(state["files"]),
+        }
+
+    def _fold_dv_metas(
+        self, state: dict, cand: list[str], new_dv: dict[str, dict]
+    ) -> list[dict]:
+        """Merge freshly-staged deletion vectors (per data-file
+        basename, from :meth:`_stage_dv`) into the files' current
+        manifest metas — cumulative paths + deleted counts — returning
+        the full updated metas for the commit's ``dv`` action."""
+        by_name = {os.path.basename(p): p for p in cand}
+        metas: list[dict] = []
+        for base in sorted(new_dv):
+            rel = by_name[base]
+            m = dict(state["files"][rel])
+            old = m.get("dv") or {"paths": [], "deleted": 0}
+            m["dv"] = {
+                "paths": old["paths"] + new_dv[base]["paths"],
+                "deleted": old["deleted"] + new_dv[base]["deleted"],
+            }
+            metas.append(m)
+        return metas
+
+    # -- update ---------------------------------------------------------
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: Column,
+        set_exprs: dict,
+        prune: tuple[str, str, object] | None = None,
+        mode: str = "rewrite",
+    ) -> dict:
+        """UPDATE rows where ``predicate`` is TRUE, assigning each
+        ``set_exprs`` column its expression (a ``Column`` or a Python
+        literal). All assignments evaluate against the ORIGINAL row in
+        one projection — SQL UPDATE semantics, so
+        ``{"a": F.col("b"), "b": F.col("a")}`` swaps. FALSE and NULL
+        predicate rows are untouched (three-valued semantics, same as
+        :meth:`delete_where`). Assigned expressions must keep the
+        column's type — the shared type gate rejects drift before any
+        file stages (cast explicitly in the expression).
+
+        ``mode='rewrite'`` (default) — file-granular copy-on-write,
+        the :meth:`delete_where` discipline: optional stats ``prune``,
+        ONE match-count scan over the candidates' LIVE view, then only
+        files containing matches are rewritten (their non-matching
+        rows carried over); every other file is shared by reference.
+
+        ``mode='dv'`` — merge-on-read, the Delta DV UPDATE shape: the
+        matched rows' (file, row-index) pairs become deletion vectors
+        (zero existing files rewritten) and the post-image rows land
+        as NEW files in the same commit. An update that reassigns a
+        partition column relocates rows to their new partition
+        directories in both modes (post-images stage through the
+        standard partition-aware writer).
+
+        On ``cdf=True`` tables the commit persists pre-images as its
+        ``-1`` side and post-images as its ``+1`` side, so
+        ``read_changes_since`` and the CDF stream replay the update as
+        delete+insert row deltas — the multiset contract downstream
+        folds already handle.
+
+        Returns ``{version, rows_updated, files_rewritten,
+        files_kept}`` (``files_rewritten`` is always 0 in dv mode).
+        """
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
+        if not set_exprs:
+            raise ValueError("set_exprs must assign at least one column")
+        state = self._state()
+        cols = [f["name"] for f in state["schema"]["fields"]]
+        unknown = sorted(set(set_exprs) - set(cols))
+        if unknown:
+            raise ValueError(f"SET names unknown columns: {unknown}")
+        assigns = {
+            c: (e if isinstance(e, Column) else F.lit(e))
+            for c, e in set_exprs.items()
+        }
+        # analysis-only type gate BEFORE any scan or staging: resolve
+        # each assignment against the bare table schema so a drifting
+        # expression fails as a ValueError here — not as a runtime ANSI
+        # cast mid-write (Spark coerces when/otherwise branches to a
+        # common type, which would mask the drift from the staged
+        # frame's schema)
+        self._check_types(
+            state,
+            spark.createDataFrame(
+                [], StructType.fromJson(state["schema"])
+            ).select(*[assigns.get(c, F.col(c)).alias(c) for c in cols]),
+        )
+        matched_true = predicate.eqNullSafe(F.lit(True))
+        pby = self._partition_by(state)
+        all_files = sorted(state["files"])
+        cand = (
+            self._prune_split(state, *prune)[0]
+            if prune is not None
+            else all_files
+        )
+
+        def post_image(df: DataFrame) -> DataFrame:
+            # matched rows only -> assigned values, one projection
+            return df.where(matched_true).select(
+                *[assigns.get(c, F.col(c)).alias(c) for c in cols]
+            )
+
+        if mode == "dv":
+            return self._update_where_dv(
+                spark, state, predicate, cand, cols, assigns, post_image
+            )
+
+        touched: list[str] = []
+        rows_updated = 0
+        if cand:
+            scan = self._scan_live(spark, state, cand, keep_meta=True)
+            hits = (
+                scan.groupBy("_lake_file")
+                .agg(F.sum(matched_true.cast("long")).alias("_matches"))
+                .where(F.col("_matches") > 0)
+                .collect()
+            )
+            by_name = {os.path.basename(p): p for p in cand}
+            for r in hits:
+                touched.append(by_name[r["_lake_file"]])
+                rows_updated += r["_matches"]
+        add: list[dict] = []
+        cdf_delete: list[dict] = []
+        cdf_insert: list[dict] = []
+        if touched:
+            tdf = self._scan_live(spark, state, touched)
+            rewritten = tdf.select(
+                *[
+                    F.when(matched_true, assigns[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            self._check_types(state, rewritten)
+            add = self._stage_files(rewritten, partition_by=pby)
+            if self._cdf_enabled(state):
+                cdf_delete = self._stage_files(
+                    tdf.where(matched_true), partition_by=pby
+                )
+                cdf_insert = self._stage_files(
+                    post_image(tdf), partition_by=pby
+                )
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "update", "add": add, "remove": touched,
+             "predicate": str(predicate),
+             "set": {c: str(e) for c, e in assigns.items()},
+             "rows_updated": rows_updated,
+             **({"cdf_delete": cdf_delete, "cdf_insert": cdf_insert}
+                if self._cdf_enabled(state) else {})},
+        )
+        return {
+            "version": v,
+            "rows_updated": rows_updated,
+            "files_rewritten": len(touched),
+            "files_kept": len(all_files) - len(touched),
+        }
+
+    def _update_where_dv(
+        self,
+        spark: SparkSession,
+        state: dict,
+        predicate: Column,
+        cand: list[str],
+        cols: list[str],
+        assigns: dict,
+        post_image,
+    ) -> dict:
+        """The dv-mode body of :meth:`update_where`: dv-delete the
+        matched rows (zero rewrites of existing files) and append
+        their post-images as new files — ONE atomic commit, so no read
+        can see the delete without the insert."""
+        matched_true = predicate.eqNullSafe(F.lit(True))
+        pby = self._partition_by(state)
+        dv_metas: list[dict] = []
+        add: list[dict] = []
+        cdf_delete: list[dict] = []
+        rows_updated = 0
+        if cand:
+            live = self._scan_live(spark, state, cand, keep_meta=True)
+            matched = live.where(matched_true)
+            new_dv = self._stage_dv(
+                matched.select(
+                    F.col("_lake_file").alias("_dv_file"),
+                    F.col("_lake_ridx").alias("_dv_row"),
+                )
+            )
+            rows_updated = sum(d["deleted"] for d in new_dv.values())
+            dv_metas = self._fold_dv_metas(state, cand, new_dv)
+            if dv_metas:
+                post = post_image(
+                    self._scan_live(spark, state, cand)
+                )
+                self._check_types(state, post)
+                add = self._stage_files(post, partition_by=pby)
+                if self._cdf_enabled(state):
+                    cdf_delete = self._stage_files(
+                        matched.select(*cols), partition_by=pby
+                    )
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "update", "mode": "dv", "add": add, "remove": [],
+             "dv": dv_metas, "predicate": str(predicate),
+             "set": {c: str(e) for c, e in assigns.items()},
+             "rows_updated": rows_updated,
+             **({"cdf_delete": cdf_delete, "cdf_insert": list(add)}
+                if self._cdf_enabled(state) else {})},
+        )
+        return {
+            "version": v,
+            "rows_updated": rows_updated,
             "files_rewritten": 0,
             "files_kept": len(state["files"]),
         }
@@ -1521,7 +1733,7 @@ class LakeTable:
                     (v, _p(p), _dvk({"path": _p(p), "dv": rd.get(_p(p))}))
                     for p in c.get("remove", [])
                 ]
-            elif op in ("delete", "merge"):
+            elif op in ("delete", "merge", "update"):
                 if "cdf_delete" not in c:
                     raise ValueError(
                         f"commit v{v} ({op}) predates CDF or the table "
@@ -1529,7 +1741,7 @@ class LakeTable:
                         "unavailable; re-read the table"
                     )
                 dels += [(v, _p(f), ()) for f in c["cdf_delete"]]
-                if op == "merge":
+                if op in ("merge", "update"):
                     ins += [(v, _p(p), ()) for p in c.get("cdf_insert", [])]
             else:
                 raise ValueError(f"unknown commit op {op!r} at v{v}")
@@ -1925,11 +2137,17 @@ class LakeTable:
         live: set[str] = set()
         for v in vs[-keep_versions:]:
             live |= _live_of(self._state(v))
-        # change-feed pre-image files of the KEPT commit range stay:
-        # a consumer may still replay those versions' row deltas
+        # change-feed pre/post-image files of the KEPT commit range
+        # stay: a consumer may still replay those versions' row deltas
+        # (an update's post-images are standalone CDF files — unlike a
+        # merge's, they appear in no version's live set)
         for v in vs[-keep_versions:]:
             c = self._read_commit(v)
             live |= {f["path"] for f in c.get("cdf_delete", [])}
+            live |= {
+                f["path"] if isinstance(f, dict) else f
+                for f in c.get("cdf_insert", [])
+            }
         # retention pins (shallow clones of this table): a pinned
         # version's files stay readable however old the version gets —
         # vacuum-safe clones, the lifted Delta caveat

@@ -30,6 +30,8 @@ MUST_PROVE = {
     "lake_apply_changes",
     # deletion vectors (merge-on-read delete; second r10 session):
     "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
+    # UPDATE ... SET (copy-on-write + dv modes; third r10 session):
+    "lake_update_where",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
