@@ -1261,3 +1261,89 @@ def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert r2["files_rewritten"] == 0, r2
     return t.read(spark)
+
+
+@register(
+    "lake_constraint_gate",
+    oracle="""
+SELECT * FROM orders
+""",
+    doc="CHECK constraints as an ATOMIC write gate (Delta's ALTER "
+    "TABLE ADD CONSTRAINT contract): the table is created from the "
+    "even-keyed half of orders, a price constraint is added (existing "
+    "rows validated first — adding a constraint current data violates "
+    "is refused, asserted in-entry with a too-tight constraint), then "
+    "an append of the odd half with NEGATED prices is rejected as a "
+    "whole — version unchanged, zero rows of the bad batch visible — "
+    "and the clean odd half lands. NULL prices PASS the check (SQL "
+    "standard three-valued CHECK; NOT NULL is spelled explicitly). "
+    "The oracle is simply the full orders table: if the gate leaked "
+    "even one negated row, or the refused batch left partial state, "
+    "the hash diverges. At 100 TB this is the schema-on-write "
+    "integrity contract: one aggregate over the incoming batch per "
+    "write, nothing for unconstrained tables.",
+)
+def lake_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    t = LakeTable.create(even.repartition(4), _fresh("constraint", sf_dir))
+    # a constraint the existing data violates must be refused
+    try:
+        t.add_constraint(spark, "impossible", "o_totalprice > 1e12")
+        raise AssertionError("violating add_constraint was accepted")
+    except ValueError:
+        pass
+    t.add_constraint(
+        spark,
+        "price_nonneg",
+        "o_totalprice >= 0.0",
+    )
+    v0 = t.version()
+    bad = odd.withColumn(
+        "o_totalprice", -F.abs(F.col("o_totalprice")) - F.lit(1.0)
+    )
+    try:
+        t.append(bad)
+        raise AssertionError("violating append was accepted")
+    except ValueError:
+        pass
+    assert t.version() == v0, "refused append left a commit behind"
+    t.append(odd)
+    return t.read(spark)
+
+
+@register(
+    "lake_merge_dv",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT * FROM orders WHERE o_orderkey % 5 <> 0
+""",
+    doc="MERGE with DELETION VECTORS (the Delta DV MERGE shape): a "
+    "fifth of orders comes back as an updated source batch (price "
+    "+10) and merges on the key with mode='dv' — matched target rows "
+    "become vectors, the staged source is the commit's only incoming "
+    "data, and ZERO existing files rewrite (asserted in-entry, plus "
+    "rows_matched == the source row count: every source row found "
+    "its target). The oracle is the post-merge table stated "
+    "relationally (updated fifth UNION ALL untouched rest). This is "
+    "the 100 TB trickle-upsert endgame: the rewrite-mode merge costs "
+    "O(matched files), dv mode costs O(source rows + matched "
+    "indexes) written — compact() later folds the vectors away.",
+)
+def lake_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartition(6), _fresh("merge_dv", sf_dir)
+    )
+    src = orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    r = t.merge_into(spark, src, ["o_orderkey"], mode="dv")
+    assert r["files_rewritten"] == 0, r
+    assert r["rows_matched"] == r["rows_source"], r
+    return t.read(spark)

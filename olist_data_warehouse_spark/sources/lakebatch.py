@@ -501,6 +501,18 @@ class LakeBatchDataSource(DataSource):
                     "the lake writer does not target partitioned tables "
                     "yet — use LakeTable.append / merge_into"
                 )
+            cons = (state.get("config") or {}).get("constraints") or {}
+            if cons:
+                # CHECK expressions are Spark SQL; this write path runs
+                # executor-side over raw Arrow batches with no session
+                # to evaluate them, so enforcement is impossible here —
+                # refuse rather than silently skip the contract
+                raise ValueError(
+                    "table has CHECK constraints "
+                    f"({sorted(cons)}) — the DataFrame-writer path "
+                    "cannot enforce them; use LakeTable.append / "
+                    "overwrite, which validate before committing"
+                )
             table_schema = StructType.fromJson(state["schema"])
             for fld in table_schema.fields:
                 if fld.name in schema.fieldNames():

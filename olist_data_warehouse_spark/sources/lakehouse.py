@@ -278,6 +278,39 @@ class LakeTable:
                         f"{got.simpleString()}"
                     )
 
+    def _enforce_constraints(
+        self, state: dict, df: DataFrame, what: str
+    ) -> None:
+        """CHECK-constraint gate for every row-writing path: ONE
+        aggregate over ``df`` counts, per constraint, the rows whose
+        expression is literally FALSE (NULL passes — the SQL standard
+        CHECK semantics, Delta's posture), and any violation fails the
+        whole write before it commits. Tables without constraints pay
+        nothing (no job, no plan)."""
+        cons = (state.get("config") or {}).get("constraints") or {}
+        if not cons:
+            return
+        names = sorted(cons)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.expr(cons[n])
+                    .eqNullSafe(F.lit(False))
+                    .cast("long")
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = [(n, row[n]) for n in names if (row[n] or 0) > 0]
+        if bad:
+            raise ValueError(
+                f"CHECK constraint violation on {what}: "
+                + "; ".join(
+                    f"{n} CHECK ({cons[n]}) fails for {v} rows"
+                    for n, v in bad
+                )
+            )
+
     def _state(self, v: int | None = None) -> dict:
         """Table state at version ``v``: replay latest checkpoint <= v,
         then the commits after it. O(files) once + O(touched) per tail
@@ -347,6 +380,7 @@ class LakeTable:
                         for k in (
                             "ts", "predicate", "rows_deleted",
                             "rows_updated", "rollback_of", "mode",
+                            "constraint",
                         )
                         if k in c
                     },
@@ -759,6 +793,7 @@ class LakeTable:
                 commit["schema"] = merged.jsonValue()
         else:
             df = df.select(*cols)
+        self._enforce_constraints(state, df, "append")
         commit["add"] = self._stage_files(
             df, partition_by=self._partition_by(state)
         )
@@ -774,6 +809,10 @@ class LakeTable:
             raise ValueError(
                 f"overwrite must keep partition columns {pby}"
             )
+        # constraints bind the NEW contents too; an overwrite whose
+        # schema drops a constrained column fails here at analysis —
+        # drop the constraint first
+        self._enforce_constraints(state, df, "overwrite")
         add = self._stage_files(df, partition_by=pby)
         v = state["version"] + 1
         self._write_commit(
@@ -816,6 +855,111 @@ class LakeTable:
         return v
 
     # -- reading -------------------------------------------------------
+
+    # -- CHECK constraints ------------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints, ``{name: sql_expr}``."""
+        return dict(
+            (self._state().get("config") or {}).get("constraints") or {}
+        )
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr_sql: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr_sql``) —
+        the Delta constraint contract: the expression must be a
+        BOOLEAN SQL expression over the table's columns, EXISTING data
+        must already satisfy it (one aggregate over the live view —
+        otherwise the constraint would be a lie from birth), and every
+        subsequent row-writing commit (append, overwrite, merge,
+        apply_changes, update post-images, the streaming sink) fails
+        atomically if any written row evaluates it to FALSE. NULL
+        results PASS (SQL standard CHECK three-valued semantics) — a
+        NOT NULL rule is spelled ``col IS NOT NULL``.
+
+        Metadata-only ``alter`` commit: both change feeds replay it as
+        zero row deltas, and the strict append-only stream skips it
+        (nothing was added or rewritten). :meth:`rollback` restores
+        FILE state only — like Delta RESTORE it does not re-validate,
+        so rolling back past a constraint's add can resurrect
+        violating rows; drop the constraint first if that matters."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"constraint name {name!r} must be an identifier"
+            )
+        state = self._state()
+        cons = dict(
+            (state.get("config") or {}).get("constraints") or {}
+        )
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: "
+                f"CHECK ({cons[name]})"
+            )
+        # analysis-only expression gate against the bare table schema
+        from pyspark.sql.types import BooleanType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(state["schema"])
+        )
+        try:
+            dt = empty.select(F.expr(expr_sql)).schema[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"constraint expression does not resolve against the "
+                f"table schema: {expr_sql!r} ({e})"
+            ) from None
+        if not isinstance(dt, BooleanType):
+            raise ValueError(
+                f"constraint expression must be BOOLEAN, got "
+                f"{dt.simpleString()}: {expr_sql!r}"
+            )
+        # existing data must satisfy (Delta's ADD CONSTRAINT posture)
+        trial = dict(state)
+        trial["config"] = {
+            **state.get("config", {}),
+            "constraints": {name: expr_sql},
+        }
+        self._enforce_constraints(
+            trial,
+            self._scan_live(
+                spark, state, sorted(state["files"])
+            ),
+            what=f"add_constraint({name!r}) over existing rows",
+        )
+        cons[name] = expr_sql
+        cfg = dict(state.get("config", {}))
+        cfg["constraints"] = cons
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "config": cfg,
+             "constraint": {"action": "add", "name": name,
+                            "expr": expr_sql}},
+        )
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
+        state = self._state()
+        cons = dict(
+            (state.get("config") or {}).get("constraints") or {}
+        )
+        if name not in cons:
+            raise ValueError(f"no constraint named {name!r}")
+        del cons[name]
+        cfg = dict(state.get("config", {}))
+        cfg["constraints"] = cons
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "config": cfg,
+             "constraint": {"action": "drop", "name": name}},
+        )
+        return v
 
     def _commit_ts(self, v: int) -> float:
         """A commit's wall-clock time: the recorded 'ts' action, or the
@@ -1236,6 +1380,11 @@ class LakeTable:
                 ]
             )
             self._check_types(state, rewritten)
+            # gate only the post-images (carried-over rows satisfied
+            # the constraints when they were written) — O(matched)
+            self._enforce_constraints(
+                state, post_image(tdf), "update_where post-images"
+            )
             add = self._stage_files(rewritten, partition_by=pby)
             if self._cdf_enabled(state):
                 cdf_delete = self._stage_files(
@@ -1297,6 +1446,9 @@ class LakeTable:
                     self._scan_live(spark, state, cand)
                 )
                 self._check_types(state, post)
+                self._enforce_constraints(
+                    state, post, "update_where post-images"
+                )
                 add = self._stage_files(post, partition_by=pby)
                 if self._cdf_enabled(state):
                     cdf_delete = self._stage_files(
@@ -1328,6 +1480,7 @@ class LakeTable:
         keys: list[str],
         when_matched: str = "update",
         prune: tuple[str, str, object] | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """File-granular MERGE: target rows matching a source row on
         ``keys`` are replaced by the source row (``when_matched=
@@ -1352,9 +1505,24 @@ class LakeTable:
         ``count()`` action, in update mode the staged files ARE the
         commit's incoming files, and the semi/anti joins re-read the
         staged parquet instead of recomputing the source plan.
+
+        ``mode='dv'`` (update-matched merges only) is the Delta DV
+        MERGE shape: matched target rows become DELETION VECTORS and
+        the staged source is the commit's only incoming data — zero
+        existing files rewritten, so a trickle upsert stops paying
+        even the O(matched files) rewrite and writes O(source rows +
+        matched indexes). The flip side is the read-path anti-join
+        until :meth:`compact` folds the vectors away.
         """
         if when_matched not in ("update", "keep"):
             raise ValueError("when_matched must be 'update' or 'keep'")
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
+        if mode == "dv" and when_matched != "update":
+            raise ValueError(
+                "mode='dv' applies to when_matched='update' only "
+                "(keep-mode merges already rewrite nothing)"
+            )
         state = self._state()
         cols = [f["name"] for f in state["schema"]["fields"]]
         if sorted(source.columns) != sorted(cols):
@@ -1379,7 +1547,51 @@ class LakeTable:
             os.unlink(os.path.join(self.path, m["path"]))
         src_add = [m for m in src_add if m["rows"] > 0]
         src_df = self._scan(spark, state, [m["path"] for m in src_add])
+        if when_matched == "update":
+            # every source row is written — gate the staged scan (one
+            # cheap parquet re-read, never a lineage recompute); 'keep'
+            # mode gates only the anti-joined inserts below
+            self._enforce_constraints(state, src_df, "merge_into source")
         skeys = src_df.select(*keys)
+
+        if mode == "dv":
+            # matched target rows -> deletion vectors; the staged
+            # source is the commit's only incoming data
+            dv_metas: list[dict] = []
+            cdf_delete_dv: list[dict] = []
+            n_matched = 0
+            if cand:
+                live = self._scan_live(spark, state, cand, keep_meta=True)
+                matched = live.join(skeys, keys, "left_semi")
+                new_dv = self._stage_dv(
+                    matched.select(
+                        F.col("_lake_file").alias("_dv_file"),
+                        F.col("_lake_ridx").alias("_dv_row"),
+                    )
+                )
+                n_matched = sum(d["deleted"] for d in new_dv.values())
+                dv_metas = self._fold_dv_metas(state, cand, new_dv)
+                if dv_metas and self._cdf_enabled(state):
+                    cdf_delete_dv = self._stage_files(
+                        matched.select(*cols), partition_by=pby
+                    )
+            v = state["version"] + 1
+            self._write_commit(
+                v,
+                {"op": "merge", "mode": "dv", "add": list(src_add),
+                 "remove": [], "dv": dv_metas, "merge_keys": keys,
+                 "when_matched": "update",
+                 **({"cdf_delete": cdf_delete_dv,
+                     "cdf_insert": list(src_add)}
+                    if self._cdf_enabled(state) else {})},
+            )
+            return {
+                "version": v,
+                "rows_matched": n_matched,
+                "rows_source": rows_source,
+                "files_rewritten": 0,
+                "files_kept": len(all_files),
+            }
 
         touched: list[str] = []
         n_matched = 0
@@ -1426,6 +1638,9 @@ class LakeTable:
                 inserted = src_df.join(tkeys, keys, "left_anti")
             else:
                 inserted = src_df
+            self._enforce_constraints(
+                state, inserted, "merge_into inserts"
+            )
             add = self._stage_files(inserted, partition_by=pby)
             # the staged source was scratch here — reclaim it eagerly
             for m in src_add:
@@ -1525,6 +1740,7 @@ class LakeTable:
             os.unlink(os.path.join(self.path, m["path"]))
         ups_add = [m for m in ups_add if m["rows"] > 0]
         ups_df = self._scan(spark, state, [m["path"] for m in ups_add])
+        self._enforce_constraints(state, ups_df, "apply_changes upserts")
         # tombstone keys: frozen DISTRIBUTED (localCheckpoint), so the
         # key join and the CDF pre-image scan see one snapshot of a
         # possibly nondeterministic source lineage — never a collect
@@ -1607,6 +1823,9 @@ class LakeTable:
             state = self._state()
             cols = [f["name"] for f in state["schema"]["fields"]]
             self._check_types(state, batch_df)
+            self._enforce_constraints(
+                state, batch_df.select(*cols), f"streaming batch {batch_id}"
+            )
             add = self._stage_files(
                 batch_df.select(*cols),
                 partition_by=self._partition_by(state),
@@ -1724,6 +1943,8 @@ class LakeTable:
                 ins += [(v, f["path"], ()) for f in c.get("add", [])]
             elif op == "compact":
                 continue  # rewrite-identity: no row-level change
+            elif op == "alter":
+                continue  # metadata-only: constraints, no row change
             elif op in ("overwrite", "rollback", "drop_partitions"):
                 ins += [
                     (v, f["path"], _dvk(f)) for f in c.get("add", [])

@@ -237,6 +237,8 @@ def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
         return [("insert", f) for f in c.get("add", [])]
     if op == "compact":
         return []  # rewrite-identity: no row-level change
+    if op == "alter":
+        return []  # metadata-only (constraints): no row-level change
     if op in ("overwrite", "rollback", "drop_partitions"):
         # a removed file that carried a deletion vector replays its
         # LIVE rows only: merge the commit's remove_dv record into the
@@ -541,6 +543,8 @@ class LakeStreamReader(DataSourceStreamReader):
                     for kind, e in _cdf_pairs(c)
                 ]
                 continue
+            if c["op"] == "alter":
+                continue  # metadata-only: nothing added or rewritten
             if c["op"] not in APPEND_OPS:
                 if self.skip_rewrites:
                     continue

@@ -305,3 +305,71 @@ def test_dv_mode_validation(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"), n=10)
     with pytest.raises(ValueError, match="mode"):
         t.delete_where(spark, F.col("v") == 0, mode="bitmap")
+
+
+def test_merge_dv_zero_rewrite(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=1000, files=4)
+    before = _data_files(t)
+    src = spark.createDataFrame(
+        [(5, -5), (105, -105), (2000, 1)], "id long, v long"
+    )
+    r = t.merge_into(spark, src, ["id"], mode="dv")
+    assert r["files_rewritten"] == 0
+    assert r["rows_matched"] == 2 and r["rows_source"] == 3
+    # every pre-existing data file untouched
+    after = _data_files(t)
+    for p in before:
+        assert after[p] == before[p]
+    got = t.read(spark)
+    assert got.count() == 1001
+    rows = {r["id"]: r["v"] for r in got.where(
+        F.col("id").isin(5, 105, 2000)).collect()}
+    assert rows == {5: -5, 105: -105, 2000: 1}
+
+
+def test_merge_dv_keep_mode_rejected(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=10, files=1)
+    src = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="keep"):
+        t.merge_into(spark, src, ["id"], when_matched="keep", mode="dv")
+
+
+def test_merge_dv_cdf_fold_parity(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=200, files=2, cdf=True)
+    v0 = t.version()
+    src = spark.createDataFrame(
+        [(1, 111), (300, 3)], "id long, v long"
+    )
+    t.merge_into(spark, src, ["id"], mode="dv")
+    ch, _ = t.read_changes_since(spark, v0)
+    dels = ch.where(F.col("_change_type") == "delete")
+    ins = ch.where(F.col("_change_type") == "insert")
+    assert dels.count() == 1 and ins.count() == 2
+    assert dels.collect()[0]["id"] == 1
+    base = t.read(spark, version=v0)
+    signed = ch.withColumn(
+        "_s", F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    )
+    folded = (
+        base.withColumn("_s", F.lit(1))
+        .unionByName(signed.select("id", "v", "_s"))
+        .groupBy("id", "v")
+        .agg(F.sum("_s").alias("_n"))
+        .where(F.col("_n") > 0)
+        .drop("_n")
+    )
+    assert folded.exceptAll(t.read(spark)).count() == 0
+    assert t.read(spark).exceptAll(folded).count() == 0
+
+
+def test_merge_dv_over_prior_dv_delete(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=100, files=2)
+    t.delete_where(spark, F.col("id") == 7, mode="dv")
+    src = spark.createDataFrame([(7, 70)], "id long, v long")
+    r = t.merge_into(spark, src, ["id"], mode="dv")
+    # the dv-deleted row no longer exists -> the source row INSERTS
+    assert r["rows_matched"] == 0
+    got = t.read(spark)
+    assert got.where(F.col("id") == 7).count() == 1
+    assert got.where(F.col("id") == 7).collect()[0]["v"] == 70
+    assert got.count() == 100  # 99 survivors + 1 insert

@@ -32,6 +32,10 @@ MUST_PROVE = {
     "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
     # UPDATE ... SET (copy-on-write + dv modes; third r10 session):
     "lake_update_where",
+    # CHECK constraints (atomic write gate; third r10 session):
+    "lake_constraint_gate",
+    # DV MERGE (zero-rewrite trickle upsert; third r10 session):
+    "lake_merge_dv",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
