@@ -1676,6 +1676,7 @@ class LakeTable:
         keys: list[str],
         op_col: str = "_op",
         prune: tuple[str, str, object] | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """Apply a CDC batch — upserts AND tombstones — in ONE atomic
         commit (the Delta ``APPLY CHANGES INTO`` / Debezium-apply
@@ -1703,9 +1704,17 @@ class LakeTable:
         +1 side. Source must be key-unique across BOTH ops (the MERGE
         precondition — a key that is both upserted and deleted in one
         batch is ambiguous); NULL keys never match (SQL semantics):
-        a NULL-key 'u' inserts, a NULL-key 'd' no-ops. Returns
-        ``{version, rows_upserts, rows_deletes, rows_matched,
+        a NULL-key 'u' inserts, a NULL-key 'd' no-ops.
+
+        ``mode='dv'`` — merge-on-read CDC apply: matched rows of BOTH
+        ops become deletion vectors and only the staged upserts land
+        as new files, zero existing files rewritten (the high-rate CDC
+        tail path; :meth:`compact` folds the vectors away later).
+
+        Returns ``{version, rows_upserts, rows_deletes, rows_matched,
         files_rewritten, files_kept}``."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
         state = self._state()
         cols = [f["name"] for f in state["schema"]["fields"]]
         if op_col not in source.columns:
@@ -1749,6 +1758,47 @@ class LakeTable:
         )
         rows_deletes = dkeys.count()
         skeys = ups_df.select(*keys).unionByName(dkeys)
+
+        if mode == "dv":
+            # matched rows of BOTH ops -> deletion vectors; the staged
+            # upserts are the commit's only incoming data (tombstones
+            # add nothing) — zero-rewrite CDC apply, one atomic commit
+            dv_metas: list[dict] = []
+            cdf_delete_dv: list[dict] = []
+            n_matched = 0
+            if cand:
+                live = self._scan_live(spark, state, cand, keep_meta=True)
+                matched = live.join(skeys, keys, "left_semi")
+                new_dv = self._stage_dv(
+                    matched.select(
+                        F.col("_lake_file").alias("_dv_file"),
+                        F.col("_lake_ridx").alias("_dv_row"),
+                    )
+                )
+                n_matched = sum(d["deleted"] for d in new_dv.values())
+                dv_metas = self._fold_dv_metas(state, cand, new_dv)
+                if dv_metas and self._cdf_enabled(state):
+                    cdf_delete_dv = self._stage_files(
+                        matched.select(*cols), partition_by=pby
+                    )
+            v = state["version"] + 1
+            self._write_commit(
+                v,
+                {"op": "merge", "mode": "dv", "add": list(ups_add),
+                 "remove": [], "dv": dv_metas, "merge_keys": keys,
+                 "when_matched": "update", "cdc": True,
+                 **({"cdf_delete": cdf_delete_dv,
+                     "cdf_insert": list(ups_add)}
+                    if self._cdf_enabled(state) else {})},
+            )
+            return {
+                "version": v,
+                "rows_upserts": rows_upserts,
+                "rows_deletes": rows_deletes,
+                "rows_matched": n_matched,
+                "files_rewritten": 0,
+                "files_kept": len(all_files),
+            }
 
         touched: list[str] = []
         n_matched = 0

@@ -373,3 +373,42 @@ def test_merge_dv_over_prior_dv_delete(spark, tmp_path):
     assert got.where(F.col("id") == 7).count() == 1
     assert got.where(F.col("id") == 7).collect()[0]["v"] == 70
     assert got.count() == 100  # 99 survivors + 1 insert
+
+
+def test_apply_changes_dv_zero_rewrite(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=100, files=2, cdf=True)
+    before = _data_files(t)
+    v0 = t.version()
+    src = spark.createDataFrame(
+        [(1, 111, "u"), (2, None, "d"), (500, 5, "u")],
+        "id long, v long, _op string",
+    )
+    r = t.apply_changes(spark, src, ["id"], mode="dv")
+    assert r["files_rewritten"] == 0
+    assert r["rows_upserts"] == 2 and r["rows_deletes"] == 1
+    assert r["rows_matched"] == 2  # ids 1 and 2 existed; 500 is new
+    after = _data_files(t)
+    for p in before:
+        assert after[p] == before[p]
+    got = t.read(spark)
+    # 100 - 2 dv'd (deleted id=2, updated id=1) + 2 upserts (1, 500)
+    assert got.count() == 100
+    rows = {x["id"]: x["v"] for x in got.where(
+        F.col("id").isin(1, 2, 500)).collect()}
+    assert rows == {1: 111, 500: 5}
+    # CDF fold parity across the dv CDC apply
+    ch, _ = t.read_changes_since(spark, v0)
+    base = t.read(spark, version=v0)
+    signed = ch.withColumn(
+        "_s", F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    )
+    folded = (
+        base.withColumn("_s", F.lit(1))
+        .unionByName(signed.select("id", "v", "_s"))
+        .groupBy("id", "v")
+        .agg(F.sum("_s").alias("_n"))
+        .where(F.col("_n") > 0)
+        .drop("_n")
+    )
+    assert folded.exceptAll(got).count() == 0
+    assert got.exceptAll(folded).count() == 0
