@@ -980,20 +980,7 @@ class LakeTable:
         admits one writer per version; a skewed writer's clock shifts
         WHICH version a boundary timestamp resolves to, never breaks
         resolution). Raises when ``ts`` predates the table."""
-        import datetime as _dt
-
-        if isinstance(ts, str):
-            try:  # numeric string (DataSource options are strings)
-                ts = float(ts)
-            except ValueError:
-                d = _dt.datetime.fromisoformat(ts)
-                if d.tzinfo is None:
-                    d = d.replace(tzinfo=_dt.timezone.utc)
-                ts = d.timestamp()
-        elif isinstance(ts, _dt.datetime):
-            d = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
-            ts = d.timestamp()
-        ts = float(ts)
+        ts = _parse_ts(ts)
         vs = self._commit_versions()
         if not vs:
             raise FileNotFoundError(f"no committed versions at {self.path}")
@@ -2575,6 +2562,25 @@ def _remove_dv_of(state: dict, paths) -> dict:
         if (state["files"].get(p) or {}).get("dv")
     }
     return {"remove_dv": rd} if rd else {}
+
+
+def _parse_ts(ts) -> float:
+    """A timestamp input (epoch number, numeric string, ISO-8601
+    string — naive read as UTC — or ``datetime``) as epoch seconds."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        try:  # numeric string (DataSource options are strings)
+            ts = float(ts)
+        except ValueError:
+            d = _dt.datetime.fromisoformat(ts)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            ts = d.timestamp()
+    elif isinstance(ts, _dt.datetime):
+        d = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+        ts = d.timestamp()
+    return float(ts)
 
 
 def _norm_path(p: str | None) -> str | None:

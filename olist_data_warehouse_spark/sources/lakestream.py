@@ -283,7 +283,18 @@ class LakeStreamReader(DataSourceStreamReader):
         if self.mode not in ("append", "cdf"):
             raise ValueError("mode must be 'append' or 'cdf'")
         start = options.get("starting_version")
+        start_ts = options.get("starting_timestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
         self._start = int(start) if start is not None else -1
+        # Delta's startingTimestamp: serve commits AT or AFTER the
+        # instant. Resolved lazily in initialOffset (fresh queries
+        # only — restarts resume from the checkpointed offset and
+        # never pay the log walk).
+        self._start_ts = start_ts
         mf = options.get("max_files_per_batch")
         mb = options.get("max_bytes_per_batch")
         self.max_files = int(mf) if mf is not None else None
@@ -431,8 +442,41 @@ class LakeStreamReader(DataSourceStreamReader):
     # -- DataSourceStreamReader contract -------------------------------
 
     def initialOffset(self) -> dict:
+        if self._start_ts is not None:
+            self._start = self._resolve_starting_timestamp()
+            self._start_ts = None
         self._bump_anchor(self._start)
         return {"version": self._start}
+
+    def _resolve_starting_timestamp(self) -> int:
+        """The exclusive start anchor for ``starting_timestamp``: the
+        last version committed strictly BEFORE the instant (-1 when
+        the instant predates the table — serve everything; the newest
+        version when it postdates the log — serve only future
+        commits). Bisection on the nondecreasing commit clock, like
+        ``resolve_timestamp``, but first-at-or-after instead of
+        last-at-or-before so a commit stamped exactly AT the instant
+        is SERVED (Delta's startingTimestamp contract)."""
+        from olist_data_warehouse_spark.sources.lakehouse import (
+            LakeTable,
+            _parse_ts,
+        )
+
+        t = LakeTable(self.table_path)
+        target = _parse_ts(self._start_ts)
+        vs = t._commit_versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed versions at {self.table_path}"
+            )
+        lo, hi = 0, len(vs)  # first index with commit_ts >= target
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if t._commit_ts(vs[mid]) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        return vs[lo - 1] if lo > 0 else -1
 
     def latestOffset(self) -> dict:
         vs = self._versions()

@@ -627,3 +627,50 @@ def test_cdf_mode_respects_rate_limit(registered, tmp_path):
     assert len(rows) == 13  # 12 inserts + 1 delete pre-image
     assert len(batches) >= 3
     assert max(len(rs) for _, rs in batches) <= 4
+
+
+def test_starting_timestamp_serves_at_or_after(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 10), str(tmp_path / "src"))
+    v1 = t.append(_df(spark, 10, 20))
+    t.append(_df(spark, 20, 25))
+    # strictly between v1 and v2: only v2's rows
+    mid = (t._commit_ts(v1) + t._commit_ts(v1 + 1)) / 2
+    rows = _run_available_now(
+        spark, t.path, "ls_st_mid", str(tmp_path / "c1"),
+        starting_timestamp=repr(mid),
+    )
+    assert {r["k"] for r in rows} == set(range(20, 25))
+    # exactly AT v1's stamp: v1 is SERVED (at-or-after contract)
+    rows = _run_available_now(
+        spark, t.path, "ls_st_at", str(tmp_path / "c2"),
+        starting_timestamp=repr(t._commit_ts(v1)),
+    )
+    assert {r["k"] for r in rows} == set(range(10, 25))
+    # predating the table: everything
+    rows = _run_available_now(
+        spark, t.path, "ls_st_pre", str(tmp_path / "c3"),
+        starting_timestamp=repr(t._commit_ts(0) - 100.0),
+    )
+    assert {r["k"] for r in rows} == set(range(25))
+    # after the newest commit: nothing yet (future commits only)
+    rows = _run_available_now(
+        spark, t.path, "ls_st_post", str(tmp_path / "c4"),
+        starting_timestamp=repr(t._commit_ts(t.version()) + 100.0),
+    )
+    assert rows == []
+
+
+def test_starting_timestamp_exclusive_with_version(registered, tmp_path):
+    spark = registered
+    t = LakeTable.create(_df(spark, 0, 5), str(tmp_path / "src"))
+    # the reader constructor validates, so the error surfaces at
+    # schema resolution (load), before any query starts
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("lakestream")
+            .option("path", t.path)
+            .option("starting_version", "0")
+            .option("starting_timestamp", "123.0")
+            .load()
+        )
