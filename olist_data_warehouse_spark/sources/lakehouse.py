@@ -56,7 +56,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 CHECKPOINT_EVERY = 10
 
@@ -380,7 +380,7 @@ class LakeTable:
                         for k in (
                             "ts", "predicate", "rows_deleted",
                             "rows_updated", "rollback_of", "mode",
-                            "constraint",
+                            "constraint", "column",
                         )
                         if k in c
                     },
@@ -391,7 +391,10 @@ class LakeTable:
     # -- writing -------------------------------------------------------
 
     def _stage_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Write ``df``'s part files into data/, return their metadata
         (rows, bytes, per-column min/max/nulls) from ONE stats scan.
@@ -403,8 +406,32 @@ class LakeTable:
         metadata-only partition drops and value-exact pruning key on.
         Moved files get a per-stage prefix plus a sequence number so
         basenames stay unique ACROSS partition directories (Spark
-        reuses part numbers between dirs of one write job)."""
+        reuses part numbers between dirs of one write job).
+
+        On a COLUMN-MAPPED table the frame is renamed to PHYSICAL
+        names before writing (this is the single write choke point —
+        every mutator stages through here), so files and their stats
+        key on physical names whatever the logical schema currently
+        says. The mapping is re-read from the log here; if a rename
+        lands between this staging and the caller's commit, the
+        caller's O_EXCL commit loses and the whole operation retries
+        against the new state (the standard read-dependent-mutator
+        contract)."""
         spark = df.sparkSession
+        if mapping is None:
+            mapping = (
+                self._mapping(self._state())
+                if self.version() is not None
+                else {}
+            )
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+            if partition_by:
+                # partition columns are barred from mapping, so this
+                # is always the identity on them — asserted cheaply
+                assert all(c not in mapping for c in partition_by)
         os.makedirs(self.data_dir, exist_ok=True)
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         writer = df.write.mode("errorifexists")
@@ -492,6 +519,17 @@ class LakeTable:
     def _partition_by(self, state: dict) -> list[str] | None:
         return state.get("config", {}).get("partition_by")
 
+    def _mapping(self, state: dict) -> dict[str, str]:
+        """COLUMN MAPPING, ``{logical name: physical name}`` (only
+        non-identity entries; ``{}`` on unmapped tables — every
+        mapping-aware code path must reduce to the pre-mapping
+        behavior then). Physical names are what the parquet files
+        store and what per-file stats key on; they are minted once
+        when a column first appears and NEVER change, so renames and
+        drops are metadata-only and old files stay readable at any
+        version."""
+        return state.get("config", {}).get("column_mapping") or {}
+
     def _scan(
         self,
         spark: SparkSession,
@@ -517,17 +555,40 @@ class LakeTable:
         names = (
             data_names + ["_lake_file", "_lake_ridx"] if meta else data_names
         )
+        mapping = self._mapping(state)
+        # column mapping: files store PHYSICAL names — read the
+        # physical schema and alias back to logical in the same select
+        # that captures metadata columns (they vanish after a project)
+        read_schema = (
+            StructType(
+                [
+                    StructField(
+                        mapping.get(f.name, f.name), f.dataType, True
+                    )
+                    for f in schema.fields
+                ]
+            )
+            if mapping
+            else schema
+        )
 
         def with_meta(df: DataFrame) -> DataFrame:
-            if not meta:
+            if mapping:
+                cols = [
+                    F.col(mapping.get(n, n)).alias(n) for n in data_names
+                ]
+            elif meta:
+                cols = [F.col(n) for n in data_names]
+            else:
                 return df
-            return df.select(
-                *data_names,
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("_lake_file"),
-                F.col("_metadata.row_index").alias("_lake_ridx"),
-            )
+            if meta:
+                cols += [
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_lake_file"),
+                    F.col("_metadata.row_index").alias("_lake_ridx"),
+                ]
+            return df.select(*cols)
         if not rel_paths:
             out = spark.createDataFrame([], schema)
             if meta:
@@ -539,7 +600,7 @@ class LakeTable:
             return out
         if not self._partition_by(state):
             return with_meta(
-                spark.read.schema(schema).parquet(
+                spark.read.schema(read_schema).parquet(
                     *[os.path.join(self.path, p) for p in rel_paths]
                 )
             )
@@ -564,7 +625,7 @@ class LakeTable:
             groups.setdefault(root + os.sep + "data", []).append(full)
         parts = [
             with_meta(
-                spark.read.schema(schema)
+                spark.read.schema(read_schema)
                 .option("basePath", base)
                 .parquet(*sorted(paths))
             )
@@ -766,9 +827,25 @@ class LakeTable:
             )
         self._check_types(state, df)
         commit: dict = {"op": "append", "remove": []}
+        stage_mapping = None  # default: staging re-reads the log's
         if merge_schema:
             from pyspark.sql.types import StructField
 
+            if extra and state.get("config", {}).get(
+                "column_mapping"
+            ) is not None:
+                # column mapping active: a NEW column gets a freshly
+                # MINTED physical name, so it can never collide with a
+                # previously-dropped column's physical data still
+                # sitting in old files (the resurrection hazard column
+                # mapping exists to prevent)
+                cfg = dict(state.get("config", {}))
+                mp = dict(cfg.get("column_mapping") or {})
+                for c in extra:
+                    mp[c] = f"{c}_{uuid.uuid4().hex[:8]}"
+                cfg["column_mapping"] = mp
+                commit["config"] = cfg
+                stage_mapping = mp  # stage under the NEW mapping
             old = StructType.fromJson(state["schema"])
             merged = StructType(
                 list(old.fields)
@@ -795,7 +872,9 @@ class LakeTable:
             df = df.select(*cols)
         self._enforce_constraints(state, df, "append")
         commit["add"] = self._stage_files(
-            df, partition_by=self._partition_by(state)
+            df,
+            partition_by=self._partition_by(state),
+            mapping=stage_mapping,
         )
         v = state["version"] + 1
         self._write_commit(v, commit)
@@ -808,6 +887,16 @@ class LakeTable:
         if pby and any(c not in df.columns for c in pby):
             raise ValueError(
                 f"overwrite must keep partition columns {pby}"
+            )
+        if state.get("config", {}).get(
+            "column_mapping"
+        ) is not None and sorted(df.columns) != sorted(
+            f["name"] for f in state["schema"]["fields"]
+        ):
+            raise ValueError(
+                "schema-changing overwrite on a column-mapped table "
+                "would orphan the mapping — use append(merge_schema="
+                "True), rename_column, or drop_column instead"
             )
         # constraints bind the NEW contents too; an overwrite whose
         # schema drops a constrained column fails here at analysis —
@@ -942,6 +1031,106 @@ class LakeTable:
         )
         return v
 
+    # -- column mapping (rename / drop without rewrite) -------------------
+
+    def _guard_column_ddl(self, state: dict, col: str, what: str) -> None:
+        """Shared guards for rename/drop: the column must exist, must
+        not be a partition column (its name is baked into the Hive
+        directory layout and the manifest's partition values), and
+        must not be referenced by a CHECK constraint (conservative
+        word-boundary test — drop the constraint first)."""
+        import re
+
+        names = [f["name"] for f in state["schema"]["fields"]]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {names}")
+        if col in (self._partition_by(state) or []):
+            raise ValueError(
+                f"cannot {what} partition column {col!r} — partition "
+                "names are baked into the directory layout"
+            )
+        cons = (state.get("config") or {}).get("constraints") or {}
+        for cname, expr in sorted(cons.items()):
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {what} {col!r}: constraint {cname!r} "
+                    f"CHECK ({expr}) references it — drop the "
+                    "constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME a column METADATA-ONLY (the Delta column-mapping
+        'name mode' contract, re-expressed Spark-first): no data file
+        is touched — the commit records the new logical schema plus a
+        ``column_mapping`` entry binding the new logical name to the
+        column's unchanged PHYSICAL name (what the parquet files and
+        per-file stats store). Every read aliases physical -> logical
+        at scan level, every write renames logical -> physical at the
+        staging choke point, and stats pruning translates at its own
+        single choke point, so scans, prunes, mutators, CDF replays,
+        and time travel (old versions read under their own schema +
+        mapping) all keep working. At 100 TB this is the difference
+        between a catalog edit and rewriting the table.
+
+        Partition columns and constraint-referenced columns refuse
+        (see :meth:`_guard_column_ddl`). A stream running across the
+        rename keeps its analysis-time schema until restart — the
+        standard mid-stream evolution contract."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"column name {new!r} must be an identifier")
+        state = self._state()
+        self._guard_column_ddl(state, old, "rename")
+        names = [f["name"] for f in state["schema"]["fields"]]
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        mapping = dict(self._mapping(state))
+        mapping[new] = mapping.pop(old, old)
+        schema = json.loads(json.dumps(state["schema"]))
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        cfg = dict(state.get("config", {}))
+        cfg["column_mapping"] = mapping
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "schema": schema,
+             "config": cfg,
+             "column": {"action": "rename", "from": old, "to": new}},
+        )
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """DROP a column METADATA-ONLY: the field leaves the logical
+        schema and the mapping; its physical data stays in the files,
+        simply never projected again (old versions still time-travel
+        to it). A column ADDED later under the same name gets a
+        freshly MINTED physical name (see :meth:`append`), so the
+        dropped data can never resurrect through a re-add — the reason
+        Delta's column mapping exists at all."""
+        state = self._state()
+        self._guard_column_ddl(state, name, "drop")
+        if len(state["schema"]["fields"]) == 1:
+            raise ValueError("cannot drop the last column")
+        mapping = dict(self._mapping(state))
+        mapping.pop(name, None)
+        schema = json.loads(json.dumps(state["schema"]))
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != name
+        ]
+        cfg = dict(state.get("config", {}))
+        cfg["column_mapping"] = mapping
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "schema": schema,
+             "config": cfg,
+             "column": {"action": "drop", "name": name}},
+        )
+        return v
+
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
         state = self._state()
@@ -1066,7 +1255,10 @@ class LakeTable:
         self, state: dict, column: str, op: str, value
     ) -> tuple[list[str], list[str]]:
         """The pure stats compare behind :meth:`prune_files`, over a
-        caller-resolved ``state``."""
+        caller-resolved ``state``. Stats key on PHYSICAL column names;
+        callers speak logical — translated here, the one choke point
+        every prune path funnels through."""
+        column = self._mapping(state).get(column, column)
         if op == "in":
             value = [_json_safe(v) for v in value]
         else:
@@ -2354,6 +2546,10 @@ class LakeTable:
             "bytes": sum(m.get("bytes", 0) for m in files.values()),
             "partition_by": self._partition_by(state) or [],
             "cdf": self._cdf_enabled(state),
+            "column_mapping": self._mapping(state),
+            "constraints": dict(
+                (state.get("config") or {}).get("constraints") or {}
+            ),
             "cloned_from": c0.get("cloned_from"),
             "pins": self.pins(),
         }

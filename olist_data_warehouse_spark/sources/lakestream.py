@@ -202,11 +202,19 @@ def read_file_slice(partition: _FileSlice) -> Iterator:
             mask = np.ones(len(table), dtype=bool)
             mask[np.asarray(idx, dtype=np.int64)] = False
             table = table.filter(pa.array(mask))
+    # column mapping: each field may carry its PHYSICAL parquet name in
+    # metadata (injected at plan time); logical-only fields default to
+    # themselves, so unmapped tables take the identical path
+    phys = {
+        f.name: (f.metadata or {}).get("lake_physical", f.name)
+        for f in declared.fields
+    }
     arrays = []
     for field in target:
-        if field.name in table.column_names:
+        pname = phys.get(field.name, field.name)
+        if pname in table.column_names:
             arrays.append(
-                table.column(field.name).cast(field.type).combine_chunks()
+                table.column(pname).cast(field.type).combine_chunks()
             )
         elif field.name in consts:
             arrays.append(
@@ -225,6 +233,25 @@ def read_file_slice(partition: _FileSlice) -> Iterator:
             arrays.append(pa.nulls(len(table), field.type))
     aligned = pa.table(arrays, schema=target)
     yield from aligned.to_batches()
+
+
+def _with_physical(schema_json: str, mapping: dict[str, str]) -> str:
+    """Bind each logical field of ``schema_json`` to its PHYSICAL
+    parquet name via field metadata (``lake_physical``) so the
+    executor-side slice reader projects the right stored column.
+    Identity for unmapped tables (returns the input string)."""
+    import json
+
+    if not mapping:
+        return schema_json
+    d = json.loads(schema_json)
+    for f in d.get("fields", []):
+        p = mapping.get(f["name"])
+        if p and p != f["name"]:
+            md = dict(f.get("metadata") or {})
+            md["lake_physical"] = p
+            f["metadata"] = md
+    return json.dumps(d)
 
 
 def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
@@ -370,6 +397,35 @@ class LakeStreamReader(DataSourceStreamReader):
             if c.get("schema") is not None:
                 return json.dumps(c["schema"])
         raise ValueError(f"no schema action in log of {self.table_path}")
+
+    def _mapping_at(self, v: int) -> dict[str, str]:
+        """Latest COLUMN MAPPING at or before ``v`` — the config twin
+        of :meth:`_schema_json_at`, same checkpoint-bounded backward
+        walk (config is committed only when it changes; checkpoints
+        embed it)."""
+        import json
+
+        log = os.path.join(self.table_path, "_log")
+        for cv in range(v, -1, -1):
+            cpq = os.path.join(log, f"{cv:08d}.checkpoint.parquet")
+            if os.path.exists(cpq):
+                import pyarrow.parquet as pq
+
+                meta = json.loads(
+                    pq.read_schema(cpq).metadata[b"lake_state"]
+                )
+                if meta.get("config") is not None:
+                    return meta["config"].get("column_mapping") or {}
+            cpj = os.path.join(log, f"{cv:08d}.checkpoint.json")
+            if os.path.exists(cpj):
+                with open(cpj) as f:
+                    state = json.load(f)
+                if state.get("config") is not None:
+                    return state["config"].get("column_mapping") or {}
+            c = self._commit(cv)
+            if c.get("config") is not None:
+                return c["config"].get("column_mapping") or {}
+        return {}
 
     def _stream_schema_json(self, v: int) -> str:
         """The stream's output schema at ``v``: the table schema, plus
@@ -538,10 +594,11 @@ class LakeStreamReader(DataSourceStreamReader):
             return []
         import json
 
-        schema_json = (
+        schema_json = _with_physical(
             self.schema_json
             if self.schema_json is not None
-            else self._stream_schema_json(hi)
+            else self._stream_schema_json(hi),
+            self._mapping_at(hi),
         )
 
         def pj(entry) -> str | None:
