@@ -509,7 +509,11 @@ def test_mid_stream_evolution_keeps_query_schema(registered, tmp_path):
         .start()
     )
     try:
-        deadline = _time.time() + 120
+        # generous, SEPARATE deadlines: under a fully-loaded test box
+        # the continuous-trigger micro-batches can starve for minutes,
+        # and a shared budget let the second wait inherit an
+        # already-spent clock (the one flaky test in the suite)
+        deadline = _time.time() + 240
         while _time.time() < deadline and sum(map(len, batches)) < 5:
             _time.sleep(0.3)
         # evolution lands MID-STREAM, while the query is running
@@ -517,6 +521,7 @@ def test_mid_stream_evolution_keeps_query_schema(registered, tmp_path):
             _df(spark, 5, 8).withColumn("tag", F.lit("new")),
             merge_schema=True,
         )
+        deadline = _time.time() + 240
         while _time.time() < deadline and sum(map(len, batches)) < 8:
             _time.sleep(0.3)
     finally:
