@@ -598,3 +598,54 @@ def cdc_chunks(docs: DataFrame, divisor: int = 16) -> DataFrame:
         )
         .filter(F.col("chunk").isNotNull())
     )
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, k: int = 3
+) -> DataFrame:
+    """Train-set DECONTAMINATION against a held-out benchmark corpus —
+    the GPT-3 Appendix-C / C4-analysis recipe (Brown et al. 2020;
+    Dodge et al. 2021), re-expressed Spark-first: flag every train
+    document sharing at least one k-word shingle with ANY benchmark
+    document, reporting the overlap evidence so the pipeline can drop
+    or audit. Returns ``(doc_id, n_overlap, set_size,
+    overlap_ratio)`` for contaminated train docs only.
+
+    Scale posture: the benchmark side reduces to its DISTINCT shingle
+    HASHES — real eval suites are megabytes, so that set broadcasts
+    (hinted) and the train corpus streams through a map-side semi
+    join; the train text itself never moves. Same portable md5-based
+    32-bit hash family as every other shingle operator, so the DuckDB
+    oracle states the identical computation.
+    """
+    bench_h = (
+        shingle_sets(benchmark, k, distinct=False)
+        .select(
+            (textops.portable_hash32("shingle") % MERSENNE_P).alias("h")
+        )
+        .distinct()
+    )
+    train_h = (
+        shingle_sets(train, k, distinct=False)
+        .select(
+            "doc_id",
+            (textops.portable_hash32("shingle") % MERSENNE_P).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = train_h.groupBy("doc_id").agg(
+        F.count("h").alias("set_size")
+    )
+    hits = (
+        train_h.join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("n_overlap"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "set_size",
+        F.round(
+            F.col("n_overlap") / F.col("set_size").cast("double"), 4
+        ).alias("overlap_ratio"),
+    )

@@ -10595,3 +10595,47 @@ def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, n_subspaces=4, n_codes=8, n_centroids=8, iters=2
     )
     return encoded
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+WITH {SQL_NORM_TOKENS},
+{SQL_SHINGLES},
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, h FROM shh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, count(h) AS set_size FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(t.h) AS n_overlap
+  FROM train t JOIN bench b ON t.h = b.h
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_overlap, s.set_size,
+       round(h.n_overlap / CAST(s.set_size AS DOUBLE), 4)
+         AS overlap_ratio
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+""",
+    doc="TRAIN-SET DECONTAMINATION against a held-out benchmark (the "
+    "GPT-3 Appendix-C / C4-analysis recipe, Brown et al. 2020; Dodge "
+    "et al. 2021): every 97th document plays the eval set, the rest "
+    "is the training corpus, and any train doc sharing a 3-word "
+    "shingle with any benchmark doc is flagged with its overlap "
+    "evidence (distinct contaminated shingle-hash count, shingle-set "
+    "size, ratio). The benchmark side reduces to DISTINCT shingle "
+    "HASHES and broadcasts — real eval suites are megabytes against "
+    "a 100 TB train corpus, so contamination screening is one "
+    "map-side semi join where the train text never moves; the flagged "
+    "list then drives a drop or a manual audit. Same md5-based "
+    "portable hash family as the whole shingle operator family, so "
+    "the oracle states the identical computation relationally.",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(train, bench, k=3)

@@ -38,6 +38,8 @@ MUST_PROVE = {
     "lake_merge_dv",
     # column mapping (rename/drop without rewrite; third r10 session):
     "lake_column_mapping",
+    # benchmark decontamination (GPT-3 App. C; third r10 session):
+    "dedup_decontaminate",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
