@@ -145,6 +145,20 @@ BENCH_QUERIES = [
     # round-10: SemDeDup — cluster-then-intra-cluster-cosine semantic
     # dedup (the embedding family's discovery-cost representative)
     "dedup_semdedup",
+    # round-10 (second half): the DML mode matrix and schema DDL — dv
+    # delete (zero-rewrite, both commits), UPDATE composing rewrite +
+    # dv modes, the constraint lifecycle (refused add + refused append
+    # + clean append), zero-rewrite DV MERGE, metadata-only column
+    # mapping (rename + drop + dv delete pruned via the renamed name),
+    # and benchmark decontamination (broadcast shingle-hash semi join).
+    # Each times the full durable round-trip including its in-entry
+    # audits.
+    "lake_delete_dv",
+    "lake_update_where",
+    "lake_constraint_gate",
+    "lake_merge_dv",
+    "lake_column_mapping",
+    "dedup_decontaminate",
 ]
 
 
