@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     "lake_merge_dv",
     "lake_column_mapping",
     "dedup_decontaminate",
+    # round-10: generated columns — compute-at-create + omitted-append
+    # compute + refused wrong-value batch, the write-contract
+    # representative
+    "lake_generated_cols",
 ]
 
 

@@ -1426,3 +1426,54 @@ def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({dved} of {len(st['files'])} files took vectors)"
         )
     return t.read(spark)
+
+
+@register(
+    "lake_generated_cols",
+    oracle="""
+SELECT doc_id, text, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    doc="GENERATED ALWAYS AS columns (Delta's generated-column "
+    "contract, fixed at create): documents lands WITHOUT its n_chars "
+    "column and the table declares n_chars GENERATED AS "
+    "length(text) — the create computes it, a second append omitting "
+    "it computes it again, and a batch PROVIDING a wrong value is "
+    "refused atomically (asserted in-entry when a non-null mismatch "
+    "exists; NULL-vs-NULL trivially matches under the null-safe "
+    "compare, so degenerate corpora skip the audit). The oracle "
+    "restates the generation rule as a projection — if any computed "
+    "value drifted from the declared expression, the hash diverges. "
+    "At 100 TB this is schema-on-write denormalization: derived "
+    "columns stay consistent by CONTRACT (computed or validated at "
+    "every write path, recomputed by UPDATE when dependencies "
+    "change), not by pipeline discipline.",
+)
+def lake_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    even = d.where(F.col("doc_id") % 2 == 0)
+    odd = d.where(F.col("doc_id") % 2 == 1)
+    t = LakeTable.create(
+        even.drop("n_chars"),
+        _fresh("generated", sf_dir),
+        generated={"n_chars": "CAST(length(text) AS BIGINT)"},
+    )
+    t.append(odd.drop("n_chars"))
+    bad = odd.withColumn(
+        "n_chars", (F.length("text") + F.lit(1)).cast("long")
+    )
+    n_mismatch = bad.where(
+        ~F.col("n_chars").eqNullSafe(
+            F.expr("CAST(length(text) AS BIGINT)")
+        )
+    ).count()
+    if n_mismatch:
+        v0 = t.version()
+        try:
+            t.append(bad)
+            raise AssertionError("wrong generated values were accepted")
+        except ValueError:
+            pass
+        assert t.version() == v0, "refused append left a commit behind"
+    return t.read(spark)

@@ -1775,7 +1775,7 @@ DRIVER_PRIORITY = [
     #    shape).
     "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
     "lake_update_where", "lake_constraint_gate", "lake_merge_dv",
-    "lake_column_mapping", "dedup_decontaminate",
+    "lake_column_mapping", "dedup_decontaminate", "lake_generated_cols",
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
     "lake_apply_changes",

@@ -520,6 +520,12 @@ class LakeBatchDataSource(DataSource):
                     "columns) — use LakeTable.append / overwrite, "
                     "which stage under physical names"
                 )
+            if (state.get("config") or {}).get("generated"):
+                raise ValueError(
+                    "table has GENERATED columns — this write path "
+                    "cannot compute or validate them; use "
+                    "LakeTable.append / overwrite"
+                )
             cons = (state.get("config") or {}).get("constraints") or {}
             if cons:
                 # CHECK expressions are Spark SQL; this write path runs

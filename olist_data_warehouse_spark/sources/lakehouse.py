@@ -311,6 +311,57 @@ class LakeTable:
                 )
             )
 
+    def _generated(self, state: dict) -> dict[str, str]:
+        """GENERATED columns, ``{col: sql_expr}`` — fixed at
+        :meth:`create` (Delta's posture: generation rules cannot be
+        added to an existing table)."""
+        return (state.get("config") or {}).get("generated") or {}
+
+    def _apply_generated(
+        self, state: dict, df: DataFrame, what: str
+    ) -> DataFrame:
+        """The generated-column write contract (Delta's GENERATED
+        ALWAYS AS): a batch OMITTING a generated column gets it
+        COMPUTED; a batch PROVIDING one is VALIDATED against the
+        expression (null-safe equality — one aggregate over the batch,
+        like a CHECK constraint) and the whole write fails on any
+        mismatch. Tables without generation rules return ``df``
+        untouched."""
+        gen = self._generated(state)
+        if not gen:
+            return df
+        to_check = []
+        for col, sql in sorted(gen.items()):
+            if col in df.columns:
+                to_check.append((col, sql))
+            else:
+                df = df.withColumn(col, F.expr(sql))
+        if to_check:
+            row = df.agg(
+                *[
+                    F.sum(
+                        (~F.col(c).eqNullSafe(F.expr(sql)))
+                        .cast("long")
+                    ).alias(c)
+                    for c, sql in to_check
+                ]
+            ).collect()[0]
+            bad = [
+                (c, row[c])
+                for c, _ in to_check
+                if (row[c] or 0) > 0
+            ]
+            if bad:
+                raise ValueError(
+                    f"generated-column violation on {what}: "
+                    + "; ".join(
+                        f"{c} GENERATED ALWAYS AS ({gen[c]}) differs "
+                        f"for {n} rows"
+                        for c, n in bad
+                    )
+                )
+        return df
+
     def _state(self, v: int | None = None) -> dict:
         """Table state at version ``v``: replay latest checkpoint <= v,
         then the commits after it. O(files) once + O(touched) per tail
@@ -755,6 +806,7 @@ class LakeTable:
         path: str,
         cdf: bool = False,
         partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create the table at ``path`` as version 0 with ``df``.
 
@@ -778,6 +830,35 @@ class LakeTable:
         t = cls(path)
         if t.version() is not None:
             raise FileExistsError(f"lake table already exists at {path}")
+        if generated:
+            # GENERATED ALWAYS AS columns, fixed at create (Delta's
+            # posture). Resolve each expression against the incoming
+            # frame; compute columns the frame omits, validate ones it
+            # provides via the shared write-path contract.
+            import re as _re
+
+            for col, sql in sorted(generated.items()):
+                if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+                    raise ValueError(
+                        f"generated column name {col!r} must be an "
+                        "identifier"
+                    )
+                if col in (partition_by or []):
+                    raise ValueError(
+                        f"partition column {col!r} cannot be generated"
+                    )
+                try:
+                    df.select(F.expr(sql))
+                except Exception as e:
+                    raise ValueError(
+                        f"generated expression for {col!r} does not "
+                        f"resolve: {sql!r} ({e})"
+                    ) from None
+            df = t._apply_generated(
+                {"config": {"generated": dict(generated)}},
+                df,
+                "create",
+            )
         if partition_by:
             for c in partition_by:
                 if c not in df.columns:
@@ -796,7 +877,9 @@ class LakeTable:
                 "schema": df.schema.jsonValue(),
                 "config": {"cdf": bool(cdf),
                            **({"partition_by": list(partition_by)}
-                              if partition_by else {})}}
+                              if partition_by else {}),
+                           **({"generated": dict(generated)}
+                              if generated else {})}}
         )
         return t
 
@@ -815,6 +898,10 @@ class LakeTable:
         file set (the Delta/Iceberg evolution contract: schema lives in
         the log, not the files). Type changes and drops stay errors."""
         state = self._state()
+        # generated columns: compute when omitted, validate when
+        # provided — BEFORE the column-set check, so a batch may
+        # legitimately omit them
+        df = self._apply_generated(state, df, "append")
         cols = [f["name"] for f in state["schema"]["fields"]]
         extra = [c for c in df.columns if c not in cols]
         if extra and not merge_schema:
@@ -883,6 +970,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> int:
         """Replace table contents; old files stay for time travel."""
         state = self._state()
+        df = self._apply_generated(state, df, "overwrite")
         pby = self._partition_by(state)
         if pby and any(c not in df.columns for c in pby):
             raise ValueError(
@@ -1056,6 +1144,18 @@ class LakeTable:
                     f"cannot {what} {col!r}: constraint {cname!r} "
                     f"CHECK ({expr}) references it — drop the "
                     "constraint first"
+                )
+        gen = (state.get("config") or {}).get("generated") or {}
+        if col in gen:
+            raise ValueError(
+                f"cannot {what} {col!r}: it is GENERATED ALWAYS AS "
+                f"({gen[col]})"
+            )
+        for gcol, expr in sorted(gen.items()):
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {what} {col!r}: generated column "
+                    f"{gcol!r} ({expr}) depends on it"
                 )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1493,6 +1593,13 @@ class LakeTable:
         unknown = sorted(set(set_exprs) - set(cols))
         if unknown:
             raise ValueError(f"SET names unknown columns: {unknown}")
+        gen = self._generated(state)
+        locked = sorted(set(set_exprs) & set(gen))
+        if locked:
+            raise ValueError(
+                f"columns {locked} are GENERATED ALWAYS AS — assign "
+                "their dependencies; the engine recomputes them"
+            )
         assigns = {
             c: (e if isinstance(e, Column) else F.lit(e))
             for c, e in set_exprs.items()
@@ -1519,10 +1626,16 @@ class LakeTable:
         )
 
         def post_image(df: DataFrame) -> DataFrame:
-            # matched rows only -> assigned values, one projection
-            return df.where(matched_true).select(
+            # matched rows only -> assigned values, one projection;
+            # generated columns then RECOMPUTE over the post-assignment
+            # row (Delta's contract: dependencies changed, so the
+            # generated value follows)
+            out = df.where(matched_true).select(
                 *[assigns.get(c, F.col(c)).alias(c) for c in cols]
             )
+            for c, sql in sorted(gen.items()):
+                out = out.withColumn(c, F.expr(sql))
+            return out
 
         if mode == "dv":
             return self._update_where_dv(
@@ -1556,8 +1669,20 @@ class LakeTable:
                     if c in assigns
                     else F.col(c)
                     for c in cols
-                ]
+                ],
+                *([matched_true.alias("_upd_m")] if gen else []),
             )
+            if gen:
+                # recompute generated columns for MATCHED rows over the
+                # post-assignment values; carried-over rows keep theirs
+                for c, sql in sorted(gen.items()):
+                    rewritten = rewritten.withColumn(
+                        c,
+                        F.when(F.col("_upd_m"), F.expr(sql)).otherwise(
+                            F.col(c)
+                        ),
+                    )
+                rewritten = rewritten.drop("_upd_m")
             self._check_types(state, rewritten)
             # gate only the post-images (carried-over rows satisfied
             # the constraints when they were written) — O(matched)
@@ -1703,6 +1828,7 @@ class LakeTable:
                 "(keep-mode merges already rewrite nothing)"
             )
         state = self._state()
+        source = self._apply_generated(state, source, "merge_into source")
         cols = [f["name"] for f in state["schema"]["fields"]]
         if sorted(source.columns) != sorted(cols):
             raise ValueError(
@@ -1898,6 +2024,20 @@ class LakeTable:
         cols = [f["name"] for f in state["schema"]["fields"]]
         if op_col not in source.columns:
             raise ValueError(f"source lacks op column {op_col!r}")
+        gen = self._generated(state)
+        if gen:
+            # compute omitted generated columns for ALL rows (a
+            # tombstone's payload is ignored anyway), but VALIDATE
+            # only the upserts — delete rows apply by key and may
+            # carry NULL payloads that would trivially mismatch
+            for c, sql in sorted(gen.items()):
+                if c not in source.columns:
+                    source = source.withColumn(c, F.expr(sql))
+            self._apply_generated(
+                state,
+                source.where(F.col(op_col) == "u").drop(op_col),
+                "apply_changes upserts",
+            )
         if sorted(c for c in source.columns if c != op_col) != sorted(
             cols
         ):
@@ -2051,6 +2191,9 @@ class LakeTable:
                 return  # replay of an already-committed batch
             state = self._state()
             cols = [f["name"] for f in state["schema"]["fields"]]
+            batch_df = self._apply_generated(
+                state, batch_df, f"streaming batch {batch_id}"
+            )
             self._check_types(state, batch_df)
             self._enforce_constraints(
                 state, batch_df.select(*cols), f"streaming batch {batch_id}"
@@ -2550,6 +2693,7 @@ class LakeTable:
             "constraints": dict(
                 (state.get("config") or {}).get("constraints") or {}
             ),
+            "generated": dict(self._generated(state)),
             "cloned_from": c0.get("cloned_from"),
             "pins": self.pins(),
         }

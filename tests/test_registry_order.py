@@ -40,6 +40,8 @@ MUST_PROVE = {
     "lake_column_mapping",
     # benchmark decontamination (GPT-3 App. C; third r10 session):
     "dedup_decontaminate",
+    # generated columns (computed/validated/recomputed; third session):
+    "lake_generated_cols",
     # (b) lake-refactor-touched in r10:
     "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
