@@ -1366,6 +1366,78 @@ def lake_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_merge_clauses",
+    oracle="""
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+),
+source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 0.5 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT t.* FROM target t
+JOIN source s ON s.o_orderkey = t.o_orderkey
+WHERE (t.o_totalprice > 300000.0) IS NOT TRUE
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+       t.o_orderdate,
+       CASE WHEN t.o_orderstatus = 'F' THEN '0-MERGED'
+            ELSE t.o_orderpriority END AS o_orderpriority
+FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s
+                  WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT s.* FROM source s
+WHERE NOT EXISTS (SELECT 1 FROM target t
+                  WHERE t.o_orderkey = s.o_orderkey)
+  AND s.o_totalprice < 100000.0
+""",
+    doc="Full Delta MERGE clause grammar in ONE statement — the three "
+    "r10-verdict additions exercised together: whenMatchedDELETE "
+    "with a CONDITION (matched orders above 300k are deleted; below "
+    "— or NULL, IS-NOT-TRUE semantics — are KEPT, and their source "
+    "rows are discarded, never falling through to insert), "
+    "whenNotMatchedInsert with a condition (only half-priced "
+    "newcomers under 100k land), and whenNotMatchedBySource UPDATE "
+    "with a condition + SET (finished orders no source row touches "
+    "get a marker priority). The oracle is the standard three-branch "
+    "relational expansion with CASE for the by-source SET. "
+    "File-granularity still holds on this path: only files whose "
+    "rows actually CHANGE rewrite (a matched file where every "
+    "condition fails is untouched), found by one join pass; the "
+    "by-source clause forces full-table candidacy exactly like "
+    "Delta. Reference parity: the reference's incremental reload "
+    "(J7, Package.dtsx:657-673) is this grammar's degenerate "
+    "insert-only case.",
+)
+def lake_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    target = orders.where(F.col("o_orderkey") % 4 != 0)
+    t = LakeTable.create(
+        target.repartitionByRange(8, "o_orderkey"),
+        _fresh("merge_clauses", sf_dir),
+    )
+    source = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.5
+    )
+    t.merge_into(
+        spark,
+        source,
+        keys=["o_orderkey"],
+        when_matched="delete",
+        matched_condition="t.o_totalprice > 300000.0",
+        when_not_matched="insert",
+        not_matched_condition="o_totalprice < 100000.0",
+        when_not_matched_by_source="update",
+        not_matched_by_source_condition="t.o_orderstatus = 'F'",
+        not_matched_by_source_set={"o_orderpriority": "'0-MERGED'"},
+    )
+    return t.read(spark)
+
+
+@register(
     "lake_column_mapping",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -49,6 +49,7 @@ deleted; FALSE and NULL survive — SQL three-valued logic).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -1785,6 +1786,13 @@ class LakeTable:
         when_matched: str = "update",
         prune: tuple[str, str, object] | None = None,
         mode: str = "rewrite",
+        *,
+        matched_condition: str | None = None,
+        when_not_matched: str = "insert",
+        not_matched_condition: str | None = None,
+        when_not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_set: dict[str, str] | None = None,
     ) -> dict:
         """File-granular MERGE: target rows matching a source row on
         ``keys`` are replaced by the source row (``when_matched=
@@ -1817,11 +1825,90 @@ class LakeTable:
         even the O(matched files) rewrite and writes O(source rows +
         matched indexes). The flip side is the read-path anti-join
         until :meth:`compact` folds the vectors away.
+
+        **Full clause grammar** (the Delta ``whenMatched…`` /
+        ``whenNotMatched…`` / ``whenNotMatchedBySource…`` surface —
+        reference parity: the reference's incremental reload
+        (`Package.dtsx:657-673`) is the degenerate insert-only case):
+
+        - ``when_matched``: ``'update'`` | ``'keep'`` | ``'delete'``.
+        - ``matched_condition``: SQL predicate gating the matched
+          clause; reference target columns as ``t.col`` and source
+          columns as ``s.col``. A matched row where the condition is
+          not TRUE (false OR null — ``IS NOT TRUE`` semantics) is
+          KEPT unchanged, and its source row is discarded (it does
+          NOT fall through to the insert clause — standard MERGE).
+        - ``when_not_matched``: ``'insert'`` (default) | ``'keep'``;
+          ``not_matched_condition`` gates inserts (bare source
+          column names — only the source row is in scope).
+        - ``when_not_matched_by_source``: ``None`` | ``'delete'`` |
+          ``'update'`` — target rows matching NO source row are
+          deleted, or updated via ``not_matched_by_source_set``
+          (``{col: SQL over t.col}``), where
+          ``not_matched_by_source_condition`` (over ``t.col``) is
+          TRUE. Forces full-table candidacy (any file may hold a
+          not-matched row), exactly like Delta.
+
+        Conditional/delete/by-source merges run the general
+        clause engine (:meth:`_merge_general`): files whose rows
+        actually CHANGE are found first (one join pass), only those
+        rewrite — a matched file where every condition fails is
+        untouched. ``mode='dv'`` composes with every clause: changed
+        rows become deletion vectors, replacement post-images and
+        inserts are the only data written.
         """
-        if when_matched not in ("update", "keep"):
-            raise ValueError("when_matched must be 'update' or 'keep'")
+        if when_matched not in ("update", "keep", "delete"):
+            raise ValueError(
+                "when_matched must be 'update', 'keep' or 'delete'"
+            )
         if mode not in ("rewrite", "dv"):
             raise ValueError("mode must be 'rewrite' or 'dv'")
+        if when_not_matched not in ("insert", "keep"):
+            raise ValueError("when_not_matched must be 'insert' or 'keep'")
+        if when_not_matched_by_source not in (None, "delete", "update"):
+            raise ValueError(
+                "when_not_matched_by_source must be None, 'delete' "
+                "or 'update'"
+            )
+        if when_not_matched_by_source == "update" and not (
+            not_matched_by_source_set
+        ):
+            raise ValueError(
+                "when_not_matched_by_source='update' requires a "
+                "non-empty not_matched_by_source_set"
+            )
+        if (
+            when_not_matched_by_source != "update"
+            and not_matched_by_source_set
+        ):
+            raise ValueError(
+                "not_matched_by_source_set requires "
+                "when_not_matched_by_source='update'"
+            )
+        general = (
+            when_matched == "delete"
+            or matched_condition is not None
+            or when_not_matched != "insert"
+            or not_matched_condition is not None
+            or when_not_matched_by_source is not None
+        )
+        if general:
+            return self._merge_general(
+                spark,
+                source,
+                keys,
+                when_matched=when_matched,
+                matched_condition=matched_condition,
+                when_not_matched=when_not_matched,
+                not_matched_condition=not_matched_condition,
+                when_not_matched_by_source=when_not_matched_by_source,
+                not_matched_by_source_condition=(
+                    not_matched_by_source_condition
+                ),
+                not_matched_by_source_set=not_matched_by_source_set,
+                prune=prune,
+                mode=mode,
+            )
         if mode == "dv" and when_matched != "update":
             raise ValueError(
                 "mode='dv' applies to when_matched='update' only "
@@ -1969,6 +2056,315 @@ class LakeTable:
         return {
             "version": v,
             "rows_matched": n_matched,
+            "rows_source": rows_source,
+            "files_rewritten": len(remove),
+            "files_kept": len(all_files) - len(remove),
+        }
+
+    def _merge_general(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str,
+        matched_condition: str | None,
+        when_not_matched: str,
+        not_matched_condition: str | None,
+        when_not_matched_by_source: str | None,
+        not_matched_by_source_condition: str | None,
+        not_matched_by_source_set: dict[str, str] | None,
+        prune: tuple[str, str, object] | None,
+        mode: str,
+    ) -> dict:
+        """The full-grammar MERGE clause engine (see
+        :meth:`merge_into` for the surface contract). One shape for
+        every clause combination:
+
+        1. Freeze the source once (staged parquet — scratch here,
+           reclaimed at the end) and enforce the key-uniqueness
+           precondition with one small aggregation (a multi-match
+           target row is nondeterministic — Delta throws too).
+        2. Candidate files: files that can hold a matched key
+           (stats-``prune`` + semi-join, as the fast path) — unless a
+           by-source clause is present, which forces full-table
+           candidacy (ANY file may hold a not-matched row; inherent
+           to the semantics, same as Delta).
+        3. ONE left-outer join of the candidates' live rows against
+           the frozen source, aliased ``t``/``s`` so conditions
+           resolve qualified names; per-file counts of rows each
+           clause actually CHANGES come from one aggregation. Files
+           where every condition failed are untouched — a
+           conditional merge that changes 10 rows rewrites the files
+           holding those 10 rows, not every file with a key match.
+        4. ``mode='rewrite'``: touched files rewrite via a CASE
+           projection (matched-update takes ``s.*``, by-source-update
+           applies its SET exprs, delete rows drop); ``mode='dv'``:
+           changed rows become deletion vectors and only replacement
+           post-images land as files — zero rewrites for ANY clause
+           mix.
+        5. Inserts anti-join the frozen source against the HIT files'
+           live keys (a null-key source row matches nothing and
+           inserts, SQL semantics), gated by ``not_matched_condition``.
+
+        Clause conditions apply on IS TRUE semantics: false OR null
+        keeps the row (update/delete clauses fire only on TRUE).
+        CDF sides are exact row deltas: pre-images of changed rows
+        (-1), post-images of surviving changed rows plus inserts
+        (+1) — carried-over rows of rewritten files never appear.
+        """
+        nms = when_not_matched_by_source
+        nms_set = not_matched_by_source_set or {}
+        state = self._state()
+        source = self._apply_generated(state, source, "merge_into source")
+        cols = [f["name"] for f in state["schema"]["fields"]]
+        if sorted(source.columns) != sorted(cols):
+            raise ValueError(
+                f"merge schema mismatch: table {cols} vs source "
+                f"{source.columns}"
+            )
+        bad_set = sorted(set(nms_set) - set(cols))
+        if bad_set:
+            raise ValueError(
+                f"not_matched_by_source_set targets unknown columns "
+                f"{bad_set}"
+            )
+        self._check_types(state, source)
+        all_files = sorted(state["files"])
+        pby = self._partition_by(state)
+        gen = self._generated(state)
+
+        def _is_true(cond: str | None):
+            # clause fires on IS TRUE: false or NULL -> no-op
+            return (
+                F.coalesce(F.expr(cond), F.lit(False))
+                if cond is not None
+                else F.lit(True)
+            )
+
+        # 1. freeze the source (scratch staging; reclaimed below)
+        src_add = self._stage_files(source.select(*cols), partition_by=pby)
+        for m in [m for m in src_add if m["rows"] == 0]:
+            os.unlink(os.path.join(self.path, m["path"]))
+        src_add = [m for m in src_add if m["rows"] > 0]
+        rows_source = sum(m["rows"] for m in src_add)
+        src_df = self._scan(spark, state, [m["path"] for m in src_add])
+        nn = functools.reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
+        dup = (
+            src_df.where(nn)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            for m in src_add:
+                os.unlink(os.path.join(self.path, m["path"]))
+            raise ValueError(
+                "merge source is not key-unique on "
+                f"{keys} — a multi-match is nondeterministic"
+            )
+
+        # 2. candidacy
+        if nms is not None:
+            cand = all_files  # any file may hold a not-matched row
+        else:
+            cand = (
+                self._prune_split(state, *prune)[0]
+                if prune is not None
+                else all_files
+            )
+        skeys = src_df.select(*keys)
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys],
+        )
+        src_flag = src_df.withColumn("_s_match", F.lit(True)).alias("s")
+
+        def _joined(files: list[str]):
+            """(joined frame, flag columns) over ``files``' live rows."""
+            tgt = self._scan_live(
+                spark, state, files, keep_meta=True
+            ).alias("t")
+            j = tgt.join(src_flag, on, "left_outer")
+            is_m = F.col("s.`_s_match`").isNotNull()
+            m_fire = (
+                is_m & _is_true(matched_condition)
+                if when_matched in ("update", "delete")
+                else F.lit(False)
+            )
+            n_fire = (
+                (~is_m) & _is_true(not_matched_by_source_condition)
+                if nms is not None
+                else F.lit(False)
+            )
+            return j, is_m, m_fire, n_fire
+
+        # 3. hit files (insert anti-join scope) + touched files (rows
+        #    actually changed) from ONE aggregation over candidates
+        hit_files: list[str] = []
+        touched: list[str] = []
+        n_matched = n_m_fire = n_n_fire = 0
+        if cand:
+            j, is_m, m_fire, n_fire = _joined(cand)
+            per_file = (
+                j.groupBy(F.col("t.`_lake_file`").alias("_f"))
+                .agg(
+                    F.sum(is_m.cast("long")).alias("_m"),
+                    F.sum(m_fire.cast("long")).alias("_mf"),
+                    F.sum(n_fire.cast("long")).alias("_nf"),
+                )
+                .collect()
+            )
+            by_name = {os.path.basename(p): p for p in cand}
+            for r in per_file:
+                n_matched += r["_m"]
+                n_m_fire += r["_mf"]
+                n_n_fire += r["_nf"]
+                if r["_m"]:
+                    hit_files.append(by_name[r["_f"]])
+                if r["_mf"] or r["_nf"]:
+                    touched.append(by_name[r["_f"]])
+            hit_files.sort()
+            touched.sort()
+
+        def _out_col(c: str, m_fire, n_fire):
+            branches = []
+            if when_matched == "update":
+                branches.append((m_fire, F.col(f"s.`{c}`")))
+            if nms == "update":
+                branches.append(
+                    (
+                        n_fire,
+                        F.expr(nms_set[c])
+                        if c in nms_set
+                        else F.col(f"t.`{c}`"),
+                    )
+                )
+            e = None
+            for pred, val in branches:
+                e = F.when(pred, val) if e is None else e.when(pred, val)
+            base = F.col(f"t.`{c}`")
+            return (base if e is None else e.otherwise(base)).alias(c)
+
+        # 4. rewrite / dv over the touched files
+        cdf_on = self._cdf_enabled(state)
+        cdf_delete: list[dict] = []
+        cdf_insert: list[dict] = []
+        add: list[dict] = []
+        remove: list[str] = []
+        dv_metas: list[dict] = []
+        if touched:
+            j, is_m, m_fire, n_fire = _joined(touched)
+            drop = (m_fire & F.lit(when_matched == "delete")) | (
+                n_fire & F.lit(nms == "delete")
+            )
+            changed = m_fire | n_fire
+            post_rows = j.where(changed & ~drop).select(
+                *[_out_col(c, m_fire, n_fire) for c in cols]
+            )
+            if gen and nms == "update":
+                # by-source SET exprs could leave a generated column
+                # stale — validate the post-images (matched-update
+                # rows take the whole source row, already validated)
+                self._apply_generated(
+                    state, post_rows, "merge_into by-source update"
+                )
+            self._enforce_constraints(
+                state, post_rows, "merge_into changed rows"
+            )
+            if cdf_on:
+                cdf_delete = self._stage_files(
+                    j.where(changed).select(
+                        *[F.col(f"t.`{c}`").alias(c) for c in cols]
+                    ),
+                    partition_by=pby,
+                )
+            if mode == "dv":
+                new_dv = self._stage_dv(
+                    j.where(changed).select(
+                        F.col("t.`_lake_file`").alias("_dv_file"),
+                        F.col("t.`_lake_ridx`").alias("_dv_row"),
+                    )
+                )
+                dv_metas = self._fold_dv_metas(state, touched, new_dv)
+                post_add = self._stage_files(post_rows, partition_by=pby)
+                add += post_add
+                if cdf_on:
+                    # the post-image files ARE the +1 side — same
+                    # file dicts, staged once (fast-dv-path shape)
+                    cdf_insert += list(post_add)
+            else:
+                remove = touched
+                add += self._stage_files(
+                    j.where(~drop).select(
+                        *[_out_col(c, m_fire, n_fire) for c in cols]
+                    ),
+                    partition_by=pby,
+                )
+                if cdf_on:
+                    # rewritten files carry unchanged rows too — the
+                    # +1 side needs its own changed-rows-only staging
+                    cdf_insert += self._stage_files(
+                        post_rows, partition_by=pby
+                    )
+
+        # 5. inserts
+        n_inserted = 0
+        if when_not_matched == "insert":
+            if hit_files:
+                tkeys = self._scan_live(spark, state, hit_files).select(
+                    *keys
+                )
+                ins = src_df.join(tkeys, keys, "left_anti")
+            else:
+                ins = src_df
+            if not_matched_condition is not None:
+                ins = ins.where(_is_true(not_matched_condition))
+            self._enforce_constraints(state, ins, "merge_into inserts")
+            ins_add = self._stage_files(ins, partition_by=pby)
+            n_inserted = sum(m["rows"] for m in ins_add)
+            add += ins_add
+            if cdf_on:
+                cdf_insert += list(ins_add)
+
+        # the frozen source was scratch — reclaim it eagerly
+        for m in src_add:
+            os.unlink(os.path.join(self.path, m["path"]))
+
+        v = state["version"] + 1
+        commit = {
+            "op": "merge",
+            "add": add,
+            "remove": remove,
+            "merge_keys": keys,
+            "when_matched": when_matched,
+            "clauses": {
+                "matched_condition": matched_condition,
+                "when_not_matched": when_not_matched,
+                "not_matched_condition": not_matched_condition,
+                "when_not_matched_by_source": nms,
+                "not_matched_by_source_condition": (
+                    not_matched_by_source_condition
+                ),
+                "not_matched_by_source_set": nms_set or None,
+            },
+        }
+        if mode == "dv":
+            commit["mode"] = "dv"
+            commit["dv"] = dv_metas
+        if cdf_on:
+            commit["cdf_delete"] = cdf_delete
+            commit["cdf_insert"] = cdf_insert
+        self._write_commit(v, commit)
+        return {
+            "version": v,
+            "rows_matched": n_matched,
+            "rows_matched_changed": n_m_fire,
+            "rows_not_matched_by_source_changed": n_n_fire,
+            "rows_inserted": n_inserted,
             "rows_source": rows_source,
             "files_rewritten": len(remove),
             "files_kept": len(all_files) - len(remove),
