@@ -35,6 +35,11 @@ def test_bench_contract_line_is_last_and_parseable():
     assert isinstance(contract["value"], (int, float))
     assert contract["sf"] == 0.001
     assert len(contract["queries"]) == 3
+    assert contract["queries_total"] == 3
+    # the whole line must sit inside the driver's 2000-char stdout
+    # tail window or the record lands parsed=null (r9/r10): the
+    # contract builder enforces a 1900-char budget by construction
+    assert len(lines[-1]) <= 1900
     # raw arrays must NOT be inline (that's what overflowed the
     # driver's tail capture in round 4) — they go to the detail file,
     # and a SUBSET smoke like this one must not clobber that file.
