@@ -1059,6 +1059,58 @@ def lake_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_write_partitioned",
+    oracle="SELECT * FROM orders",
+    doc="Native Arrow write into a PARTITIONED lake table (r10 "
+    "verdict item #2 — the refusal lifted): the table is created "
+    "partitioned by o_orderstatus from the odd-key half of orders, "
+    "then the even-key half appends through df.write.format('lake') "
+    "— each executor task splits its Arrow batches by partition "
+    "tuple with a vectorized group-indices pass, writes one "
+    "Hive-laid-out file per (task, tuple) with data columns only "
+    "(the value rides the directory), computes stats executor-side, "
+    "and records the tuple in the commit exactly as "
+    "LakeTable.append does. Self-audits pin that every "
+    "natively-written file carries its partition tuple and that "
+    "partition pruning on the appended files is REAL (some files "
+    "provably clean for one status value). The oracle is orders "
+    "itself. At 100 TB this is the governed-ingest path: the "
+    "fastest writer now lands in the layout the table's pruning "
+    "and retention are built on.",
+)
+def lake_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch
+
+    lakebatch.register(spark)
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    path = _fresh("write_partitioned", sf_dir)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    t = LakeTable.create(odd, path, partition_by=["o_orderstatus"])
+    v0_files = set(t._state()["files"])
+    even.repartition(3).write.format("lake").option("path", path).mode(
+        "append"
+    ).save()
+    assert t.version() == 1, f"expected 2 commits, at v{t.version()}"
+    state = t._state()
+    new_files = [
+        m for p, m in state["files"].items() if p not in v0_files
+    ]
+    assert new_files, "append added no files"
+    for m in new_files:
+        assert m.get("partition"), "native file missing partition tuple"
+        assert "o_orderkey" in m["stats"], "file missing write stats"
+    # pruning on the partition column must skip the other statuses'
+    # files — including the natively-written ones
+    cand, clean = t.prune_files("o_orderstatus", "=", "F")
+    assert clean, "no provably-clean files: partition stats not recorded"
+    assert any(
+        p not in v0_files for p in clean
+    ), "no natively-written file was prunable"
+    return spark.read.format("lake").option("path", path).load()
+
+
+@register(
     "lake_delete_dv",
     oracle="""
 SELECT * FROM orders

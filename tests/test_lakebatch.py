@@ -372,8 +372,9 @@ def test_writer_streams_batches_with_running_stats(tmp_path):
     b2 = pa.record_batch([[1, 9], [None, 3.5]], schema=arrow)
     empty = pa.record_batch([[], []], schema=arrow)
     msg = w.write(iter([b1, empty, b2]))
-    assert msg.rows == 4
-    stats = json.loads(msg.stats_json)
+    (meta,) = json.loads(msg.files_json)
+    assert meta["rows"] == 4
+    stats = meta["stats"]
     # extrema span batches; null count is additive
     assert stats["k"] == {"min": 1, "max": 9, "nulls": 0}
     assert (stats["v"]["min"], stats["v"]["max"], stats["v"]["nulls"]) == (
@@ -381,12 +382,12 @@ def test_writer_streams_batches_with_running_stats(tmp_path):
     )
     # NaN arriving in a LATER batch still poisons the whole column
     b3 = pa.record_batch([[2], [float("nan")]], schema=arrow)
-    msg2 = w.write(iter([b1, b3]))
-    stats2 = json.loads(msg2.stats_json)
+    (meta2,) = json.loads(w.write(iter([b1, b3])).files_json)
+    stats2 = meta2["stats"]
     assert "v" not in stats2
     assert stats2["k"] == {"min": 2, "max": 6, "nulls": 0}
     # zero-row task stages nothing
-    assert w.write(iter([empty])).rel_path is None
+    assert w.write(iter([empty])).files_json is None
 
 
 def test_writer_multibatch_task_end_to_end(registered, tmp_path):
@@ -509,10 +510,13 @@ def test_writer_validates_schema_and_partitioned(registered, tmp_path):
         _df(spark, 0, 3).withColumn(
             "v", F.col("v").cast("float")
         ).write.format("lake").option("path", p).mode("append").save()
+    # partitioned targets now accept the native writer (r10 verdict
+    # item #2) — the former refusal is pinned gone, deep behavior in
+    # test_lakebatch_partitioned.py
     pt = LakeTable.create(
         _df(spark, 0, 10), str(tmp_path / "pt"), partition_by=["g"]
     )
-    with pytest.raises(Exception, match="partitioned"):
-        _df(spark, 10, 20).write.format("lake").option(
-            "path", pt.path
-        ).mode("append").save()
+    _df(spark, 10, 20).write.format("lake").option(
+        "path", pt.path
+    ).mode("append").save()
+    assert pt.read(spark).count() == 20
