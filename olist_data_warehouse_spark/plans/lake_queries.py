@@ -1553,6 +1553,77 @@ def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_write_governed",
+    oracle="""
+SELECT doc_id, text, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    doc="Governed tables on the NATIVE write path (r10 verdict item "
+    "#3 — the constraint/generated refusals lifted): a table with a "
+    "GENERATED n_chars column AND a CHECK constraint accepts "
+    "df.write.format('lake') — the even-doc half creates via the "
+    "table API, the odd-doc half appends through the native Arrow "
+    "writer OMITTING n_chars, which the executor computes per batch "
+    "through DuckDB using expressions whose Spark/DuckDB agreement "
+    "was PROVEN at DDL time over a typed canary battery and recorded "
+    "in the table config (the sessionless data-source writer just "
+    "reads the verdict). In-entry audits pin the violation paths: a "
+    "batch breaking the CHECK and a batch providing a WRONG generated "
+    "value both refuse ATOMICALLY (task failure -> abort -> staged "
+    "files unlinked, version and file set unchanged). The oracle "
+    "restates the generation rule as a projection over all of "
+    "documents. At 100 TB this closes the governed-ingest gap: the "
+    "fastest write path now enforces the same contracts the table "
+    "API does, instead of refusing exactly the production-configured "
+    "tables.",
+)
+def lake_write_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch
+
+    lakebatch.register(spark)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    even = d.where(F.col("doc_id") % 2 == 0)
+    odd = d.where(F.col("doc_id") % 2 == 1)
+    t = LakeTable.create(
+        even.drop("n_chars"),
+        _fresh("write_governed", sf_dir),
+        generated={"n_chars": "CAST(length(text) AS BIGINT)"},
+    )
+    t.add_constraint(spark, "id_nonneg", "doc_id >= 0")
+    odd.drop("n_chars").write.format("lake").option(
+        "path", t.path
+    ).mode("append").save()
+    v0 = t.version()
+    files0 = set(t._state()["files"])
+    bad_check = odd.limit(3).drop("n_chars").withColumn(
+        "doc_id", F.lit(-1).cast("long")
+    )
+    refused = False
+    try:
+        bad_check.write.format("lake").option("path", t.path).mode(
+            "append"
+        ).save()
+    except Exception:
+        refused = True
+    assert refused, "CHECK-violating batch accepted by native writer"
+    bad_gen = odd.limit(3).withColumn(
+        "n_chars", (F.length("text") + F.lit(7)).cast("long")
+    )
+    refused = False
+    try:
+        bad_gen.write.format("lake").option("path", t.path).mode(
+            "append"
+        ).save()
+    except Exception:
+        refused = True
+    assert refused, "wrong generated value accepted by native writer"
+    assert t.version() == v0, "refused write left a commit behind"
+    assert set(t._state()["files"]) == files0, "stray manifest file"
+    return t.read(spark)
+
+
+@register(
     "lake_generated_cols",
     oracle="""
 SELECT doc_id, text, lang, source,

@@ -308,6 +308,169 @@ def _hive_value(v) -> str:
     return _hive_escape(str(v))
 
 
+# ---------------------------------------------------------------------
+# Governed-table support for the native writer (r10 verdict item #3):
+# CHECK constraints and GENERATED columns are row-local Spark SQL
+# expressions; the executor has no SparkSession, so enforcement runs
+# through DuckDB over each Arrow batch — but ONLY for expressions the
+# driver first PROVES dialect-aligned: at writer-planning time each
+# expression is evaluated by BOTH engines over a typed canary battery
+# (NULLs, zeros, negatives, NaN, empty/unicode strings, boundary
+# dates) built from exactly the columns it references, and any
+# divergence or error keeps the old refusal. A provably-aligned
+# expression then enforces executor-side with the table API's exact
+# semantics: a CHECK violation is `expr IS FALSE` (NULL passes), a
+# provided generated column must be IS NOT DISTINCT FROM its
+# recomputation, an omitted one is computed in-batch. Violations fail
+# the task -> Spark aborts -> staged files are unlinked and no commit
+# lands (same atomicity as LakeTable.append's pre-commit gate).
+
+# Spark simpleString -> DuckDB type name, for CAST-wrapping generated
+# expressions so both engines produce the declared column type.
+_DUCK_TYPES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+}
+
+
+def _canary_values(simple: str) -> list | None:
+    import datetime as _dt
+
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return [None, 0, 1, -1, 7, 100, -100, 3]
+    if simple in ("float", "double"):
+        return [None, 0.0, 1.0, -1.5, float("nan"), 1e30, -0.001, 2.5]
+    if simple == "string":
+        return [None, "", "a", "B", "hello world", "naïve", "0", "-1"]
+    if simple == "date":
+        d = _dt.date
+        return [
+            None, d(1970, 1, 1), d(2024, 2, 29), d(1999, 12, 31),
+            d(2000, 1, 1), d(2024, 12, 31), d(1970, 1, 2), d(2038, 1, 19),
+        ]
+    if simple == "timestamp":
+        t = _dt.datetime
+        return [
+            None, t(2024, 1, 2, 3, 4, 5), t(1970, 1, 1),
+            t(1999, 12, 31, 23, 59, 59), t(2024, 6, 30, 12, 0, 0),
+            t(2000, 2, 29, 1, 2, 3), t(1970, 1, 1, 0, 0, 1),
+            t(2038, 1, 19, 3, 14, 7),
+        ]
+    if simple == "boolean":
+        return [None, True, False, True, False, None, True, False]
+    return None  # not canary-probeable (decimal, binary, nested, ...)
+
+
+def _same_scalar(a, b) -> bool:
+    import datetime as _dt
+    import math
+
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, _dt.datetime) or isinstance(b, _dt.datetime):
+        # compare on the instant, dropping tz representation deltas
+        # (Spark collects session-tz naive, DuckDB may attach UTC)
+        def _naive(x):
+            if isinstance(x, _dt.datetime) and x.tzinfo is not None:
+                return x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return x
+
+        return _naive(a) == _naive(b)
+    return a == b
+
+
+def _duckdb_aligned(
+    spark, schema, pairs: dict[str, tuple[str, str]]
+) -> str | None:
+    """Prove each (spark_sql, duck_sql) pair evaluates IDENTICALLY
+    over a canary battery built from the columns the expression
+    references, or return the reason it cannot be proven. Conservative
+    by construction: unsupported referenced column types, an error in
+    either engine, or any value divergence all return a reason (and
+    the caller keeps refusing the write)."""
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    all_sql = " ".join(s for p in pairs.values() for s in p)
+    refd = [
+        f
+        for f in schema.fields
+        if re.search(rf"\b{re.escape(f.name)}\b", all_sql)
+    ]
+    vals = {}
+    for f in refd:
+        v = _canary_values(f.dataType.simpleString())
+        if v is None:
+            return (
+                f"column {f.name!r} has type "
+                f"{f.dataType.simpleString()}, which the canary "
+                "cross-check cannot probe"
+            )
+        vals[f.name] = v
+    n = max((len(v) for v in vals.values()), default=1)
+    rows = [
+        tuple([i] + [vals[f.name][i % len(vals[f.name])] for f in refd])
+        for i in range(n)
+    ]
+    canary_schema = StructType(
+        [StructField("_cidx", LongType(), False)]
+        + [StructField(f.name, f.dataType, True) for f in refd]
+    )
+    labels = sorted(pairs)
+    try:
+        df = spark.createDataFrame(rows, canary_schema)
+        spark_rows = (
+            df.selectExpr(
+                "_cidx",
+                *[
+                    f"({pairs[lab][0]}) AS c{i}"
+                    for i, lab in enumerate(labels)
+                ],
+            )
+            .collect()
+        )
+        spark_rows.sort(key=lambda r: r["_cidx"])
+        con = duckdb.connect()
+        con.register("b", df.toArrow())
+        duck_rows = con.execute(
+            "SELECT _cidx, "
+            + ", ".join(
+                f"({pairs[lab][1]}) AS c{i}"
+                for i, lab in enumerate(labels)
+            )
+            + " FROM b ORDER BY _cidx"
+        ).fetchall()
+    except Exception as e:  # noqa: BLE001 - reason, not crash
+        return f"canary evaluation failed: {type(e).__name__}: {e}"
+    if len(spark_rows) != len(duck_rows):
+        return "canary row-count mismatch"
+    for sr, dr in zip(spark_rows, duck_rows):
+        for i, lab in enumerate(labels):
+            if not _same_scalar(sr[f"c{i}"], dr[i + 1]):
+                return (
+                    f"{lab} diverges on canary row _cidx={sr['_cidx']}:"
+                    f" spark={sr[f'c{i}']!r} duckdb={dr[i + 1]!r}"
+                )
+    return None
+
+
 class LakeBatchWriter(DataSourceArrowWriter):
     """`df.write.format("lake")` — the write side of the source.
 
@@ -339,12 +502,22 @@ class LakeBatchWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, path: str, schema_json: str, overwrite: bool,
-                 exists: bool, partition_json: str | None = None):
+                 exists: bool, partition_json: str | None = None,
+                 mapping_json: str | None = None,
+                 constraints_json: str | None = None,
+                 gen_missing_json: str | None = None,
+                 gen_present_json: str | None = None):
         self.path = path
-        self.schema_json = schema_json
+        self.schema_json = schema_json  # the OUTPUT (table) schema
         self.overwrite = overwrite
         self.exists = exists
         self.partition_json = partition_json
+        # governed-table support, pre-proven dialect-aligned by the
+        # driver's canary cross-check (see writer())
+        self.mapping_json = mapping_json
+        self.constraints_json = constraints_json
+        self.gen_missing_json = gen_missing_json
+        self.gen_present_json = gen_present_json
 
     def write(self, iterator) -> _WrittenFile:
         """Stream the task's Arrow batches into ONE parquet file per
@@ -370,13 +543,99 @@ class LakeBatchWriter(DataSourceArrowWriter):
         pby: list[str] = (
             json.loads(self.partition_json) if self.partition_json else []
         )
+        mapping: dict[str, str] = (
+            json.loads(self.mapping_json) if self.mapping_json else {}
+        )
+        cons: dict[str, str] = (
+            json.loads(self.constraints_json)
+            if self.constraints_json
+            else {}
+        )
+        gen_missing: dict[str, list] = (
+            json.loads(self.gen_missing_json)
+            if self.gen_missing_json
+            else {}
+        )
+        gen_present: dict[str, list] = (
+            json.loads(self.gen_present_json)
+            if self.gen_present_json
+            else {}
+        )
+        # files and stats key on PHYSICAL names on mapped tables
+        # (partition columns are barred from mapping)
         statted = {
-            fld.name: fld.dataType.simpleString()
+            mapping.get(fld.name, fld.name): fld.dataType.simpleString()
             for fld in declared.fields
             if fld.dataType.simpleString() in _STATS_TYPES
             and fld.name not in pby
         }
         data_dir = os.path.join(self.path, "data")
+
+        duck = None
+        if cons or gen_missing or gen_present:
+            import duckdb
+
+            duck = duckdb.connect()
+
+        def _govern(batch) -> list:
+            """Enforce the governed-table contract on one Arrow batch
+            (expressions pre-proven DuckDB-aligned by the driver's
+            canary): validate provided GENERATED values, compute
+            omitted ones in declared order, count CHECK violations
+            (`expr IS FALSE` — NULL passes, the table API's exact
+            semantics), then rename to physical names. A violation
+            raises -> the task fails -> Spark aborts the job -> staged
+            files unlink and no commit lands (same atomicity as the
+            table API's pre-commit gate)."""
+            out = [batch]
+            if duck is not None:
+                tbl = pa.Table.from_batches([batch])
+                duck.register("b", tbl)
+                for c, (e, dt) in sorted(gen_present.items()):
+                    bad = duck.execute(
+                        f'SELECT count(*) FROM b WHERE "{c}" IS '
+                        f"DISTINCT FROM (CAST(({e}) AS {dt}))"
+                    ).fetchone()[0]
+                    if bad:
+                        raise ValueError(
+                            f"GENERATED column {c} = {e}: {bad} "
+                            "written rows do not match the "
+                            "recomputed value"
+                        )
+                if gen_missing:
+                    sel = []
+                    for f in declared.fields:
+                        if f.name in gen_missing:
+                            e, dt = gen_missing[f.name]
+                            sel.append(
+                                f'CAST(({e}) AS {dt}) AS "{f.name}"'
+                            )
+                        else:
+                            sel.append(f'"{f.name}"')
+                    tbl = duck.execute(
+                        "SELECT " + ", ".join(sel) + " FROM b"
+                    ).arrow()
+                    duck.register("b", tbl)
+                for nme, e in sorted(cons.items()):
+                    bad = duck.execute(
+                        f"SELECT count(*) FROM b WHERE ({e}) IS FALSE"
+                    ).fetchone()[0]
+                    if bad:
+                        raise ValueError(
+                            "CHECK constraint violation on native "
+                            f"write: {nme} CHECK ({e}) fails for "
+                            f"{bad} rows"
+                        )
+                if gen_missing:
+                    out = tbl.to_batches()
+            if mapping:
+                out = [
+                    b.rename_columns(
+                        [mapping.get(n, n) for n in b.schema.names]
+                    )
+                    for b in out
+                ]
+            return out
 
         class _Acc:
             """One open output file: lazy ParquetWriter + running
@@ -501,11 +760,22 @@ class LakeBatchWriter(DataSourceArrowWriter):
                     }
                 return meta
 
+        governed = duck is not None or bool(mapping)
+
+        def _batches(it):
+            for raw in it:
+                if raw.num_rows == 0:
+                    continue
+                if governed:
+                    yield from _govern(raw)
+                else:
+                    yield raw
+
         accs: dict[tuple, _Acc] = {}
         try:
             if not pby:
                 plain = accs.setdefault((), _Acc("", {}))
-                for batch in iterator:
+                for batch in _batches(iterator):
                     plain.add(batch)
             else:
                 import pandas as pd
@@ -525,11 +795,11 @@ class LakeBatchWriter(DataSourceArrowWriter):
                     return v.item() if hasattr(v, "item") else v
 
                 data_cols = [
-                    f.name for f in declared.fields if f.name not in pby
+                    mapping.get(f.name, f.name)
+                    for f in declared.fields
+                    if f.name not in pby
                 ]
-                for batch in iterator:
-                    if batch.num_rows == 0:
-                        continue
+                for batch in _batches(iterator):
                     # vectorized tuple routing over ONLY the partition
                     # columns; data columns never leave Arrow
                     pdf = batch.select(pby).to_pandas(
@@ -694,33 +964,67 @@ class LakeBatchDataSource(DataSource):
                         f"{sorted(_PART_DIR_TYPES)}; use "
                         "LakeTable.append"
                     )
-            if (state.get("config") or {}).get("column_mapping"):
-                # this path writes parquet with the frame's LOGICAL
-                # names executor-side; a mapped table stores physical
-                # names — refuse rather than write unreadable files
-                raise ValueError(
-                    "table uses column mapping (renamed/dropped "
-                    "columns) — use LakeTable.append / overwrite, "
-                    "which stage under physical names"
-                )
-            if (state.get("config") or {}).get("generated"):
-                raise ValueError(
-                    "table has GENERATED columns — this write path "
-                    "cannot compute or validate them; use "
-                    "LakeTable.append / overwrite"
-                )
-            cons = (state.get("config") or {}).get("constraints") or {}
-            if cons:
-                # CHECK expressions are Spark SQL; this write path runs
-                # executor-side over raw Arrow batches with no session
-                # to evaluate them, so enforcement is impossible here —
-                # refuse rather than silently skip the contract
-                raise ValueError(
-                    "table has CHECK constraints "
-                    f"({sorted(cons)}) — the DataFrame-writer path "
-                    "cannot enforce them; use LakeTable.append / "
-                    "overwrite, which validate before committing"
-                )
+            cfg = state.get("config") or {}
+            mapping = cfg.get("column_mapping") or {}
+            gen = cfg.get("generated") or {}
+            cons = cfg.get("constraints") or {}
+            gen_missing: dict[str, tuple[str, str]] = {}
+            gen_present: dict[str, tuple[str, str]] = {}
+            if gen or cons:
+                # executor-side enforcement runs through DuckDB, so
+                # each expression must carry a DDL-TIME dialect proof
+                # (recorded by add_constraint / create(generated=) /
+                # prove_native_write via the canary cross-check — this
+                # writer runs in the sessionless Python-data-source
+                # worker and cannot run the canary itself); any
+                # unproven expression keeps the refusal
+                proofs = cfg.get("native_proofs") or {}
+                reason = None
+                for nme in sorted(cons):
+                    p = proofs.get(f"check:{nme}")
+                    if p is not True:
+                        reason = p or (
+                            f"constraint {nme!r} has no DDL-time "
+                            "dialect proof — run "
+                            "LakeTable.prove_native_write(spark)"
+                        )
+                        break
+                if reason is None:
+                    for c in sorted(gen):
+                        st = table_schema[c].dataType.simpleString()
+                        dt = _DUCK_TYPES.get(st)
+                        p = proofs.get(f"gen:{c}")
+                        if dt is None or p is not True:
+                            reason = (
+                                p
+                                if isinstance(p, str)
+                                else (
+                                    f"generated column {c!r} has no "
+                                    "DDL-time dialect proof — run "
+                                    "LakeTable.prove_native_write("
+                                    "spark)"
+                                )
+                            )
+                            break
+                        tgt = (
+                            gen_present
+                            if c in schema.fieldNames()
+                            else gen_missing
+                        )
+                        tgt[c] = (gen[c], dt)
+                if reason is not None:
+                    what = []
+                    if cons:
+                        what.append(f"CHECK constraints {sorted(cons)}")
+                    if gen:
+                        what.append(f"GENERATED columns {sorted(gen)}")
+                    raise ValueError(
+                        f"table has {' and '.join(what)} whose "
+                        "executor-side enforcement is not proven "
+                        f"dialect-exact ({reason}) — use "
+                        "LakeTable.append / overwrite, which validate "
+                        "with Spark itself before committing"
+                    )
             for fld in table_schema.fields:
                 if fld.name in schema.fieldNames():
                     got = schema[fld.name].dataType
@@ -730,20 +1034,22 @@ class LakeBatchDataSource(DataSource):
                             f"{fld.dataType.simpleString()} vs write "
                             f"{got.simpleString()}"
                         )
-            if not overwrite and sorted(schema.fieldNames()) != sorted(
-                table_schema.fieldNames()
-            ):
+            # generated columns may be OMITTED from the write (they
+            # are computed executor-side); anything else must match
+            if not overwrite and sorted(
+                [*schema.fieldNames(), *gen_missing]
+            ) != sorted(table_schema.fieldNames()):
                 raise ValueError(
                     f"append schema mismatch: table "
                     f"{table_schema.fieldNames()} vs write "
                     f"{schema.fieldNames()} (no merge_schema on this "
                     "path — use LakeTable.append)"
                 )
-            if (
-                overwrite
-                and sorted(schema.fieldNames())
-                != sorted(table_schema.fieldNames())
-                and str(
+            schema_replaced = overwrite and sorted(
+                [*schema.fieldNames(), *gen_missing]
+            ) != sorted(table_schema.fieldNames())
+            if schema_replaced and (
+                str(
                     self.options.get("overwrite_schema", "false")
                 ).lower()
                 != "true"
@@ -757,6 +1063,34 @@ class LakeBatchDataSource(DataSource):
                     f"{schema.fieldNames()}); pass "
                     ".option('overwrite_schema', 'true') to opt in"
                 )
+            if schema_replaced and (gen or cons):
+                raise ValueError(
+                    "overwrite_schema on a table with CHECK "
+                    "constraints or GENERATED columns would strand "
+                    "their config against a replaced schema — drop "
+                    "them first or use LakeTable.overwrite"
+                )
+            # files (and create/overwrite commits) carry the TABLE
+            # schema: omitted generated columns are computed in, and
+            # mapped tables rename to physical names executor-side
+            out_schema = (
+                table_schema if not schema_replaced else schema
+            )
+            return LakeBatchWriter(
+                path,
+                json.dumps(out_schema.jsonValue()),
+                overwrite=bool(overwrite),
+                exists=exists,
+                partition_json=json.dumps(pby) if pby else None,
+                mapping_json=json.dumps(mapping) if mapping else None,
+                constraints_json=json.dumps(cons) if cons else None,
+                gen_missing_json=(
+                    json.dumps(gen_missing) if gen_missing else None
+                ),
+                gen_present_json=(
+                    json.dumps(gen_present) if gen_present else None
+                ),
+            )
         return LakeBatchWriter(
             path,
             json.dumps(schema.jsonValue()),

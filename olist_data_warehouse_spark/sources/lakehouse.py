@@ -873,6 +873,13 @@ class LakeTable:
                         f"type {st} (need one of {_STATS_TYPES})"
                     )
         add = t._stage_files(df, partition_by=partition_by)
+        gen_proofs = (
+            t._native_proofs(
+                df.sparkSession, df.schema.jsonValue(), {}, generated
+            )
+            if generated
+            else None
+        )
         t._write_commit(
             0, {"op": "create", "add": add, "remove": [],
                 "schema": df.schema.jsonValue(),
@@ -880,7 +887,9 @@ class LakeTable:
                            **({"partition_by": list(partition_by)}
                               if partition_by else {}),
                            **({"generated": dict(generated)}
-                              if generated else {})}}
+                              if generated else {}),
+                           **({"native_proofs": gen_proofs}
+                              if gen_proofs else {})}}
         )
         return t
 
@@ -1111,6 +1120,14 @@ class LakeTable:
         cons[name] = expr_sql
         cfg = dict(state.get("config", {}))
         cfg["constraints"] = cons
+        # record the native-writer dialect proof while we HAVE a
+        # session (the data-source writer runs without one)
+        cfg["native_proofs"] = {
+            **(cfg.get("native_proofs") or {}),
+            **self._native_proofs(
+                spark, state["schema"], {name: expr_sql}, {}
+            ),
+        }
         v = state["version"] + 1
         self._write_commit(
             v,
@@ -1243,11 +1260,82 @@ class LakeTable:
         del cons[name]
         cfg = dict(state.get("config", {}))
         cfg["constraints"] = cons
+        proofs = dict(cfg.get("native_proofs") or {})
+        proofs.pop(f"check:{name}", None)
+        cfg["native_proofs"] = proofs
         v = state["version"] + 1
         self._write_commit(
             v,
             {"op": "alter", "add": [], "remove": [], "config": cfg,
              "constraint": {"action": "drop", "name": name}},
+        )
+        return v
+
+    @staticmethod
+    def _native_proofs(
+        spark: SparkSession,
+        schema_json: dict,
+        cons: dict[str, str],
+        gen: dict[str, str],
+    ) -> dict[str, object]:
+        """DDL-time dialect proofs for the sessionless native writer
+        (``df.write.format('lake')``): each CHECK / GENERATED
+        expression is evaluated by BOTH Spark and DuckDB over a typed
+        canary battery (:func:`lakebatch._duckdb_aligned`); the
+        verdict — ``True`` or the divergence reason — is recorded in
+        the table config, because the Python-data-source writer runs
+        with no SparkSession and cannot run the canary itself. Each
+        expression proves independently, so one unprovable expression
+        never blocks the others' record."""
+        from olist_data_warehouse_spark.sources.lakebatch import (
+            _DUCK_TYPES,
+            _duckdb_aligned,
+        )
+
+        schema = StructType.fromJson(schema_json)
+        proofs: dict[str, object] = {}
+        for name, e in sorted(cons.items()):
+            proofs[f"check:{name}"] = (
+                _duckdb_aligned(spark, schema, {name: (e, e)}) or True
+            )
+        for col, e in sorted(gen.items()):
+            st = schema[col].dataType.simpleString()
+            dt = _DUCK_TYPES.get(st)
+            if dt is None:
+                proofs[f"gen:{col}"] = (
+                    f"generated type {st} is not DuckDB-castable"
+                )
+                continue
+            proofs[f"gen:{col}"] = (
+                _duckdb_aligned(
+                    spark,
+                    schema,
+                    {col: (f"CAST(({e}) AS {st})",
+                           f"CAST(({e}) AS {dt})")},
+                )
+                or True
+            )
+        return proofs
+
+    def prove_native_write(self, spark: SparkSession) -> int:
+        """Re-run the DDL-time dialect canaries for every CHECK
+        constraint and GENERATED column and record the verdicts in a
+        metadata-only ``alter`` commit — the migration path that
+        unlocks ``df.write.format('lake')`` on governed tables created
+        before proofs existed (new DDL records them automatically).
+        Returns the commit version."""
+        state = self._state()
+        cfg = dict(state.get("config", {}))
+        cons = cfg.get("constraints") or {}
+        gen = cfg.get("generated") or {}
+        cfg["native_proofs"] = self._native_proofs(
+            spark, state["schema"], cons, gen
+        )
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "config": cfg,
+             "native_proofs": {"action": "refresh"}},
         )
         return v
 

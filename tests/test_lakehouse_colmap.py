@@ -150,15 +150,27 @@ def test_batch_datasource_reads_mapped_table(spark, tmp_path):
         df.where(F.col("id") > 150).count()
         == t.read(spark).where(F.col("id") > 150).count()
     )
-    # writer path refuses mapped tables with the recipe
-    with pytest.raises(Exception, match="column mapping"):
-        (
-            spark.createDataFrame([(1, 1)], "id long, val long")
-            .write.format("lake")
-            .option("path", t.path)
-            .mode("append")
-            .save()
-        )
+    # the native writer targets mapped tables too (r10 verdict #3):
+    # the executor renames logical -> physical before writing, so the
+    # staged files are indistinguishable from table-API staging
+    (
+        spark.createDataFrame([(1000, 3)], "id long, val long")
+        .write.format("lake")
+        .option("path", t.path)
+        .mode("append")
+        .save()
+    )
+    assert t.read(spark).where(F.col("id") == 1000).collect()[0][
+        "val"
+    ] == 3
+    # stats on the natively-written file key on the PHYSICAL name
+    phys = t._mapping(t._state()).get("val", "val")
+    added = [
+        m
+        for m in t._state()["files"].values()
+        if m["rows"] == 1 and m["stats"].get(phys, {}).get("min") == 3
+    ]
+    assert added, "native mapped write missing physical-keyed stats"
 
 
 def test_stream_reads_mapped_table(spark, tmp_path):

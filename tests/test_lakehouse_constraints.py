@@ -229,7 +229,10 @@ def test_history_surfaces_constraint_commits(spark, tmp_path):
     assert h[2]["constraint"] == {"action": "drop", "name": "v_nonneg"}
 
 
-def test_batch_writer_refuses_constrained_tables(spark, tmp_path):
+def test_batch_writer_enforces_proven_constraints(spark, tmp_path):
+    """r10 verdict item #3: the native writer now ENFORCES constraints
+    whose DDL-time dialect proof passed — violations refuse atomically
+    (no commit, no stray manifest file), clean batches land."""
     from olist_data_warehouse_spark.sources.lakebatch import (
         LakeBatchDataSource,
     )
@@ -237,7 +240,36 @@ def test_batch_writer_refuses_constrained_tables(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"), n=10)
     t.add_constraint(spark, "v_nonneg", "v >= 0")
     spark.dataSource.register(LakeBatchDataSource)
-    with pytest.raises(Exception, match="CHECK constraints"):
+    _batch(spark, [(100, 1)]).write.format("lake").option(
+        "path", t.path
+    ).mode("append").save()
+    assert t.read(spark).count() == 11
+    v0 = t.version()
+    files0 = set(t._state()["files"])
+    with pytest.raises(Exception, match="CHECK constraint violation"):
+        (
+            _batch(spark, [(101, -1)])
+            .write.format("lake")
+            .option("path", t.path)
+            .mode("append")
+            .save()
+        )
+    assert t.version() == v0
+    assert set(t._state()["files"]) == files0
+
+
+def test_batch_writer_refuses_unproven_constraint(spark, tmp_path):
+    """An expression whose canary cross-check could not prove
+    Spark/DuckDB agreement (here: a Spark-only function) keeps the
+    refusal, and prove_native_write names the remedy."""
+    from olist_data_warehouse_spark.sources.lakebatch import (
+        LakeBatchDataSource,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    t.add_constraint(spark, "h", "xxhash64(v) IS NOT NULL")
+    spark.dataSource.register(LakeBatchDataSource)
+    with pytest.raises(Exception, match="not proven dialect-exact"):
         (
             _batch(spark, [(100, 1)])
             .write.format("lake")
@@ -245,3 +277,6 @@ def test_batch_writer_refuses_constrained_tables(spark, tmp_path):
             .mode("append")
             .save()
         )
+    # the table API remains the supported path for it
+    t.append(_batch(spark, [(100, 1)]))
+    assert t.read(spark).count() == 11
