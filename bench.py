@@ -164,8 +164,13 @@ BENCH_QUERIES = [
     # representative
     "lake_generated_cols",
     # round-11: the full MERGE clause grammar in one statement
-    # (conditional matched delete + gated insert + by-source update)
+    # (conditional matched delete + gated insert + by-source update),
+    # the native writer on partitioned and governed tables, and the
+    # native streaming sink (full drain round-trip timed)
     "lake_merge_clauses",
+    "lake_write_partitioned",
+    "lake_write_governed",
+    "lake_stream_sink",
 ]
 
 

@@ -1624,6 +1624,91 @@ def lake_write_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_stream_sink",
+    oracle="SELECT * FROM orders WHERE o_orderkey % 3 = 0",
+    doc="NATIVE streaming sink (r10 verdict item #5): "
+    "writeStream.format('lake') replaces the foreachBatch recipe — "
+    "a lake source table (orders keys %3=0, landed as create + two "
+    "appends) streams through the lakestream reader into a NEW lake "
+    "table via the DataSource streamWriter, drained to completion. "
+    "Each micro-batch commit carries the exactly-once txn action "
+    "({app, batch}); in-entry audits pin that every commit is a "
+    "create/stream_append with the app's txn recorded and versions "
+    "contiguous, and the replay path (same batchId re-committed) "
+    "drops its staged files without landing a commit — byte-level "
+    "exactly-once, not just row-count luck. The write side shares "
+    "the batch writer's whole contract: per-task Arrow streaming, "
+    "executor-side stats, partition routing, governed-table proofs. "
+    "The oracle is the filtered source. At 100 TB this is the "
+    "continuous-ingest path with a uniform surface: the same "
+    "format string reads batch, reads stream, writes batch, writes "
+    "stream.",
+)
+def lake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch, lakestream
+
+    lakebatch.register(spark)
+    lakestream.register(spark)
+    orders = _t(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") % 3 == 0
+    )
+    src = LakeTable.create(
+        orders.where(F.col("o_orderkey") % 9 == 0).coalesce(1),
+        _fresh("stream_sink_src", sf_dir),
+    )
+    for m in (3, 6):
+        src.append(
+            orders.where(
+                (F.col("o_orderkey") % 9 == m)
+            ).coalesce(1)
+        )
+    dst = _fresh("stream_sink_dst", sf_dir)
+    ck = _fresh("stream_sink_ck", sf_dir)
+    writer = (
+        spark.readStream.format("lakestream")
+        .option("path", src.path)
+        .load()
+        .writeStream.format("lake")
+        .option("path", dst)
+        .option("app", "entry_sink")
+        .option("checkpointLocation", ck)
+    )
+    lakestream.drain(writer, src.path, timeout=240)
+    t = LakeTable(dst)
+    hist = t.history()
+    assert all(
+        h["op"] in ("create", "stream_append") for h in hist
+    ), hist
+    assert t.last_txn_batch("entry_sink") >= 0
+    vs = t._commit_versions()
+    assert vs == list(range(len(vs))), vs
+    # replay audit: re-committing an already-committed batchId must
+    # drop its staged files and land NO commit (exactly-once)
+    import json as _json
+
+    from olist_data_warehouse_spark.sources.lakebatch import (
+        LakeStreamSinkWriter,
+    )
+
+    w = LakeStreamSinkWriter(
+        app="entry_sink",
+        path=dst,
+        schema_json=_json.dumps(t.read(spark).schema.jsonValue()),
+        overwrite=False,
+        exists=True,
+    )
+    msg = w.write(iter(t.read(spark).limit(1).toArrow().to_batches()))
+    staged = _json.loads(msg.files_json)
+    v0 = t.version()
+    w.commit([msg], 0)
+    assert t.version() == v0, "replayed epoch landed a commit"
+    assert not os.path.exists(
+        os.path.join(dst, staged[0]["path"])
+    ), "replayed epoch left its staged file"
+    return t.read(spark)
+
+
+@register(
     "lake_generated_cols",
     oracle="""
 SELECT doc_id, text, lang, source,

@@ -1764,38 +1764,40 @@ from olist_data_warehouse_spark.plans import lake_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-10 prefix. Union r1-r9 = 230/230 entries driver-green, so
-    # no rotation debt remains — per the standing discipline only NEW
-    # or TOUCHED entries lead; the rest of the 50 slots are high-value
-    # re-proofs.
-    # 1: NEW this round: deletion vectors (merge-on-read delete +
-    #    compaction purge + CDF exactness), partitioned shallow clone
-    #    (multi-root grouped Hive scan), and the batch CDF read
-    #    through the 'lake' DataSource (mode='cdf', readChangeFeed
-    #    shape).
+    # Round-11 prefix. Union r1-r10 = 246/246 entries driver-green —
+    # per the standing discipline only NEW or TOUCHED entries lead;
+    # the rest of the 50 slots are high-value re-proofs.
+    # 1: NEW this round: the full Delta MERGE clause grammar
+    #    (conditional matched update/delete + by-source clauses, dv
+    #    composition), the native Arrow writer on PARTITIONED and
+    #    GOVERNED (constraint/generated/mapped) tables, and the
+    #    native streaming sink (writeStream.format('lake') with the
+    #    exactly-once txn protocol).
+    "lake_merge_clauses", "lake_write_partitioned",
+    "lake_write_governed", "lake_stream_sink",
+    # 2: TOUCHED this round: merge_into's dispatch wraps every merge
+    #    (upsert/dv/apply_changes must stay exact); lakebatch's write
+    #    path was restructured (multi-file commit messages, governance
+    #    hook, out-schema) so every native-write shape re-proves; the
+    #    governance DDL (create/add_constraint) now records canary
+    #    proofs so the constraint/generated/mapping entries re-prove
+    #    their unchanged semantics.
+    "lake_merge_upsert", "lake_merge_dv", "lake_apply_changes",
+    "lake_write_roundtrip", "lake_constraint_gate",
+    "lake_generated_cols", "lake_column_mapping",
+    # 3: r10 prefix carry-over (all driver-green in r10; the dv/DML
+    #    family stays near the front while the storage layer is the
+    #    active surface).
     "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
-    "lake_update_where", "lake_constraint_gate", "lake_merge_dv",
-    "lake_column_mapping", "dedup_decontaminate", "lake_generated_cols",
+    "lake_update_where",
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
     "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
-    "lake_apply_changes",
-    # 2: TOUCHED this round: every lake entry — lakehouse.py's scan
-    #    path was refactored for multi-root partitioned reads, pruning
-    #    now resolves state once and shares _stats_might_match, vacuum
-    #    sweeps probe records; lakestream.py gained drain() + probe_dir
-    #    + data/-rooted Hive fallback; lakebatch.py gained cdf mode,
-    #    one-pass pushdown planning, a streaming ParquetWriter sink,
-    #    and the overwrite-schema guard. The deletion-vector work then
-    #    touched the same surfaces again: _scan grew the metadata
-    #    capture, every mutator scans the LIVE view, rollback restores
-    #    dv-changed metas, CDF replay is dv-filtered end to end.
-    #    Semantics should be unchanged on every existing shape —
-    #    prove it.
-    "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
+    "dedup_decontaminate",
+    "lake_delete_where", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
     "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read", "lake_write_roundtrip",
+    "lake_pushdown_read",
     # 3: high-value re-proofs backfilling the 50-slot cap — flagship
     #    OLTP/DW pairs, incremental/merge shapes, and one headliner
     #    per operator family (similarity, temporal, graph, sketch,

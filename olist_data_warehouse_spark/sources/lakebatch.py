@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -896,6 +897,83 @@ class LakeBatchWriter(DataSourceArrowWriter):
                     pass
 
 
+class LakeStreamSinkWriter(LakeBatchWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lake")`` — the NATIVE streaming sink
+    (r10 verdict item #5: the uniform-surface story no longer stops at
+    ``foreachBatch``).
+
+    ``write`` is inherited from :class:`LakeBatchWriter` wholesale:
+    each micro-batch's tasks stream Arrow batches into one file per
+    partition tuple with executor-side stats and the full governed-
+    table contract (proven constraints / generated compute / column
+    mapping). ``commit`` lands the micro-batch under the SAME
+    exactly-once txn protocol as :meth:`LakeTable.streaming_sink`:
+    the commit carries ``txn = {app, batch}``, and a replayed epoch
+    (restart between sink commit and checkpoint advance — Spark
+    re-runs the batch with the same ``batchId``) is detected by
+    ``batchId <= last committed`` and DROPPED, its freshly staged
+    files unlinked, so no row ever lands twice. ``app`` comes from
+    ``.option('app', ...)`` — required, because two queries sharing
+    a default id would wrongly dedup each other's batches (Delta's
+    ``txnAppId`` posture). A concurrent writer costs one OCC retry of
+    the commit decision only; files never restage."""
+
+    def __init__(self, app: str, **kwargs):
+        super().__init__(**kwargs)
+        self.app = app
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import json
+        import os
+
+        from olist_data_warehouse_spark.sources.lakehouse import (
+            LakeTable,
+            with_occ_retry,
+        )
+
+        add = []
+        for m in messages:
+            if m is None or not m.files_json:
+                continue
+            add += json.loads(m.files_json)
+        t = LakeTable(self.path)
+        schema = json.loads(self.schema_json)
+
+        def _drop_staged() -> None:
+            for f in add:
+                try:
+                    os.unlink(os.path.join(self.path, f["path"]))
+                except OSError:
+                    pass
+
+        def _commit_once() -> None:
+            if t.version() is None:
+                t._write_commit(
+                    0,
+                    {"op": "create", "add": add, "remove": [],
+                     "schema": schema, "config": {"cdf": False},
+                     "txn": {"app": self.app, "batch": batchId}},
+                )
+                return
+            cur = t._state()
+            if batchId <= cur["txns"].get(self.app, -1):
+                # epoch replay: this batch already committed before
+                # the checkpoint advanced — exactly-once means the
+                # replay's staged files are dropped, not re-added
+                _drop_staged()
+                return
+            t._write_commit(
+                cur["version"] + 1,
+                {"op": "stream_append", "add": add, "remove": [],
+                 "txn": {"app": self.app, "batch": batchId}},
+            )
+
+        with_occ_retry(_commit_once)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        LakeBatchWriter.abort(self, messages)
+
+
 class LakeBatchDataSource(DataSource):
     """`spark.read.format("lake")` — see module docstring."""
 
@@ -1097,6 +1175,40 @@ class LakeBatchDataSource(DataSource):
             overwrite=bool(overwrite),
             exists=exists,
             partition_json=json.dumps(pby) if pby else None,
+        )
+
+    def streamWriter(  # noqa: N802 - DataSource API name
+        self, schema, overwrite: bool
+    ) -> "LakeStreamSinkWriter":
+        """``writeStream.format("lake")`` — plans through the SAME
+        gates as the batch writer (schema/type checks, partition
+        dir-encodability, governed-table proofs), then swaps in the
+        txn-carrying exactly-once commit."""
+        if overwrite:
+            raise ValueError(
+                "the lake streaming sink is append-only — use "
+                "outputMode('append')"
+            )
+        app = self.options.get("app")
+        if not app:
+            raise ValueError(
+                "lake streaming sink requires .option('app', <stable "
+                "id>): the exactly-once txn protocol dedups replayed "
+                "epochs PER APP, and a shared default would make two "
+                "queries silently drop each other's batches"
+            )
+        w = self.writer(schema, False)
+        return LakeStreamSinkWriter(
+            app=str(app),
+            path=w.path,
+            schema_json=w.schema_json,
+            overwrite=False,
+            exists=w.exists,
+            partition_json=w.partition_json,
+            mapping_json=w.mapping_json,
+            constraints_json=w.constraints_json,
+            gen_missing_json=w.gen_missing_json,
+            gen_present_json=w.gen_present_json,
         )
 
 

@@ -457,11 +457,11 @@ def test_two_streaming_sinks_one_table(spark, table, tmp_path):
     errs = []
 
     def run(i):
-        try:
-            # availableNow + limit is the documented one-budget trap —
-            # drain() is the run-to-completion recipe, here exercised
-            # CONCURRENTLY from two queries into one destination
-            writer = (
+        # availableNow + limit is the documented one-budget trap —
+        # drain() is the run-to-completion recipe, here exercised
+        # CONCURRENTLY from two queries into one destination
+        def writer():
+            return (
                 spark.readStream.format("lakestream")
                 .option("path", srcs[i].path)
                 .option("max_files_per_batch", "1")  # many small commits
@@ -469,7 +469,18 @@ def test_two_streaming_sinks_one_table(spark, table, tmp_path):
                 .writeStream.foreachBatch(table.streaming_sink(f"app{i}"))
                 .option("checkpointLocation", str(tmp_path / f"ck{i}"))
             )
-            lakestream.drain(writer, srcs[i].path, timeout=240)
+
+        try:
+            try:
+                lakestream.drain(writer(), srcs[i].path, timeout=240)
+            except Exception:  # noqa: BLE001 - one retry, then surface
+                # a loaded 32-core box can starve one of two concurrent
+                # queries past its drain budget (r10 verdict finding
+                # #1, same family as commit 068c0f6). The checkpoint +
+                # txn protocol make a second drain exactly-once-safe,
+                # so retry ONCE with a fresh budget; a real failure
+                # fails again and surfaces below.
+                lakestream.drain(writer(), srcs[i].path, timeout=360)
         except Exception as e:  # noqa: BLE001 - surfaced via assert
             errs.append(e)
 
@@ -477,7 +488,9 @@ def test_two_streaming_sinks_one_table(spark, table, tmp_path):
     for th in threads:
         th.start()
     for th in threads:
-        th.join(timeout=300)
+        # must outlast the worst case: first budget + retry budget
+        th.join(timeout=700)
+        assert not th.is_alive(), "drain thread stuck past both budgets"
     assert not errs, errs
     got = table.read(spark)
     assert got.count() == 180

@@ -14,40 +14,22 @@ from olist_data_warehouse_spark.plans.queries import (
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
 MUST_PROVE = {
-    # r9 went 50/50 green, closing the union at 230/230 — every pre-r10
-    # entry has a driver row. The round-10 must-prove set is
-    # (a) the three NEW entries (partitioned shallow clone; batch CDF
-    # through the 'lake' DataSource; the one-command rate-limited
-    # backlog drain) and (b) every lake entry: the
-    # round refactored lakehouse's scan (multi-root Hive grouping) and
-    # pruning (shared _stats_might_match, one-pass state resolution),
-    # lakestream (drain helper, probe_dir/retention, data/-rooted Hive
-    # fallback), and lakebatch (cdf mode, one-pass planning, streaming
-    # ParquetWriter, overwrite-schema guard).
-    # (a) new in r10:
-    "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
-    "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
-    "lake_apply_changes",
-    # deletion vectors (merge-on-read delete; second r10 session):
-    "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
-    # UPDATE ... SET (copy-on-write + dv modes; third r10 session):
-    "lake_update_where",
-    # CHECK constraints (atomic write gate; third r10 session):
-    "lake_constraint_gate",
-    # DV MERGE (zero-rewrite trickle upsert; third r10 session):
-    "lake_merge_dv",
-    # column mapping (rename/drop without rewrite; third r10 session):
-    "lake_column_mapping",
-    # benchmark decontamination (GPT-3 App. C; third r10 session):
-    "dedup_decontaminate",
-    # generated columns (computed/validated/recomputed; third session):
-    "lake_generated_cols",
-    # (b) lake-refactor-touched in r10:
-    "lake_delete_where", "lake_merge_upsert", "lake_schema_evolution",
-    "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
-    "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
-    "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read", "lake_write_roundtrip",
+    # r10 went 50/50 green, closing the union at 246/246 — every
+    # pre-r11 entry has a driver row. The round-11 must-prove set is
+    # (a) the four NEW entries and (b) every entry whose code path the
+    # round touched: merge_into gained the full clause grammar (its
+    # dispatch wraps every merge, and apply_changes shares staging);
+    # lakebatch's write path was restructured (multi-file commit
+    # messages, partition routing, governance hook, out-schema); the
+    # governance DDL (create / add_constraint / drop_constraint) now
+    # records canary proofs in table config.
+    # (a) new in r11:
+    "lake_merge_clauses", "lake_write_partitioned",
+    "lake_write_governed", "lake_stream_sink",
+    # (b) touched in r11:
+    "lake_merge_upsert", "lake_merge_dv", "lake_apply_changes",
+    "lake_write_roundtrip", "lake_constraint_gate",
+    "lake_generated_cols", "lake_column_mapping",
 }
 
 
