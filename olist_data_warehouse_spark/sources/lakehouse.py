@@ -431,8 +431,8 @@ class LakeTable:
                         k: c[k]
                         for k in (
                             "ts", "predicate", "rows_deleted",
-                            "rows_updated", "rollback_of", "mode",
-                            "constraint", "column",
+                            "rows_updated", "rollback_of", "restore",
+                            "mode", "constraint", "column",
                         )
                         if k in c
                     },
@@ -1011,7 +1011,9 @@ class LakeTable:
         )
         return v
 
-    def rollback(self, version: int) -> int:
+    def rollback(
+        self, version: int, _provenance: dict | None = None
+    ) -> int:
         """Metadata-only commit restoring ``version``'s file list.
 
         A file present in BOTH versions whose META changed in between
@@ -1037,9 +1039,38 @@ class LakeTable:
                      if p not in cur["files"] or p in changed],
              "remove": sorted(removed),
              **_remove_dv_of(cur, removed),
-             "schema": old["schema"]},
+             "schema": old["schema"],
+             **(_provenance or {})},
         )
         return v
+
+    def restore(self, version: int | None = None, timestamp=None) -> int:
+        """Delta's ``RESTORE TABLE ... TO VERSION / TIMESTAMP AS OF``
+        surfaced under its own name: exactly one of ``version`` /
+        ``timestamp`` (epoch seconds / datetime / ISO string, resolved
+        to the last commit at or before it like :meth:`read`'s
+        ``timestampAsOf``) — then the :meth:`rollback` metadata-only
+        commit restores that version's file state, written ONCE with
+        ``restore`` provenance alongside ``rollback_of`` so
+        :meth:`history` shows the RESTORE for audit parity with
+        Delta. Like Delta RESTORE it does NOT re-validate constraints
+        added after the target version."""
+        if (version is None) == (timestamp is None):
+            raise ValueError(
+                "pass exactly one of version / timestamp"
+            )
+        if timestamp is not None:
+            version = self.resolve_timestamp(timestamp)
+        return self.rollback(
+            version,
+            _provenance={
+                "restore": {
+                    "to_version": version,
+                    **({"timestamp": str(timestamp)}
+                       if timestamp is not None else {}),
+                }
+            },
+        )
 
     # -- reading -------------------------------------------------------
 
