@@ -507,7 +507,9 @@ class LakeBatchWriter(DataSourceArrowWriter):
                  mapping_json: str | None = None,
                  constraints_json: str | None = None,
                  gen_missing_json: str | None = None,
-                 gen_present_json: str | None = None):
+                 gen_present_json: str | None = None,
+                 txn_app: str | None = None,
+                 txn_version: int | None = None):
         self.path = path
         self.schema_json = schema_json  # the OUTPUT (table) schema
         self.overwrite = overwrite
@@ -519,6 +521,11 @@ class LakeBatchWriter(DataSourceArrowWriter):
         self.constraints_json = constraints_json
         self.gen_missing_json = gen_missing_json
         self.gen_present_json = gen_present_json
+        # idempotent batch writes (Delta's txnAppId/txnVersion
+        # posture): a retried orchestrator job re-running the same
+        # (app, version) write lands NOTHING the second time
+        self.txn_app = txn_app
+        self.txn_version = txn_version
 
     def write(self, iterator) -> _WrittenFile:
         """Stream the task's Arrow batches into ONE parquet file per
@@ -850,6 +857,8 @@ class LakeBatchWriter(DataSourceArrowWriter):
             with_occ_retry,
         )
 
+        import os
+
         add = []
         for m in messages:
             if m is None or not m.files_json:
@@ -859,26 +868,46 @@ class LakeBatchWriter(DataSourceArrowWriter):
             add += json.loads(m.files_json)
         t = LakeTable(self.path)
         schema = json.loads(self.schema_json)
+        txn = (
+            {"app": self.txn_app, "batch": self.txn_version}
+            if self.txn_app is not None
+            else None
+        )
 
         def _commit_once():
             if t.version() is None:
                 t._write_commit(
                     0,
                     {"op": "create", "add": add, "remove": [],
-                     "schema": schema, "config": {"cdf": False}},
+                     "schema": schema, "config": {"cdf": False},
+                     **({"txn": txn} if txn else {})},
                 )
                 return
             state = t._state()
+            if txn and txn["batch"] <= state["txns"].get(
+                txn["app"], -1
+            ):
+                # idempotent replay (Delta's txnAppId/txnVersion): a
+                # retried job re-ran the write — drop its staged files
+                # and land NOTHING (exactly-once for batch retries)
+                for f in add:
+                    try:
+                        os.unlink(os.path.join(self.path, f["path"]))
+                    except OSError:
+                        pass
+                return
             v = state["version"] + 1
             if self.overwrite:
                 t._write_commit(
                     v,
                     {"op": "overwrite", "add": add,
-                     "remove": sorted(state["files"]), "schema": schema},
+                     "remove": sorted(state["files"]), "schema": schema,
+                     **({"txn": txn} if txn else {})},
                 )
             else:
                 t._write_commit(
-                    v, {"op": "append", "add": add, "remove": []}
+                    v, {"op": "append", "add": add, "remove": [],
+                        **({"txn": txn} if txn else {})}
                 )
 
         with_occ_retry(_commit_once)
@@ -1023,6 +1052,17 @@ class LakeBatchDataSource(DataSource):
         path = _norm_path(self.options.get("path"))
         if not path:
             raise ValueError("lake sink requires .option('path', ...)")
+        # idempotent batch writes (Delta's txnAppId/txnVersion): a
+        # retried orchestrator job passing the same (app, version)
+        # lands nothing the second time — see commit()
+        txn_app = self.options.get("txn_app")
+        raw_txn_v = self.options.get("txn_version")
+        if (txn_app is None) != (raw_txn_v is None):
+            raise ValueError(
+                "idempotent writes need BOTH .option('txn_app', ...) "
+                "and .option('txn_version', N)"
+            )
+        txn_version = int(raw_txn_v) if raw_txn_v is not None else None
         t = LakeTable(path)
         exists = t.version() is not None
         pby: list[str] = []
@@ -1159,6 +1199,8 @@ class LakeBatchDataSource(DataSource):
                 json.dumps(out_schema.jsonValue()),
                 overwrite=bool(overwrite),
                 exists=exists,
+                txn_app=txn_app,
+                txn_version=txn_version,
                 partition_json=json.dumps(pby) if pby else None,
                 mapping_json=json.dumps(mapping) if mapping else None,
                 constraints_json=json.dumps(cons) if cons else None,
@@ -1174,6 +1216,8 @@ class LakeBatchDataSource(DataSource):
             json.dumps(schema.jsonValue()),
             overwrite=bool(overwrite),
             exists=exists,
+            txn_app=txn_app,
+            txn_version=txn_version,
             partition_json=json.dumps(pby) if pby else None,
         )
 

@@ -2927,10 +2927,22 @@ class LakeTable:
         spark: SparkSession,
         target_file_bytes: int,
         cluster_by: list[str] | None = None,
+        where: tuple[str, str, object]
+        | list[tuple[str, str, object]]
+        | None = None,
     ) -> dict:
         """Without ``cluster_by``: bin-pack files smaller than
         ``target/2`` into ~target-sized files; files already at size
         are untouched (shared forward).
+
+        ``where=(col, op, value)`` (or a list — conjunction) SCOPES
+        the maintenance to the files whose stats might match — Delta's
+        ``OPTIMIZE ... WHERE`` shape, typically a partition predicate:
+        the nightly job compacts yesterday's partition, not the table.
+        Stats-based scoping is always sound here because compaction is
+        rewrite-identity — a file outside the scope is simply left
+        alone. At 100 TB this is the difference between O(today's
+        churn) and O(table) maintenance.
 
         With ``cluster_by``: Z-ORDER the WHOLE table (the public Delta
         ``OPTIMIZE ZORDER BY`` design) — every file rewrites, laid out
@@ -2948,13 +2960,19 @@ class LakeTable:
         filter column, not just the ingest-order one."""
         state = self._state()
         pby = self._partition_by(state)
+        scoped: set[str] | None = None
+        if where is not None:
+            conds = where if isinstance(where, list) else [where]
+            scoped = set(self._prune_candidates(state, conds))
         if cluster_by:
             if pby and set(cluster_by) & set(pby):
                 raise ValueError(
                     f"cluster_by {cluster_by} overlaps partition columns "
                     f"{pby} — partition values are already file-exact"
                 )
-            files = sorted(state["files"])
+            files = sorted(
+                scoped if scoped is not None else state["files"]
+            )
             if not files:
                 return {"version": state["version"], "files_compacted": 0}
             # live scan: a z-order rewrite MATERIALIZES deletion
@@ -2983,13 +3001,16 @@ class LakeTable:
         # a deletion vector — rewriting it MATERIALIZES the dv away
         # (Delta's REORG...APPLY(PURGE) role), so reads stop paying the
         # anti-join once churn has been compacted
+        in_scope = sorted(
+            scoped if scoped is not None else state["files"]
+        )
         dved = [
-            p for p in sorted(state["files"])
+            p for p in in_scope
             if (state["files"][p].get("dv") or {}).get("deleted", 0) > 0
         ]
         small = sorted(
             {
-                p for p in sorted(state["files"])
+                p for p in in_scope
                 if state["files"][p]["bytes"] < target_file_bytes // 2
             }
             | set(dved)
