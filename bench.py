@@ -297,13 +297,25 @@ def main() -> None:
             continue
         common = [n for n in timings if n in pq]
         psum = sum(pq[n] for n in common)
-        # a common set covering under half of EITHER side measures a
-        # stale subset (the oldest, cheapest queries), not the
-        # workload. The guard is two-sided because contract lines now
-        # carry a headline prefix (see below), so a prior record may
-        # legitimately be smaller than the full current set.
+        # a common set covering under half the current bench measures
+        # a stale subset (the oldest, cheapest queries), not the
+        # workload. Records that SELF-REPORT a headline prefix
+        # (queries_total >= their map, emitted from r11 on) may
+        # legitimately be smaller than the full current set — for
+        # those the basis is the smaller side; anything else (old
+        # full-map records, tail recoveries) keeps the strict
+        # current-set basis, so a 22-query r01 record can never
+        # become the adverse pick against an 80-query workload.
+        declares_prefix = (
+            int(parsed.get("queries_total") or 0) >= len(pq) > 0
+        )
+        basis = (
+            min(len(timings), len(pq))
+            if declares_prefix
+            else len(timings)
+        )
         if (
-            len(common) < max(5, min(len(timings), len(pq)) // 2)
+            len(common) < max(5, basis // 2)
             or psum <= 0
             or prior.get("sf", sf) != sf
         ):

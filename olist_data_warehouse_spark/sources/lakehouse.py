@@ -1325,10 +1325,9 @@ class LakeTable:
 
         schema = StructType.fromJson(schema_json)
         proofs: dict[str, object] = {}
+        pairs: dict[str, tuple[str, str]] = {}
         for name, e in sorted(cons.items()):
-            proofs[f"check:{name}"] = (
-                _duckdb_aligned(spark, schema, {name: (e, e)}) or True
-            )
+            pairs[f"check:{name}"] = (e, e)
         for col, e in sorted(gen.items()):
             st = schema[col].dataType.simpleString()
             dt = _DUCK_TYPES.get(st)
@@ -1337,14 +1336,23 @@ class LakeTable:
                     f"generated type {st} is not DuckDB-castable"
                 )
                 continue
-            proofs[f"gen:{col}"] = (
-                _duckdb_aligned(
-                    spark,
-                    schema,
-                    {col: (f"CAST(({e}) AS {st})",
-                           f"CAST(({e}) AS {dt})")},
-                )
-                or True
+            pairs[f"gen:{col}"] = (
+                f"CAST(({e}) AS {st})",
+                f"CAST(({e}) AS {dt})",
+            )
+        if not pairs:
+            return proofs
+        # fast path: ONE canary pass proves every expression together
+        # (one tiny Spark job per DDL, not per expression); only a
+        # failure falls back to per-expression isolation so one bad
+        # expression never taints the others' verdicts
+        if _duckdb_aligned(spark, schema, pairs) is None:
+            for key in pairs:
+                proofs[key] = True
+            return proofs
+        for key, pair in pairs.items():
+            proofs[key] = (
+                _duckdb_aligned(spark, schema, {key: pair}) or True
             )
         return proofs
 
