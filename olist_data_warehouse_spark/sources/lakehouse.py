@@ -1915,6 +1915,7 @@ class LakeTable:
         mode: str = "rewrite",
         *,
         matched_condition: str | None = None,
+        matched_clauses: list[tuple[str, str | None]] | None = None,
         when_not_matched: str = "insert",
         not_matched_condition: str | None = None,
         when_not_matched_by_source: str | None = None,
@@ -1959,6 +1960,14 @@ class LakeTable:
         (`Package.dtsx:657-673`) is the degenerate insert-only case):
 
         - ``when_matched``: ``'update'`` | ``'keep'`` | ``'delete'``.
+        - ``matched_clauses``: an ORDERED chain
+          ``[(action, condition), ...]`` (Delta's
+          ``whenMatchedUpdate(cond).whenMatchedDelete()`` form) —
+          per matched row the FIRST clause whose condition is TRUE
+          fires; a fired ``'keep'`` blocks later clauses; rows firing
+          none are kept. Only the last clause may omit its condition
+          (later clauses could never fire). Supersedes
+          ``when_matched``/``matched_condition`` — pass one form.
         - ``matched_condition``: SQL predicate gating the matched
           clause; reference target columns as ``t.col`` and source
           columns as ``s.col``. A matched row where the condition is
@@ -2012,9 +2021,33 @@ class LakeTable:
                 "not_matched_by_source_set requires "
                 "when_not_matched_by_source='update'"
             )
+        if matched_clauses is not None:
+            # ordered clause chain (Delta's whenMatchedUpdate(cond).
+            # whenMatchedDelete() form): first clause whose condition
+            # is TRUE fires per row; rows firing no clause are kept
+            if when_matched != "update" or matched_condition is not None:
+                raise ValueError(
+                    "matched_clauses supersedes when_matched / "
+                    "matched_condition — pass one form, not both"
+                )
+            if not matched_clauses:
+                raise ValueError("matched_clauses must be non-empty")
+            for i, (action, cond) in enumerate(matched_clauses):
+                if action not in ("update", "delete", "keep"):
+                    raise ValueError(
+                        f"matched clause #{i}: action must be "
+                        f"'update', 'delete' or 'keep', got {action!r}"
+                    )
+                if cond is None and i != len(matched_clauses) - 1:
+                    raise ValueError(
+                        f"matched clause #{i} has no condition but is "
+                        "not last — later clauses could never fire "
+                        "(Delta's only-last-unconditional rule)"
+                    )
         general = (
             when_matched == "delete"
             or matched_condition is not None
+            or matched_clauses is not None
             or when_not_matched != "insert"
             or not_matched_condition is not None
             or when_not_matched_by_source is not None
@@ -2026,6 +2059,7 @@ class LakeTable:
                 keys,
                 when_matched=when_matched,
                 matched_condition=matched_condition,
+                matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched,
                 not_matched_condition=not_matched_condition,
                 when_not_matched_by_source=when_not_matched_by_source,
@@ -2195,6 +2229,7 @@ class LakeTable:
         keys: list[str],
         when_matched: str,
         matched_condition: str | None,
+        matched_clauses: list[tuple[str, str | None]] | None,
         when_not_matched: str,
         not_matched_condition: str | None,
         when_not_matched_by_source: str | None,
@@ -2310,24 +2345,41 @@ class LakeTable:
         )
         src_flag = src_df.withColumn("_s_match", F.lit(True)).alias("s")
 
+        # the ordered matched-clause chain: first clause whose
+        # condition is TRUE fires per row (Delta's evaluation order);
+        # the single-clause surface is its one-element degenerate case
+        clauses: list[tuple[str, str | None]] = (
+            list(matched_clauses)
+            if matched_clauses is not None
+            else [(when_matched, matched_condition)]
+        )
+
         def _joined(files: list[str]):
-            """(joined frame, flag columns) over ``files``' live rows."""
+            """(joined frame, flag columns) over ``files``' live rows:
+            ``m_upd``/``m_del`` are the first-match fire predicates of
+            the update/delete clauses in the chain (a fired 'keep'
+            clause blocks later clauses and changes nothing)."""
             tgt = self._scan_live(
                 spark, state, files, keep_meta=True
             ).alias("t")
             j = tgt.join(src_flag, on, "left_outer")
             is_m = F.col("s.`_s_match`").isNotNull()
-            m_fire = (
-                is_m & _is_true(matched_condition)
-                if when_matched in ("update", "delete")
-                else F.lit(False)
-            )
+            m_upd = F.lit(False)
+            m_del = F.lit(False)
+            prior = F.lit(False)  # an earlier clause already fired
+            for action, cond in clauses:
+                fire = is_m & ~prior & _is_true(cond)
+                if action == "update":
+                    m_upd = m_upd | fire
+                elif action == "delete":
+                    m_del = m_del | fire
+                prior = prior | (is_m & _is_true(cond))
             n_fire = (
                 (~is_m) & _is_true(not_matched_by_source_condition)
                 if nms is not None
                 else F.lit(False)
             )
-            return j, is_m, m_fire, n_fire
+            return j, is_m, m_upd, m_del, n_fire
 
         # 3. hit files (insert anti-join scope) + touched files (rows
         #    actually changed) from ONE aggregation over candidates
@@ -2335,7 +2387,8 @@ class LakeTable:
         touched: list[str] = []
         n_matched = n_m_fire = n_n_fire = 0
         if cand:
-            j, is_m, m_fire, n_fire = _joined(cand)
+            j, is_m, m_upd, m_del, n_fire = _joined(cand)
+            m_fire = m_upd | m_del
             per_file = (
                 j.groupBy(F.col("t.`_lake_file`").alias("_f"))
                 .agg(
@@ -2357,10 +2410,8 @@ class LakeTable:
             hit_files.sort()
             touched.sort()
 
-        def _out_col(c: str, m_fire, n_fire):
-            branches = []
-            if when_matched == "update":
-                branches.append((m_fire, F.col(f"s.`{c}`")))
+        def _out_col(c: str, m_upd, n_fire):
+            branches = [(m_upd, F.col(f"s.`{c}`"))]
             if nms == "update":
                 branches.append(
                     (
@@ -2384,13 +2435,11 @@ class LakeTable:
         remove: list[str] = []
         dv_metas: list[dict] = []
         if touched:
-            j, is_m, m_fire, n_fire = _joined(touched)
-            drop = (m_fire & F.lit(when_matched == "delete")) | (
-                n_fire & F.lit(nms == "delete")
-            )
-            changed = m_fire | n_fire
+            j, is_m, m_upd, m_del, n_fire = _joined(touched)
+            drop = m_del | (n_fire & F.lit(nms == "delete"))
+            changed = m_upd | m_del | n_fire
             post_rows = j.where(changed & ~drop).select(
-                *[_out_col(c, m_fire, n_fire) for c in cols]
+                *[_out_col(c, m_upd, n_fire) for c in cols]
             )
             if gen and nms == "update":
                 # by-source SET exprs could leave a generated column
@@ -2427,7 +2476,7 @@ class LakeTable:
                 remove = touched
                 add += self._stage_files(
                     j.where(~drop).select(
-                        *[_out_col(c, m_fire, n_fire) for c in cols]
+                        *[_out_col(c, m_upd, n_fire) for c in cols]
                     ),
                     partition_by=pby,
                 )

@@ -274,6 +274,77 @@ def test_dv_mode_composes_all_clauses(spark, tmp_path):
     assert _rows(dv, spark) == rows_before
 
 
+def test_ordered_matched_clause_chain(spark, tmp_path):
+    """Delta's whenMatchedUpdate(cond).whenMatchedDelete() form: the
+    FIRST clause whose condition is TRUE fires per row; a fired 'keep'
+    blocks later clauses; rows firing none are kept."""
+    t = _mk(spark, str(tmp_path / "t"))
+    r = t.merge_into(
+        spark,
+        _src(spark),  # matches ids 10..20 at price id*5
+        ["id"],
+        matched_clauses=[
+            ("update", "t.price <= 120.0"),   # ids 10,11,12
+            ("keep", "t.id = 13"),            # 13 kept, blocks delete
+            ("delete", None),                 # 14..20 deleted
+        ],
+        when_not_matched="keep",
+    )
+    assert r["rows_matched"] == 11
+    assert r["rows_matched_changed"] == 3 + 7  # updates + deletes
+    got = _rows(t, spark)
+    assert set(got) == set(range(1, 14))
+    for i in (10, 11, 12):
+        assert got[i] == (f"s{i}", float(i * 5), "S")
+    assert got[13] == ("v13", 130.0, "O")
+
+
+def test_clause_chain_dv_parity(spark, tmp_path):
+    kwargs = dict(
+        keys=["id"],
+        matched_clauses=[
+            ("delete", "t.price > 150.0"),
+            ("update", "s.price < 60.0"),
+        ],
+        when_not_matched="keep",
+    )
+    cow = _mk(spark, str(tmp_path / "cow"))
+    dv = _mk(spark, str(tmp_path / "dv"))
+    cow.merge_into(spark, _src(spark), **kwargs)
+    r = dv.merge_into(spark, _src(spark), mode="dv", **kwargs)
+    assert r["files_rewritten"] == 0
+    assert _rows(cow, spark) == _rows(dv, spark)
+    # chain semantics: 16..20 deleted (price>150); of the rest only
+    # ids 10,11 update (source price 50,55 < 60); 12..15 kept
+    got = _rows(cow, spark)
+    assert set(got) == set(range(1, 16))
+    assert got[10] == ("s10", 50.0, "S")
+    assert got[11] == ("s11", 55.0, "S")
+    assert got[12] == ("v12", 120.0, "F")
+
+
+def test_clause_chain_validation(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    s = _src(spark)
+    with pytest.raises(ValueError, match="supersedes"):
+        t.merge_into(
+            spark, s, ["id"],
+            when_matched="delete",
+            matched_clauses=[("delete", None)],
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        t.merge_into(spark, s, ["id"], matched_clauses=[])
+    with pytest.raises(ValueError, match="action must be"):
+        t.merge_into(
+            spark, s, ["id"], matched_clauses=[("boom", None)]
+        )
+    with pytest.raises(ValueError, match="not last"):
+        t.merge_into(
+            spark, s, ["id"],
+            matched_clauses=[("update", None), ("delete", "t.id = 1")],
+        )
+
+
 def test_source_must_be_key_unique(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     dup = spark.createDataFrame(
