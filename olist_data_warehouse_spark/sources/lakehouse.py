@@ -53,6 +53,7 @@ import functools
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -489,7 +490,33 @@ class LakeTable:
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(stage)
+        # Spark 4.1 local mode: concurrent Python-data-source
+        # streaming queries in one JVM can corrupt a job's ONCE-
+        # serialized stage binary (java.io.OptionalDataException at
+        # task deser — a session-reachable map mutates mid-
+        # serialization; task retries replay the same corrupt
+        # broadcast, so only a fresh SUBMISSION re-serializes).
+        # Re-submitting an errorifexists write to a fresh stage dir is
+        # side-effect-free, so this transient — and only this one —
+        # retries with backoff instead of failing the caller's commit.
+        for attempt in range(4):
+            try:
+                writer.parquet(stage)
+                break
+            except Exception as e:  # noqa: BLE001 - allowlist below
+                shutil.rmtree(stage, ignore_errors=True)
+                if (
+                    "OptionalDataException" not in str(e)
+                    or attempt == 3
+                ):
+                    raise
+                time.sleep(0.2 * (attempt + 1))
+                stage = os.path.join(
+                    self.path, f"_stage-{uuid.uuid4().hex}"
+                )
+                writer = df.write.mode("errorifexists")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
         prefix = uuid.uuid4().hex[:8]
         moved = []  # data/-relative paths
         seq = 0

