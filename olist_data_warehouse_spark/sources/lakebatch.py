@@ -1233,6 +1233,14 @@ class LakeBatchDataSource(DataSource):
                 "the lake streaming sink is append-only — use "
                 "outputMode('append')"
             )
+        if self.options.get("txn_app") or self.options.get(
+            "txn_version"
+        ):
+            raise ValueError(
+                "txn_app/txn_version are the BATCH idempotence "
+                "options — the streaming sink dedups on its own "
+                ".option('app', ...) + epoch ids"
+            )
         app = self.options.get("app")
         if not app:
             raise ValueError(

@@ -125,6 +125,13 @@ def test_app_required_and_append_only(registered, tmp_path):
     assert isinstance(
         ds2.streamWriter(schema, False), LakeStreamSinkWriter
     )
+    # the batch idempotence options don't apply here — the sink's own
+    # app + epoch protocol is the dedup; silent ignoring would mislead
+    ds3 = LakeBatchDataSource(
+        {"path": t.path, "app": "a", "txn_app": "x", "txn_version": "1"}
+    )
+    with pytest.raises(ValueError, match="BATCH idempotence"):
+        ds3.streamWriter(schema, False)
 
 
 def test_governed_stream_sink(registered, tmp_path):
