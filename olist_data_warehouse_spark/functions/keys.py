@@ -15,8 +15,10 @@ a single task. That is correct *and cheap* here because surrogate keys
 are only ever assigned to dimension tables (max ~27k rows in the
 reference; dims are small by definition of a star schema). Fact tables
 never get surrogate keys — they carry dimension FKs. For a
-billion-row key assignment you'd switch to the two-phase
-per-partition-offset pattern in ``operators.relational.zip_with_index``.
+billion-row key assignment switch to the two-phase
+per-partition-offset pattern in
+:func:`olist_data_warehouse_spark.operators.relational.zip_with_index`
+— same dense-integer contract, no single-task funnel.
 """
 
 from __future__ import annotations
