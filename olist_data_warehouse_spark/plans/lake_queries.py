@@ -1778,3 +1778,217 @@ def lake_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         assert t.version() == v0, "refused append left a commit behind"
     return t.read(spark)
+
+
+@register(
+    "lake_sql_merge",
+    oracle="""
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+),
+source AS (
+  SELECT o_orderkey, o_custkey, 'XX' AS o_orderstatus,
+         o_totalprice * 0.5 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+       s.o_totalprice AS o_totalprice, t.o_orderdate,
+       '5-SQLSET' AS o_orderpriority
+FROM target t
+JOIN source s ON s.o_orderkey = t.o_orderkey
+WHERE (t.o_totalprice > 300000.0) IS NOT TRUE
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+       t.o_orderdate,
+       CASE WHEN t.o_orderstatus = 'F' THEN '0-MERGED'
+            ELSE t.o_orderpriority END AS o_orderpriority
+FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s
+                  WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT s.* FROM source s
+WHERE NOT EXISTS (SELECT 1 FROM target t
+                  WHERE t.o_orderkey = s.o_orderkey)
+  AND s.o_totalprice < 100000.0
+""",
+    doc="MERGE AS SQL TEXT (r11 verdict item #2): the entry body is "
+    "ONE lakesql.sql('MERGE INTO ...') statement over a "
+    "register_table view, routed by the thin dispatcher to the "
+    "merge_into clause engine — clause-grammar coverage matching "
+    "lake_merge_clauses PLUS the partial-SET form that engine gained "
+    "for SQL parity: conditional matched DELETE (>300k), a chained "
+    "matched UPDATE SET assigning ONLY price and priority (the "
+    "source plants o_orderstatus='XX' so a wrong full-row replace "
+    "would surface as 'XX' leaking into matched rows — the oracle "
+    "keeps the target status), a conditional INSERT * (<100k "
+    "newcomers land whole, WITH the 'XX'), and a by-source UPDATE "
+    "SET with condition. The oracle is the standard three-branch "
+    "relational expansion. Spark's own SQL cannot run DML against "
+    "Python-DataSource views (no DML hook upstream), so the "
+    "dispatcher parses exactly these statement shapes and hands the "
+    "table API the clauses — same engine, same file-granular "
+    "rewrite, now reachable from the SQL-warehouse user's first "
+    "statement (reference entry point parity: Olist DW.sql:254-261 "
+    "is SQL text).",
+)
+def lake_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch, lakesql
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    target = orders.where(F.col("o_orderkey") % 4 != 0)
+    t = LakeTable.create(
+        target.repartitionByRange(8, "o_orderkey"),
+        _fresh("sql_merge", sf_dir),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name, src = f"lake_sql_merge_{tag}", f"lake_sql_merge_src_{tag}"
+    lakebatch.register_table(spark, name, t.path)
+    orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.5
+    ).withColumn(
+        "o_orderstatus", F.lit("XX")
+    ).createOrReplaceTempView(src)
+    r = lakesql.sql(spark, f"""
+        MERGE INTO {name} AS t
+        USING {src} AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 300000.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+             o_totalprice = s.o_totalprice,
+             o_orderpriority = '5-SQLSET'
+        WHEN NOT MATCHED AND s.o_totalprice < 100000.0 THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+             THEN UPDATE SET o_orderpriority = '0-MERGED'
+    """)
+    assert r["rows_matched"] > 0 and r["version"] == 1, r
+    return t.read(spark)
+
+
+@register(
+    "lake_sql_delete",
+    oracle="""
+SELECT * FROM orders
+WHERE o_totalprice IS NULL OR o_totalprice < 300000.0
+""",
+    doc="DELETE AS SQL TEXT: one lakesql.sql('DELETE FROM ... AS o "
+    "WHERE o.o_totalprice >= 300000.0') over a register_table view "
+    "— the dispatcher strips the alias qualifier, AUTO-DERIVES the "
+    "stats prune (o_totalprice, >=, 300000.0) from the predicate's "
+    "comparison conjunct (sound: rows matching the predicate match "
+    "every conjunct, so out-of-range files hold no matches — the "
+    "file-skipping Delta derives from DML predicates), and calls "
+    "delete_where. The table lands range-clustered on o_totalprice "
+    "so the prune is REAL: files_kept > 0 is asserted in-entry. The "
+    "oracle states the survivor set with three-valued semantics "
+    "(NULL-price rows survive). S7 DELETE WHERE (SURVEY §2.1) "
+    "reached from SQL text.",
+)
+def lake_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch, lakesql
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_totalprice"),
+        _fresh("sql_delete", sf_dir),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"lake_sql_delete_{tag}"
+    lakebatch.register_table(spark, name, t.path)
+    r = lakesql.sql(
+        spark,
+        f"DELETE FROM {name} AS o WHERE o.o_totalprice >= 300000.0",
+    )
+    assert r["files_kept"] > 0, r
+    return t.read(spark)
+
+
+@register(
+    "lake_sql_update",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate,
+       CASE WHEN o_orderstatus = 'F' THEN upper(o_orderpriority)
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+""",
+    doc="UPDATE AS SQL TEXT: one lakesql.sql('UPDATE ... SET ... "
+    "WHERE ...') over a register_table view — two assignments in one "
+    "statement (an expression over the original row and a double "
+    "increment, both evaluated against the pre-image in one "
+    "projection, SQL UPDATE semantics), gated to o_orderstatus = "
+    "'F'. Routed to update_where: file-granular copy-on-write, only "
+    "files holding matched rows rewrite. The oracle is the CASE "
+    "restatement; +1.0 on a double is exact, upper() on ASCII "
+    "priorities is engine-identical, so values hash bit-for-bit.",
+)
+def lake_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch, lakesql
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartition(6), _fresh("sql_update", sf_dir)
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"lake_sql_update_{tag}"
+    lakebatch.register_table(spark, name, t.path)
+    r = lakesql.sql(spark, f"""
+        UPDATE {name}
+        SET o_orderpriority = upper(o_orderpriority),
+            o_totalprice = o_totalprice + 1.0
+        WHERE o_orderstatus = 'F'
+    """)
+    assert r["rows_updated"] > 0, r
+    return t.read(spark)
+
+
+@register(
+    "lake_vacuum_retention",
+    oracle="""
+SELECT * FROM orders WHERE o_orderkey % 3 = 0
+""",
+    doc="VACUUM with the retention guard matrix (r11 verdict item "
+    "#4), end to end: orders lands (v0), an overwrite narrows it to "
+    "the key%3 slice (v1, unreferencing v0's files), then the entry "
+    "asserts the full Delta-style safety ladder in order — (1) a "
+    "sub-floor retention window REFUSES without force=True (a live "
+    "stream's checkpoint or in-flight commit may reference "
+    "just-unreferenced files; the refused call reclaims nothing and "
+    "v0 still reads), (2) a compliant window reclaims nothing young "
+    "(the age gate is the standing writer protection), (3) "
+    "force=True + keep_versions=1 actually reclaims v0's files, (4) "
+    "time travel to the vacuumed v0 now fails LOUDLY with "
+    "FileNotFoundError naming the cause — never a silently empty "
+    "DataFrame — while the current read is untouched. The oracle "
+    "states the surviving current state relationally.",
+)
+def lake_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartition(4), _fresh("vacuum_retention", sf_dir)
+    )
+    n0 = orders.count()
+    t.overwrite(orders.where(F.col("o_orderkey") % 3 == 0))
+    try:
+        t.vacuum(keep_versions=1, retention_seconds=0)
+        raise AssertionError("sub-floor retention must refuse")
+    except ValueError:
+        pass
+    assert t.read(spark, version=0).count() == n0, (
+        "a refused vacuum must reclaim nothing"
+    )
+    assert t.vacuum(keep_versions=1) == [], (
+        "a compliant window must keep young files"
+    )
+    removed = t.vacuum(keep_versions=1, retention_seconds=0, force=True)
+    assert removed, "force + zero retention reclaims v0's files"
+    try:
+        t.read(spark, version=0)
+        raise AssertionError(
+            "time travel past vacuum must fail loudly"
+        )
+    except FileNotFoundError as e:
+        assert "vacuum" in str(e)
+    return t.read(spark)

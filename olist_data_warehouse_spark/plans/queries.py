@@ -1778,38 +1778,40 @@ from olist_data_warehouse_spark.plans import lake_queries  # noqa: E402,F401
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-11 prefix. Union r1-r10 = 246/246 entries driver-green —
+    # Round-12 prefix. Union r1-r11 = 250/250 entries driver-green —
     # per the standing discipline only NEW or TOUCHED entries lead;
     # the rest of the 50 slots are high-value re-proofs.
-    # 1: NEW this round: the full Delta MERGE clause grammar
-    #    (conditional matched update/delete + by-source clauses, dv
-    #    composition), the native Arrow writer on PARTITIONED and
-    #    GOVERNED (constraint/generated/mapped) tables, and the
-    #    native streaming sink (writeStream.format('lake') with the
-    #    exactly-once txn protocol).
-    "lake_merge_clauses", "lake_write_partitioned",
-    "lake_write_governed", "lake_stream_sink",
-    # 2: TOUCHED this round: merge_into's dispatch wraps every merge
-    #    (upsert/dv/apply_changes must stay exact); lakebatch's write
-    #    path was restructured (multi-file commit messages, governance
-    #    hook, out-schema) so every native-write shape re-proves; the
-    #    governance DDL (create/add_constraint) now records canary
-    #    proofs so the constraint/generated/mapping entries re-prove
-    #    their unchanged semantics.
-    "lake_merge_upsert", "lake_merge_dv", "lake_apply_changes",
+    # 1: NEW this round: SQL-text DML (MERGE INTO / DELETE FROM /
+    #    UPDATE statements routed through sources/lakesql.py to the
+    #    table engines — r11 verdict item #2) and the vacuum
+    #    retention-guard ladder (item #4).
+    "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
+    "lake_vacuum_retention",
+    # 2: TOUCHED this round: the general merge clause engine gained
+    #    per-clause SET maps and column-list INSERT (every clause
+    #    merge re-proves); merge_into's validation block was
+    #    restructured (upsert/dv/apply_changes shapes re-prove);
+    #    LakeTable.read gained the time-travel existence check (both
+    #    travel entries re-prove); warehouse_tables' source-hash
+    #    memoization touches every DW-path entry (flagship pair
+    #    re-proves).
+    "lake_merge_clauses", "lake_merge_upsert", "lake_merge_dv",
+    "lake_apply_changes", "lake_time_travel", "lake_timestamp_travel",
+    "q1_top_units_dw",
+    # 3: r11 prefix carry-over (all driver-green in r11; the DML/
+    #    storage family stays near the front while it is the active
+    #    surface).
+    "lake_write_partitioned", "lake_write_governed", "lake_stream_sink",
     "lake_write_roundtrip", "lake_constraint_gate",
     "lake_generated_cols", "lake_column_mapping",
-    # 3: r10 prefix carry-over (all driver-green in r10; the dv/DML
-    #    family stays near the front while the storage layer is the
-    #    active surface).
     "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
     "lake_update_where",
     "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
-    "lake_timestamp_travel", "dedup_semdedup", "lake_sql_view",
+    "dedup_semdedup", "lake_sql_view",
     "dedup_decontaminate",
     "lake_delete_where", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
-    "lake_time_travel", "lake_prune_read", "lake_zorder_prune",
+    "lake_prune_read", "lake_zorder_prune",
     "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
     "lake_pushdown_read",
     # 3: high-value re-proofs backfilling the 50-slot cap — flagship
@@ -1817,18 +1819,18 @@ DRIVER_PRIORITY = [
     #    per operator family (similarity, temporal, graph, sketch,
     #    sampling, dedup, streaming, text, DSIR, packing).
     "sim_pq_trained_encode", "samp_dsir_importance",
-    "q1_top_units_oltp", "q1_top_units_dw", "q2_top_revenue_oltp",
+    "q1_top_units_oltp", "q2_top_revenue_oltp",
     "q2_top_revenue_dw", "q3_conversion_oltp", "q3_conversion_dw",
     "q4_shipping_priority", "j7_incremental_delta", "j7_merge_upsert",
     "pack_balanced_shards", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash_hamming", "dedup_cc_groups",
+    "dedup_ngram_jaccard", "dedup_simhash_hamming",
     "samp_cluster_split", "sim_ivfpq_topk",
-    "sim_mmr_rerank", "tj_asof_nearest",
-    "tj_interval_overlap", "graph_pagerank_items",
-    "text_bm25_topk", "text_inverted_index",
+    "tj_asof_nearest",
+    "graph_pagerank_items",
+    "text_bm25_topk",
     "s1_scan_project_alias", "stream_sessionize",
     # Everything else follows in registration order — each has at
-    # least one prior driver-green row (r1-r9) and runs continuously
+    # least one prior driver-green row (r1-r11) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

@@ -1280,13 +1280,30 @@ def register_table(spark, name: str, path: str, **options) -> None:
     properties into scan-time reads (the reader receives empty
     options), so the catalog-table form cannot locate the table —
     the view is the supported SQL read surface until that lands
-    upstream. Writes stay on ``df.write.format('lake')`` / the
-    Python API."""
+    upstream. Writes: ``df.write.format('lake')`` / the Python API,
+    plus SQL-text DML (``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE``)
+    through :func:`~.lakesql.sql` — registering a CURRENT-state view
+    (no time-travel / CDF options) also records the name as a DML
+    target for that dispatcher; snapshot views stay read-only."""
     register(spark)
     reader = spark.read.format("lake").option("path", path)
     for k, v in options.items():
         reader = reader.option(k, str(v))
     reader.load().createOrReplaceTempView(name)
+    if not (set(options) & {"version", "timestamp", "mode", "since"}):
+        _DML_TARGETS[name.lower()] = path
+
+
+# SQL name -> table path, for lakesql's DML dispatch. Session-scoped
+# in spirit (temp views are), process-scoped in practice — same
+# lifetime as the temp views a single-session process registers.
+_DML_TARGETS: dict[str, str] = {}
+
+
+def dml_target(name: str) -> str | None:
+    """Path of the lake table registered under ``name`` as a DML
+    target, or None (unregistered, or a snapshot/CDF view)."""
+    return _DML_TARGETS.get(name.lower())
 
 
 def register(spark) -> None:

@@ -1461,7 +1461,15 @@ class LakeTable:
         is a conjunction: a file survives only if every condition
         admits it — the compound form a z-ordered table exists for
         (both clustered columns prune at once). At 100 TB a selective
-        point read then opens O(matching files), not the table."""
+        point read then opens O(matching files), not the table.
+
+        A time-travel read whose files were VACUUMED fails here with
+        ``FileNotFoundError`` naming the missing files and the cause —
+        loudly at plan time, never as a silently empty (or partial)
+        DataFrame. The existence check runs only for explicit
+        version/timestamp reads (manifest-scale stat calls); the
+        current-version hot path is untouched — vacuum always keeps
+        the newest version's live set."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
@@ -1472,6 +1480,26 @@ class LakeTable:
             files = self._prune_candidates(state, conds)
         else:
             files = sorted(state["files"])
+        if version is not None:
+            referenced = list(files)
+            for p in files:
+                referenced += (
+                    state["files"][p].get("dv") or {}
+                ).get("paths", [])
+            missing = [
+                p
+                for p in referenced
+                if not os.path.exists(os.path.join(self.path, p))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} references "
+                    f"{len(missing)} file(s) no longer on disk "
+                    f"(vacuumed?): {missing[:3]}... — time travel "
+                    "reaches only versions whose files outlived "
+                    "vacuum's keep_versions/retention window (pin a "
+                    "version with clone() to keep it readable)"
+                )
         # merge-on-read: anti-join out any deletion-vector rows (a
         # dv-free file set keeps the plain scan plan)
         return self._scan_live(spark, state, files)
@@ -1942,9 +1970,10 @@ class LakeTable:
         mode: str = "rewrite",
         *,
         matched_condition: str | None = None,
-        matched_clauses: list[tuple[str, str | None]] | None = None,
+        matched_clauses: list[tuple] | None = None,
         when_not_matched: str = "insert",
         not_matched_condition: str | None = None,
+        not_matched_insert_set: dict[str, str] | None = None,
         when_not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict[str, str] | None = None,
@@ -1995,6 +2024,21 @@ class LakeTable:
           none are kept. Only the last clause may omit its condition
           (later clauses could never fire). Supersedes
           ``when_matched``/``matched_condition`` — pass one form.
+          An ``'update'`` clause may carry a third element, a SET
+          map ``{col: SQL over t.col/s.col}`` (Delta's
+          ``whenMatchedUpdate(set={...})``): assigned columns take
+          their expression, unassigned columns KEEP the target
+          value — SQL ``UPDATE SET c = expr`` semantics instead of
+          the full-row ``SET *`` replace that ``None`` means.
+          Assigning a GENERATED column is rejected (assign its
+          dependencies; post-images are validated, same contract as
+          the by-source SET).
+        - ``not_matched_insert_set``: SQL ``INSERT (cols) VALUES
+          (exprs)`` semantics for the insert clause — a map
+          ``{col: SQL over bare source columns}``; omitted
+          non-generated columns insert NULL, omitted GENERATED
+          columns are computed (Delta's insert contract). ``None``
+          (default) inserts the full source row (``INSERT *``).
         - ``matched_condition``: SQL predicate gating the matched
           clause; reference target columns as ``t.col`` and source
           columns as ``s.col``. A matched row where the condition is
@@ -2048,10 +2092,23 @@ class LakeTable:
                 "not_matched_by_source_set requires "
                 "when_not_matched_by_source='update'"
             )
+        if not_matched_insert_set is not None:
+            if when_not_matched != "insert":
+                raise ValueError(
+                    "not_matched_insert_set requires "
+                    "when_not_matched='insert'"
+                )
+            if not not_matched_insert_set:
+                raise ValueError(
+                    "not_matched_insert_set must assign at least one "
+                    "column (None means INSERT *)"
+                )
         if matched_clauses is not None:
             # ordered clause chain (Delta's whenMatchedUpdate(cond).
             # whenMatchedDelete() form): first clause whose condition
-            # is TRUE fires per row; rows firing no clause are kept
+            # is TRUE fires per row; rows firing no clause are kept.
+            # Each entry is (action, condition) or (action, condition,
+            # set_map) — normalized to 3-tuples here.
             if when_matched != "update" or matched_condition is not None:
                 raise ValueError(
                     "matched_clauses supersedes when_matched / "
@@ -2059,11 +2116,31 @@ class LakeTable:
                 )
             if not matched_clauses:
                 raise ValueError("matched_clauses must be non-empty")
-            for i, (action, cond) in enumerate(matched_clauses):
+            norm = []
+            for i, cl in enumerate(matched_clauses):
+                if len(cl) == 2:
+                    action, cond, sm = cl[0], cl[1], None
+                elif len(cl) == 3:
+                    action, cond, sm = cl
+                else:
+                    raise ValueError(
+                        f"matched clause #{i}: expected (action, "
+                        "condition) or (action, condition, set_map)"
+                    )
                 if action not in ("update", "delete", "keep"):
                     raise ValueError(
                         f"matched clause #{i}: action must be "
                         f"'update', 'delete' or 'keep', got {action!r}"
+                    )
+                if sm is not None and action != "update":
+                    raise ValueError(
+                        f"matched clause #{i}: a SET map applies to "
+                        "'update' clauses only"
+                    )
+                if sm is not None and not sm:
+                    raise ValueError(
+                        f"matched clause #{i}: SET map must assign at "
+                        "least one column (None means SET *)"
                     )
                 if cond is None and i != len(matched_clauses) - 1:
                     raise ValueError(
@@ -2071,12 +2148,15 @@ class LakeTable:
                         "not last — later clauses could never fire "
                         "(Delta's only-last-unconditional rule)"
                     )
+                norm.append((action, cond, sm))
+            matched_clauses = norm
         general = (
             when_matched == "delete"
             or matched_condition is not None
             or matched_clauses is not None
             or when_not_matched != "insert"
             or not_matched_condition is not None
+            or not_matched_insert_set is not None
             or when_not_matched_by_source is not None
         )
         if general:
@@ -2089,6 +2169,7 @@ class LakeTable:
                 matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched,
                 not_matched_condition=not_matched_condition,
+                not_matched_insert_set=not_matched_insert_set,
                 when_not_matched_by_source=when_not_matched_by_source,
                 not_matched_by_source_condition=(
                     not_matched_by_source_condition
@@ -2256,9 +2337,10 @@ class LakeTable:
         keys: list[str],
         when_matched: str,
         matched_condition: str | None,
-        matched_clauses: list[tuple[str, str | None]] | None,
+        matched_clauses: list[tuple] | None,
         when_not_matched: str,
         not_matched_condition: str | None,
+        not_matched_insert_set: dict[str, str] | None,
         when_not_matched_by_source: str | None,
         not_matched_by_source_condition: str | None,
         not_matched_by_source_set: dict[str, str] | None,
@@ -2322,6 +2404,65 @@ class LakeTable:
         pby = self._partition_by(state)
         gen = self._generated(state)
 
+        # the ordered matched-clause chain: first clause whose
+        # condition is TRUE fires per row (Delta's evaluation order);
+        # the single-clause surface is its one-element degenerate
+        # case. Normalized shape: (action, condition, set_map) — a
+        # None set_map on an update clause means full-row SET *.
+        clauses: list[tuple] = (
+            list(matched_clauses)
+            if matched_clauses is not None
+            else [(when_matched, matched_condition, None)]
+        )
+        set_maps = [sm for _a, _c, sm in clauses if sm]
+        for sm in set_maps:
+            bad = sorted(set(sm) - set(cols))
+            if bad:
+                raise ValueError(f"SET names unknown columns: {bad}")
+            locked = sorted(set(sm) & set(gen))
+            if locked:
+                raise ValueError(
+                    f"columns {locked} are GENERATED ALWAYS AS — "
+                    "assign their dependencies; post-images are "
+                    "validated against the generation expressions"
+                )
+        if not_matched_insert_set is not None:
+            bad = sorted(set(not_matched_insert_set) - set(cols))
+            if bad:
+                raise ValueError(
+                    f"INSERT names unknown columns: {bad}"
+                )
+        if set_maps:
+            # analysis-only type gate BEFORE any staging, the
+            # update_where posture: resolve each RAW set expression
+            # against empty t/s frames (raw, because the CASE
+            # projection that applies it later coerces branches to a
+            # common type, which would mask drift until a runtime
+            # ANSI cast mid-write)
+            schema_t = StructType.fromJson(state["schema"])
+            probe = (
+                spark.createDataFrame([], schema_t)
+                .alias("t")
+                .join(
+                    spark.createDataFrame([], schema_t).alias("s"),
+                    how="cross",
+                )
+            )
+            for sm in set_maps:
+                self._check_types(
+                    state,
+                    probe.select(
+                        *[
+                            (
+                                F.expr(sm[c])
+                                if c in sm
+                                else F.col(f"t.`{c}`")
+                            ).alias(c)
+                            for c in cols
+                        ]
+                    ),
+                )
+
         def _is_true(cond: str | None):
             # clause fires on IS TRUE: false or NULL -> no-op
             return (
@@ -2372,32 +2513,25 @@ class LakeTable:
         )
         src_flag = src_df.withColumn("_s_match", F.lit(True)).alias("s")
 
-        # the ordered matched-clause chain: first clause whose
-        # condition is TRUE fires per row (Delta's evaluation order);
-        # the single-clause surface is its one-element degenerate case
-        clauses: list[tuple[str, str | None]] = (
-            list(matched_clauses)
-            if matched_clauses is not None
-            else [(when_matched, matched_condition)]
-        )
-
         def _joined(files: list[str]):
             """(joined frame, flag columns) over ``files``' live rows:
-            ``m_upd``/``m_del`` are the first-match fire predicates of
-            the update/delete clauses in the chain (a fired 'keep'
-            clause blocks later clauses and changes nothing)."""
+            ``upd_fires`` is the ordered list of (fire predicate,
+            set_map) per UPDATE clause — first-match semantics across
+            the whole chain (a fired 'keep' clause blocks later
+            clauses and changes nothing); ``m_del`` ORs the delete
+            clauses' fire predicates."""
             tgt = self._scan_live(
                 spark, state, files, keep_meta=True
             ).alias("t")
             j = tgt.join(src_flag, on, "left_outer")
             is_m = F.col("s.`_s_match`").isNotNull()
-            m_upd = F.lit(False)
+            upd_fires: list[tuple] = []
             m_del = F.lit(False)
             prior = F.lit(False)  # an earlier clause already fired
-            for action, cond in clauses:
+            for action, cond, sm in clauses:
                 fire = is_m & ~prior & _is_true(cond)
                 if action == "update":
-                    m_upd = m_upd | fire
+                    upd_fires.append((fire, sm))
                 elif action == "delete":
                     m_del = m_del | fire
                 prior = prior | (is_m & _is_true(cond))
@@ -2406,7 +2540,7 @@ class LakeTable:
                 if nms is not None
                 else F.lit(False)
             )
-            return j, is_m, m_upd, m_del, n_fire
+            return j, is_m, upd_fires, m_del, n_fire
 
         # 3. hit files (insert anti-join scope) + touched files (rows
         #    actually changed) from ONE aggregation over candidates
@@ -2414,7 +2548,12 @@ class LakeTable:
         touched: list[str] = []
         n_matched = n_m_fire = n_n_fire = 0
         if cand:
-            j, is_m, m_upd, m_del, n_fire = _joined(cand)
+            j, is_m, upd_fires, m_del, n_fire = _joined(cand)
+            m_upd = functools.reduce(
+                lambda a, b: a | b,
+                [f for f, _ in upd_fires],
+                F.lit(False),
+            )
             m_fire = m_upd | m_del
             per_file = (
                 j.groupBy(F.col("t.`_lake_file`").alias("_f"))
@@ -2437,8 +2576,18 @@ class LakeTable:
             hit_files.sort()
             touched.sort()
 
-        def _out_col(c: str, m_upd, n_fire):
-            branches = [(m_upd, F.col(f"s.`{c}`"))]
+        def _out_col(c: str, upd_fires, n_fire):
+            # per-UPDATE-clause branches in chain order (fire flags
+            # are mutually exclusive by first-match construction): a
+            # SET map takes its expression for assigned columns and
+            # falls through to the target value for the rest; a None
+            # map is the full-row SET * replace
+            branches = []
+            for fire, sm in upd_fires:
+                if sm is None:
+                    branches.append((fire, F.col(f"s.`{c}`")))
+                elif c in sm:
+                    branches.append((fire, F.expr(sm[c])))
             if nms == "update":
                 branches.append(
                     (
@@ -2462,18 +2611,24 @@ class LakeTable:
         remove: list[str] = []
         dv_metas: list[dict] = []
         if touched:
-            j, is_m, m_upd, m_del, n_fire = _joined(touched)
+            j, is_m, upd_fires, m_del, n_fire = _joined(touched)
+            m_upd = functools.reduce(
+                lambda a, b: a | b,
+                [f for f, _ in upd_fires],
+                F.lit(False),
+            )
             drop = m_del | (n_fire & F.lit(nms == "delete"))
             changed = m_upd | m_del | n_fire
             post_rows = j.where(changed & ~drop).select(
-                *[_out_col(c, m_upd, n_fire) for c in cols]
+                *[_out_col(c, upd_fires, n_fire) for c in cols]
             )
-            if gen and nms == "update":
-                # by-source SET exprs could leave a generated column
-                # stale — validate the post-images (matched-update
-                # rows take the whole source row, already validated)
+            if gen and (nms == "update" or set_maps):
+                # SET exprs (matched-clause or by-source) could leave
+                # a generated column stale — validate the post-images
+                # (full-row SET * rows take the whole source row,
+                # already validated at source staging)
                 self._apply_generated(
-                    state, post_rows, "merge_into by-source update"
+                    state, post_rows, "merge_into SET post-images"
                 )
             self._enforce_constraints(
                 state, post_rows, "merge_into changed rows"
@@ -2503,7 +2658,7 @@ class LakeTable:
                 remove = touched
                 add += self._stage_files(
                     j.where(~drop).select(
-                        *[_out_col(c, m_upd, n_fire) for c in cols]
+                        *[_out_col(c, upd_fires, n_fire) for c in cols]
                     ),
                     partition_by=pby,
                 )
@@ -2526,6 +2681,31 @@ class LakeTable:
                 ins = src_df
             if not_matched_condition is not None:
                 ins = ins.where(_is_true(not_matched_condition))
+            if not_matched_insert_set is not None:
+                # INSERT (cols) VALUES (exprs): assigned columns take
+                # their expression cast to the column's type (SQL
+                # INSERT store-assignment coercion), omitted
+                # non-generated columns insert NULL, omitted GENERATED
+                # columns are computed (provided ones validate) — the
+                # Delta insert contract
+                iset = not_matched_insert_set
+                ftypes = {
+                    f.name: f.dataType
+                    for f in StructType.fromJson(state["schema"]).fields
+                }
+                proj = []
+                for c in cols:
+                    if c in iset:
+                        proj.append(
+                            F.expr(iset[c]).cast(ftypes[c]).alias(c)
+                        )
+                    elif c in gen:
+                        continue  # recomputed below
+                    else:
+                        proj.append(F.lit(None).cast(ftypes[c]).alias(c))
+                ins = self._apply_generated(
+                    state, ins.select(*proj), "merge_into inserts"
+                ).select(*cols)
             self._enforce_constraints(state, ins, "merge_into inserts")
             ins_add = self._stage_files(ins, partition_by=pby)
             n_inserted = sum(m["rows"] for m in ins_add)
@@ -2546,8 +2726,14 @@ class LakeTable:
             "when_matched": when_matched,
             "clauses": {
                 "matched_condition": matched_condition,
+                "matched_clauses": (
+                    [[a, c, sm] for a, c, sm in clauses]
+                    if matched_clauses is not None
+                    else None
+                ),
                 "when_not_matched": when_not_matched,
                 "not_matched_condition": not_matched_condition,
+                "not_matched_insert_set": not_matched_insert_set,
                 "when_not_matched_by_source": nms,
                 "not_matched_by_source_condition": (
                     not_matched_by_source_condition
@@ -3318,9 +3504,18 @@ class LakeTable:
             "pins": self.pins(),
         }
 
+    # Below this retention window vacuum refuses without force=True
+    # (Delta's retentionDurationCheck shape): an in-flight writer
+    # stages files BEFORE its commit attempt, and a live stream's
+    # current micro-batch may still be reading files a concurrent
+    # overwrite just unreferenced — an hour bounds both on any
+    # realistic cluster; shorter windows are for tests and offline
+    # maintenance, which say so explicitly.
+    RETENTION_FLOOR_SECONDS = 3600.0
+
     def vacuum(
         self, keep_versions: int = 2, retention_seconds: float = 86400.0,
-        dry_run: bool = False,
+        dry_run: bool = False, force: bool = False,
     ) -> list[str]:
         """Delete data files unreferenced by the newest
         ``keep_versions`` versions; older versions become unreadable
@@ -3335,10 +3530,26 @@ class LakeTable:
         unreferenced RIGHT NOW may belong to an in-flight commit. Only
         files older than the window are reclaimed — an in-flight
         commit that takes a day is a crashed writer, whose staged
-        files are exactly what vacuum exists to collect. Pass 0 only
-        when no writer can be live (tests, offline maintenance)."""
+        files are exactly what vacuum exists to collect.
+
+        A window below :data:`RETENTION_FLOOR_SECONDS` (1 h) REFUSES
+        without ``force=True`` (Delta's retentionDurationCheck): a
+        stream reader's checkpoint can reference files a concurrent
+        overwrite just unreferenced, and deleting them mid-micro-batch
+        fails the stream non-recoverably. ``force=True`` is the
+        explicit operator statement that no writer or stream can be
+        live (tests, offline maintenance)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        if retention_seconds < self.RETENTION_FLOOR_SECONDS and not force:
+            raise ValueError(
+                f"retention_seconds={retention_seconds} is below the "
+                f"{self.RETENTION_FLOOR_SECONDS:.0f}s safety floor: a "
+                "live stream's checkpoint or an in-flight commit may "
+                "still reference files this window would reclaim. "
+                "Pass force=True only when no writer or stream can "
+                "be live (tests, offline maintenance)."
+            )
         import time
 
         vs = self._commit_versions()

@@ -156,7 +156,7 @@ def test_vacuum_drops_unreferenced_files(spark, table):
     # default retention keeps just-written files: a racing writer's
     # staged-but-not-yet-committed files must survive a vacuum
     assert table.vacuum(keep_versions=1) == []
-    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert removed  # v0's files are gone
     assert table.read(spark).count() == 10
     with pytest.raises(Exception):
@@ -967,7 +967,7 @@ def test_shallow_clone_zero_copy_then_diverges(spark, table, tmp_path):
     assert c.read(spark).count() == 50
     # the clone's vacuum sweeps only its own data dir
     c.overwrite(_orders(spark, 0, 3))
-    removed = c.vacuum(keep_versions=1, retention_seconds=0)
+    removed = c.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert all(not os.path.isabs(r) for r in removed)
     assert set(_data_files(table)) >= src_files  # source intact
     assert c.read(spark).count() == 3
@@ -1000,14 +1000,14 @@ def test_clone_pin_makes_source_vacuum_safe(spark, table, tmp_path):
     # source churns far past the cloned version, then vacuums hard
     table.overwrite(_orders(spark, 0, 3))
     table.overwrite(_orders(spark, 3, 6))
-    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0, force=True)
     # v1's unpinned overwrite files reclaim; every pinned v0 file stays
     assert not set(removed) & v0_files
     assert c.read(spark).count() == 100  # clone fully readable
     # release the pin: the next vacuum reclaims v0's files
     table.remove_pin(pin["id"])
     assert table.pins() == []
-    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert set(removed) == v0_files
     with pytest.raises(Exception):
         c.read(spark).count()  # stranded, as documented for unpinned
@@ -1052,12 +1052,12 @@ def test_detail_and_vacuum_dry_run(spark, table):
     assert d["cloned_from"] is None and d["pins"] == []
     assert d["bytes"] > 0 and d["ts"] > 0
     table.overwrite(_orders(spark, 0, 5))
-    would = table.vacuum(keep_versions=1, retention_seconds=0,
+    would = table.vacuum(keep_versions=1, retention_seconds=0, force=True,
                          dry_run=True)
     assert would
     # dry run touched nothing: the old version is still fully readable
     assert table.read(spark, version=0).count() == 100
-    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert sorted(removed) == sorted(would)
 
 

@@ -176,11 +176,11 @@ def test_vacuum_keeps_preimages_of_kept_range(spark, cdf_table):
     t.append(_df(spark, 60, 62))
     # keep every version: the delete's pre-image files must survive
     n_versions = len(t._commit_versions())
-    t.vacuum(keep_versions=n_versions, retention_seconds=0)
+    t.vacuum(keep_versions=n_versions, retention_seconds=0, force=True)
     ch, _ = t.read_changes_since(spark, 0)
     assert ch.where(F.col("_change_type") == "delete").count() == 3
     # drop history before the delete: pre-images become reclaimable
-    removed = t.vacuum(keep_versions=1, retention_seconds=0)
+    removed = t.vacuum(keep_versions=1, retention_seconds=0, force=True)
     preimages = {
         f["path"]
         for v in t._commit_versions()

@@ -163,12 +163,12 @@ def test_vacuum_keeps_then_reclaims_dv_sidecars(spark, tmp_path):
     t.delete_where(spark, F.col("v") == 0, mode="dv")
     t.append(spark.range(5).withColumn("v", F.lit(1).cast("long")))
     # dv referenced by the current version: never reclaimed
-    removed = t.vacuum(keep_versions=1, retention_seconds=0)
+    removed = t.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert not any("dv-" in p for p in removed)
     assert t.read(spark).count() == 55
     # compact materializes the dv; afterwards the sidecar ages out
     t.compact(spark, target_file_bytes=10**7)
-    removed = t.vacuum(keep_versions=1, retention_seconds=0)
+    removed = t.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert any("dv-" in p for p in removed)
     assert t.read(spark).count() == 55
 

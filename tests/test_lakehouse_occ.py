@@ -128,7 +128,7 @@ def test_loser_staged_files_are_vacuumable(spark, tmp_path):
     orphans = on_disk - referenced
     assert orphans, "expected the losing attempt's staged files"
     removed = set(t.vacuum(keep_versions=len(t._commit_versions()),
-                           retention_seconds=0))
+                           retention_seconds=0, force=True))
     assert orphans <= removed
     # every committed version still fully readable after the vacuum
     for v in t._commit_versions():

@@ -90,7 +90,7 @@ def test_drop_partitions_is_metadata_only(spark, ptable):
     ptable.drop_partitions({"region": None})
     assert ptable.read(spark).where(F.col("region").isNull()).count() == 0
     # vacuum (keep current only, no retention for the test) reclaims
-    removed = ptable.vacuum(keep_versions=1, retention_seconds=0)
+    removed = ptable.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert removed
     assert ptable.read(spark).count() == 60
 

@@ -248,7 +248,7 @@ def test_vacuum_keeps_update_postimages_for_kept_commits(
     c = t._read_commit(t.version())
     post = {f["path"] for f in c["cdf_insert"]}
     pre = {f["path"] for f in c["cdf_delete"]}
-    removed = t.vacuum(retention_seconds=0, keep_versions=2)
+    removed = t.vacuum(retention_seconds=0, keep_versions=2, force=True)
     for p in post | pre:
         assert p not in removed, f"vacuum reclaimed CDF image {p}"
         assert os.path.exists(os.path.join(t.path, p))

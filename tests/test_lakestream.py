@@ -479,7 +479,7 @@ def test_probe_records_swept_by_retention(registered, tmp_path):
     with open(stale, "w") as f:
         f.write('{"version": 0}')
     os.utime(stale, (old, old))
-    removed = t.vacuum(keep_versions=1, retention_seconds=0)
+    removed = t.vacuum(keep_versions=1, retention_seconds=0, force=True)
     assert os.path.join("_probes", "old-nonce.json") in removed
     assert os.path.exists(os.path.join(probes, "fresh-nonce.json"))
 

@@ -13,23 +13,23 @@ from olist_data_warehouse_spark.plans.queries import (
 # evaluated) — these MUST sit inside the evaluated prefix. Keep in sync
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
+# r11 went 50/50 green, keeping the union closed at 250/250. Round-12
+# must-prove: (a) the four NEW entries — SQL-text DML (lakesql
+# dispatcher, r11 verdict #2) and the vacuum retention ladder (#4) —
+# and (b) every entry whose code path the round touched: the general
+# merge clause engine gained per-clause SET maps + column-list INSERT
+# (all clause merges, and the shapes sharing merge_into's restructured
+# validation, re-prove); LakeTable.read gained the time-travel
+# existence check (both travel entries); the warehouse source-hash
+# memoization sits under every DW entry (flagship re-proves).
 MUST_PROVE = {
-    # r10 went 50/50 green, closing the union at 246/246 — every
-    # pre-r11 entry has a driver row. The round-11 must-prove set is
-    # (a) the four NEW entries and (b) every entry whose code path the
-    # round touched: merge_into gained the full clause grammar (its
-    # dispatch wraps every merge, and apply_changes shares staging);
-    # lakebatch's write path was restructured (multi-file commit
-    # messages, partition routing, governance hook, out-schema); the
-    # governance DDL (create / add_constraint / drop_constraint) now
-    # records canary proofs in table config.
-    # (a) new in r11:
-    "lake_merge_clauses", "lake_write_partitioned",
-    "lake_write_governed", "lake_stream_sink",
-    # (b) touched in r11:
-    "lake_merge_upsert", "lake_merge_dv", "lake_apply_changes",
-    "lake_write_roundtrip", "lake_constraint_gate",
-    "lake_generated_cols", "lake_column_mapping",
+    # (a) new in r12:
+    "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
+    "lake_vacuum_retention",
+    # (b) touched in r12:
+    "lake_merge_clauses", "lake_merge_upsert", "lake_merge_dv",
+    "lake_apply_changes", "lake_time_travel", "lake_timestamp_travel",
+    "q1_top_units_dw",
 }
 
 
