@@ -37,6 +37,11 @@ support, nothing they don't):
      INSERT * | INSERT (cols) VALUES (exprs)]
   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN
      DELETE | UPDATE SET c = expr, ...]``
+- ``INSERT INTO|OVERWRITE <lake> [(cols)] SELECT ... | VALUES ...``
+- ``VACUUM <lake> [RETAIN n HOURS] [DRY RUN] [FORCE]``
+- ``RESTORE [TABLE] <lake> TO VERSION|TIMESTAMP AS OF x``
+- ``OPTIMIZE <lake> [WHERE <stats conjunction>] [ZORDER BY (cols)]``
+- ``DESCRIBE HISTORY <lake> [LIMIT n]``
 
 Matched clauses form an ordered first-match chain (Delta evaluation
 order); the ON clause must be a conjunction of ``t.k = s.k``
@@ -60,6 +65,7 @@ import re
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from olist_data_warehouse_spark.sources import lakebatch
 from olist_data_warehouse_spark.sources.lakehouse import LakeTable
@@ -508,11 +514,244 @@ def _by_source_action(action, action_mask, cond, keep_t):
     return ("update", cond_n, sets)
 
 
+def _table_cols(t: LakeTable) -> tuple[list[str], dict[str, str]]:
+    state = t._state()
+    return [f["name"] for f in state["schema"]["fields"]], t._generated(
+        state
+    )
+
+
+def _insert(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        r"\s*INSERT\s+(INTO|OVERWRITE)\b", masked, re.IGNORECASE
+    )
+    overwrite = m.group(1).upper() == "OVERWRITE"
+    rest, rest_mask = text[m.end():], masked[m.end():]
+    hm = re.match(
+        rf"\s*(?:TABLE\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*",
+        rest_mask,
+        re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse INSERT target in {text!r}")
+    name = rest[hm.start(1):hm.end(1)]
+    path = lakebatch.dml_target(name)
+    if path is None:
+        # not a lake DML target: catalog tables handle INSERT natively
+        return spark.sql(text)
+    t = LakeTable(path)
+    cols, gen = _table_cols(t)
+    given = (
+        [c.strip() for c in rest[hm.start(3):hm.end(3)].split(",")]
+        if hm.group(2)
+        else None
+    )
+    if given is not None:
+        bad = sorted(set(given) - set(cols))
+        if bad:
+            raise ValueError(f"INSERT names unknown columns: {bad}")
+    query = rest[hm.end():]
+    query_mask = rest_mask[hm.end():]
+    names = given if given is not None else cols
+    if re.match(r"VALUES\b", query_mask, re.IGNORECASE):
+        # positional VALUES rows aliased to the target columns
+        df = spark.sql(
+            f"SELECT * FROM ({query}) AS _v({', '.join(names)})"
+        )
+    else:
+        df = spark.sql(query)
+        if len(df.columns) != len(names):
+            raise ValueError(
+                f"INSERT column count mismatch: target takes "
+                f"{len(names)}, query produces {len(df.columns)}"
+            )
+        df = df.toDF(*names)  # SQL INSERT is positional
+    if given is not None:
+        # omitted non-generated columns insert NULL; omitted GENERATED
+        # columns are computed by append()'s generation contract
+        stype = StructType.fromJson(t._state()["schema"])
+        ftypes = {f.name: f.dataType for f in stype.fields}
+        df = df.select(
+            *[
+                F.col(c) if c in given
+                else F.lit(None).cast(ftypes[c]).alias(c)
+                for c in cols
+                if c in given or c not in gen
+            ]
+        )
+    v = t.overwrite(df) if overwrite else t.append(df)
+    return {"version": v}
+
+
+def _vacuum(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*VACUUM\s+({_IDENT})\s*(.*)$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse VACUUM statement {text!r}")
+    t = _target(text[m.start(1):m.end(1)])
+    tail = masked[m.start(2):]
+    # Delta VACUUM semantics: reclaim files unreferenced by the
+    # CURRENT version (and older than retention) — keep_versions=1,
+    # not the Python API's history-keeping default of 2
+    kwargs: dict = {"keep_versions": 1}
+    rm = re.search(
+        r"RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\b", tail, re.IGNORECASE
+    )
+    if rm:
+        kwargs["retention_seconds"] = float(rm.group(1)) * 3600.0
+    if re.search(r"DRY\s+RUN\b", tail, re.IGNORECASE):
+        kwargs["dry_run"] = True
+    if re.search(r"\bFORCE\b", tail, re.IGNORECASE):
+        kwargs["force"] = True
+    leftover = re.sub(
+        r"RETAIN\s+\d+(?:\.\d+)?\s+HOURS\b|DRY\s+RUN\b|\bFORCE\b",
+        "",
+        tail,
+        flags=re.IGNORECASE,
+    ).strip()
+    if leftover:
+        raise ValueError(
+            f"cannot parse VACUUM clause {leftover!r} (grammar: "
+            "VACUUM t [RETAIN n HOURS] [DRY RUN] [FORCE])"
+        )
+    return t.vacuum(**kwargs)
+
+
+def _restore(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+        r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"cannot parse RESTORE (grammar: RESTORE [TABLE] t TO "
+            f"VERSION|TIMESTAMP AS OF x): {text!r}"
+        )
+    t = _target(text[m.start(1):m.end(1)])
+    arg = text[m.end():].strip().strip("'\"")
+    if m.group(2).upper() == "VERSION":
+        v = t.restore(version=int(arg))
+    else:
+        v = t.restore(timestamp=arg)
+    return {"version": v}
+
+
+def _optimize(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*OPTIMIZE\s+({_IDENT})", masked, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"cannot parse OPTIMIZE statement {text!r}")
+    t = _target(text[m.start(1):m.end(1)])
+    w = _find_top(masked, "WHERE", m.end())
+    z = _find_top(masked, "ZORDER", m.end())
+    cluster_by = None
+    if z >= 0:
+        zm = re.match(
+            r"ZORDER\s+BY\s*\(([^)]*)\)\s*$",
+            masked[z:],
+            re.IGNORECASE,
+        )
+        if not zm:
+            raise ValueError(
+                "cannot parse ZORDER BY (grammar: ZORDER BY (c1, c2))"
+            )
+        seg = text[z:][zm.start(1):zm.end(1)]
+        cluster_by = [c.strip() for c in seg.split(",")]
+    where = None
+    if w >= 0:
+        pred = text[w + 5: z if z >= 0 else len(text)]
+        pred_mask = masked[w + 5: z if z >= 0 else len(masked)]
+        where = []
+        for part_t, part_m in zip(
+            re.split(r"\bAND\b", pred, flags=re.IGNORECASE),
+            re.split(r"\bAND\b", pred_mask, flags=re.IGNORECASE),
+        ):
+            p = _auto_prune(part_t, part_m)
+            if p is None:
+                raise ValueError(
+                    f"OPTIMIZE WHERE must be a conjunction of "
+                    f"`col <op> numeric` stats predicates (compaction "
+                    f"scope is file-granular); cannot translate "
+                    f"{part_t.strip()!r}"
+                )
+            where.append(p)
+    return t.compact(
+        spark,
+        128 * 1024 * 1024,
+        cluster_by=cluster_by,
+        where=where,
+    )
+
+
+def _describe_history(spark: SparkSession, text: str, masked: str):
+    import json as _json
+
+    m = re.match(
+        rf"\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*"
+        r"(?:LIMIT\s+(\d+))?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"cannot parse DESCRIBE HISTORY statement {text!r}"
+        )
+    t = _target(text[m.start(1):m.end(1)])
+    recs = t.history(limit=int(m.group(2)) if m.group(2) else None)
+    rows = [
+        (
+            r["version"],
+            r["op"],
+            r["added"],
+            r["removed"],
+            _json.dumps(
+                {
+                    k: v
+                    for k, v in r.items()
+                    if k not in ("version", "op", "added", "removed")
+                },
+                default=str,
+                sort_keys=True,
+            ),
+        )
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, added long, removed long, "
+        "detail string",
+    )
+
+
 def sql(spark: SparkSession, text: str):
-    """Run ``text``: lake DML statements dispatch to the
-    :class:`LakeTable` engines and return their result dicts
-    (``{version, rows_*, files_*}``); anything else returns
-    ``spark.sql(text)`` untouched."""
+    """Run ``text``: lake DML and maintenance statements dispatch to
+    the :class:`LakeTable` engines; anything else returns
+    ``spark.sql(text)`` untouched. Statement -> engine -> return:
+
+    - ``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` -> merge_into /
+      delete_where / update_where -> their result dicts
+      (``{version, rows_*, files_*}``)
+    - ``INSERT INTO|OVERWRITE t [(cols)] SELECT ...|VALUES ...`` ->
+      append / overwrite (positional SQL semantics; a column list
+      NULLs omitted columns and lets generated ones compute; non-lake
+      targets fall through to spark.sql, which handles catalog
+      tables natively) -> ``{version}``
+    - ``VACUUM t [RETAIN n HOURS] [DRY RUN] [FORCE]`` -> vacuum ->
+      removed paths (FORCE maps to force=True — the sub-floor
+      retention override; Delta spells it as a session conf)
+    - ``RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF x`` -> restore
+      -> ``{version}``
+    - ``OPTIMIZE t [WHERE stats-conjunction] [ZORDER BY (cols)]`` ->
+      compact (128 MiB target) -> its result dict
+    - ``DESCRIBE HISTORY t [LIMIT n]`` -> history -> a DataFrame
+      (version, op, added, removed, detail-JSON)
+    """
     stmt = text.strip().rstrip(";").strip()
     masked = _mask(stmt)
     head = masked.lstrip().upper()
@@ -522,4 +761,14 @@ def sql(spark: SparkSession, text: str):
         return _delete(spark, stmt, masked)
     if head.startswith("UPDATE"):
         return _update(spark, stmt, masked)
+    if head.startswith("INSERT"):
+        return _insert(spark, stmt, masked)
+    if head.startswith("VACUUM"):
+        return _vacuum(spark, stmt, masked)
+    if head.startswith("RESTORE"):
+        return _restore(spark, stmt, masked)
+    if head.startswith("OPTIMIZE"):
+        return _optimize(spark, stmt, masked)
+    if re.match(r"\s*DESCRIBE\s+HISTORY\b", head):
+        return _describe_history(spark, stmt, masked)
     return spark.sql(text)

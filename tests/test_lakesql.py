@@ -322,3 +322,109 @@ def test_engine_set_map_only_on_update(spark, orders, tmp_path):
             spark, orders, ["o_orderkey"],
             matched_clauses=[("delete", None, {"o_totalprice": "1.0"})],
         )
+
+
+# ------------------------------------------------- maintenance surface
+
+def test_sql_insert_into_select(spark, orders, tmp_path):
+    half = orders.where(F.col("o_orderkey") % 2 == 0)
+    t = _make(spark, orders, tmp_path, "ins_sel", df=half)
+    orders.where(F.col("o_orderkey") % 2 != 0).createOrReplaceTempView(
+        "ins_sel_src"
+    )
+    r = lakesql.sql(
+        spark, "INSERT INTO ins_sel SELECT * FROM ins_sel_src"
+    )
+    assert r["version"] == 1
+    assert _rows(t.read(spark)) == _rows(orders)
+
+
+def test_sql_insert_overwrite(spark, orders, tmp_path):
+    t = _make(spark, orders, tmp_path, "ins_ovw")
+    orders.limit(7).createOrReplaceTempView("ins_ovw_src")
+    lakesql.sql(
+        spark, "INSERT OVERWRITE ins_ovw SELECT * FROM ins_ovw_src"
+    )
+    assert t.read(spark).count() == 7
+
+
+def test_sql_insert_values_with_column_list(spark, orders, tmp_path):
+    t = _make(spark, orders, tmp_path, "ins_val", df=orders.limit(0))
+    r = lakesql.sql(
+        spark,
+        "INSERT INTO ins_val (o_orderkey, o_orderpriority) "
+        "VALUES (CAST(1 AS BIGINT), 'A'), (CAST(2 AS BIGINT), 'B')",
+    )
+    assert r["version"] == 1
+    got = t.read(spark)
+    assert got.count() == 2
+    # omitted columns landed NULL
+    assert got.where(F.col("o_custkey").isNotNull()).count() == 0
+    assert sorted(
+        (r2["o_orderkey"], r2["o_orderpriority"])
+        for r2 in got.collect()
+    ) == [(1, "A"), (2, "B")]
+
+
+def test_sql_insert_non_lake_falls_through(spark, orders, tmp_path):
+    """INSERT into a non-lake target goes to spark.sql (catalog
+    tables support it natively)."""
+    spark.sql("DROP TABLE IF EXISTS ins_cat")
+    orders.limit(0).write.saveAsTable("ins_cat")
+    lakesql.sql(
+        spark,
+        "INSERT INTO ins_cat SELECT * FROM ins_cat",  # no-op insert
+    )
+    assert spark.table("ins_cat").count() == 0
+    spark.sql("DROP TABLE IF EXISTS ins_cat")
+
+
+def test_sql_vacuum_grammar(spark, orders, tmp_path):
+    t = _make(spark, orders, tmp_path, "vac_t")
+    t.overwrite(orders.limit(5))
+    with pytest.raises(ValueError, match="safety floor"):
+        lakesql.sql(spark, "VACUUM vac_t RETAIN 0 HOURS")
+    would = lakesql.sql(spark, "VACUUM vac_t RETAIN 0 HOURS DRY RUN FORCE")
+    assert would
+    import os as _os
+    assert all(
+        _os.path.exists(_os.path.join(t.path, p)) for p in would
+    ), "DRY RUN must not delete"
+    removed = lakesql.sql(spark, "VACUUM vac_t RETAIN 0 HOURS FORCE")
+    assert sorted(removed) == sorted(would)
+    with pytest.raises(ValueError, match="cannot parse VACUUM clause"):
+        lakesql.sql(spark, "VACUUM vac_t BANANAS")
+
+
+def test_sql_restore_version(spark, orders, tmp_path):
+    t = _make(spark, orders, tmp_path, "res_t")
+    t.overwrite(orders.limit(5))
+    r = lakesql.sql(spark, "RESTORE TABLE res_t TO VERSION AS OF 0")
+    assert r["version"] == 2
+    assert _rows(t.read(spark)) == _rows(orders)
+
+
+def test_sql_optimize_zorder(spark, orders, tmp_path):
+    t = _make(spark, orders, tmp_path, "opt_t")
+    res = lakesql.sql(
+        spark,
+        "OPTIMIZE opt_t ZORDER BY (o_orderkey, o_totalprice)",
+    )
+    assert res["version"] >= 1
+    assert _rows(t.read(spark)) == _rows(orders)
+    with pytest.raises(ValueError, match="stats predicates"):
+        lakesql.sql(
+            spark, "OPTIMIZE opt_t WHERE o_orderstatus = 'F'"
+        )
+
+
+def test_sql_describe_history(spark, orders, tmp_path):
+    t = _make(spark, orders, tmp_path, "hist_t")
+    t.append(orders.limit(3))
+    t.overwrite(orders.limit(5))
+    df = lakesql.sql(spark, "DESCRIBE HISTORY hist_t LIMIT 2")
+    rows = df.orderBy("version").collect()
+    assert [r["version"] for r in rows] == [1, 2]
+    assert rows[1]["op"] == "overwrite"
+    full = lakesql.sql(spark, "DESCRIBE HISTORY hist_t")
+    assert full.count() == 3
