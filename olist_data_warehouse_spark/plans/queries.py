@@ -1783,10 +1783,12 @@ DRIVER_PRIORITY = [
     # the rest of the 50 slots are high-value re-proofs.
     # 1: NEW this round: SQL-text DML (MERGE INTO / DELETE FROM /
     #    UPDATE statements routed through sources/lakesql.py to the
-    #    table engines — r11 verdict item #2) and the vacuum
-    #    retention-guard ladder (item #4).
+    #    table engines — r11 verdict item #2), the vacuum
+    #    retention-guard ladder (item #4), and the SQL DDL lifecycle
+    #    (CREATE TABLE USING lake / ALTER TABLE ADD COLUMNS, RENAME,
+    #    CONSTRAINT / TBLPROPERTIES — all as text).
     "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
-    "lake_vacuum_retention",
+    "lake_vacuum_retention", "lake_sql_ddl", "lake_sql_asof",
     # 2: TOUCHED this round: the general merge clause engine gained
     #    per-clause SET maps and column-list INSERT (every clause
     #    merge re-proves); merge_into's validation block was

@@ -1306,6 +1306,16 @@ def dml_target(name: str) -> str | None:
     return _DML_TARGETS.get(name.lower())
 
 
+def unregister_table(spark, name: str) -> None:
+    """DROP TABLE for the SQL surface: removes the temp view and the
+    DML-target binding. External-table semantics — the data and log
+    stay on disk (Delta's DROP on an external location), so a later
+    ``register_table``/``CREATE TABLE IF NOT EXISTS`` re-binds the
+    same table unchanged."""
+    spark.catalog.dropTempView(name)
+    _DML_TARGETS.pop(name.lower(), None)
+
+
 def register(spark) -> None:
     # Python-source filter pushdown ships disabled; the whole point of
     # this source is stats pruning from pushed filters, so opt in here

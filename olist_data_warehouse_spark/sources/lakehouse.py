@@ -434,6 +434,7 @@ class LakeTable:
                             "ts", "predicate", "rows_deleted",
                             "rows_updated", "rollback_of", "restore",
                             "mode", "constraint", "column",
+                            "properties",
                         )
                         if k in c
                     },
@@ -1326,6 +1327,151 @@ class LakeTable:
             v,
             {"op": "alter", "add": [], "remove": [], "config": cfg,
              "constraint": {"action": "drop", "name": name}},
+        )
+        return v
+
+    def add_columns(self, fields) -> int:
+        """ALTER TABLE ADD COLUMNS — METADATA-ONLY widen (the
+        Delta/Iceberg evolution contract: schema lives in the log,
+        not the files). No data file is touched: every existing row
+        reads the new columns as NULL because scans apply the CURRENT
+        schema by name over the file set (:meth:`_scan` passes an
+        explicit read schema and parquet backfills absent columns —
+        the same mechanism ``append(merge_schema=True)`` already
+        relies on), and stats pruning treats a column with no
+        per-file stats as might-match. New columns are therefore
+        forced nullable whatever the caller declared. Under column
+        mapping each new column gets a freshly MINTED physical name,
+        so a re-added name can never resurrect a previously-dropped
+        column's physical data (same rule as the merge-schema
+        append). At 100 TB this is a catalog edit, not a rewrite.
+
+        ``fields``: a ``StructType`` or list of ``StructField``.
+        """
+        import re as _re
+
+        flds = (
+            list(fields.fields)
+            if isinstance(fields, StructType)
+            else list(fields)
+        )
+        if not flds:
+            raise ValueError("ADD COLUMNS needs at least one column")
+        state = self._state()
+        names = [f["name"] for f in state["schema"]["fields"]]
+        seen: set[str] = set()
+        for f in flds:
+            if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f.name):
+                raise ValueError(
+                    f"column name {f.name!r} must be an identifier"
+                )
+            if f.name in names:
+                raise ValueError(f"column {f.name!r} already exists")
+            if f.name in seen:
+                raise ValueError(f"duplicate new column {f.name!r}")
+            seen.add(f.name)
+        schema = json.loads(json.dumps(state["schema"]))
+        schema["fields"] += [
+            StructField(f.name, f.dataType, True).jsonValue()
+            for f in flds
+        ]
+        commit: dict = {
+            "op": "alter", "add": [], "remove": [], "schema": schema,
+            "column": {"action": "add",
+                       "names": [f.name for f in flds]},
+        }
+        if state.get("config", {}).get("column_mapping") is not None:
+            cfg = dict(state.get("config", {}))
+            mp = dict(cfg.get("column_mapping") or {})
+            for f in flds:
+                mp[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
+            cfg["column_mapping"] = mp
+            commit["config"] = cfg
+        v = state["version"] + 1
+        self._write_commit(v, commit)
+        return v
+
+    # config keys the engine itself owns — each has a dedicated API
+    # with its own guards, so none is settable as a free-form property
+    _ENGINE_CONFIG_KEYS = frozenset(
+        {"partition_by", "generated", "constraints", "column_mapping",
+         "native_proofs", "properties"}
+    )
+
+    def properties(self) -> dict[str, str]:
+        """Free-form table properties, ``{key: value}`` (strings)."""
+        return dict(
+            (self._state().get("config") or {}).get("properties") or {}
+        )
+
+    def set_properties(self, props: dict) -> int:
+        """ALTER TABLE SET TBLPROPERTIES — metadata-only commit of
+        free-form STRING properties, plus one engine-recognized key:
+        ``'cdf'`` = ``'true'|'false'`` toggles the change-data feed
+        for FUTURE commits (Delta's ``delta.enableChangeDataFeed``
+        posture: enabling mid-life starts pre-image persistence at
+        this version; :meth:`read_changes_since` still refuses —
+        loudly — to replay rewriting commits from BEFORE enablement,
+        so a consumer can never get a silently-incomplete feed).
+        Engine-managed config (partitioning, constraints, generated
+        columns, column mapping) refuses here — each has its own API
+        whose guards a property write must not bypass."""
+        if not props:
+            raise ValueError("SET TBLPROPERTIES needs at least one key")
+        state = self._state()
+        cfg = dict(state.get("config", {}))
+        cur = dict(cfg.get("properties") or {})
+        changed: dict[str, str] = {}
+        for k in sorted(props):
+            key, val = str(k), str(props[k])
+            if key == "cdf":
+                lv = val.strip().lower()
+                if lv not in ("true", "false"):
+                    raise ValueError(
+                        f"property 'cdf' must be 'true' or 'false', "
+                        f"got {val!r}"
+                    )
+                cfg["cdf"] = lv == "true"
+            elif key in self._ENGINE_CONFIG_KEYS:
+                raise ValueError(
+                    f"property {key!r} is engine-managed — use its "
+                    "dedicated API (create/partition, add_constraint, "
+                    "rename_column/drop_column, ...)"
+                )
+            else:
+                cur[key] = val
+            changed[key] = val
+        cfg["properties"] = cur
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "config": cfg,
+             "properties": {"action": "set", "values": changed}},
+        )
+        return v
+
+    def unset_properties(self, keys) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES — strict (Delta without IF
+        EXISTS): unknown keys raise rather than silently no-op. The
+        ``'cdf'`` toggle is unset by setting it to ``'false'``, not
+        by removal — a feed that was on has a history to account for."""
+        ks = [str(k) for k in keys]
+        if not ks:
+            raise ValueError("UNSET TBLPROPERTIES needs at least one key")
+        state = self._state()
+        cfg = dict(state.get("config", {}))
+        cur = dict(cfg.get("properties") or {})
+        missing = sorted(set(ks) - set(cur))
+        if missing:
+            raise ValueError(f"no such table properties: {missing}")
+        for k in ks:
+            del cur[k]
+        cfg["properties"] = cur
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "alter", "add": [], "remove": [], "config": cfg,
+             "properties": {"action": "unset", "values": sorted(ks)}},
         )
         return v
 
@@ -3500,6 +3646,9 @@ class LakeTable:
                 (state.get("config") or {}).get("constraints") or {}
             ),
             "generated": dict(self._generated(state)),
+            "properties": dict(
+                (state.get("config") or {}).get("properties") or {}
+            ),
             "cloned_from": c0.get("cloned_from"),
             "pins": self.pins(),
         }

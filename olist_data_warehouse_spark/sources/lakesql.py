@@ -41,7 +41,19 @@ support, nothing they don't):
 - ``VACUUM <lake> [RETAIN n HOURS] [DRY RUN] [FORCE]``
 - ``RESTORE [TABLE] <lake> TO VERSION|TIMESTAMP AS OF x``
 - ``OPTIMIZE <lake> [WHERE <stats conjunction>] [ZORDER BY (cols)]``
-- ``DESCRIBE HISTORY <lake> [LIMIT n]``
+- ``DESCRIBE HISTORY <lake> [LIMIT n]`` / ``DESCRIBE DETAIL <lake>``
+- ``ALTER TABLE <lake> ADD COLUMNS (defs) | RENAME COLUMN a TO b |
+  DROP COLUMN a | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n |
+  SET TBLPROPERTIES ('k'='v', ...) | UNSET TBLPROPERTIES ('k', ...)``
+- ``CREATE TABLE [IF NOT EXISTS] <name> [(col type, ...)] USING lake
+  LOCATION 'path' [PARTITIONED BY (cols)] [TBLPROPERTIES (...)]
+  [AS SELECT ...]`` (creates AND registers the SQL binding)
+- ``DROP TABLE [IF EXISTS] <name>`` (drops the binding; data stays)
+- ``SHOW TBLPROPERTIES <name>``
+- read extensions inside SELECT/WITH (and the query side of INSERT /
+  CTAS): ``FROM <lake> VERSION|TIMESTAMP AS OF x`` and
+  ``table_changes('<lake>', since_version)`` rewrite to registered
+  snapshot/CDF views and run through plain ``spark.sql``
 
 Matched clauses form an ordered first-match chain (Delta evaluation
 order); the ON clause must be a conjunction of ``t.k = s.k``
@@ -559,7 +571,7 @@ def _insert(spark: SparkSession, text: str, masked: str):
             f"SELECT * FROM ({query}) AS _v({', '.join(names)})"
         )
     else:
-        df = spark.sql(query)
+        df = spark.sql(_rewrite_reads(spark, query, query_mask))
         if len(df.columns) != len(names):
             raise ValueError(
                 f"INSERT column count mismatch: target takes "
@@ -729,6 +741,403 @@ def _describe_history(spark: SparkSession, text: str, masked: str):
     )
 
 
+_AS_OF = re.compile(
+    rf"\b({_IDENT})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"('[^']*'|[0-9][\w.:+-]*)",
+    re.IGNORECASE,
+)
+_TABLE_CHANGES = re.compile(
+    r"\btable_changes\s*\(\s*('[^']*')\s*,\s*(-?\d+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_reads(spark: SparkSession, text: str, masked: str) -> str:
+    """Rewrite the lake READ extensions inside a query to registered
+    snapshot views, so plain ``spark.sql`` runs them:
+
+    - ``FROM t VERSION|TIMESTAMP AS OF x`` -> a time-travel view over
+      the same table path (Delta's SQL time travel)
+    - ``table_changes('t', since_version)`` -> a CDF view (table
+      columns + ``_change_type`` + ``_commit_version`` — Delta's TVF
+      shape on the two-type delta model)
+
+    Non-lake names pass through untouched (Spark reports its own
+    error for syntax it doesn't support). Each distinct (table,
+    as-of) pins its OWN view name, so two travels of the same table
+    in one query don't collide."""
+    out, last = [], 0
+    pieces: list[tuple[int, int, str]] = []
+    for m in _AS_OF.finditer(masked):
+        name = text[m.start(1):m.end(1)]
+        path = lakebatch.dml_target(name)
+        if path is None:
+            continue
+        kind = m.group(2).lower()
+        arg = _unquote(text[m.start(3):m.end(3)])
+        view = (
+            f"{name}__{kind}_"
+            + re.sub(r"[^A-Za-z0-9]", "_", arg)[:40]
+        )
+        lakebatch.register_table(spark, view, path, **{kind: arg})
+        pieces.append((m.start(), m.end(), view))
+    for m in _TABLE_CHANGES.finditer(masked):
+        name = _unquote(text[m.start(1):m.end(1)])
+        path = lakebatch.dml_target(name)
+        if path is None:
+            raise ValueError(
+                f"table_changes: {name!r} is not a registered lake "
+                "table"
+            )
+        since = int(m.group(2))
+        view = f"{name}__changes_{since}".replace("-", "m")
+        lakebatch.register_table(
+            spark, view, path, mode="cdf", since=since
+        )
+        pieces.append((m.start(), m.end(), view))
+    if not pieces:
+        return text
+    for start, end, view in sorted(pieces):
+        out.append(text[last:start])
+        out.append(view)
+        last = end
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _paren_body(
+    text: str, masked: str, start: int
+) -> tuple[str, str, int]:
+    """(body_text, body_mask, index-after-close) of the first balanced
+    paren group at or after ``start``."""
+    i = masked.find("(", start)
+    if i < 0:
+        raise ValueError(f"expected '(' in {text[start:]!r}")
+    depth = 0
+    for j in range(i, len(masked)):
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i + 1:j], masked[i + 1:j], j + 1
+    raise ValueError(f"unbalanced parentheses in {text!r}")
+
+
+def _unquote(seg: str) -> str:
+    s = seg.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    return s
+
+
+def _parse_props(body_text: str, body_mask: str) -> dict[str, str]:
+    """``'k' = 'v', k2 = v2`` -> dict (keys/values quoted or bare)."""
+    props: dict[str, str] = {}
+    for pt, pm in zip(
+        _split_top(body_text, body_mask, ","),
+        _split_top(body_mask, body_mask, ","),
+    ):
+        if not pt.strip():
+            continue
+        eq = pm.find("=")
+        if eq < 0:
+            raise ValueError(
+                f"cannot parse property {pt.strip()!r} "
+                "(grammar: 'key' = 'value')"
+            )
+        key, val = _unquote(pt[:eq]), _unquote(pt[eq + 1:])
+        if not key:
+            raise ValueError(f"empty property key in {pt.strip()!r}")
+        if key in props:
+            raise ValueError(f"duplicate property key {key!r}")
+        props[key] = val
+    if not props:
+        raise ValueError("expected at least one property")
+    return props
+
+
+def _alter(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*ALTER\s+TABLE\s+({_IDENT})\s+", masked, re.IGNORECASE
+    )
+    if not m:
+        return spark.sql(text)
+    name = text[m.start(1):m.end(1)]
+    if lakebatch.dml_target(name) is None:
+        # not a lake DML target: catalog tables ALTER natively
+        return spark.sql(text)
+    t = _target(name)
+    tail, tail_mask = text[m.end():], masked[m.end():]
+
+    def _reregister(version: int) -> dict:
+        # a temp view's analysis schema is frozen at registration —
+        # refresh the SQL binding so the ALTERed schema is what the
+        # next spark.sql sees (a stream running across the change
+        # keeps ITS analysis-time schema until restart, as ever)
+        lakebatch.register_table(spark, name, t.path)
+        return {"version": version}
+
+    am = re.match(r"\s*ADD\s+COLUMNS?\b", tail_mask, re.IGNORECASE)
+    if am:
+        rest_mask = tail_mask[am.end():]
+        if rest_mask.lstrip().startswith("("):
+            body, _bm, end = _paren_body(tail, tail_mask, am.end())
+            if tail_mask[end:].strip():
+                raise ValueError(
+                    f"trailing text after ADD COLUMNS: "
+                    f"{tail[end:].strip()!r}"
+                )
+        else:
+            body = tail[am.end():]
+        flds = StructType.fromDDL(body)
+        return _reregister(t.add_columns(flds.fields))
+
+    rm = re.match(
+        rf"\s*RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+        tail_mask,
+        re.IGNORECASE,
+    )
+    if rm:
+        return _reregister(
+            t.rename_column(
+                tail[rm.start(1):rm.end(1)], tail[rm.start(2):rm.end(2)]
+            )
+        )
+
+    dm = re.match(
+        rf"\s*DROP\s+COLUMN\s+({_IDENT})\s*$", tail_mask, re.IGNORECASE
+    )
+    if dm:
+        return _reregister(t.drop_column(tail[dm.start(1):dm.end(1)]))
+
+    cm = re.match(
+        rf"\s*ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\(",
+        tail_mask,
+        re.IGNORECASE,
+    )
+    if cm:
+        expr, _em, end = _paren_body(tail, tail_mask, cm.end() - 1)
+        if tail_mask[end:].strip():
+            raise ValueError(
+                f"trailing text after CHECK (...): {tail[end:].strip()!r}"
+            )
+        return {
+            "version": t.add_constraint(
+                spark, tail[cm.start(1):cm.end(1)], expr.strip()
+            )
+        }
+
+    xm = re.match(
+        rf"\s*DROP\s+CONSTRAINT\s+({_IDENT})\s*$",
+        tail_mask,
+        re.IGNORECASE,
+    )
+    if xm:
+        return {
+            "version": t.drop_constraint(tail[xm.start(1):xm.end(1)])
+        }
+
+    sm = re.match(
+        r"\s*SET\s+TBLPROPERTIES\s*\(", tail_mask, re.IGNORECASE
+    )
+    if sm:
+        body, bm, end = _paren_body(tail, tail_mask, sm.end() - 1)
+        if tail_mask[end:].strip():
+            raise ValueError(
+                f"trailing text after TBLPROPERTIES: "
+                f"{tail[end:].strip()!r}"
+            )
+        return {"version": t.set_properties(_parse_props(body, bm))}
+
+    um = re.match(
+        r"\s*UNSET\s+TBLPROPERTIES\s*\(", tail_mask, re.IGNORECASE
+    )
+    if um:
+        body, bm, end = _paren_body(tail, tail_mask, um.end() - 1)
+        if tail_mask[end:].strip():
+            raise ValueError(
+                f"trailing text after TBLPROPERTIES: "
+                f"{tail[end:].strip()!r}"
+            )
+        keys = [
+            _unquote(k)
+            for k in _split_top(body, bm, ",")
+            if k.strip()
+        ]
+        return {"version": t.unset_properties(keys)}
+
+    raise ValueError(
+        f"cannot parse ALTER TABLE clause {tail.strip()!r} (supported: "
+        "ADD COLUMNS (defs) | RENAME COLUMN a TO b | DROP COLUMN a | "
+        "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | "
+        "SET TBLPROPERTIES ('k'='v', ...) | "
+        "UNSET TBLPROPERTIES ('k', ...))"
+    )
+
+
+def _create_table(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m or not re.search(
+        r"\bUSING\s+lake\b", masked, re.IGNORECASE
+    ):
+        # not a lake table: catalog CREATEs run natively
+        return spark.sql(text)
+    if_not_exists = bool(m.group(1))
+    name = text[m.start(2):m.end(2)]
+    off = m.end()
+    cols_ddl = None
+    if masked[off:].lstrip().startswith("("):
+        cols_ddl, _cm, off = _paren_body(text, masked, off)
+    tail, tail_mask = text[off:], masked[off:]
+    asi = _find_top(tail_mask, "AS")
+    head_t = tail[: asi if asi >= 0 else len(tail)]
+    head_m = tail_mask[: asi if asi >= 0 else len(tail_mask)]
+    select = (
+        _rewrite_reads(spark, tail[asi + 2:], tail_mask[asi + 2:])
+        if asi >= 0
+        else None
+    )
+
+    lm = re.search(r"\bLOCATION\s+('_*')", head_m, re.IGNORECASE)
+    if not lm:
+        raise ValueError(
+            "CREATE TABLE ... USING lake needs LOCATION '<path>' "
+            "(external-table form; Spark 4.1 Python data sources "
+            "cannot carry storage options through the catalog)"
+        )
+    path = _unquote(head_t[lm.start(1):lm.end(1)])
+    partition_by = None
+    pm = re.search(
+        r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", head_m, re.IGNORECASE
+    )
+    if pm:
+        partition_by = [
+            c.strip()
+            for c in head_t[pm.start(1):pm.end(1)].split(",")
+            if c.strip()
+        ]
+    props: dict[str, str] = {}
+    tm = re.search(r"\bTBLPROPERTIES\s*\(", head_m, re.IGNORECASE)
+    if tm:
+        body, bm, _end = _paren_body(head_t, head_m, tm.end() - 1)
+        props = _parse_props(body, bm)
+    leftover = re.sub(
+        r"\bUSING\s+lake\b|\bLOCATION\s+'_*'|"
+        r"\bPARTITIONED\s+BY\s*\([^)]*\)|\bTBLPROPERTIES\s*\(.*?\)",
+        "",
+        head_m,
+        flags=re.IGNORECASE | re.DOTALL,
+    ).strip()
+    if leftover:
+        raise ValueError(
+            f"cannot parse CREATE TABLE clause {leftover!r} (grammar: "
+            "CREATE TABLE [IF NOT EXISTS] t [(col type, ...)] USING "
+            "lake LOCATION 'p' [PARTITIONED BY (cols)] "
+            "[TBLPROPERTIES ('k'='v', ...)] [AS SELECT ...])"
+        )
+
+    existing = LakeTable(path)
+    if existing.version() is not None:
+        if not if_not_exists:
+            raise FileExistsError(
+                f"lake table already exists at {path} (use CREATE "
+                "TABLE IF NOT EXISTS to bind the existing table)"
+            )
+        lakebatch.register_table(spark, name, path)
+        return {"version": existing.version(), "created": False}
+
+    if select is not None:
+        if cols_ddl is not None:
+            raise ValueError(
+                "CREATE TABLE ... AS SELECT cannot also declare a "
+                "column list"
+            )
+        df = spark.sql(select)
+    else:
+        if cols_ddl is None:
+            raise ValueError(
+                "CREATE TABLE needs a column list or AS SELECT"
+            )
+        df = spark.createDataFrame([], StructType.fromDDL(cols_ddl))
+    cdf = props.pop("cdf", "false").strip().lower() == "true"
+    t = LakeTable.create(df, path, cdf=cdf, partition_by=partition_by)
+    if props:
+        t.set_properties(props)
+    lakebatch.register_table(spark, name, path)
+    return {"version": t.version(), "created": True}
+
+
+def _drop_table(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        return spark.sql(text)
+    name = text[m.start(1):m.end(1)]
+    if lakebatch.dml_target(name) is None:
+        return spark.sql(text)
+    lakebatch.unregister_table(spark, name)
+    return {"dropped": name}
+
+
+def _show_tblproperties(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        return spark.sql(text)
+    name = text[m.start(1):m.end(1)]
+    if lakebatch.dml_target(name) is None:
+        return spark.sql(text)
+    t = _target(name)
+    props = dict(t.properties())
+    props["cdf"] = "true" if t.detail()["cdf"] else "false"
+    return spark.createDataFrame(
+        sorted(props.items()), "key string, value string"
+    )
+
+
+def _describe_detail(spark: SparkSession, text: str, masked: str):
+    import json as _json
+
+    m = re.match(
+        rf"\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        return spark.sql(text)
+    name = text[m.start(1):m.end(1)]
+    if lakebatch.dml_target(name) is None:
+        return spark.sql(text)  # no lake binding: let Spark report
+    d = _target(name).detail()
+    js = lambda v: _json.dumps(v, default=str, sort_keys=True)  # noqa: E731
+    return spark.createDataFrame(
+        [(
+            d["path"], d["version"], float(d["ts"]), d["num_files"],
+            d["rows"], d["dv_deleted"], d["bytes"],
+            js(d["partition_by"]), bool(d["cdf"]),
+            js(d["column_mapping"]), js(d["constraints"]),
+            js(d["generated"]), js(d["properties"]),
+            js(d["cloned_from"]), js(d["pins"]),
+        )],
+        "path string, version long, ts double, num_files long, "
+        "rows long, dv_deleted long, bytes long, partition_by string, "
+        "cdf boolean, column_mapping string, constraints string, "
+        "generated string, properties string, cloned_from string, "
+        "pins string",
+    )
+
+
 def sql(spark: SparkSession, text: str):
     """Run ``text``: lake DML and maintenance statements dispatch to
     the :class:`LakeTable` engines; anything else returns
@@ -751,6 +1160,22 @@ def sql(spark: SparkSession, text: str):
       compact (128 MiB target) -> its result dict
     - ``DESCRIBE HISTORY t [LIMIT n]`` -> history -> a DataFrame
       (version, op, added, removed, detail-JSON)
+    - ``ALTER TABLE t ADD COLUMNS (defs) | RENAME COLUMN a TO b |
+      DROP COLUMN a | ADD CONSTRAINT n CHECK (expr) |
+      DROP CONSTRAINT n | SET/UNSET TBLPROPERTIES (...)`` ->
+      add_columns / rename_column / drop_column / add_constraint /
+      drop_constraint / set_properties / unset_properties ->
+      ``{version}`` (non-lake targets fall through to spark.sql)
+    - ``CREATE TABLE [IF NOT EXISTS] t [(cols)] USING lake LOCATION
+      'p' [PARTITIONED BY (cols)] [TBLPROPERTIES (...)] [AS SELECT
+      ...]`` -> LakeTable.create + register_table (the supported
+      catalog-binding form: a temp view + DML-target entry, since
+      Spark 4.1 Python data sources drop storage options between
+      catalog and scan) -> ``{version, created}``
+    - ``DROP TABLE [IF EXISTS] t`` -> unregister_table —
+      external-table semantics: the SQL binding goes, data and log
+      stay -> ``{dropped}``
+    - ``SHOW TBLPROPERTIES t`` / ``DESCRIBE DETAIL t`` -> DataFrames
     """
     stmt = text.strip().rstrip(";").strip()
     masked = _mask(stmt)
@@ -771,4 +1196,18 @@ def sql(spark: SparkSession, text: str):
         return _optimize(spark, stmt, masked)
     if re.match(r"\s*DESCRIBE\s+HISTORY\b", head):
         return _describe_history(spark, stmt, masked)
+    if re.match(r"\s*DESCRIBE\s+DETAIL\b", head):
+        return _describe_detail(spark, stmt, masked)
+    if head.startswith("ALTER"):
+        return _alter(spark, stmt, masked)
+    if head.startswith("CREATE"):
+        return _create_table(spark, stmt, masked)
+    if head.startswith("DROP"):
+        return _drop_table(spark, stmt, masked)
+    if re.match(r"\s*SHOW\s+TBLPROPERTIES\b", head):
+        return _show_tblproperties(spark, stmt, masked)
+    if re.match(r"\s*(SELECT|WITH)\b", head):
+        # read-side lake extensions: VERSION|TIMESTAMP AS OF and
+        # table_changes() rewrite to registered snapshot views
+        return spark.sql(_rewrite_reads(spark, stmt, masked))
     return spark.sql(text)

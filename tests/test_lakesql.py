@@ -428,3 +428,307 @@ def test_sql_describe_history(spark, orders, tmp_path):
     assert rows[1]["op"] == "overwrite"
     full = lakesql.sql(spark, "DESCRIBE HISTORY hist_t")
     assert full.count() == 3
+
+
+# ------------------------------------------------------------- DDL (r12)
+
+def test_sql_create_insert_alter_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "ddl1")
+    r = lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t1 (id INT, name STRING) USING lake "
+        f"LOCATION '{p}' TBLPROPERTIES ('owner' = 'alice')",
+    )
+    assert r == {"version": 1, "created": True}  # v0 create + v1 props
+    lakesql.sql(
+        spark, "INSERT INTO ddl_t1 VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+    )
+    # metadata-only widen: existing rows backfill NULL, the SQL
+    # binding refreshes so the next spark.sql sees the new schema
+    lakesql.sql(
+        spark, "ALTER TABLE ddl_t1 ADD COLUMNS (score DOUBLE, tag STRING)"
+    )
+    got = spark.sql("SELECT * FROM ddl_t1 ORDER BY id").collect()
+    assert [tuple(x) for x in got] == [
+        (1, "a", None, None), (2, "b", None, None), (3, "c", None, None)
+    ]
+    lakesql.sql(
+        spark, "UPDATE ddl_t1 SET score = id * 1.5D WHERE id >= 2"
+    )
+    lakesql.sql(spark, "ALTER TABLE ddl_t1 RENAME COLUMN tag TO label")
+    assert spark.sql("SELECT * FROM ddl_t1").columns == [
+        "id", "name", "score", "label"
+    ]
+    lakesql.sql(spark, "ALTER TABLE ddl_t1 DROP COLUMN label")
+    assert spark.sql("SELECT * FROM ddl_t1").columns == [
+        "id", "name", "score"
+    ]
+    got = spark.sql(
+        "SELECT id, score FROM ddl_t1 ORDER BY id"
+    ).collect()
+    assert [tuple(x) for x in got] == [(1, None), (2, 3.0), (3, 4.5)]
+
+
+def test_sql_add_column_never_resurrects_dropped_data(spark, tmp_path):
+    """The column-mapping hazard ADD COLUMNS must close: dropping a
+    populated column and re-adding the same NAME reads NULL — the new
+    logical column binds a freshly minted physical name, never the
+    dropped column's bytes still sitting in old files."""
+    p = str(tmp_path / "ddl2")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t2 (id INT, x STRING) USING lake "
+        f"LOCATION '{p}'",
+    )
+    lakesql.sql(
+        spark, "INSERT INTO ddl_t2 VALUES (1, 'secret'), (2, 'hidden')"
+    )
+    lakesql.sql(spark, "ALTER TABLE ddl_t2 DROP COLUMN x")
+    lakesql.sql(spark, "ALTER TABLE ddl_t2 ADD COLUMNS (x STRING)")
+    got = spark.sql("SELECT id, x FROM ddl_t2 ORDER BY id").collect()
+    assert [tuple(r) for r in got] == [(1, None), (2, None)]
+    # and the dropped data still time-travels under the OLD schema
+    t = LakeTable(p)
+    old = t.read(spark, version=1)
+    assert sorted(tuple(r) for r in old.collect()) == [
+        (1, "secret"), (2, "hidden")
+    ]
+
+
+def test_sql_add_columns_rejects_dup_and_existing(spark, orders, tmp_path):
+    _make(spark, orders.limit(5), tmp_path, "ddl_dup")
+    with pytest.raises(ValueError, match="already exists"):
+        lakesql.sql(
+            spark, "ALTER TABLE ddl_dup ADD COLUMNS (o_orderkey LONG)"
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        lakesql.sql(
+            spark, "ALTER TABLE ddl_dup ADD COLUMNS (z INT, z STRING)"
+        )
+
+
+def test_sql_constraint_clauses(spark, tmp_path):
+    p = str(tmp_path / "ddl3")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t3 (id INT, qty INT) USING lake "
+        f"LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO ddl_t3 VALUES (1, 10)")
+    lakesql.sql(
+        spark,
+        "ALTER TABLE ddl_t3 ADD CONSTRAINT qty_pos CHECK (qty > 0)",
+    )
+    with pytest.raises(ValueError, match="qty_pos"):
+        lakesql.sql(spark, "INSERT INTO ddl_t3 VALUES (2, -1)")
+    lakesql.sql(spark, "ALTER TABLE ddl_t3 DROP CONSTRAINT qty_pos")
+    lakesql.sql(spark, "INSERT INTO ddl_t3 VALUES (2, -1)")
+    assert LakeTable(p).read(spark).count() == 2
+
+
+def test_sql_tblproperties_and_cdf_toggle(spark, tmp_path):
+    p = str(tmp_path / "ddl4")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t4 (id INT) USING lake LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO ddl_t4 VALUES (1), (2), (3)")
+    t = LakeTable(p)
+    # a rewriting commit before CDF enablement cannot replay
+    lakesql.sql(spark, "DELETE FROM ddl_t4 WHERE id = 3")
+    with pytest.raises(ValueError, match="predates CDF|cdf"):
+        t.read_changes_since(spark, 1)
+    # enable mid-life: FUTURE rewrites persist pre-images
+    lakesql.sql(
+        spark,
+        "ALTER TABLE ddl_t4 SET TBLPROPERTIES "
+        "('cdf' = 'true', 'team' = 'data')",
+    )
+    v = t.version()
+    lakesql.sql(spark, "DELETE FROM ddl_t4 WHERE id = 2")
+    cdf, _cur = t.read_changes_since(spark, v)
+    assert [(r["id"], r["_change_type"]) for r in cdf.collect()] == [
+        (2, "delete")
+    ]
+    props = {
+        r["key"]: r["value"]
+        for r in lakesql.sql(
+            spark, "SHOW TBLPROPERTIES ddl_t4"
+        ).collect()
+    }
+    assert props["cdf"] == "true" and props["team"] == "data"
+    lakesql.sql(spark, "ALTER TABLE ddl_t4 UNSET TBLPROPERTIES ('team')")
+    assert "team" not in LakeTable(p).properties()
+    with pytest.raises(ValueError, match="no such table properties"):
+        lakesql.sql(
+            spark, "ALTER TABLE ddl_t4 UNSET TBLPROPERTIES ('ghost')"
+        )
+    with pytest.raises(ValueError, match="engine-managed"):
+        lakesql.sql(
+            spark,
+            "ALTER TABLE ddl_t4 SET TBLPROPERTIES "
+            "('column_mapping' = 'x')",
+        )
+
+
+def test_sql_ctas_partitioned_and_describe_detail(
+    spark, orders, tmp_path
+):
+    _make(spark, orders, tmp_path, "ddl_src")
+    p = str(tmp_path / "ddl5")
+    r = lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t5 USING lake LOCATION '{p}' AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM ddl_src "
+        "WHERE o_orderkey <= 100",
+    )
+    assert r["created"] is True
+    want = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM ddl_src "
+        "WHERE o_orderkey <= 100"
+    )
+    assert _rows(spark.sql("SELECT * FROM ddl_t5")) == _rows(want)
+    det = lakesql.sql(spark, "DESCRIBE DETAIL ddl_t5").first()
+    assert det["version"] == 0 and det["rows"] == want.count()
+    # partitioned create-empty form
+    p6 = str(tmp_path / "ddl6")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t6 (id INT, region STRING) USING lake "
+        f"LOCATION '{p6}' PARTITIONED BY (region)",
+    )
+    lakesql.sql(
+        spark,
+        "INSERT INTO ddl_t6 VALUES (1, 'na'), (2, 'eu'), (3, 'na')",
+    )
+    det6 = lakesql.sql(spark, "DESCRIBE DETAIL ddl_t6").first()
+    assert det6["partition_by"] == '["region"]'
+    got = spark.sql(
+        "SELECT id FROM ddl_t6 WHERE region = 'na' ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in got] == [1, 3]
+
+
+def test_sql_drop_table_keeps_data_and_rebinds(spark, tmp_path):
+    p = str(tmp_path / "ddl7")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE ddl_t7 (id INT) USING lake LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO ddl_t7 VALUES (42)")
+    assert lakesql.sql(spark, "DROP TABLE ddl_t7") == {
+        "dropped": "ddl_t7"
+    }
+    assert lakebatch.dml_target("ddl_t7") is None
+    # data survived; IF NOT EXISTS rebinds without recreating
+    r = lakesql.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS ddl_t7 (id INT) USING lake "
+        f"LOCATION '{p}'",
+    )
+    assert r["created"] is False
+    assert spark.sql("SELECT id FROM ddl_t7").first()["id"] == 42
+    # plain CREATE on an existing table refuses
+    with pytest.raises(FileExistsError):
+        lakesql.sql(
+            spark,
+            f"CREATE TABLE ddl_t7b (id INT) USING lake LOCATION '{p}'",
+        )
+
+
+def test_sql_ddl_non_lake_falls_through(spark, orders, tmp_path):
+    orders.limit(3).createOrReplaceTempView("plain_view_r12")
+    # ALTER on a non-lake name routes to spark.sql, whose own error
+    # surfaces (temp views aren't ALTERable) — never our ValueError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        lakesql.sql(
+            spark,
+            "ALTER TABLE plain_view_r12 ADD COLUMNS (z INT)",
+        )
+    # CREATE without USING lake falls through untouched
+    lakesql.sql(
+        spark,
+        "CREATE OR REPLACE TEMPORARY VIEW ddl_passthrough AS "
+        "SELECT 1 AS one",
+    )
+    assert spark.sql("SELECT one FROM ddl_passthrough").first()[0] == 1
+
+
+# ------------------------------------------------- read rewrites (r12)
+
+def test_sql_version_as_of_and_table_changes(spark, tmp_path):
+    p = str(tmp_path / "asof")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE asof_rw (id INT, v STRING) USING lake "
+        f"LOCATION '{p}' TBLPROPERTIES ('cdf' = 'true')",
+    )
+    lakesql.sql(
+        spark, "INSERT INTO asof_rw VALUES (1,'a'), (2,'b'), (3,'c')"
+    )
+    lakesql.sql(spark, "DELETE FROM asof_rw WHERE id = 2")
+    # v0 create(empty), v1 insert, v2 delete
+    got = lakesql.sql(
+        spark, "SELECT id FROM asof_rw VERSION AS OF 1 ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in got] == [1, 2, 3]
+    # relational diff across versions inside ONE statement
+    diff = lakesql.sql(
+        spark,
+        "SELECT id, v FROM asof_rw VERSION AS OF 1 "
+        "EXCEPT ALL SELECT id, v FROM asof_rw",
+    ).collect()
+    assert [tuple(r) for r in diff] == [(2, "b")]
+    # the TVF form replays the same delete from pre-images
+    ch = lakesql.sql(
+        spark,
+        "SELECT id, _change_type, _commit_version "
+        "FROM table_changes('asof_rw', 1)",
+    ).collect()
+    assert [tuple(r) for r in ch] == [(2, "delete", 2)]
+    # two travels of the same table in one query get distinct views
+    both = lakesql.sql(
+        spark,
+        "SELECT a.id FROM asof_rw VERSION AS OF 1 a "
+        "JOIN asof_rw VERSION AS OF 2 b ON a.id = b.id ORDER BY a.id",
+    ).collect()
+    assert [r["id"] for r in both] == [1, 3]
+    # TIMESTAMP AS OF resolves through the commit clock
+    from olist_data_warehouse_spark.sources.lakehouse import LakeTable
+
+    ts1 = LakeTable(p)._commit_ts(1)
+    got = lakesql.sql(
+        spark,
+        f"SELECT id FROM asof_rw TIMESTAMP AS OF '{ts1}' ORDER BY id",
+    ).collect()
+    assert [r["id"] for r in got] == [1, 2, 3]
+    with pytest.raises(ValueError, match="not a registered lake"):
+        lakesql.sql(spark, "SELECT * FROM table_changes('ghost_t', 0)")
+
+
+def test_sql_ctas_and_insert_from_time_travel(spark, tmp_path):
+    p = str(tmp_path / "asof_src")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE asof_src (id INT) USING lake LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO asof_src VALUES (1), (2), (3)")
+    lakesql.sql(spark, "DELETE FROM asof_src WHERE id > 1")
+    r = lakesql.sql(
+        spark,
+        f"CREATE TABLE asof_ct USING lake LOCATION "
+        f"'{tmp_path / 'asof_ct'}' AS "
+        "SELECT id FROM asof_src VERSION AS OF 1",
+    )
+    assert r["created"] is True
+    assert spark.sql("SELECT count(*) c FROM asof_ct").first()["c"] == 3
+    # INSERT ... SELECT from a travel restores the deleted rows
+    lakesql.sql(
+        spark,
+        "INSERT INTO asof_src "
+        "SELECT id FROM asof_src VERSION AS OF 1 WHERE id > 1",
+    )
+    got = spark.sql("SELECT id FROM asof_src ORDER BY id").collect()
+    assert [r["id"] for r in got] == [1, 2, 3]
