@@ -45,9 +45,12 @@ support, nothing they don't):
 - ``ALTER TABLE <lake> ADD COLUMNS (defs) | RENAME COLUMN a TO b |
   DROP COLUMN a | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n |
   SET TBLPROPERTIES ('k'='v', ...) | UNSET TBLPROPERTIES ('k', ...)``
-- ``CREATE TABLE [IF NOT EXISTS] <name> [(col type, ...)] USING lake
-  LOCATION 'path' [PARTITIONED BY (cols)] [TBLPROPERTIES (...)]
-  [AS SELECT ...]`` (creates AND registers the SQL binding)
+- ``CREATE TABLE [IF NOT EXISTS] <name> [(col type [GENERATED ALWAYS
+  AS (expr)], ...)] USING lake LOCATION 'path' [PARTITIONED BY
+  (cols)] [TBLPROPERTIES (...)] [AS SELECT ...]`` (creates AND
+  registers the SQL binding)
+- ``CREATE TABLE [IF NOT EXISTS] <name> SHALLOW CLONE <lake>
+  LOCATION 'path'`` (zero-copy branch; source gets a retention pin)
 - ``DROP TABLE [IF EXISTS] <name>`` (drops the binding; data stays)
 - ``SHOW TBLPROPERTIES <name>``
 - read extensions inside SELECT/WITH (and the query side of INSERT /
@@ -578,11 +581,17 @@ def _insert(spark: SparkSession, text: str, masked: str):
                 f"{len(names)}, query produces {len(df.columns)}"
             )
         df = df.toDF(*names)  # SQL INSERT is positional
+    stype = StructType.fromJson(t._state()["schema"])
+    ftypes = {f.name: f.dataType for f in stype.fields}
+    # SQL store-assignment coercion: each provided column casts to the
+    # target's declared type (ANSI cast — a literal INT lands in a
+    # BIGINT column; overflow or garbage fails loudly, never wraps)
+    df = df.select(
+        *[F.col(c).cast(ftypes[c]).alias(c) for c in df.columns]
+    )
     if given is not None:
         # omitted non-generated columns insert NULL; omitted GENERATED
         # columns are computed by append()'s generation contract
-        stype = StructType.fromJson(t._state()["schema"])
-        ftypes = {f.name: f.dataType for f in stype.fields}
         df = df.select(
             *[
                 F.col(c) if c in given
@@ -976,23 +985,97 @@ def _alter(spark: SparkSession, text: str, masked: str):
     )
 
 
+def _split_generated(
+    cols_ddl: str, cols_mask: str
+) -> tuple[str, dict[str, str]]:
+    """Strip ``GENERATED ALWAYS AS (expr)`` suffixes from a
+    column-def list -> (plain DDL for fromDDL, {col: expr})."""
+    gen: dict[str, str] = {}
+    plain: list[str] = []
+    for pt, pm in zip(
+        _split_top(cols_ddl, cols_mask, ","),
+        _split_top(cols_mask, cols_mask, ","),
+    ):
+        gm = re.search(
+            r"\bGENERATED\s+ALWAYS\s+AS\s*\(", pm, re.IGNORECASE
+        )
+        if not gm:
+            plain.append(pt)
+            continue
+        expr, _em, end = _paren_body(pt, pm, gm.end() - 1)
+        if pm[end:].strip():
+            raise ValueError(
+                f"trailing text after GENERATED ALWAYS AS: "
+                f"{pt[end:].strip()!r}"
+            )
+        toks = pt[:gm.start()].split()
+        if not toks:
+            raise ValueError(
+                f"cannot parse generated column def {pt.strip()!r}"
+            )
+        gen[toks[0]] = expr.strip()
+        plain.append(pt[:gm.start()])
+    return ", ".join(plain), gen
+
+
 def _create_table(spark: SparkSession, text: str, masked: str):
     m = re.match(
         rf"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
         masked,
         re.IGNORECASE,
     )
-    if not m or not re.search(
-        r"\bUSING\s+lake\b", masked, re.IGNORECASE
-    ):
-        # not a lake table: catalog CREATEs run natively
+    if not m:
         return spark.sql(text)
     if_not_exists = bool(m.group(1))
     name = text[m.start(2):m.end(2)]
     off = m.end()
-    cols_ddl = None
+
+    # CREATE TABLE t SHALLOW CLONE src LOCATION 'p' — zero-copy
+    # branch of a registered lake table (Delta's CLONE shape: the
+    # create commit references the source's files by absolute path;
+    # the source gets a retention pin so its vacuum can't strand us)
+    scm = re.match(
+        rf"\s*SHALLOW\s+CLONE\s+({_IDENT})\s*",
+        masked[off:],
+        re.IGNORECASE,
+    )
+    if scm:
+        src_name = text[off + scm.start(1):off + scm.end(1)]
+        src_path = lakebatch.dml_target(src_name)
+        if src_path is None:
+            return spark.sql(text)  # not a lake source: Spark reports
+        rest_t = text[off + scm.end():]
+        rest_m = masked[off + scm.end():]
+        lm = re.match(
+            r"\s*LOCATION\s+('_*')\s*$", rest_m, re.IGNORECASE
+        )
+        if not lm:
+            raise ValueError(
+                "SHALLOW CLONE takes exactly LOCATION '<path>' "
+                f"(got {rest_t.strip()!r})"
+            )
+        path = _unquote(rest_t[lm.start(1):lm.end(1)])
+        existing = LakeTable(path)
+        if existing.version() is not None:
+            if not if_not_exists:
+                raise FileExistsError(
+                    f"lake table already exists at {path}"
+                )
+            lakebatch.register_table(spark, name, path)
+            return {"version": existing.version(), "created": False}
+        t = LakeTable(src_path).clone_shallow(path)
+        lakebatch.register_table(spark, name, t.path)
+        return {
+            "version": t.version(), "created": True,
+            "cloned_from": src_path,
+        }
+
+    if not re.search(r"\bUSING\s+lake\b", masked, re.IGNORECASE):
+        # not a lake table: catalog CREATEs run natively
+        return spark.sql(text)
+    cols_ddl = cols_mask = None
     if masked[off:].lstrip().startswith("("):
-        cols_ddl, _cm, off = _paren_body(text, masked, off)
+        cols_ddl, cols_mask, off = _paren_body(text, masked, off)
     tail, tail_mask = text[off:], masked[off:]
     asi = _find_top(tail_mask, "AS")
     head_t = tail[: asi if asi >= 0 else len(tail)]
@@ -1051,6 +1134,7 @@ def _create_table(spark: SparkSession, text: str, masked: str):
         lakebatch.register_table(spark, name, path)
         return {"version": existing.version(), "created": False}
 
+    generated: dict[str, str] = {}
     if select is not None:
         if cols_ddl is not None:
             raise ValueError(
@@ -1063,9 +1147,13 @@ def _create_table(spark: SparkSession, text: str, masked: str):
             raise ValueError(
                 "CREATE TABLE needs a column list or AS SELECT"
             )
-        df = spark.createDataFrame([], StructType.fromDDL(cols_ddl))
+        plain_ddl, generated = _split_generated(cols_ddl, cols_mask)
+        df = spark.createDataFrame([], StructType.fromDDL(plain_ddl))
     cdf = props.pop("cdf", "false").strip().lower() == "true"
-    t = LakeTable.create(df, path, cdf=cdf, partition_by=partition_by)
+    t = LakeTable.create(
+        df, path, cdf=cdf, partition_by=partition_by,
+        generated=generated or None,
+    )
     if props:
         t.set_properties(props)
     lakebatch.register_table(spark, name, path)

@@ -732,3 +732,50 @@ def test_sql_ctas_and_insert_from_time_travel(spark, tmp_path):
     )
     got = spark.sql("SELECT id FROM asof_src ORDER BY id").collect()
     assert [r["id"] for r in got] == [1, 2, 3]
+
+
+def test_sql_create_generated_column(spark, tmp_path):
+    p = str(tmp_path / "gen")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE gen_sql (id BIGINT, ts TIMESTAMP, "
+        f"d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) "
+        f"USING lake LOCATION '{p}'",
+    )
+    # omitted generated column computes; provided-but-wrong refuses;
+    # the INT literal store-assigns into the BIGINT column
+    lakesql.sql(
+        spark,
+        "INSERT INTO gen_sql (id, ts) VALUES "
+        "(1, TIMESTAMP '2024-03-05 10:00:00')",
+    )
+    row = spark.sql("SELECT * FROM gen_sql").first()
+    assert str(row["d"]) == "2024-03-05" and row["id"] == 1
+    with pytest.raises(ValueError, match="generated"):
+        lakesql.sql(
+            spark,
+            "INSERT INTO gen_sql VALUES (2, "
+            "TIMESTAMP '2024-03-05 11:00:00', DATE '1999-01-01')",
+        )
+
+
+def test_sql_shallow_clone(spark, tmp_path):
+    p = str(tmp_path / "clsrc")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE cl_src (id INT) USING lake LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO cl_src VALUES (1), (2)")
+    r = lakesql.sql(
+        spark,
+        f"CREATE TABLE cl_dst SHALLOW CLONE cl_src LOCATION "
+        f"'{tmp_path / 'cldst'}'",
+    )
+    assert r["created"] is True and r["cloned_from"] == p
+    # clone evolves independently; source holds a retention pin
+    lakesql.sql(spark, "INSERT INTO cl_dst VALUES (3)")
+    assert spark.sql("SELECT count(*) c FROM cl_dst").first()["c"] == 3
+    assert spark.sql("SELECT count(*) c FROM cl_src").first()["c"] == 2
+    assert len(LakeTable(p).pins()) == 1
+    with pytest.raises(ValueError, match="LOCATION"):
+        lakesql.sql(spark, "CREATE TABLE cl_x SHALLOW CLONE cl_src")
