@@ -324,7 +324,11 @@ def _merge(spark: SparkSession, text: str, masked: str) -> dict:
                     break
         if close < 0:
             raise ValueError("unbalanced parens in USING subquery")
-        source = spark.sql(src_seg[1:close])
+        source = spark.sql(
+            _rewrite_reads(
+                spark, src_seg[1:close], src_mask[1:close]
+            )
+        )
         _n, src_alias = _name_alias("_sub " + src_seg[close + 1:])
         src_name = None
     else:

@@ -779,3 +779,27 @@ def test_sql_shallow_clone(spark, tmp_path):
     assert len(LakeTable(p).pins()) == 1
     with pytest.raises(ValueError, match="LOCATION"):
         lakesql.sql(spark, "CREATE TABLE cl_x SHALLOW CLONE cl_src")
+
+
+def test_sql_merge_using_time_travel_subquery(spark, tmp_path):
+    """MERGE USING (SELECT ... FROM t VERSION AS OF n): restore
+    deleted rows from the table's own history in one statement."""
+    p = str(tmp_path / "mtt")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE mtt_t (id INT, v STRING) USING lake "
+        f"LOCATION '{p}'",
+    )
+    lakesql.sql(
+        spark, "INSERT INTO mtt_t VALUES (1,'a'), (2,'b'), (3,'c')"
+    )
+    lakesql.sql(spark, "DELETE FROM mtt_t WHERE id >= 2")
+    r = lakesql.sql(spark, """
+        MERGE INTO mtt_t AS t
+        USING (SELECT id, v FROM mtt_t VERSION AS OF 1) AS h
+        ON t.id = h.id
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert r["version"] == 3, r
+    got = spark.sql("SELECT id, v FROM mtt_t ORDER BY id").collect()
+    assert [tuple(x) for x in got] == [(1, "a"), (2, "b"), (3, "c")]
