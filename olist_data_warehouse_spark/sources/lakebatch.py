@@ -1274,8 +1274,18 @@ def register_table(spark, name: str, path: str, **options) -> None:
         spark.sql("SELECT ... FROM orders_lake WHERE ...")
 
     ``options`` pass through (``version=N`` / ``timestamp=ts`` time
-    travel, ``mode='cdf'`` + ``since`` for the change feed). A view,
-    not a catalog table: Spark 4.1's Python data sources do not
+    travel, ``mode='cdf'`` + ``since`` for the change feed).
+
+    SNAPSHOT PINNING: Spark pins a Python-DataSource scan at the
+    view's FIRST execution, so a view that has been queried keeps
+    serving that snapshot until re-registered (Delta re-resolves per
+    query; a plain-parquet view picks up new files but not a new
+    schema). ``lakesql.sql`` re-registers the statement's own binding
+    after every mutating statement, so the SQL surface always reads
+    its own writes; refresh Python-held names by calling this again
+    (O(manifest)).
+
+    A view, not a catalog table: Spark 4.1's Python data sources do not
     forward ``CREATE TABLE ... USING <source> OPTIONS(...)`` storage
     properties into scan-time reads (the reader receives empty
     options), so the catalog-table form cannot locate the table —

@@ -245,6 +245,22 @@ def _parse_where(
     return text[start:w], text[w + 5:], masked[w + 5:]
 
 
+def _refresh(spark: SparkSession, name: str, result):
+    """Re-register ``name``'s SQL binding after a mutating statement.
+
+    Spark pins a Python-DataSource scan at the view's FIRST execution
+    — a view SELECTed before a DML would keep serving the pre-DML
+    snapshot (and, after VACUUM, could plan files that no longer
+    exist). Delta re-resolves the snapshot per query; the equivalent
+    here is re-registering the binding, which is O(manifest). Other
+    names bound to the same path keep their pinned snapshots — the
+    dispatcher only knows the statement's own name."""
+    path = lakebatch.dml_target(name)
+    if path is not None:
+        lakebatch.register_table(spark, name, path)
+    return result
+
+
 def _delete(spark: SparkSession, text: str, masked: str) -> dict:
     m = re.match(r"\s*DELETE\s+FROM\b", masked, re.IGNORECASE)
     head, pred, pred_mask = _parse_where(text, masked, m.end())
@@ -259,7 +275,9 @@ def _delete(spark: SparkSession, text: str, masked: str) -> dict:
         bare = _replace_qualifiers(pred, strip)
         predicate = F.expr(bare)
         prune = _auto_prune(bare, _mask(bare))
-    return t.delete_where(spark, predicate, prune=prune)
+    return _refresh(
+        spark, name, t.delete_where(spark, predicate, prune=prune)
+    )
 
 
 def _update(spark: SparkSession, text: str, masked: str) -> dict:
@@ -283,7 +301,10 @@ def _update(spark: SparkSession, text: str, masked: str) -> dict:
         bare = _replace_qualifiers(pred, strip)
         predicate = F.expr(bare)
         prune = _auto_prune(bare, _mask(bare))
-    return t.update_where(spark, predicate, set_exprs, prune=prune)
+    return _refresh(
+        spark, name,
+        t.update_where(spark, predicate, set_exprs, prune=prune),
+    )
 
 
 def _parse_sets(seg: str, qual_map: dict[str, str]) -> dict[str, str]:
@@ -416,7 +437,9 @@ def _merge(spark: SparkSession, text: str, masked: str) -> dict:
         kwargs["matched_clauses"] = matched
     else:
         kwargs["when_matched"] = "keep"
-    return t.merge_into(spark, source, keys, **kwargs)
+    return _refresh(
+        spark, tgt_name, t.merge_into(spark, source, keys, **kwargs)
+    )
 
 
 def _collect_clauses(body, body_mask, starts, qual, keep_t, bare_s):
@@ -605,7 +628,7 @@ def _insert(spark: SparkSession, text: str, masked: str):
             ]
         )
     v = t.overwrite(df) if overwrite else t.append(df)
-    return {"version": v}
+    return _refresh(spark, name, {"version": v})
 
 
 def _vacuum(spark: SparkSession, text: str, masked: str):
@@ -616,7 +639,8 @@ def _vacuum(spark: SparkSession, text: str, masked: str):
     )
     if not m:
         raise ValueError(f"cannot parse VACUUM statement {text!r}")
-    t = _target(text[m.start(1):m.end(1)])
+    name = text[m.start(1):m.end(1)]
+    t = _target(name)
     tail = masked[m.start(2):]
     # Delta VACUUM semantics: reclaim files unreferenced by the
     # CURRENT version (and older than retention) — keep_versions=1,
@@ -642,7 +666,7 @@ def _vacuum(spark: SparkSession, text: str, masked: str):
             f"cannot parse VACUUM clause {leftover!r} (grammar: "
             "VACUUM t [RETAIN n HOURS] [DRY RUN] [FORCE])"
         )
-    return t.vacuum(**kwargs)
+    return _refresh(spark, name, t.vacuum(**kwargs))
 
 
 def _restore(spark: SparkSession, text: str, masked: str):
@@ -657,13 +681,14 @@ def _restore(spark: SparkSession, text: str, masked: str):
             f"cannot parse RESTORE (grammar: RESTORE [TABLE] t TO "
             f"VERSION|TIMESTAMP AS OF x): {text!r}"
         )
-    t = _target(text[m.start(1):m.end(1)])
+    name = text[m.start(1):m.end(1)]
+    t = _target(name)
     arg = text[m.end():].strip().strip("'\"")
     if m.group(2).upper() == "VERSION":
         v = t.restore(version=int(arg))
     else:
         v = t.restore(timestamp=arg)
-    return {"version": v}
+    return _refresh(spark, name, {"version": v})
 
 
 def _optimize(spark: SparkSession, text: str, masked: str):
@@ -672,7 +697,8 @@ def _optimize(spark: SparkSession, text: str, masked: str):
     )
     if not m:
         raise ValueError(f"cannot parse OPTIMIZE statement {text!r}")
-    t = _target(text[m.start(1):m.end(1)])
+    name = text[m.start(1):m.end(1)]
+    t = _target(name)
     w = _find_top(masked, "WHERE", m.end())
     z = _find_top(masked, "ZORDER", m.end())
     cluster_by = None
@@ -706,11 +732,15 @@ def _optimize(spark: SparkSession, text: str, masked: str):
                     f"{part_t.strip()!r}"
                 )
             where.append(p)
-    return t.compact(
+    return _refresh(
         spark,
-        128 * 1024 * 1024,
-        cluster_by=cluster_by,
-        where=where,
+        name,
+        t.compact(
+            spark,
+            128 * 1024 * 1024,
+            cluster_by=cluster_by,
+            where=where,
+        ),
     )
 
 

@@ -803,3 +803,28 @@ def test_sql_merge_using_time_travel_subquery(spark, tmp_path):
     assert r["version"] == 3, r
     got = spark.sql("SELECT id, v FROM mtt_t ORDER BY id").collect()
     assert [tuple(x) for x in got] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_sql_view_reads_its_own_writes_after_execution(spark, tmp_path):
+    """Spark pins a Python-DataSource scan at the view's first
+    execution — without the dispatcher's refresh, a SELECT before a
+    DML would freeze the binding on the pre-DML snapshot. Every
+    mutating statement re-registers its own name, so the SQL surface
+    always reads its own writes."""
+    p = str(tmp_path / "fresh")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE fresh_t (id INT) USING lake LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO fresh_t VALUES (1)")
+    # execute the view FIRST, pinning the snapshot
+    assert spark.sql("SELECT count(*) c FROM fresh_t").first()["c"] == 1
+    lakesql.sql(spark, "INSERT INTO fresh_t VALUES (2)")
+    assert spark.sql("SELECT count(*) c FROM fresh_t").first()["c"] == 2
+    spark.sql("SELECT * FROM fresh_t").collect()  # pin again
+    lakesql.sql(spark, "DELETE FROM fresh_t WHERE id = 1")
+    got = spark.sql("SELECT id FROM fresh_t").collect()
+    assert [r["id"] for r in got] == [2]
+    spark.sql("SELECT * FROM fresh_t").collect()  # pin again
+    lakesql.sql(spark, "UPDATE fresh_t SET id = 9 WHERE id = 2")
+    assert spark.sql("SELECT id FROM fresh_t").first()["id"] == 9
