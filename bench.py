@@ -171,6 +171,15 @@ BENCH_QUERIES = [
     "lake_write_partitioned",
     "lake_write_governed",
     "lake_stream_sink",
+    # round-12: the SQL-text surface's cost representatives — the full
+    # MERGE clause grammar as ONE statement through the dispatcher
+    # (parse + clause compile + the same one-join-pass engine; its
+    # delta vs lake_merge_clauses IS the dispatcher overhead), and the
+    # DDL lifecycle (CREATE/INSERT SELECT/ADD COLUMNS/UPDATE backfill/
+    # RENAME/CONSTRAINT/TBLPROPERTIES + binding refreshes, timed as
+    # the full durable round-trip)
+    "lake_sql_merge",
+    "lake_sql_ddl",
 ]
 
 

@@ -11,7 +11,7 @@ materializes a schema-identical k-row copy of every testdata table
 copying the arrow schema byte-for-byte; k>0 slices the first k rows so
 values stay realistic) and runs the full registry against it. Usage:
 
-    python tools/empty_input_sweep.py [k_rows]
+    python tools/empty_input_sweep.py [k_rows] [name_substring ...]
 
 Prints one line per entry (rows / guard / CRASH) and exits 1 on any
 CRASH.
@@ -64,7 +64,13 @@ def main() -> int:
         .getOrCreate()
     )
     crashes, guards = [], []
-    names = sorted(REGISTRY)
+    # optional name filter: positional args after k are substrings —
+    # run only matching entries (new-entry battery without a full sweep)
+    pats = sys.argv[2:]
+    names = sorted(
+        n for n in REGISTRY
+        if not pats or any(p in n for p in pats)
+    )
     t0 = time.time()
     for i, name in enumerate(names, 1):
         t = time.time()

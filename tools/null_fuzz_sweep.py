@@ -142,7 +142,8 @@ def make_fuzzed_sf(dst: str, denom: int, groups: bool = False) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--groups"]
     groups = "--groups" in sys.argv[1:]
-    denom = int(args[0]) if args else 10
+    denom = int(args[0]) if args and args[0].isdigit() else 10
+    pats = args[1:] if args and args[0].isdigit() else args
     mode = "groupkill" if groups else "nullfuzz"
     dst = tempfile.mkdtemp(prefix=f"sf_{mode}{denom}_")
     make_fuzzed_sf(dst, denom, groups=groups)
@@ -159,7 +160,11 @@ def main() -> int:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
-    names = sorted(n for n, rq in REGISTRY.items() if rq.oracle is not None)
+    names = sorted(
+        n for n, rq in REGISTRY.items()
+        if rq.oracle is not None
+        and (not pats or any(p in n for p in pats))
+    )
     fails = []
     t0 = time.time()
     for i, name in enumerate(names, 1):

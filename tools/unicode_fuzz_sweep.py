@@ -112,7 +112,12 @@ def main() -> int:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
-    names = sorted(n for n, rq in REGISTRY.items() if rq.oracle is not None)
+    pats = sys.argv[1:]
+    names = sorted(
+        n for n, rq in REGISTRY.items()
+        if rq.oracle is not None
+        and (not pats or any(p in n for p in pats))
+    )
     fails = []
     t0 = time.time()
     for i, name in enumerate(names, 1):
