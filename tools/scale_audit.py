@@ -9,7 +9,7 @@ ratio well above ~10 on a non-trivial baseline marks an operator whose
 cost curve is bending — the local, measurable proxy for the 100 TB
 cliff question. Usage:
 
-    python tools/scale_audit.py [ratio_flag_threshold]   # default 12
+    python tools/scale_audit.py [ratio_flag_threshold] [name_substring ...]
 
 Prints one line per entry sorted by ratio, a flagged summary, and exits
 1 if any entry with t(sf0.01) >= 0.5s exceeds the threshold (tiny
@@ -46,7 +46,11 @@ EXPECTED_SUPERLINEAR = {
 
 def run_all(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
-    names = sorted(REGISTRY)
+    pats = sys.argv[2:]
+    names = sorted(
+        n for n in REGISTRY
+        if not pats or any(p in n for p in pats)
+    )
     # Untimed warm-up pass so each timed run measures the plan, not
     # cold shuffle-file/codegen caches (the bench.py discipline).
     for name in names:
