@@ -45,10 +45,11 @@ support, nothing they don't):
 - ``ALTER TABLE <lake> ADD COLUMNS (defs) | RENAME COLUMN a TO b |
   DROP COLUMN a | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n |
   SET TBLPROPERTIES ('k'='v', ...) | UNSET TBLPROPERTIES ('k', ...)``
-- ``CREATE TABLE [IF NOT EXISTS] <name> [(col type [GENERATED ALWAYS
-  AS (expr)], ...)] USING lake LOCATION 'path' [PARTITIONED BY
-  (cols)] [TBLPROPERTIES (...)] [AS SELECT ...]`` (creates AND
-  registers the SQL binding)
+- ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name> [(col type
+  [GENERATED ALWAYS AS (expr)], ...)] USING lake LOCATION 'path'
+  [PARTITIONED BY (cols)] [TBLPROPERTIES (...)] [AS SELECT ...]``
+  (creates AND registers the SQL binding; OR REPLACE on a live table
+  is one atomic overwrite commit — history stays time-travelable)
 - ``CREATE TABLE [IF NOT EXISTS] <name> SHALLOW CLONE <lake>
   LOCATION 'path'`` (zero-copy branch; source gets a retention pin)
 - ``DROP TABLE [IF EXISTS] <name>`` (drops the binding; data stays)
@@ -1054,14 +1055,21 @@ def _split_generated(
 
 def _create_table(spark: SparkSession, text: str, masked: str):
     m = re.match(
-        rf"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
+        rf"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
         masked,
         re.IGNORECASE,
     )
     if not m:
         return spark.sql(text)
-    if_not_exists = bool(m.group(1))
-    name = text[m.start(2):m.end(2)]
+    or_replace = bool(m.group(1))
+    if_not_exists = bool(m.group(2))
+    if or_replace and if_not_exists:
+        raise ValueError(
+            "CREATE OR REPLACE and IF NOT EXISTS are mutually "
+            "exclusive"
+        )
+    name = text[m.start(3):m.end(3)]
     off = m.end()
 
     # CREATE TABLE t SHALLOW CLONE src LOCATION 'p' — zero-copy
@@ -1159,11 +1167,13 @@ def _create_table(spark: SparkSession, text: str, masked: str):
         )
 
     existing = LakeTable(path)
-    if existing.version() is not None:
+    exists = existing.version() is not None
+    if exists and not or_replace:
         if not if_not_exists:
             raise FileExistsError(
                 f"lake table already exists at {path} (use CREATE "
-                "TABLE IF NOT EXISTS to bind the existing table)"
+                "TABLE IF NOT EXISTS to bind it, or CREATE OR "
+                "REPLACE to overwrite it)"
             )
         lakebatch.register_table(spark, name, path)
         return {"version": existing.version(), "created": False}
@@ -1183,6 +1193,32 @@ def _create_table(spark: SparkSession, text: str, masked: str):
             )
         plain_ddl, generated = _split_generated(cols_ddl, cols_mask)
         df = spark.createDataFrame([], StructType.fromDDL(plain_ddl))
+    if exists:
+        # OR REPLACE on a live table = one atomic overwrite commit:
+        # new contents AND schema land together, old versions stay
+        # time-travelable (Delta's REPLACE keeps history). Create-time
+        # config is out of scope by construction — generated columns
+        # are fixed at create, and partitioning is baked into the
+        # directory layout, so redeclaring either refuses rather than
+        # silently diverging from what the table actually does.
+        if generated:
+            raise ValueError(
+                "REPLACE cannot redeclare GENERATED columns — they "
+                "are fixed at create (drop and recreate the table)"
+            )
+        cur_pby = existing._partition_by(existing._state()) or []
+        if partition_by is not None and sorted(partition_by) != sorted(
+            cur_pby
+        ):
+            raise ValueError(
+                f"REPLACE cannot change partitioning {cur_pby} -> "
+                f"{partition_by} (drop and recreate the table)"
+            )
+        v = existing.overwrite(df)
+        if props:
+            v = existing.set_properties(props)
+        lakebatch.register_table(spark, name, path)
+        return {"version": v, "created": False, "replaced": True}
     cdf = props.pop("cdf", "false").strip().lower() == "true"
     t = LakeTable.create(
         df, path, cdf=cdf, partition_by=partition_by,

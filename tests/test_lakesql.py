@@ -828,3 +828,46 @@ def test_sql_view_reads_its_own_writes_after_execution(spark, tmp_path):
     spark.sql("SELECT * FROM fresh_t").collect()  # pin again
     lakesql.sql(spark, "UPDATE fresh_t SET id = 9 WHERE id = 2")
     assert spark.sql("SELECT id FROM fresh_t").first()["id"] == 9
+
+
+def test_sql_create_or_replace(spark, tmp_path):
+    p = str(tmp_path / "corp")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE corp_t (id INT, v STRING) USING lake "
+        f"LOCATION '{p}'",
+    )
+    lakesql.sql(spark, "INSERT INTO corp_t VALUES (1, 'a')")
+    # replace swaps contents AND schema in one commit
+    r = lakesql.sql(
+        spark,
+        f"CREATE OR REPLACE TABLE corp_t USING lake LOCATION '{p}' "
+        "AS SELECT 7 AS n, 2.5D AS score",
+    )
+    assert r["replaced"] is True and r["created"] is False
+    got = spark.sql("SELECT * FROM corp_t").collect()
+    assert [tuple(x) for x in got] == [(7, 2.5)]
+    # history survives: the pre-replace version (v0 create, v1
+    # insert; v2 is the replace overwrite) still reads
+    old = LakeTable(p).read(spark, version=1)
+    assert [tuple(x) for x in old.collect()] == [(1, "a")]
+    # guards: partition change and generated redeclare refuse
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        lakesql.sql(
+            spark,
+            f"CREATE OR REPLACE TABLE IF NOT EXISTS corp_t (x INT) "
+            f"USING lake LOCATION '{p}'",
+        )
+    with pytest.raises(ValueError, match="GENERATED"):
+        lakesql.sql(
+            spark,
+            f"CREATE OR REPLACE TABLE corp_t "
+            f"(a INT, b INT GENERATED ALWAYS AS (a + 1)) "
+            f"USING lake LOCATION '{p}'",
+        )
+    with pytest.raises(ValueError, match="partitioning"):
+        lakesql.sql(
+            spark,
+            f"CREATE OR REPLACE TABLE corp_t (a INT, r STRING) "
+            f"USING lake LOCATION '{p}' PARTITIONED BY (r)",
+        )
