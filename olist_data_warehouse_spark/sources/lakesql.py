@@ -1324,16 +1324,29 @@ def sql(spark: SparkSession, text: str):
       add_columns / rename_column / drop_column / add_constraint /
       drop_constraint / set_properties / unset_properties ->
       ``{version}`` (non-lake targets fall through to spark.sql)
-    - ``CREATE TABLE [IF NOT EXISTS] t [(cols)] USING lake LOCATION
+    - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [(cols, each
+      optionally GENERATED ALWAYS AS (expr))] USING lake LOCATION
       'p' [PARTITIONED BY (cols)] [TBLPROPERTIES (...)] [AS SELECT
       ...]`` -> LakeTable.create + register_table (the supported
       catalog-binding form: a temp view + DML-target entry, since
       Spark 4.1 Python data sources drop storage options between
-      catalog and scan) -> ``{version, created}``
+      catalog and scan); OR REPLACE on a live table is one atomic
+      overwrite commit, history kept -> ``{version, created[,
+      replaced]}``
+    - ``CREATE TABLE t SHALLOW CLONE src LOCATION 'p'`` ->
+      clone_shallow + register_table (zero-copy branch, source
+      retention-pinned) -> ``{version, created, cloned_from}``
     - ``DROP TABLE [IF EXISTS] t`` -> unregister_table —
       external-table semantics: the SQL binding goes, data and log
       stay -> ``{dropped}``
     - ``SHOW TBLPROPERTIES t`` / ``DESCRIBE DETAIL t`` -> DataFrames
+    - SELECT/WITH (and INSERT/CTAS query sides, MERGE USING
+      subqueries): ``FROM t VERSION|TIMESTAMP AS OF x`` and
+      ``table_changes('t', since)`` rewrite to snapshot/CDF views
+
+    Every mutating statement re-registers its own SQL binding before
+    returning (read-your-writes: Spark pins a Python-DataSource scan
+    at a view's first execution).
     """
     stmt = text.strip().rstrip(";").strip()
     masked = _mask(stmt)
