@@ -1326,6 +1326,40 @@ def unregister_table(spark, name: str) -> None:
     _DML_TARGETS.pop(name.lower(), None)
 
 
+def register_dir(spark, root: str) -> dict[str, str]:
+    """Attach every lake table under ``root`` (one directory level:
+    ``root/<name>`` is a table iff it has a ``_log`` with at least one
+    commit) as SQL bindings named ``<name>``. The filesystem IS the
+    catalog — no side-state to drift from the tables themselves, and
+    a new session re-attaches a whole warehouse in one call::
+
+        lakebatch.register_dir(spark, "/data/warehouse")
+        spark.sql("SELECT ... FROM orders JOIN customers ...")
+
+    Returns ``{name: path}`` for what was registered. Names must be
+    SQL identifiers; directories that aren't lake tables are skipped
+    silently (scratch dirs coexist). O(tables) manifest reads."""
+    import os
+    import re as _re
+
+    out: dict[str, str] = {}
+    for entry in sorted(os.listdir(root)):
+        path = os.path.join(root, entry)
+        if not os.path.isdir(path):
+            continue
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", entry):
+            continue
+        from olist_data_warehouse_spark.sources.lakehouse import (
+            LakeTable,
+        )
+
+        if LakeTable(path).version() is None:
+            continue
+        register_table(spark, entry, path)
+        out[entry] = path
+    return out
+
+
 def register(spark) -> None:
     # Python-source filter pushdown ships disabled; the whole point of
     # this source is stats pruning from pushed filters, so opt in here

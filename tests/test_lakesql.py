@@ -871,3 +871,29 @@ def test_sql_create_or_replace(spark, tmp_path):
             f"CREATE OR REPLACE TABLE corp_t (a INT, r STRING) "
             f"USING lake LOCATION '{p}' PARTITIONED BY (r)",
         )
+
+
+def test_register_dir_attaches_warehouse(spark, tmp_path):
+    """One call attaches every lake table under a directory — the
+    filesystem is the catalog, so a fresh session recovers its SQL
+    surface without side-state."""
+    root = tmp_path / "wh"
+    root.mkdir()
+    for name, rows in [("alpha", "(1), (2)"), ("beta", "(7)")]:
+        lakesql.sql(
+            spark,
+            f"CREATE TABLE tmp_{name} (id INT) USING lake "
+            f"LOCATION '{root / name}'",
+        )
+        lakesql.sql(spark, f"INSERT INTO tmp_{name} VALUES {rows}")
+        lakesql.sql(spark, f"DROP TABLE tmp_{name}")
+    (root / "scratch.txt").write_text("not a table")
+    (root / "not_a_table").mkdir()
+    got = lakebatch.register_dir(spark, str(root))
+    assert sorted(got) == ["alpha", "beta"]
+    assert spark.sql(
+        "SELECT count(*) c FROM alpha"
+    ).first()["c"] == 2
+    # and they are DML targets: the SQL surface works immediately
+    lakesql.sql(spark, "DELETE FROM beta WHERE id = 7")
+    assert spark.sql("SELECT count(*) c FROM beta").first()["c"] == 0
