@@ -2111,3 +2111,57 @@ def lake_sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM table_changes('{name}', 0)
         WHERE _change_type = 'delete'
     """)
+
+
+@register(
+    "lake_replace_where",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_totalprice IS NULL OR o_totalprice < 400000.0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 0.5 AS o_totalprice, o_orderdate,
+       'BACKFILL' AS o_orderpriority
+FROM orders
+WHERE o_totalprice >= 400000.0
+""",
+    doc="replaceWhere (r12 — Delta's atomic predicate-scoped "
+    "overwrite, the idempotent-backfill shape at 100 TB): ONE commit "
+    "deletes the >=400k region and lands its repriced replacement "
+    "via SQL text (`INSERT INTO t REPLACE WHERE pred SELECT ...`), "
+    "so a re-run replaces the same region again instead of "
+    "duplicating, and no reader sees the swap half-done. The table "
+    "lands range-clustered on o_totalprice so the auto-derived stats "
+    "prune is real: files_kept > 0 asserted in-entry (on a "
+    "day-partitioned table the touched set is exactly the region's "
+    "partitions — the day-repair loop costs O(region), never "
+    "O(table)). Incoming rows must ALL satisfy the predicate "
+    "(Delta's gate — rows landing outside the region would break "
+    "idempotence); survivor rewrites are carried rows, not inserts, "
+    "so the CDF replays the swap exactly (pinned in "
+    "test_sql_insert_replace_where). Oracle: survivors UNION ALL the "
+    "backfilled region.",
+)
+def lake_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_data_warehouse_spark.sources import lakebatch, lakesql
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_totalprice"),
+        _fresh("replace_where", sf_dir),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name, src = f"lake_rw_{tag}", f"lake_rw_src_{tag}"
+    lakebatch.register_table(spark, name, t.path)
+    orders.createOrReplaceTempView(src)
+    r = lakesql.sql(spark, f"""
+        INSERT INTO {name} REPLACE WHERE o_totalprice >= 400000.0
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 0.5, o_orderdate, 'BACKFILL'
+        FROM {src} WHERE o_totalprice >= 400000.0
+    """)
+    assert r["rows_deleted"] == r["rows_inserted"], r
+    assert r["files_kept"] > 0 or r["files_rewritten"] == 0, r
+    return t.read(spark)

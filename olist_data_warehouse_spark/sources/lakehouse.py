@@ -1804,6 +1804,119 @@ class LakeTable:
             "files_kept": len(all_files) - len(touched),
         }
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: Column,
+        prune: tuple[str, str, object] | None = None,
+    ) -> dict:
+        """Atomic predicate-scoped overwrite — Delta's ``replaceWhere``
+        (``.option("replaceWhere", ...)`` in the public API), the
+        idempotent-backfill shape at 100 TB: ONE commit deletes every
+        row where ``predicate`` is TRUE and lands ``df`` as the
+        region's new contents, so a re-run of the same backfill
+        replaces the same region again instead of duplicating it, and
+        no reader ever sees the region half-swapped.
+
+        Delta's incoming-row gate applies: every ``df`` row must
+        satisfy the predicate (one short-circuit scan) — otherwise
+        rows would land OUTSIDE the region being replaced and the
+        re-run would not be idempotent.
+
+        File granularity is delete_where's: optional stats ``prune``
+        (must be implied by the predicate) drops provably-clean files
+        unread, one match-count scan finds files holding TRUE rows,
+        their FALSE/NULL rows rewrite as survivors, every other file
+        is carried by reference. On a table partitioned by the
+        predicate column the touched set is exactly the region's
+        partitions — the day-repair loop costs O(region), never
+        O(table).
+
+        CDF on ``cdf=True`` tables: the region's pre-images persist as
+        the delete side and ONLY the staged ``df`` files are the
+        insert side (survivor rewrites are carried rows, not inserts),
+        so :meth:`read_changes_since` replays the swap exactly.
+
+        Returns ``{version, rows_deleted, rows_inserted,
+        files_rewritten, files_kept}``."""
+        state = self._state()
+        df = self._apply_generated(state, df, "replace_where")
+        cols = [f["name"] for f in state["schema"]["fields"]]
+        if sorted(df.columns) != sorted(cols):
+            raise ValueError(
+                f"replace_where schema mismatch: table {cols} vs df "
+                f"{df.columns}"
+            )
+        df = df.select(*cols)
+        self._check_types(state, df)
+        self._enforce_constraints(state, df, "replace_where")
+        if df.where(
+            ~predicate.eqNullSafe(F.lit(True))
+        ).limit(1).count():
+            raise ValueError(
+                "replace_where: incoming rows must ALL satisfy the "
+                f"predicate {predicate} — rows outside the replaced "
+                "region would break idempotent re-runs (widen the "
+                "predicate or filter the batch)"
+            )
+        all_files = sorted(state["files"])
+        cand = (
+            self._prune_split(state, *prune)[0]
+            if prune is not None
+            else all_files
+        )
+        pby = self._partition_by(state)
+        touched: list[str] = []
+        rows_deleted = 0
+        if cand:
+            scan = self._scan_live(spark, state, cand, keep_meta=True)
+            hits = (
+                scan.groupBy("_lake_file")
+                .agg(F.sum(predicate.cast("long")).alias("_matches"))
+                .where(F.col("_matches") > 0)
+                .collect()
+            )
+            by_name = {os.path.basename(p): p for p in cand}
+            for r in hits:
+                touched.append(by_name[r["_lake_file"]])
+                rows_deleted += r["_matches"]
+        survivor_add: list[dict] = []
+        cdf_delete: list[dict] = []
+        if touched:
+            survivors = self._scan_live(spark, state, touched).where(
+                ~predicate.eqNullSafe(F.lit(True))
+            )
+            survivor_add = self._stage_files(
+                survivors, partition_by=pby
+            )
+            if self._cdf_enabled(state):
+                cdf_delete = self._stage_files(
+                    self._scan_live(spark, state, touched).where(
+                        predicate.eqNullSafe(F.lit(True))
+                    ),
+                    partition_by=pby,
+                )
+        new_add = self._stage_files(df, partition_by=pby)
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "replace_where",
+             "add": survivor_add + new_add, "remove": touched,
+             "predicate": str(predicate),
+             "rows_deleted": rows_deleted,
+             **({"cdf_delete": cdf_delete,
+                 "cdf_insert": list(new_add)}
+                if self._cdf_enabled(state) else {})},
+        )
+        return {
+            "version": v,
+            "rows_deleted": rows_deleted,
+            "rows_inserted": sum(m.get("rows", 0) for m in new_add),
+            "files_rewritten": len(touched),
+            "files_kept": len(all_files) - len(touched),
+        }
+
     def _delete_where_dv(
         self,
         spark: SparkSession,
@@ -3257,7 +3370,7 @@ class LakeTable:
                     (v, _p(p), _dvk({"path": _p(p), "dv": rd.get(_p(p))}))
                     for p in c.get("remove", [])
                 ]
-            elif op in ("delete", "merge", "update"):
+            elif op in ("delete", "merge", "update", "replace_where"):
                 if "cdf_delete" not in c:
                     raise ValueError(
                         f"commit v{v} ({op}) predates CDF or the table "
@@ -3265,7 +3378,7 @@ class LakeTable:
                         "unavailable; re-read the table"
                     )
                 dels += [(v, _p(f), ()) for f in c["cdf_delete"]]
-                if op in ("merge", "update"):
+                if op in ("merge", "update", "replace_where"):
                     ins += [(v, _p(p), ()) for p in c.get("cdf_insert", [])]
             else:
                 raise ValueError(f"unknown commit op {op!r} at v{v}")

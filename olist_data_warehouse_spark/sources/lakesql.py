@@ -38,6 +38,8 @@ support, nothing they don't):
   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN
      DELETE | UPDATE SET c = expr, ...]``
 - ``INSERT INTO|OVERWRITE <lake> [(cols)] SELECT ... | VALUES ...``
+- ``INSERT INTO <lake> REPLACE WHERE <pred> SELECT ... | VALUES
+  ...`` (Delta's replaceWhere: atomic predicate-scoped overwrite)
 - ``VACUUM <lake> [RETAIN n HOURS] [DRY RUN] [FORCE]``
 - ``RESTORE [TABLE] <lake> TO VERSION|TIMESTAMP AS OF x``
 - ``OPTIMIZE <lake> [WHERE <stats conjunction>] [ZORDER BY (cols)]``
@@ -595,6 +597,38 @@ def _insert(spark: SparkSession, text: str, masked: str):
             raise ValueError(f"INSERT names unknown columns: {bad}")
     query = rest[hm.end():]
     query_mask = rest_mask[hm.end():]
+    # INSERT INTO t REPLACE WHERE pred SELECT ... — Delta's
+    # replaceWhere as a statement: atomic predicate-scoped overwrite
+    replace_pred = None
+    rw = re.match(r"REPLACE\s+WHERE\b", query_mask, re.IGNORECASE)
+    if rw:
+        if overwrite:
+            raise ValueError(
+                "REPLACE WHERE composes with INSERT INTO, not "
+                "INSERT OVERWRITE (which already replaces everything)"
+            )
+        if given is not None:
+            raise ValueError(
+                "REPLACE WHERE takes the full row shape — drop the "
+                "column list"
+            )
+        cuts = [
+            i
+            for i in (
+                _find_top(query_mask, "SELECT", rw.end()),
+                _find_top(query_mask, "VALUES", rw.end()),
+            )
+            if i >= 0
+        ]
+        if not cuts:
+            raise ValueError(
+                "REPLACE WHERE needs a SELECT or VALUES clause"
+            )
+        cut = min(cuts)
+        replace_pred = query[rw.end():cut].strip()
+        if not replace_pred:
+            raise ValueError("REPLACE WHERE needs a predicate")
+        query, query_mask = query[cut:], query_mask[cut:]
     names = given if given is not None else cols
     if re.match(r"VALUES\b", query_mask, re.IGNORECASE):
         # positional VALUES rows aliased to the target columns
@@ -627,6 +661,17 @@ def _insert(spark: SparkSession, text: str, masked: str):
                 for c in cols
                 if c in given or c not in gen
             ]
+        )
+    if replace_pred is not None:
+        return _refresh(
+            spark,
+            name,
+            t.replace_where(
+                spark,
+                df,
+                F.expr(replace_pred),
+                prune=_auto_prune(replace_pred, _mask(replace_pred)),
+            ),
         )
     v = t.overwrite(df) if overwrite else t.append(df)
     return _refresh(spark, name, {"version": v})

@@ -281,7 +281,7 @@ def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
             )
             for p in c.get("remove", [])
         ]
-    if op in ("delete", "merge", "update"):
+    if op in ("delete", "merge", "update", "replace_where"):
         if "cdf_delete" not in c:
             raise ValueError(
                 f"{op} commit predates CDF or the table was created "
@@ -289,7 +289,7 @@ def _cdf_pairs(c: dict) -> list[tuple[str, object]]:
                 "cdf-mode stream; re-seed from a full read"
             )
         pairs = [("delete", f) for f in c["cdf_delete"]]
-        if op in ("merge", "update"):
+        if op in ("merge", "update", "replace_where"):
             pairs += [("insert", e) for e in c.get("cdf_insert", [])]
         return pairs
     raise ValueError(f"unknown commit op {op!r}")

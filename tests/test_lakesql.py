@@ -897,3 +897,62 @@ def test_register_dir_attaches_warehouse(spark, tmp_path):
     # and they are DML targets: the SQL surface works immediately
     lakesql.sql(spark, "DELETE FROM beta WHERE id = 7")
     assert spark.sql("SELECT count(*) c FROM beta").first()["c"] == 0
+
+
+def test_sql_insert_replace_where(spark, orders, tmp_path):
+    """Delta's replaceWhere as a statement: atomic predicate-scoped
+    overwrite, idempotent re-run, incoming-row gate, region-granular
+    file touch."""
+    t = LakeTable.create(
+        orders.repartitionByRange(6, "o_totalprice"),
+        str(tmp_path / "rw"),
+        cdf=True,
+    )
+    lakebatch.register_table(spark, "rw_sql", t.path)
+    orders.createOrReplaceTempView("rw_src")
+    v0 = t.version()
+    stmt = (
+        "INSERT INTO rw_sql REPLACE WHERE o_totalprice >= 400000.0 "
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice + 0.5, o_orderdate, 'BACKFILL' "
+        "FROM rw_src WHERE o_totalprice >= 400000.0"
+    )
+    r = lakesql.sql(spark, stmt)
+    assert r["rows_deleted"] > 0 and r["rows_inserted"] > 0
+    # range clustering + auto-derived prune: low-price files untouched
+    assert r["files_kept"] > 0
+    want = _rows(
+        orders.where(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") < 400000.0)
+        ).unionByName(
+            orders.where(F.col("o_totalprice") >= 400000.0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 0.5)
+            .withColumn("o_orderpriority", F.lit("BACKFILL"))
+        )
+    )
+    assert _rows(t.read(spark)) == want
+    # CDF replays the swap exactly: deletes = old region, inserts =
+    # new region only (survivor rewrites are carried, not inserted)
+    cdf, _cur = t.read_changes_since(spark, v0)
+    dels = cdf.where(F.col("_change_type") == "delete")
+    ins = cdf.where(F.col("_change_type") == "insert")
+    n_region = orders.where(F.col("o_totalprice") >= 400000.0).count()
+    assert dels.count() == n_region and ins.count() == n_region
+    # idempotent re-run: same statement, same final state
+    r2 = lakesql.sql(spark, stmt.replace("+ 0.5", "+ 0.5"))
+    assert r2["rows_deleted"] == n_region
+    assert _rows(t.read(spark)) == want
+    # gate: a batch row outside the region refuses
+    with pytest.raises(ValueError, match="satisfy the predicate"):
+        lakesql.sql(
+            spark,
+            "INSERT INTO rw_sql REPLACE WHERE o_totalprice >= 400000.0"
+            " SELECT * FROM rw_src WHERE o_totalprice < 400000.0",
+        )
+    with pytest.raises(ValueError, match="INSERT OVERWRITE"):
+        lakesql.sql(
+            spark,
+            "INSERT OVERWRITE rw_sql REPLACE WHERE o_totalprice > 0 "
+            "SELECT * FROM rw_src",
+        )
