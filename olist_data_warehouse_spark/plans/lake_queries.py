@@ -2165,3 +2165,49 @@ def lake_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert r["rows_deleted"] == r["rows_inserted"], r
     assert r["files_kept"] > 0 or r["files_rewritten"] == 0, r
     return t.read(spark)
+
+
+@register(
+    "lake_copy_into",
+    oracle="""
+SELECT * FROM orders
+""",
+    doc="COPY INTO (r12 — Delta's idempotent file-ingestion "
+    "contract): a landing zone receives orders in two parquet drops "
+    "(even keys, then odd keys); the entry runs COPY INTO three "
+    "times via SQL text — first loads drop 1, an immediate re-run "
+    "loads NOTHING (the loaded-set of file identities lands in the "
+    "SAME commit as the data, so a crash-retry can never "
+    "double-load), and the third run after drop 2 lands ingests "
+    "exactly the delta. files_loaded/skipped asserted at each step; "
+    "the feed admits the append-class commits. This is the crontab "
+    "ingest loop at 100 TB: each run costs O(new files), the "
+    "loaded-set is manifest-scale file identity exactly like the "
+    "live-file dict. Oracle: the reassembled orders table.",
+)
+def lake_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from olist_data_warehouse_spark.sources import lakebatch, lakesql
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = _fresh("copy_into", sf_dir)
+    land = _os.path.join(base, "land")
+    t = LakeTable.create(orders.limit(0), _os.path.join(base, "t"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"lake_copy_{tag}"
+    lakebatch.register_table(spark, name, t.path)
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        _os.path.join(land, "drop1")
+    )
+    glob = _os.path.join(land, "*", "*.parquet")
+    r1 = lakesql.sql(spark, f"COPY INTO {name} FROM '{glob}'")
+    assert r1["files_loaded"] >= 1 and r1["files_skipped"] == 0, r1
+    r2 = lakesql.sql(spark, f"COPY INTO {name} FROM '{glob}'")
+    assert r2["files_loaded"] == 0 and r2["rows_loaded"] == 0, r2
+    orders.where(
+        (F.col("o_orderkey") % 2 != 0) | F.col("o_orderkey").isNull()
+    ).coalesce(1).write.parquet(_os.path.join(land, "drop2"))
+    r3 = lakesql.sql(spark, f"COPY INTO {name} FROM '{glob}'")
+    assert r3["files_loaded"] >= 1 and r3["files_skipped"] >= 1, r3
+    return t.read(spark)

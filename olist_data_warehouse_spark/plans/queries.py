@@ -1789,7 +1789,7 @@ DRIVER_PRIORITY = [
     #    CONSTRAINT / TBLPROPERTIES — all as text).
     "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
     "lake_vacuum_retention", "lake_sql_ddl", "lake_sql_asof",
-    "lake_replace_where",
+    "lake_replace_where", "lake_copy_into",
     # 2: TOUCHED this round: the general merge clause engine gained
     #    per-clause SET maps and column-list INSERT (every clause
     #    merge re-proves); merge_into's validation block was

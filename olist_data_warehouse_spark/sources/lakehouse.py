@@ -1917,6 +1917,105 @@ class LakeTable:
             "files_kept": len(all_files) - len(touched),
         }
 
+    def copy_into(
+        self, spark: SparkSession, source, file_format: str = "parquet"
+    ) -> dict:
+        """COPY INTO — IDEMPOTENT file ingestion (the Delta COPY INTO
+        contract): load the files ``source`` matches (a glob string or
+        an explicit list), SKIPPING every file a prior copy_into
+        already loaded, so the ingest loop is a crontab one-liner —
+        re-running after new files land ingests exactly the delta, and
+        a retry after a crash never double-loads (the loaded-set and
+        the data land in ONE commit; a failed run records nothing).
+
+        The loaded-set is file IDENTITY (absolute path), recorded in
+        table config — manifest-scale, the same order as the live-file
+        dict itself (Delta likewise tracks loaded-file identity in its
+        log). One commit per call, ``op='copy_into'`` — append-class:
+        both change feeds replay it as inserts and the strict
+        streaming source admits it.
+
+        ``file_format``: parquet (columns matched BY NAME — source
+        must provide exactly the table's non-generated columns), csv
+        (header=true) or json, both read UNDER the table's
+        non-generated schema. GENERATED columns compute per the write
+        contract; constraints enforce atomically."""
+        import glob as _glob
+
+        state = self._state()
+        if isinstance(source, str):
+            paths = _glob.glob(source)
+        else:
+            paths = [str(p) for p in source]
+        paths = sorted(os.path.abspath(p) for p in paths)
+        if not paths:
+            raise FileNotFoundError(
+                f"COPY INTO source matched no files: {source!r}"
+            )
+        loaded = set(
+            (state.get("config") or {}).get("copy_loaded") or []
+        )
+        new = [p for p in paths if p not in loaded]
+        if not new:
+            return {
+                "version": state["version"], "files_loaded": 0,
+                "files_skipped": len(paths), "rows_loaded": 0,
+            }
+        missing = [p for p in new if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"COPY INTO source files do not exist: {missing[:3]}"
+            )
+        schema = StructType.fromJson(state["schema"])
+        gen = self._generated(state)
+        need = [f.name for f in schema.fields if f.name not in gen]
+        read_schema = StructType(
+            [f for f in schema.fields if f.name not in gen]
+        )
+        fmt = file_format.lower()
+        if fmt == "parquet":
+            df = spark.read.parquet(*new)
+            extra = sorted(set(df.columns) - set(need))
+            lack = sorted(set(need) - set(df.columns))
+            if extra or lack:
+                raise ValueError(
+                    f"COPY INTO column mismatch: source "
+                    f"extra={extra} missing={lack} (target takes "
+                    f"exactly {need}; generated columns compute)"
+                )
+        elif fmt == "csv":
+            df = spark.read.schema(read_schema).option(
+                "header", "true"
+            ).csv(new)
+        elif fmt in ("json", "jsonl"):
+            df = spark.read.schema(read_schema).json(new)
+        else:
+            raise ValueError(
+                f"file_format must be parquet|csv|json, got "
+                f"{file_format!r}"
+            )
+        df = self._apply_generated(state, df.select(*need), "copy_into")
+        df = df.select(*[f.name for f in schema.fields])
+        self._check_types(state, df)
+        self._enforce_constraints(state, df, "copy_into")
+        add = self._stage_files(
+            df, partition_by=self._partition_by(state)
+        )
+        cfg = dict(state.get("config", {}))
+        cfg["copy_loaded"] = sorted(loaded | set(new))
+        v = state["version"] + 1
+        self._write_commit(
+            v,
+            {"op": "copy_into", "add": add, "remove": [],
+             "config": cfg, "copy": {"files": len(new)}},
+        )
+        return {
+            "version": v,
+            "files_loaded": len(new),
+            "files_skipped": len(paths) - len(new),
+            "rows_loaded": sum(m.get("rows", 0) for m in add),
+        }
+
     def _delete_where_dv(
         self,
         spark: SparkSession,
@@ -3291,7 +3390,12 @@ class LakeTable:
         add_paths: list[str] = []
         for v in range(version + 1, cur + 1):
             c = self._read_commit(v)
-            if c["op"] not in ("create", "append", "stream_append"):
+            if c["op"] == "alter":
+                continue  # metadata-only: no rows added or rewritten
+                # (the streaming source skips these too)
+            if c["op"] not in (
+                "create", "append", "stream_append", "copy_into"
+            ):
                 raise ValueError(
                     f"non-append commit v{v} ({c['op']}) in range — "
                     "row identity rewritten; re-read the table"
@@ -3355,7 +3459,9 @@ class LakeTable:
         for v in range(version + 1, cur + 1):
             c = self._read_commit(v)
             op = c["op"]
-            if op in ("create", "append", "stream_append"):
+            if op in (
+                "create", "append", "stream_append", "copy_into"
+            ):
                 ins += [(v, f["path"], ()) for f in c.get("add", [])]
             elif op == "compact":
                 continue  # rewrite-identity: no row-level change

@@ -40,6 +40,9 @@ support, nothing they don't):
 - ``INSERT INTO|OVERWRITE <lake> [(cols)] SELECT ... | VALUES ...``
 - ``INSERT INTO <lake> REPLACE WHERE <pred> SELECT ... | VALUES
   ...`` (Delta's replaceWhere: atomic predicate-scoped overwrite)
+- ``COPY INTO <lake> FROM '<path-or-glob>' [FILEFORMAT =
+  PARQUET|CSV|JSON]`` (idempotent ingestion: loaded-file
+  identities land in the same commit as the data)
 - ``VACUUM <lake> [RETAIN n HOURS] [DRY RUN] [FORCE]``
 - ``RESTORE [TABLE] <lake> TO VERSION|TIMESTAMP AS OF x``
 - ``OPTIMIZE <lake> [WHERE <stats conjunction>] [ZORDER BY (cols)]``
@@ -1275,6 +1278,26 @@ def _create_table(spark: SparkSession, text: str, masked: str):
     return {"version": t.version(), "created": True}
 
 
+def _copy_into(spark: SparkSession, text: str, masked: str):
+    m = re.match(
+        rf"\s*COPY\s+INTO\s+({_IDENT})\s+FROM\s+('_*')\s*"
+        r"(?:FILEFORMAT\s*=\s*(\w+))?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"cannot parse COPY INTO (grammar: COPY INTO t FROM "
+            f"'<path-or-glob>' [FILEFORMAT = PARQUET|CSV|JSON]): "
+            f"{text!r}"
+        )
+    name = text[m.start(1):m.end(1)]
+    t = _target(name)
+    src = _unquote(text[m.start(2):m.end(2)])
+    fmt = (m.group(3) or "parquet").lower()
+    return _refresh(spark, name, t.copy_into(spark, src, fmt))
+
+
 def _drop_table(spark: SparkSession, text: str, masked: str):
     m = re.match(
         rf"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$",
@@ -1420,6 +1443,8 @@ def sql(spark: SparkSession, text: str):
         return _create_table(spark, stmt, masked)
     if head.startswith("DROP"):
         return _drop_table(spark, stmt, masked)
+    if re.match(r"\s*COPY\s+INTO\b", head):
+        return _copy_into(spark, stmt, masked)
     if re.match(r"\s*SHOW\s+TBLPROPERTIES\b", head):
         return _show_tblproperties(spark, stmt, masked)
     if re.match(r"\s*(SELECT|WITH)\b", head):

@@ -110,7 +110,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-APPEND_OPS = ("create", "append", "stream_append")
+APPEND_OPS = ("create", "append", "stream_append", "copy_into")
 
 # A probe record is load-bearing only while a checkpointed offset still
 # aliases it (until the next batch's plain offset replaces it); a week

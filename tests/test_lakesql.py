@@ -956,3 +956,78 @@ def test_sql_insert_replace_where(spark, orders, tmp_path):
             "INSERT OVERWRITE rw_sql REPLACE WHERE o_totalprice > 0 "
             "SELECT * FROM rw_src",
         )
+
+
+def test_sql_copy_into_idempotent(spark, tmp_path):
+    """COPY INTO: loads a landing zone's delta only — re-runs skip
+    already-loaded files (identity recorded atomically WITH the data),
+    generated columns compute, constraints enforce, feeds admit the
+    append-class commit."""
+    land = tmp_path / "land"
+    spark.createDataFrame(
+        [(1, "2024-03-05 10:00:00")], "id INT, ts_s STRING"
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(
+        1
+    ).write.parquet(str(land / "b1"))
+    p = str(tmp_path / "cp")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE cp_gen (id INT, ts TIMESTAMP, "
+        f"d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) "
+        f"USING lake LOCATION '{p}' TBLPROPERTIES ('cdf' = 'true')",
+    )
+    lakesql.sql(
+        spark, "ALTER TABLE cp_gen ADD CONSTRAINT pos CHECK (id > 0)"
+    )
+    glob = f"{land}/*/*.parquet"
+    r1 = lakesql.sql(spark, f"COPY INTO cp_gen FROM '{glob}'")
+    assert r1["files_loaded"] == 1 and r1["rows_loaded"] == 1
+    # generated column computed on ingest
+    assert str(spark.sql("SELECT d FROM cp_gen").first()["d"]) == (
+        "2024-03-05"
+    )
+    # idempotent re-run
+    r2 = lakesql.sql(spark, f"COPY INTO cp_gen FROM '{glob}'")
+    assert r2["files_loaded"] == 0 and r2["files_skipped"] == 1
+    # new drop ingests as a delta; a violating drop refuses atomically
+    spark.createDataFrame(
+        [(2, "2024-03-06 10:00:00")], "id INT, ts_s STRING"
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(
+        1
+    ).write.parquet(str(land / "b2"))
+    r3 = lakesql.sql(spark, f"COPY INTO cp_gen FROM '{glob}'")
+    assert r3["files_loaded"] == 1 and r3["files_skipped"] == 1
+    spark.createDataFrame(
+        [(-9, "2024-03-07 10:00:00")], "id INT, ts_s STRING"
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(
+        1
+    ).write.parquet(str(land / "b3"))
+    t = LakeTable(p)
+    v = t.version()
+    with pytest.raises(ValueError, match="pos"):
+        lakesql.sql(spark, f"COPY INTO cp_gen FROM '{glob}'")
+    assert t.version() == v  # nothing recorded: the retry re-ingests
+    # the strict append stream and both feeds admit copy_into commits
+    ap, _cur = t.read_appends_since(spark, 0)
+    assert ap.count() == 2
+    cdf, _ = t.read_changes_since(spark, 0)
+    assert cdf.where("_change_type = 'insert'").count() == 2
+
+
+def test_sql_copy_into_csv(spark, tmp_path):
+    land = tmp_path / "csvland"
+    land.mkdir()
+    (land / "a.csv").write_text("id,v\n1,x\n2,y\n")
+    p = str(tmp_path / "cpcsv")
+    lakesql.sql(
+        spark,
+        f"CREATE TABLE cp_csv (id INT, v STRING) USING lake "
+        f"LOCATION '{p}'",
+    )
+    r = lakesql.sql(
+        spark,
+        f"COPY INTO cp_csv FROM '{land}/*.csv' FILEFORMAT = CSV",
+    )
+    assert r["rows_loaded"] == 2
+    got = spark.sql("SELECT id, v FROM cp_csv ORDER BY id").collect()
+    assert [tuple(x) for x in got] == [(1, "x"), (2, "y")]

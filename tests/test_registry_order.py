@@ -26,7 +26,7 @@ MUST_PROVE = {
     # (a) new in r12:
     "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
     "lake_vacuum_retention", "lake_sql_ddl", "lake_sql_asof",
-    "lake_replace_where",
+    "lake_replace_where", "lake_copy_into",
     # (b) touched in r12:
     "lake_merge_clauses", "lake_merge_upsert", "lake_merge_dv",
     "lake_apply_changes", "lake_time_travel", "lake_timestamp_travel",
