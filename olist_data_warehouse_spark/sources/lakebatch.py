@@ -42,6 +42,7 @@ can prove clean, with zero caller cooperation.
 from __future__ import annotations
 
 import json
+import weakref
 from dataclasses import dataclass
 from typing import Iterator, List
 
@@ -1300,20 +1301,44 @@ def register_table(spark, name: str, path: str, **options) -> None:
     for k, v in options.items():
         reader = reader.option(k, str(v))
     reader.load().createOrReplaceTempView(name)
-    if not (set(options) & {"version", "timestamp", "mode", "since"}):
-        _DML_TARGETS[name.lower()] = path
+    st = _session_state(spark)
+    if set(options) & {"version", "timestamp", "mode", "since"}:
+        # snapshot/CDF view: read-only — and if the name previously
+        # bound a DML target, that binding is superseded
+        st["targets"].pop(name.lower(), None)
+        st["snapshots"].add(name.lower())
+    else:
+        st["targets"][name.lower()] = path
+        st["snapshots"].discard(name.lower())
 
 
-# SQL name -> table path, for lakesql's DML dispatch. Session-scoped
-# in spirit (temp views are), process-scoped in practice — same
-# lifetime as the temp views a single-session process registers.
-_DML_TARGETS: dict[str, str] = {}
+# SQL name -> table path, for lakesql's DML dispatch. Keyed by
+# SparkSession (weakly — state dies with the session) because the
+# temp views this map mirrors are session-scoped: with two sessions
+# in one process, a name registered only by session A must not
+# resolve for session B's DML (r12 advice).
+_SESSION_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def dml_target(name: str) -> str | None:
+def _session_state(spark) -> dict:
+    st = _SESSION_STATE.get(spark)
+    if st is None:
+        st = {"targets": {}, "snapshots": set()}
+        _SESSION_STATE[spark] = st
+    return st
+
+
+def dml_target(spark, name: str) -> str | None:
     """Path of the lake table registered under ``name`` as a DML
-    target, or None (unregistered, or a snapshot/CDF view)."""
-    return _DML_TARGETS.get(name.lower())
+    target in THIS session, or None (unregistered, or a snapshot/CDF
+    view)."""
+    return _session_state(spark)["targets"].get(name.lower())
+
+
+def is_snapshot_view(spark, name: str) -> bool:
+    """True iff ``name`` was registered in this session as a
+    snapshot / time-travel / CDF view (read-only surface)."""
+    return name.lower() in _session_state(spark)["snapshots"]
 
 
 def unregister_table(spark, name: str) -> None:
@@ -1323,7 +1348,9 @@ def unregister_table(spark, name: str) -> None:
     ``register_table``/``CREATE TABLE IF NOT EXISTS`` re-binds the
     same table unchanged."""
     spark.catalog.dropTempView(name)
-    _DML_TARGETS.pop(name.lower(), None)
+    st = _session_state(spark)
+    st["targets"].pop(name.lower(), None)
+    st["snapshots"].discard(name.lower())
 
 
 def register_dir(spark, root: str) -> dict[str, str]:
@@ -1368,4 +1395,10 @@ def register(spark) -> None:
     # cannot plan this format at all, so the conf always travels with
     # the capability.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(LakeBatchDataSource)
+    try:
+        spark.dataSource.register(LakeBatchDataSource)
+    except Exception as e:  # pragma: no cover - version-dependent
+        # sibling sessions share the JVM-side registry: a second
+        # session's register() is a no-op, not an error
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

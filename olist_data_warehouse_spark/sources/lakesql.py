@@ -202,14 +202,25 @@ def _name_alias(seg: str) -> tuple[str, str | None]:
     return name, (rest[0] if rest else None)
 
 
-def _target(name: str) -> LakeTable:
-    path = lakebatch.dml_target(name)
+def _target(spark: SparkSession, name: str) -> LakeTable | None:
+    """LakeTable for ``name`` if it is a lake DML target registered
+    in THIS session; ``None`` when the name is simply not a lake
+    binding — the caller falls back to ``spark.sql`` so ``sql()``
+    stays a single entry point (catalog tables that support the
+    statement natively run it; others get Spark's own loud error).
+    Raises only for snapshot/CDF views, which ARE lake bindings but
+    read-only (falling through would swap an informative error for a
+    confusing one)."""
+    path = lakebatch.dml_target(spark, name)
     if path is None:
-        raise ValueError(
-            f"{name!r} is not a registered lake DML target — call "
-            "lakebatch.register_table(spark, name, path) first "
-            "(time-travel / CDF views are snapshots, not DML targets)"
-        )
+        if lakebatch.is_snapshot_view(spark, name):
+            raise ValueError(
+                f"{name!r} is a lake snapshot/CDF view — read-only, "
+                "not a registered lake DML target (register the "
+                "current state with lakebatch.register_table to "
+                "mutate the table)"
+            )
+        return None
     return LakeTable(path)
 
 
@@ -219,6 +230,48 @@ _NUM = re.compile(
 )
 
 
+def _and_conjuncts(pred: str, masked: str) -> list[tuple[str, str]]:
+    """Split a predicate into its depth-0 AND-conjuncts, locating
+    boundaries on the MASKED string only and slicing both strings at
+    those positions (the mask is length-preserving, so indices
+    align). Splitting the raw text separately would misalign the
+    pair whenever a string literal contains ``' AND '``."""
+    pat = re.compile(r"\bAND\b", re.IGNORECASE)
+    cuts, depth = [], 0
+    for i, c in enumerate(masked):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(masked, i)
+            if m:
+                cuts.append((i, m.end()))
+    parts, last = [], 0
+    for s, e in cuts:
+        parts.append((pred[last:s], masked[last:s]))
+        last = e
+    parts.append((pred[last:], masked[last:]))
+    return parts
+
+
+def _no_subquery(mask: str | None, context: str) -> None:
+    """The dispatcher grammar is deliberately FLAT: a nested SELECT
+    inside a DML fragment (scalar subquery in SET, ``IN (SELECT …)``
+    in WHERE, subquery in VALUES) is outside it. Reject loudly —
+    handing Catalyst an expression this grammar did not validate
+    risks the silent-misparse class the module bans (r12 verdict #3).
+    The mask is what gets scanned, so 'SELECT' inside a string
+    literal never trips this."""
+    if mask and re.search(r"\bSELECT\b", mask, re.IGNORECASE):
+        raise ValueError(
+            f"subqueries are not supported in {context} — the lakesql "
+            "grammar is flat (MERGE USING (SELECT …) is the one "
+            "nested form); materialize the subquery as a temp view "
+            "or use the Python API"
+        )
+
+
 def _auto_prune(pred: str, masked: str) -> tuple[str, str, float] | None:
     """Derive a stats-prune hint from the predicate: the first
     depth-0 AND-conjunct of shape ``col <op> numeric-literal``. Sound
@@ -226,10 +279,7 @@ def _auto_prune(pred: str, masked: str) -> tuple[str, str, float] | None:
     conjunct, so files outside the conjunct's stats range hold no
     matches — the same file-skipping Delta derives from DML
     predicates."""
-    for part_text, part_mask in zip(
-        re.split(r"\bAND\b", pred, flags=re.IGNORECASE),
-        re.split(r"\bAND\b", masked, flags=re.IGNORECASE),
-    ):
+    for part_text, part_mask in _and_conjuncts(pred, masked):
         if "(" in part_mask or ")" in part_mask:
             continue
         m = _NUM.match(part_text)
@@ -261,7 +311,7 @@ def _refresh(spark: SparkSession, name: str, result):
     here is re-registering the binding, which is O(manifest). Other
     names bound to the same path keep their pinned snapshots — the
     dispatcher only knows the statement's own name."""
-    path = lakebatch.dml_target(name)
+    path = lakebatch.dml_target(spark, name)
     if path is not None:
         lakebatch.register_table(spark, name, path)
     return result
@@ -271,13 +321,16 @@ def _delete(spark: SparkSession, text: str, masked: str) -> dict:
     m = re.match(r"\s*DELETE\s+FROM\b", masked, re.IGNORECASE)
     head, pred, pred_mask = _parse_where(text, masked, m.end())
     name, alias = _name_alias(head)
-    t = _target(name)
+    t = _target(spark, name)
+    if t is None:
+        return spark.sql(text)
     strip = {name.lower(): ""}
     if alias:
         strip[alias.lower()] = ""
     if pred is None:
         predicate, prune = F.lit(True), None
     else:
+        _no_subquery(pred_mask, "DELETE WHERE")
         bare = _replace_qualifiers(pred, strip)
         predicate = F.expr(bare)
         prune = _auto_prune(bare, _mask(bare))
@@ -292,11 +345,14 @@ def _update(spark: SparkSession, text: str, masked: str) -> dict:
     if s < 0:
         raise ValueError("UPDATE requires a SET clause")
     name, alias = _name_alias(text[m.end():s])
-    t = _target(name)
+    t = _target(spark, name)
+    if t is None:
+        return spark.sql(text)
     strip = {name.lower(): ""}
     if alias:
         strip[alias.lower()] = ""
-    sets_text, pred, _pm = _parse_where(text, masked, s + 3)
+    sets_text, pred, pred_mask = _parse_where(text, masked, s + 3)
+    _no_subquery(_mask(sets_text), "UPDATE SET")
     set_exprs = {
         c: F.expr(e)
         for c, e in _parse_sets(sets_text, strip).items()
@@ -304,6 +360,7 @@ def _update(spark: SparkSession, text: str, masked: str) -> dict:
     if pred is None:
         predicate, prune = F.lit(True), None
     else:
+        _no_subquery(pred_mask, "UPDATE WHERE")
         bare = _replace_qualifiers(pred, strip)
         predicate = F.expr(bare)
         prune = _auto_prune(bare, _mask(bare))
@@ -332,7 +389,9 @@ def _merge(spark: SparkSession, text: str, masked: str) -> dict:
     if u < 0:
         raise ValueError("MERGE requires a USING clause")
     tgt_name, tgt_alias = _name_alias(text[m.end():u])
-    t = _target(tgt_name)
+    t = _target(spark, tgt_name)
+    if t is None:
+        return spark.sql(text)
 
     on = _find_top(masked, "ON", u + 5)
     if on < 0:
@@ -362,7 +421,7 @@ def _merge(spark: SparkSession, text: str, masked: str) -> dict:
         src_name, src_alias = _name_alias(src_seg)
         source = spark.sql(f"SELECT * FROM {src_name}")
 
-    w = _find_top(masked, "WHEN", on + 2)
+    w = _find_when_clause(masked, on + 2)
     if w < 0:
         raise ValueError("MERGE requires at least one WHEN clause")
     on_pred = text[on + 2:w]
@@ -411,7 +470,7 @@ def _merge(spark: SparkSession, text: str, masked: str) -> dict:
     starts = []
     pos = 0
     while True:
-        k = _find_top(body_mask, "WHEN", pos)
+        k = _find_when_clause(body_mask, pos)
         if k < 0:
             break
         starts.append(k)
@@ -448,6 +507,24 @@ def _merge(spark: SparkSession, text: str, masked: str) -> dict:
     )
 
 
+_WHEN_CLAUSE = re.compile(r"WHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
+
+
+def _find_when_clause(masked: str, start: int = 0) -> int:
+    """Index of the next depth-0 ``WHEN [NOT] MATCHED`` clause head at
+    or after ``start``; -1 if none. A bare depth-0 WHEN (e.g. the WHEN
+    of a ``CASE WHEN … END`` inside an UPDATE SET expression — valid
+    Delta SQL) is NOT a clause boundary (r12 advice)."""
+    pos = start
+    while True:
+        k = _find_top(masked, "WHEN", pos)
+        if k < 0:
+            return -1
+        if _WHEN_CLAUSE.match(masked, k):
+            return k
+        pos = k + 4
+
+
 def _collect_clauses(body, body_mask, starts, qual, keep_t, bare_s):
     """Parse each WHEN clause segment into the engine's shapes."""
     matched: list[tuple] = []
@@ -457,6 +534,7 @@ def _collect_clauses(body, body_mask, starts, qual, keep_t, bare_s):
         end = starts[i + 1] if i + 1 < len(starts) else len(body)
         seg = body[st + 4:end].strip()
         seg_mask = body_mask[st + 4:end].strip()
+        _no_subquery(seg_mask, "MERGE WHEN clauses")
         then = _find_top(seg_mask, "THEN")
         if then < 0:
             raise ValueError(f"WHEN clause without THEN: {seg!r}")
@@ -583,7 +661,7 @@ def _insert(spark: SparkSession, text: str, masked: str):
     if not hm:
         raise ValueError(f"cannot parse INSERT target in {text!r}")
     name = rest[hm.start(1):hm.end(1)]
-    path = lakebatch.dml_target(name)
+    path = lakebatch.dml_target(spark, name)
     if path is None:
         # not a lake DML target: catalog tables handle INSERT natively
         return spark.sql(text)
@@ -631,10 +709,12 @@ def _insert(spark: SparkSession, text: str, masked: str):
         replace_pred = query[rw.end():cut].strip()
         if not replace_pred:
             raise ValueError("REPLACE WHERE needs a predicate")
+        _no_subquery(query_mask[rw.end():cut], "REPLACE WHERE")
         query, query_mask = query[cut:], query_mask[cut:]
     names = given if given is not None else cols
     if re.match(r"VALUES\b", query_mask, re.IGNORECASE):
         # positional VALUES rows aliased to the target columns
+        _no_subquery(query_mask, "INSERT VALUES rows")
         df = spark.sql(
             f"SELECT * FROM ({query}) AS _v({', '.join(names)})"
         )
@@ -689,12 +769,20 @@ def _vacuum(spark: SparkSession, text: str, masked: str):
     if not m:
         raise ValueError(f"cannot parse VACUUM statement {text!r}")
     name = text[m.start(1):m.end(1)]
-    t = _target(name)
+    t = _target(spark, name)
+    if t is None:
+        return spark.sql(text)
     tail = masked[m.start(2):]
     # Delta VACUUM semantics: reclaim files unreferenced by the
     # CURRENT version (and older than retention) — keep_versions=1,
-    # not the Python API's history-keeping default of 2
-    kwargs: dict = {"keep_versions": 1}
+    # not the Python API's history-keeping default of 2; and a bare
+    # VACUUM defaults to Delta's 7-DAY retention, not the Python
+    # API's 24h (r12 advice — an operator typing plain VACUUM must
+    # not reclaim ~6 days earlier than Delta would)
+    kwargs: dict = {
+        "keep_versions": 1,
+        "retention_seconds": 7 * 86400.0,
+    }
     rm = re.search(
         r"RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\b", tail, re.IGNORECASE
     )
@@ -731,7 +819,9 @@ def _restore(spark: SparkSession, text: str, masked: str):
             f"VERSION|TIMESTAMP AS OF x): {text!r}"
         )
     name = text[m.start(1):m.end(1)]
-    t = _target(name)
+    t = _target(spark, name)
+    if t is None:
+        return spark.sql(text)
     arg = text[m.end():].strip().strip("'\"")
     if m.group(2).upper() == "VERSION":
         v = t.restore(version=int(arg))
@@ -747,7 +837,9 @@ def _optimize(spark: SparkSession, text: str, masked: str):
     if not m:
         raise ValueError(f"cannot parse OPTIMIZE statement {text!r}")
     name = text[m.start(1):m.end(1)]
-    t = _target(name)
+    t = _target(spark, name)
+    if t is None:
+        return spark.sql(text)
     w = _find_top(masked, "WHERE", m.end())
     z = _find_top(masked, "ZORDER", m.end())
     cluster_by = None
@@ -768,10 +860,7 @@ def _optimize(spark: SparkSession, text: str, masked: str):
         pred = text[w + 5: z if z >= 0 else len(text)]
         pred_mask = masked[w + 5: z if z >= 0 else len(masked)]
         where = []
-        for part_t, part_m in zip(
-            re.split(r"\bAND\b", pred, flags=re.IGNORECASE),
-            re.split(r"\bAND\b", pred_mask, flags=re.IGNORECASE),
-        ):
+        for part_t, part_m in _and_conjuncts(pred, pred_mask):
             p = _auto_prune(part_t, part_m)
             if p is None:
                 raise ValueError(
@@ -806,7 +895,9 @@ def _describe_history(spark: SparkSession, text: str, masked: str):
         raise ValueError(
             f"cannot parse DESCRIBE HISTORY statement {text!r}"
         )
-    t = _target(text[m.start(1):m.end(1)])
+    t = _target(spark, text[m.start(1):m.end(1)])
+    if t is None:
+        return spark.sql(text)
     recs = t.history(limit=int(m.group(2)) if m.group(2) else None)
     rows = [
         (
@@ -862,7 +953,7 @@ def _rewrite_reads(spark: SparkSession, text: str, masked: str) -> str:
     pieces: list[tuple[int, int, str]] = []
     for m in _AS_OF.finditer(masked):
         name = text[m.start(1):m.end(1)]
-        path = lakebatch.dml_target(name)
+        path = lakebatch.dml_target(spark, name)
         if path is None:
             continue
         kind = m.group(2).lower()
@@ -875,7 +966,7 @@ def _rewrite_reads(spark: SparkSession, text: str, masked: str) -> str:
         pieces.append((m.start(), m.end(), view))
     for m in _TABLE_CHANGES.finditer(masked):
         name = _unquote(text[m.start(1):m.end(1)])
-        path = lakebatch.dml_target(name)
+        path = lakebatch.dml_target(spark, name)
         if path is None:
             raise ValueError(
                 f"table_changes: {name!r} is not a registered lake "
@@ -956,10 +1047,10 @@ def _alter(spark: SparkSession, text: str, masked: str):
     if not m:
         return spark.sql(text)
     name = text[m.start(1):m.end(1)]
-    if lakebatch.dml_target(name) is None:
+    t = _target(spark, name)
+    if t is None:
         # not a lake DML target: catalog tables ALTER natively
         return spark.sql(text)
-    t = _target(name)
     tail, tail_mask = text[m.end():], masked[m.end():]
 
     def _reregister(version: int) -> dict:
@@ -1131,7 +1222,7 @@ def _create_table(spark: SparkSession, text: str, masked: str):
     )
     if scm:
         src_name = text[off + scm.start(1):off + scm.end(1)]
-        src_path = lakebatch.dml_target(src_name)
+        src_path = lakebatch.dml_target(spark, src_name)
         if src_path is None:
             return spark.sql(text)  # not a lake source: Spark reports
         rest_t = text[off + scm.end():]
@@ -1292,7 +1383,9 @@ def _copy_into(spark: SparkSession, text: str, masked: str):
             f"{text!r}"
         )
     name = text[m.start(1):m.end(1)]
-    t = _target(name)
+    t = _target(spark, name)
+    if t is None:
+        return spark.sql(text)
     src = _unquote(text[m.start(2):m.end(2)])
     fmt = (m.group(3) or "parquet").lower()
     return _refresh(spark, name, t.copy_into(spark, src, fmt))
@@ -1307,7 +1400,7 @@ def _drop_table(spark: SparkSession, text: str, masked: str):
     if not m:
         return spark.sql(text)
     name = text[m.start(1):m.end(1)]
-    if lakebatch.dml_target(name) is None:
+    if lakebatch.dml_target(spark, name) is None:
         return spark.sql(text)
     lakebatch.unregister_table(spark, name)
     return {"dropped": name}
@@ -1322,9 +1415,9 @@ def _show_tblproperties(spark: SparkSession, text: str, masked: str):
     if not m:
         return spark.sql(text)
     name = text[m.start(1):m.end(1)]
-    if lakebatch.dml_target(name) is None:
+    t = _target(spark, name)
+    if t is None:
         return spark.sql(text)
-    t = _target(name)
     props = dict(t.properties())
     props["cdf"] = "true" if t.detail()["cdf"] else "false"
     return spark.createDataFrame(
@@ -1343,9 +1436,10 @@ def _describe_detail(spark: SparkSession, text: str, masked: str):
     if not m:
         return spark.sql(text)
     name = text[m.start(1):m.end(1)]
-    if lakebatch.dml_target(name) is None:
+    t = _target(spark, name)
+    if t is None:
         return spark.sql(text)  # no lake binding: let Spark report
-    d = _target(name).detail()
+    d = t.detail()
     js = lambda v: _json.dumps(v, default=str, sort_keys=True)  # noqa: E731
     return spark.createDataFrame(
         [(
@@ -1379,7 +1473,9 @@ def sql(spark: SparkSession, text: str):
       tables natively) -> ``{version}``
     - ``VACUUM t [RETAIN n HOURS] [DRY RUN] [FORCE]`` -> vacuum ->
       removed paths (FORCE maps to force=True — the sub-floor
-      retention override; Delta spells it as a session conf)
+      retention override; Delta spells it as a session conf). A bare
+      VACUUM retains 7 days — Delta's default, NOT the Python API's
+      24h
     - ``RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF x`` -> restore
       -> ``{version}``
     - ``OPTIMIZE t [WHERE stats-conjunction] [ZORDER BY (cols)]`` ->

@@ -103,6 +103,48 @@ def test_sql_update_string_literal_with_keyword(spark, orders, tmp_path):
     assert all(r["o_orderpriority"] == " WHERE SET , 'x' " for r in got)
 
 
+def test_auto_prune_literal_with_and_inside(spark):
+    """Regression (r12 advice, high): an ' AND ' inside a string
+    literal must not misalign conjunct pairing — the old zip of two
+    independent re.split passes emitted a prune hint taken from
+    literal CONTENTS, silently skipping files that held real
+    matches."""
+    from olist_data_warehouse_spark.sources.lakesql import (
+        _auto_prune, _mask,
+    )
+    pred = "msg = 'x AND c = 3 AND y' AND d > 5"
+    assert _auto_prune(pred, _mask(pred)) == ("d", ">", 5)
+    # literal-only predicate: no numeric conjunct, no hint
+    solo = "msg = 'a AND b = 1'"
+    assert _auto_prune(solo, _mask(solo)) is None
+    # parenthesized conjuncts are skipped, later flat one is used
+    par = "(a = 1 AND b = 2) AND d >= 7"
+    assert _auto_prune(par, _mask(par)) == ("d", ">=", 7)
+
+
+def test_sql_delete_literal_and_does_not_poison_prune(
+    spark, orders, tmp_path
+):
+    """End-to-end form of the same regression: with the misaligned
+    prune hint ('o_totalprice', '=', -1) every file's stats exclude
+    the bogus value, so the old code deleted NOTHING. The fix must
+    delete exactly the rows matching the real predicate."""
+    t = LakeTable.create(
+        orders.repartitionByRange(6, "o_totalprice"),
+        str(tmp_path / "del_lit"),
+    )
+    lakebatch.register_table(spark, "del_lit", t.path)
+    r = lakesql.sql(
+        spark,
+        "DELETE FROM del_lit WHERE "
+        "o_orderpriority <> 'x AND o_totalprice = -1 AND y' "
+        "AND o_totalprice > 400000.0",
+    )
+    assert r["rows_deleted"] > 0
+    want = _rows(orders.where(F.col("o_totalprice") <= 400000.0))
+    assert _rows(t.read(spark)) == want
+
+
 # ----------------------------------------------------------------- MERGE
 
 def test_sql_merge_full_grammar(spark, orders, tmp_path):
@@ -164,6 +206,34 @@ def test_sql_merge_full_grammar(spark, orders, tmp_path):
     )
     want = _rows(kept_updated.unionByName(by_src).unionByName(inserted))
     assert _rows(t.read(spark)) == want
+
+
+def test_sql_merge_case_when_in_update_set(spark, orders, tmp_path):
+    """Regression (r12 advice): a CASE WHEN inside an UPDATE SET
+    expression is valid Delta SQL and must not be cut into a bogus
+    WHEN clause — only ``WHEN [NOT] MATCHED`` starts a clause."""
+    t = _make(spark, orders, tmp_path, "mrg_case")
+    src = orders.limit(50).withColumn(
+        "o_totalprice", F.lit(999999.0)
+    )
+    src.createOrReplaceTempView("mrg_case_src")
+    lakesql.sql(
+        spark,
+        "MERGE INTO mrg_case AS t USING mrg_case_src AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = "
+        "CASE WHEN s.o_totalprice > 1 THEN s.o_totalprice "
+        "ELSE t.o_totalprice END",
+    )
+    keys = {r["o_orderkey"] for r in src.select("o_orderkey").collect()}
+    got = t.read(spark).where(
+        F.col("o_orderkey").isin(list(keys))
+    ).collect()
+    assert got and all(r["o_totalprice"] == 999999.0 for r in got)
+    untouched = t.read(spark).where(
+        ~F.col("o_orderkey").isin(list(keys))
+    ).agg(F.max("o_totalprice")).first()[0]
+    assert untouched != 999999.0
 
 
 def test_sql_merge_insert_column_list(spark, orders, tmp_path):
@@ -228,16 +298,58 @@ def test_sql_merge_set_star_full_row(spark, orders, tmp_path):
 
 # ---------------------------------------------------------------- errors
 
-def test_sql_unregistered_table_raises(spark):
-    with pytest.raises(ValueError, match="not a registered lake"):
+def test_sql_unregistered_table_falls_through(spark):
+    """DML on a non-lake name falls through to spark.sql — symmetric
+    with INSERT/ALTER (r12 advice) — so Spark reports its own
+    table-not-found error rather than our registry error."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
         lakesql.sql(spark, "DELETE FROM nope WHERE 1 = 1")
+    with pytest.raises(AnalysisException):
+        lakesql.sql(spark, "UPDATE nope2 SET x = 1")
 
 
 def test_sql_snapshot_view_is_not_dml_target(spark, orders, tmp_path):
+    """Snapshot/CDF views ARE lake bindings but read-only — they keep
+    the informative error instead of falling through to a confusing
+    Spark parse failure."""
     t = LakeTable.create(orders, str(tmp_path / "snap"))
     lakebatch.register_table(spark, "snap_v0", t.path, version=0)
-    with pytest.raises(ValueError, match="not a registered lake"):
+    with pytest.raises(ValueError, match="snapshot/CDF view"):
         lakesql.sql(spark, "DELETE FROM snap_v0")
+    with pytest.raises(ValueError, match="snapshot/CDF view"):
+        lakesql.sql(spark, "VACUUM snap_v0")
+
+
+def test_dml_targets_are_session_scoped(spark, orders, tmp_path):
+    """Two sessions in one process must not share DML bindings: a
+    name registered only by session A resolves to None in session B,
+    and B's DELETE falls through to spark.sql, which cannot see A's
+    temp view either (r12 advice: no cross-session mutation).
+
+    Also pins the upstream Spark 4.1 sibling-session limitation this
+    design lives with: a Python data source registered by session A
+    is visible to session B's EXISTS check (register raises
+    DATA_SOURCE_ALREADY_EXISTS) but not to its lookup (load raises
+    DATA_SOURCE_NOT_FOUND) — so a sibling session cannot read the
+    lake format at all. Flip condition: if B's load ever succeeds on
+    a Spark upgrade, drop the swallow in lakebatch.register() and
+    extend this test to B-side DML."""
+    from pyspark.errors import AnalysisException
+
+    t = LakeTable.create(orders.limit(100), str(tmp_path / "scoped"))
+    lakebatch.register_table(spark, "scoped_t", t.path)
+    other = spark.newSession()
+    assert lakebatch.dml_target(spark, "scoped_t") == t.path
+    assert lakebatch.dml_target(other, "scoped_t") is None
+    with pytest.raises(AnalysisException):
+        lakesql.sql(other, "DELETE FROM scoped_t WHERE 1 = 1")
+    # A's data untouched by B's attempt
+    assert t.read(spark).count() == 100
+    # upstream probe: B cannot plan the format (see docstring)
+    with pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND"):
+        other.read.format("lake").option("path", t.path).load()
 
 
 def test_sql_merge_rejects_cross_named_keys(spark, orders, tmp_path):
@@ -394,6 +506,29 @@ def test_sql_vacuum_grammar(spark, orders, tmp_path):
     assert sorted(removed) == sorted(would)
     with pytest.raises(ValueError, match="cannot parse VACUUM clause"):
         lakesql.sql(spark, "VACUUM vac_t BANANAS")
+
+
+def test_sql_vacuum_defaults_to_delta_seven_days(
+    spark, orders, tmp_path, monkeypatch
+):
+    """Bare VACUUM must inherit Delta's 7-day retention, not the
+    Python API's 24h (r12 advice): an operator typing plain VACUUM
+    must not reclaim files ~6 days earlier than Delta would."""
+    t = _make(spark, orders, tmp_path, "vac_def")
+    seen = {}
+    real = LakeTable.vacuum
+
+    def spy(self, **kw):
+        seen.update(kw)
+        return real(self, **kw)
+
+    monkeypatch.setattr(LakeTable, "vacuum", spy)
+    lakesql.sql(spark, "VACUUM vac_def DRY RUN")
+    assert seen["retention_seconds"] == 7 * 86400.0
+    assert seen["keep_versions"] == 1
+    seen.clear()
+    lakesql.sql(spark, "VACUUM vac_def RETAIN 48 HOURS DRY RUN")
+    assert seen["retention_seconds"] == 48 * 3600.0
 
 
 def test_sql_restore_version(spark, orders, tmp_path):
@@ -619,7 +754,7 @@ def test_sql_drop_table_keeps_data_and_rebinds(spark, tmp_path):
     assert lakesql.sql(spark, "DROP TABLE ddl_t7") == {
         "dropped": "ddl_t7"
     }
-    assert lakebatch.dml_target("ddl_t7") is None
+    assert lakebatch.dml_target(spark, "ddl_t7") is None
     # data survived; IF NOT EXISTS rebinds without recreating
     r = lakesql.sql(
         spark,
