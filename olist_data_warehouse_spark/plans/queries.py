@@ -45,7 +45,71 @@ class RegisteredQuery:
     doc: str
 
 
-REGISTRY: dict[str, RegisteredQuery] = {}
+class _Registry(dict):
+    """Registry dict with LAZY extension loading (r12 verdict #2).
+
+    The reference surface (~90 entries in this module) registers at
+    import; the llm/stream/lake families (~170 entries across 15k
+    lines of sibling modules) load on first *need*: a key miss, an
+    enumeration, or a membership probe for an unknown name. A process
+    that only runs reference queries (``REGISTRY["q1_top_units_dw"]``)
+    never pays the sibling import; every enumerating consumer
+    (driver, bench, oracle sweep) sees the full 258 as before —
+    laziness can never change what a full scan returns."""
+
+    _loaded = False
+
+    @staticmethod
+    def load_extensions() -> None:
+        if _Registry._loaded:
+            return
+        _Registry._loaded = True
+        from olist_data_warehouse_spark.plans import (  # noqa: F401
+            lake_queries,
+            llm_queries,
+            stream_queries,
+        )
+
+    def __missing__(self, key):
+        self.load_extensions()
+        if dict.__contains__(self, key):
+            return dict.__getitem__(self, key)
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        if dict.__contains__(self, key):
+            return True
+        self.load_extensions()
+        return dict.__contains__(self, key)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __iter__(self):
+        self.load_extensions()
+        return dict.__iter__(self)
+
+    def __len__(self):
+        self.load_extensions()
+        return dict.__len__(self)
+
+    def keys(self):
+        self.load_extensions()
+        return dict.keys(self)
+
+    def values(self):
+        self.load_extensions()
+        return dict.values(self)
+
+    def items(self):
+        self.load_extensions()
+        return dict.items(self)
+
+
+REGISTRY: dict[str, RegisteredQuery] = _Registry()
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -1759,11 +1823,9 @@ def w7_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Extended LLM-pipeline, streaming, and lakehouse operators register
-# themselves into REGISTRY on import (sibling modules keep this file
-# reference-focused).
-from olist_data_warehouse_spark.plans import llm_queries  # noqa: E402,F401
-from olist_data_warehouse_spark.plans import stream_queries  # noqa: E402,F401
-from olist_data_warehouse_spark.plans import lake_queries  # noqa: E402,F401
+# themselves into REGISTRY when _Registry.load_extensions() fires —
+# on the first key miss / enumeration / unknown-name probe (lazy per
+# r12 verdict #2; sibling modules keep this file reference-focused).
 
 
 # The correctness driver evaluates the FIRST ~50 registry entries per
@@ -1841,6 +1903,7 @@ DRIVER_PRIORITY = [
 def ordered_registry() -> dict[str, RegisteredQuery]:
     """REGISTRY with :data:`DRIVER_PRIORITY` entries first (that order),
     remaining entries after in registration order."""
+    _Registry.load_extensions()
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
     if missing:
         raise KeyError(f"DRIVER_PRIORITY names not in REGISTRY: {missing}")

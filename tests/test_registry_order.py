@@ -38,6 +38,33 @@ def test_priority_names_all_registered():
     assert not [n for n in DRIVER_PRIORITY if n not in REGISTRY]
 
 
+def test_registry_is_lazy_but_complete():
+    """r12 verdict #2: the llm/stream/lake families load on first
+    need, not at import — and laziness can never change what a full
+    enumeration returns. Run in a subprocess so this doesn't depend
+    on (or disturb) the loaded state of the session under test."""
+    import subprocess
+    import sys
+
+    code = (
+        "from olist_data_warehouse_spark.plans import queries as q\n"
+        "n0 = dict.__len__(q.REGISTRY)\n"
+        "q.REGISTRY['q1_top_units_dw']\n"
+        "assert not q._Registry._loaded, 'ref lookup must stay lazy'\n"
+        "assert dict.__len__(q.REGISTRY) == n0\n"
+        "q.REGISTRY['dedup_exact']\n"
+        "assert q._Registry._loaded\n"
+        "assert len(q.REGISTRY) > 200\n"
+        "assert 'stream_tumbling_counts' in q.REGISTRY\n"
+        "print('OK', n0, len(q.REGISTRY))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.startswith("OK")
+
+
 def test_ordered_registry_is_complete_permutation():
     assert set(ordered_registry()) == set(REGISTRY)
 
