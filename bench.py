@@ -236,6 +236,12 @@ def main() -> None:
 
     raw: dict[str, list[float]] = {n: [] for n in bench_names}
     for _ in range(runs):
+        # Settle the JVM between sweeps: ~80 queries of plan/temp
+        # debris otherwise lands GC pauses inside later queries'
+        # timed windows (r12's multi_decode_meta raw hit 11.3s in a
+        # sweep, then measured at its r11 record in isolation —
+        # BENCH_DRIFT.md r13).
+        spark.sparkContext._jvm.System.gc()
         for name in bench_names:
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)

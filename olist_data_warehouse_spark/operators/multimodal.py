@@ -213,9 +213,25 @@ def sample_frames(videos: DataFrame, every_n: int, codec: str = "fake") -> DataF
     return videos.mapInPandas(kernel, schema=FRAMES_SCHEMA)
 
 
-def shard_for_decode(images: DataFrame, n_shards: int = 256) -> DataFrame:
+def shard_for_decode(
+    images: DataFrame, n_shards: int | None = None
+) -> DataFrame:
     """Repartition payload rows by id-hash shard so decode tasks are
-    uniform under payload-size skew (the expensive stage at scale)."""
+    uniform under payload-size skew (the expensive stage at scale).
+
+    ``n_shards=None`` (default) sizes the shard count from the INPUT,
+    one shard per upstream partition (floor 4): the reshard exists to
+    change the KEY (id-hash, for payload-size uniformity), not to
+    multiply task count. Shard count must scale with data, not be a
+    constant — a 100 TB payload table arrives in thousands of input
+    partitions and fans out to as many decode tasks, while a small
+    table spawns only a handful of Python workers (a fixed constant
+    over-shards small inputs into pure task/worker-spawn overhead).
+    Measured at sf0.1 (BENCH_DRIFT.md r13): 4× multiplication made
+    the stage ~3x slower (128 shards of 39 rows); 1:1 matches the
+    r11/r12 records."""
+    if n_shards is None:
+        n_shards = max(4, images.rdd.getNumPartitions())
     return images.repartition(n_shards, F.pmod(F.hash("item_id"), F.lit(n_shards)))
 
 

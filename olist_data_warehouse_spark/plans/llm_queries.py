@@ -925,7 +925,7 @@ def multi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("binary")
     images = d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
     meta = multimodal.decode_image_meta(
-        multimodal.shard_for_decode(images, n_shards=32)
+        multimodal.shard_for_decode(images)
     )
     return meta.select(
         "item_id", "byte_len", "is_valid", "width", "height",
@@ -981,7 +981,7 @@ FROM vecs
 def multi_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _fake_images(spark, sf_dir)
     feats = multimodal.extract_features(
-        multimodal.shard_for_decode(images, n_shards=32)
+        multimodal.shard_for_decode(images)
     )
     return feats.select(
         "item_id", F.posexplode("features").alias("dim_idx", "value")
@@ -1042,7 +1042,7 @@ def multi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("binary")
     videos = d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
     return multimodal.sample_frames(
-        multimodal.shard_for_decode(videos, n_shards=32), every_n=3
+        multimodal.shard_for_decode(videos), every_n=3
     )
 
 
@@ -2317,7 +2317,7 @@ def multi_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("binary")
     audio = d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
     meta = multimodal.decode_audio_meta(
-        multimodal.shard_for_decode(audio, n_shards=32)
+        multimodal.shard_for_decode(audio)
     )
     return meta.select(
         "item_id", "byte_len", "is_valid",
@@ -8266,7 +8266,7 @@ HAVING count(*) >= 2
 def multi_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _fake_images(spark, sf_dir)
     hashed = multimodal.image_phash(
-        multimodal.shard_for_decode(images, n_shards=32)
+        multimodal.shard_for_decode(images)
     )
     return (
         hashed.groupBy("phash")

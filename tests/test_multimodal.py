@@ -94,6 +94,17 @@ def test_shard_for_decode_partitioning(spark, images):
     assert sharded.count() == images.count()
 
 
+def test_shard_for_decode_default_sizes_from_input(spark, images):
+    """Default shard count scales with the INPUT (1:1 per upstream
+    partition, floor 4) — a fixed constant over-shards small inputs
+    into task overhead and under-shards 100 TB ones."""
+    one = images.coalesce(1)
+    assert mm.shard_for_decode(one).rdd.getNumPartitions() == 4
+    wide = images.repartition(12)
+    assert mm.shard_for_decode(wide).rdd.getNumPartitions() == 12
+    assert mm.shard_for_decode(one).count() == images.count()
+
+
 def test_decode_audio_meta(spark):
     rows = [
         (1, mm.make_fake_audio(1, 16000, 32000)),           # 2.0 s mono
