@@ -1840,62 +1840,51 @@ def w7_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-12 prefix. Union r1-r11 = 250/250 entries driver-green —
+    # Round-13 prefix. Union r1-r12 = 258/258 entries driver-green —
     # per the standing discipline only NEW or TOUCHED entries lead;
     # the rest of the 50 slots are high-value re-proofs.
-    # 1: NEW this round: SQL-text DML (MERGE INTO / DELETE FROM /
-    #    UPDATE statements routed through sources/lakesql.py to the
-    #    table engines — r11 verdict item #2), the vacuum
-    #    retention-guard ladder (item #4), and the SQL DDL lifecycle
-    #    (CREATE TABLE USING lake / ALTER TABLE ADD COLUMNS, RENAME,
-    #    CONSTRAINT / TBLPROPERTIES — all as text).
+    # 1: TOUCHED this round — the SQL dispatcher was hardened (masked
+    #    conjunct pairing in _auto_prune, the r12-advice high bug;
+    #    session-scoped DML bindings; symmetric spark.sql fallback;
+    #    WHEN-clause boundary fix for CASE WHEN in SET; 7-day VACUUM
+    #    default; flat-grammar subquery rejects): every entry that
+    #    routes through sources/lakesql.py re-proves.
     "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
-    "lake_vacuum_retention", "lake_sql_ddl", "lake_sql_asof",
-    "lake_replace_where", "lake_copy_into",
-    # 2: TOUCHED this round: the general merge clause engine gained
-    #    per-clause SET maps and column-list INSERT (every clause
-    #    merge re-proves); merge_into's validation block was
-    #    restructured (upsert/dv/apply_changes shapes re-prove);
-    #    LakeTable.read gained the time-travel existence check (both
-    #    travel entries re-prove); warehouse_tables' source-hash
-    #    memoization touches every DW-path entry (flagship pair
-    #    re-proves).
+    "lake_sql_ddl", "lake_vacuum_retention", "lake_copy_into",
+    "lake_replace_where", "lake_sql_asof", "lake_sql_view",
+    # 1b: TOUCHED — shard_for_decode defaults to input-proportional
+    #    shard count (BENCH_DRIFT r13); every multimodal entry that
+    #    reshards re-proves.
+    "multi_decode_meta", "multi_extract_features", "multi_resize_meta",
+    "multi_frame_sample", "multi_audio_meta", "multi_image_phash",
+    # 2: r12 prefix carry-over (all driver-green in r12; the DML/
+    #    storage family stays near the front while it is the active
+    #    surface).
     "lake_merge_clauses", "lake_merge_upsert", "lake_merge_dv",
     "lake_apply_changes", "lake_time_travel", "lake_timestamp_travel",
     "q1_top_units_dw",
-    # 3: r11 prefix carry-over (all driver-green in r11; the DML/
-    #    storage family stays near the front while it is the active
-    #    surface).
     "lake_write_partitioned", "lake_write_governed", "lake_stream_sink",
     "lake_write_roundtrip", "lake_constraint_gate",
     "lake_generated_cols", "lake_column_mapping",
-    "lake_delete_dv", "lake_dv_compact", "lake_dv_cdf",
+    "lake_delete_dv", "lake_dv_compact",
     "lake_update_where",
-    "lake_clone_partitioned", "lake_batch_cdf", "lake_stream_drain",
-    "dedup_semdedup", "lake_sql_view",
-    "dedup_decontaminate",
+    "lake_batch_cdf", "lake_stream_drain",
+    "dedup_semdedup",
     "lake_delete_where", "lake_schema_evolution",
     "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
     "lake_prune_read", "lake_zorder_prune",
-    "lake_partition_drop", "lake_stream_cdf", "lake_shallow_clone",
-    "lake_pushdown_read",
+    "lake_partition_drop", "lake_shallow_clone",
     # 3: high-value re-proofs backfilling the 50-slot cap — flagship
     #    OLTP/DW pairs, incremental/merge shapes, and one headliner
-    #    per operator family (similarity, temporal, graph, sketch,
-    #    sampling, dedup, streaming, text, DSIR, packing).
-    "sim_pq_trained_encode", "samp_dsir_importance",
-    "q1_top_units_oltp", "q2_top_revenue_oltp",
-    "q2_top_revenue_dw", "q3_conversion_oltp", "q3_conversion_dw",
-    "q4_shipping_priority", "j7_incremental_delta", "j7_merge_upsert",
-    "pack_balanced_shards", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash_hamming",
-    "samp_cluster_split", "sim_ivfpq_topk",
-    "tj_asof_nearest",
-    "graph_pagerank_items",
-    "text_bm25_topk",
+    #    per operator family (similarity, dedup, sampling, streaming).
+    "q1_top_units_oltp",
+    "q2_top_revenue_dw", "q3_conversion_dw",
+    "j7_incremental_delta", "j7_merge_upsert",
+    "dedup_exact", "dedup_minhash_lsh",
+    "sim_ivfpq_topk", "samp_dsir_importance",
     "s1_scan_project_alias", "stream_sessionize",
     # Everything else follows in registration order — each has at
-    # least one prior driver-green row (r1-r11) and runs continuously
+    # least one prior driver-green row (r1-r12) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

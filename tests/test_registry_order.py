@@ -13,24 +13,21 @@ from olist_data_warehouse_spark.plans.queries import (
 # evaluated) — these MUST sit inside the evaluated prefix. Keep in sync
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
-# r11 went 50/50 green, keeping the union closed at 250/250. Round-12
-# must-prove: (a) the four NEW entries — SQL-text DML (lakesql
-# dispatcher, r11 verdict #2) and the vacuum retention ladder (#4) —
-# and (b) every entry whose code path the round touched: the general
-# merge clause engine gained per-clause SET maps + column-list INSERT
-# (all clause merges, and the shapes sharing merge_into's restructured
-# validation, re-prove); LakeTable.read gained the time-travel
-# existence check (both travel entries); the warehouse source-hash
-# memoization sits under every DW entry (flagship re-proves).
+# r12 went 50/50 green, keeping the union closed at 258/258. Round-13
+# must-prove: every entry whose code path the round touched — (a) the
+# SQL dispatcher hardening (_auto_prune masked conjunct pairing,
+# session-scoped DML bindings, symmetric fallback, WHEN-boundary fix,
+# 7-day VACUUM default, flat-grammar subquery rejects) re-proves all
+# lakesql-routed entries; (b) shard_for_decode's input-proportional
+# default re-proves every resharding multimodal entry.
 MUST_PROVE = {
-    # (a) new in r12:
+    # (a) lakesql surface touched in r13:
     "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
-    "lake_vacuum_retention", "lake_sql_ddl", "lake_sql_asof",
-    "lake_replace_where", "lake_copy_into",
-    # (b) touched in r12:
-    "lake_merge_clauses", "lake_merge_upsert", "lake_merge_dv",
-    "lake_apply_changes", "lake_time_travel", "lake_timestamp_travel",
-    "q1_top_units_dw",
+    "lake_sql_ddl", "lake_vacuum_retention", "lake_copy_into",
+    "lake_replace_where", "lake_sql_asof", "lake_sql_view",
+    # (b) multimodal sharding touched in r13:
+    "multi_decode_meta", "multi_extract_features", "multi_resize_meta",
+    "multi_frame_sample", "multi_audio_meta", "multi_image_phash",
 }
 
 
