@@ -1852,7 +1852,11 @@ DRIVER_PRIORITY = [
     "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
     "lake_sql_ddl", "lake_vacuum_retention", "lake_copy_into",
     "lake_replace_where", "lake_sql_asof", "lake_sql_view",
-    # 1b: TOUCHED — shard_for_decode defaults to input-proportional
+    # 1b: NEW this round — streaming-native multimodal decode
+    #    (readStream -> mapInPandas kernel -> exactly-once lake sink,
+    #    r12 verdict optional #6).
+    "lake_stream_decode",
+    # 1c: TOUCHED — shard_for_decode defaults to input-proportional
     #    shard count (BENCH_DRIFT r13); every multimodal entry that
     #    reshards re-proves.
     "multi_decode_meta", "multi_extract_features", "multi_resize_meta",

@@ -28,6 +28,9 @@ MUST_PROVE = {
     # (b) multimodal sharding touched in r13:
     "multi_decode_meta", "multi_extract_features", "multi_resize_meta",
     "multi_frame_sample", "multi_audio_meta", "multi_image_phash",
+    # (c) NEW in r13: streaming-native decode through the
+    # exactly-once lake sink:
+    "lake_stream_decode",
 }
 
 
