@@ -64,11 +64,11 @@ class _Registry(dict):
         if _Registry._loaded:
             return
         _Registry._loaded = True
-        from olist_data_warehouse_spark.plans import (  # noqa: F401
-            lake_queries,
-            llm_queries,
-            stream_queries,
-        )
+        # import order IS tail registration order (llm, stream, lake
+        # — the historical eager order; keep it stable across rounds)
+        from olist_data_warehouse_spark.plans import llm_queries  # noqa: F401,E501
+        from olist_data_warehouse_spark.plans import stream_queries  # noqa: F401,E501
+        from olist_data_warehouse_spark.plans import lake_queries  # noqa: F401,E501
 
     def __missing__(self, key):
         self.load_extensions()

@@ -66,7 +66,7 @@ def test_inverted_index_postings_sorted_and_consistent(spark):
 
 
 def test_bm25_topk_scores_ordered_and_docs_contain_terms(spark):
-    from olist_data_warehouse_spark.plans.llm_queries import _BM25_TERMS
+    from olist_data_warehouse_spark.plans.llm.text import _BM25_TERMS
 
     rows = REGISTRY["text_bm25_topk"].fn(spark, SF).collect()
     assert 0 < len(rows) <= 10
@@ -88,7 +88,7 @@ def test_bm25_integer_formula_matches_float_reference(spark):
     within quantization error (1 micro-unit per division floor)."""
     import math
 
-    from olist_data_warehouse_spark.plans.llm_queries import _BM25_TERMS
+    from olist_data_warehouse_spark.plans.llm.text import _BM25_TERMS
 
     docs = _t(spark, SF, "documents")["documents"]
     toks = [
