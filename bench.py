@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     # the full durable round-trip)
     "lake_sql_merge",
     "lake_sql_ddl",
+    # round-13: streaming-native multimodal decode through the
+    # exactly-once lake sink (readStream -> mapInPandas -> sink)
+    "lake_stream_decode",
 ]
 
 
