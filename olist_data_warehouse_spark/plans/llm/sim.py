@@ -4,7 +4,7 @@ Split from llm_queries.py; see that module for the shared
 portability invariants and the canonical registration order."""
 
 from __future__ import annotations
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from olist_data_warehouse_spark.operators import (
     bloom,
@@ -1149,3 +1149,134 @@ def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, n_subspaces=4, n_codes=8, n_centroids=8, iters=2
     )
     return encoded
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (r13): partitioned navigable-small-world search
+# ---------------------------------------------------------------------------
+
+from olist_data_warehouse_spark.operators import graphann  # noqa: E402
+
+
+@register(
+    "sim_nsw_topk",
+    oracle=None,
+    doc="Partitioned NSW graph ANN (operators/graphann.py — Malkov & "
+    "Yashunin 2016 composed with Jegou 2011 IVF cells): corpus "
+    "partitions into deterministic IVF cells, each cell builds a "
+    "navigable-small-world graph and answers its probing queries "
+    "inside one Arrow-batched applyInPandas kernel (beam-search "
+    "construction AND search, O(n*ef*M) per cell, all orderings "
+    "(cos_sim desc, vec_id asc) tie-broken so the result is "
+    "partition-invariant), queries multi-probe their 2 nearest "
+    "cells, and the global top-10 is a tiny window re-rank. Graph "
+    "traversal is not SQL-expressible, so this entry has no DuckDB "
+    "twin (rows-only driver check); sim_nsw_recall_cert pairs the "
+    "family with the oracle gate by certifying the search against "
+    "the exact within-probed-cells truth in-engine. At 100 TB the "
+    "cell is the unit of build/storage/search — the IVF scale story "
+    "with a graph inside each bucket, higher recall per candidate "
+    "visited than the flat cell scan.",
+)
+def sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return graphann.nsw_topk(
+        e, [0, 1, 2, 3, 4], k=10, n_cells=8, probes=2, m_links=8,
+        ef=32,
+    )
+
+
+@register(
+    "sim_nsw_recall_cert",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.q_emb", b="e.embedding")} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim
+FROM ranked WHERE rn <= 10
+""",
+    doc="NSW certification entry (the a13_approx_percentile_cert "
+    "pattern for a non-SQL-expressible search): runs the partitioned "
+    "NSW search, computes the EXACT top-10 restricted to each "
+    "query's probed cells in-engine, asserts per-query recall >= 0.9 "
+    "against that cell-restricted truth (isolating graph-search "
+    "quality from probe coverage, which the IVF recall entries "
+    "already measure), then returns the global brute-force top-10 — "
+    "which the DuckDB oracle recomputes and hash-matches. A broken "
+    "graph build or beam search fails the in-engine assert; a broken "
+    "exact path fails the hash.",
+)
+def sim_nsw_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    k = 10
+    got = graphann.nsw_topk(
+        e, qids, k=k, n_cells=8, probes=2, m_links=8, ef=32
+    ).select("query_id", "neighbor_id", F.lit(True).alias("is_got"))
+    # exact truth restricted to each query's probed cells
+    queries = e.filter(F.col("vec_id").isin(qids))
+    q_cells = similarity.ivf_probe_assign(
+        e, 8, probes=2, subject=queries
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    corpus = e.join(
+        similarity.ivf_assign(e, 8).select("vec_id", "centroid_id"),
+        "vec_id",
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        similarity.l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    cand = (
+        corpus.join(q_cells, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("_qn")
+                   * similarity.l2_norm(F.col("embedding"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    truth = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    recall = (
+        truth.join(got, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (F.sum(F.when(F.col("is_got"), 1).otherwise(0))
+             / F.count(F.lit(1))).alias("recall")
+        )
+        .collect()
+    )
+    for r in recall:
+        assert r["recall"] >= 0.9, (
+            f"NSW recall vs cell-restricted truth below contract: "
+            f"query {r['query_id']} = {r['recall']:.2f}"
+        )
+    return similarity.brute_force_topk(e, qids, k=k)

@@ -204,6 +204,9 @@ _CANONICAL_ORDER = [
     "samp_dsir_importance",
     "sim_pq_trained_encode",
     "dedup_decontaminate",
+    # r13 additions (registered in plans/llm/sim.py)
+    "sim_nsw_topk",
+    "sim_nsw_recall_cert",
 ]
 
 _moved = {

@@ -1854,8 +1854,10 @@ DRIVER_PRIORITY = [
     "lake_replace_where", "lake_sql_asof", "lake_sql_view",
     # 1b: NEW this round — streaming-native multimodal decode
     #    (readStream -> mapInPandas kernel -> exactly-once lake sink,
-    #    r12 verdict optional #6).
-    "lake_stream_decode",
+    #    r12 verdict optional #6) and the graph-ANN family
+    #    (partitioned NSW over IVF cells; the cert entry is
+    #    oracle-paired, the raw search is rows-only by nature).
+    "lake_stream_decode", "sim_nsw_recall_cert", "sim_nsw_topk",
     # 1c: TOUCHED — shard_for_decode defaults to input-proportional
     #    shard count (BENCH_DRIFT r13); every multimodal entry that
     #    reshards re-proves.

@@ -29,8 +29,9 @@ MUST_PROVE = {
     "multi_decode_meta", "multi_extract_features", "multi_resize_meta",
     "multi_frame_sample", "multi_audio_meta", "multi_image_phash",
     # (c) NEW in r13: streaming-native decode through the
-    # exactly-once lake sink:
-    "lake_stream_decode",
+    # exactly-once lake sink, and the partitioned-NSW graph-ANN
+    # family:
+    "lake_stream_decode", "sim_nsw_topk", "sim_nsw_recall_cert",
 }
 
 
