@@ -181,8 +181,10 @@ BENCH_QUERIES = [
     "lake_sql_merge",
     "lake_sql_ddl",
     # round-13: streaming-native multimodal decode through the
-    # exactly-once lake sink (readStream -> mapInPandas -> sink)
+    # exactly-once lake sink (readStream -> mapInPandas -> sink), and
+    # the graph-ANN search representative (partitioned NSW)
     "lake_stream_decode",
+    "sim_nsw_topk",
 ]
 
 
