@@ -1005,6 +1005,11 @@ PANDAS_KERNEL_ALLOWED = frozenset({
     "multi_frame_sample",
     "multi_image_phash",
     "multi_resize_meta",
+    # r13: per-cell NSW graph build+search — graph traversal is not
+    # expressible in Catalyst; the kernel is Arrow-batched
+    # applyInPandas over IVF cells (operators/graphann.py), the same
+    # deliberate-batch-kernel class as the multimodal codecs above.
+    "sim_nsw_topk",
 })
 
 # BroadcastNestedLoopJoin: allowed ONLY as the broadcast of a BOUNDED
@@ -1044,6 +1049,10 @@ BNLJ_ALLOWED = frozenset({
     "text_tfidf_topk",
     "text_unigram_logprob",
     "ts_autocorrelation",
+    # r13: certification entry returns similarity.brute_force_topk
+    # over the 5 seeded query ids — the identical <=5-row broadcast
+    # crossJoin site already audited for sim_bruteforce_topk.
+    "sim_nsw_recall_cert",
 })
 
 
