@@ -135,10 +135,20 @@ def shingle_sets(
     """(doc_id, shingle) pairs — the set representation (distinct by
     default).
 
-    Tokenization is materialized below a repartition exchange so the
+    Tokenization is materialized in its own projection so the
     per-shingle lambda references a computed attribute instead of
-    re-evaluating the regexp+split chain per element (CollapseProject
-    would otherwise inline it — measured ~10× slower).
+    re-evaluating the regexp+split chain per element. On Spark 3.3+
+    (SPARK-36718) a plain projection suffices: CollapseProject will
+    not inline a non-cheap alias referenced more than once, and the
+    shingle lambda references ``toks`` three times — verified in the
+    r13 plans (Generate's generator reads the ``toks`` attribute, the
+    tokenizer chain stays in the Project below it). The repartition
+    exchange this used to hide behind was a SECOND full shuffle of
+    the token arrays right after the scan-side heal exchange
+    (sources/readers.py:_heal_partitioning already parallelizes the
+    single-file local scan; cluster inputs arrive partitioned) — at
+    corpus scale it was the largest avoidable data movement in the
+    dedup pipeline (optimization guide §2.4).
 
     ``distinct=False`` skips the string-level dedup exchange: callers
     that immediately hash the shingle and dedup (or min-aggregate) at
@@ -147,12 +157,11 @@ def shingle_sets(
     that first exchange is the largest data movement in the whole
     dedup pipeline, and it is pure waste for those paths.
     """
-    spark = docs.sparkSession
     toks = docs.select(
         "doc_id",
         textops.tokens("text").alias("toks"),
         textops.normalize_text("text").alias("norm"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
     out = toks.select(
         "doc_id",
         F.explode(

@@ -36,6 +36,13 @@ def main() -> int:
     t0 = time.time()
     fails = []
     names = sorted(REGISTRY)
+    if len(sys.argv) > 2:  # optional name filters
+        want = set(sys.argv[2:])
+        unknown = want - set(names)
+        if unknown:
+            print(f"unknown names: {sorted(unknown)}")
+            return 1
+        names = [n for n in names if n in want]
     for i, name in enumerate(names, 1):
         t = time.time()
         try:
