@@ -551,6 +551,21 @@ class LakeTable:
             for fld in df.schema.fields
             if fld.dataType.simpleString() in _STATS_TYPES
         ]
+        # Stats from the parquet FOOTERS the write already produced —
+        # O(files) metadata reads instead of a SECOND full pass over
+        # the staged data (optimization guide §1.2/§6: the stats scan
+        # was a whole extra Spark job per commit, and at 100 TB a
+        # re-read of everything just written). Values are exact
+        # (parquet-mr drops, never truncates, footer min/max it cannot
+        # represent — probed: 500-char strings, NaN, all-NULL, ntz and
+        # tz timestamps all match the old scan bit-for-bit); any file
+        # or column whose footer lacks usable stats falls back to the
+        # original stats-scan job below for the whole batch.
+        metas = _footer_metas(
+            self.data_dir, moved, df.schema, partition_by
+        )
+        if metas is not None:
+            return metas
         reader = spark.read.schema(df.schema)
         if partition_by:
             # Hive partition discovery restores the directory columns,
@@ -4194,3 +4209,161 @@ def _json_safe(v):
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     return str(v)
+
+
+def _footer_norm(v):
+    """Normalize a pyarrow footer stat to what the old Spark stats
+    scan collected under the UTC session pin: tz-aware timestamps
+    (TIMESTAMP(MICROS, adjustedToUTC=true) columns) become naive UTC
+    datetimes; everything else passes through."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _footer_lt(a, b):
+    """min/max comparator matching Spark aggregate semantics for the
+    one ordering quirk JSON stats can carry: float NaN sorts LARGEST
+    (Spark max returns NaN when present; min never does unless all
+    values are NaN) — Python's min/max with NaN are order-dependent."""
+    if isinstance(a, float) and a != a:  # a is NaN: never smaller
+        return False
+    if isinstance(b, float) and b != b:  # b is NaN: a (non-NaN) is
+        return True
+    return a < b
+
+
+def _parse_partition_value(raw: str, simple_type: str):
+    """Type a Hive-layout directory value (already URL-unescaped)
+    exactly as the old basePath+schema stats scan did. Raises on
+    anything it cannot reproduce faithfully — the caller then falls
+    back to the scan."""
+    import datetime as _dt
+
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if simple_type in ("float", "double"):
+        return float(raw)
+    if simple_type == "boolean":
+        if raw not in ("true", "false"):
+            raise ValueError(raw)
+        return raw == "true"
+    if simple_type == "string":
+        return raw
+    if simple_type == "date":
+        return _dt.date.fromisoformat(raw)
+    if simple_type in ("timestamp", "timestamp_ntz"):
+        return _dt.datetime.fromisoformat(raw)
+    raise ValueError(f"unsupported partition type {simple_type}")
+
+
+def _footer_metas(
+    data_dir: str,
+    moved: list[str],
+    schema: StructType,
+    partition_by: list[str] | None,
+) -> list[dict] | None:
+    """Per-file (rows, bytes, stats) read from the parquet footers the
+    staging write just produced — the no-second-pass replacement for
+    the stats-scan Spark job in :meth:`LakeTable._stage_files`.
+
+    Returns None when ANY file's footer cannot reproduce the scan's
+    stats faithfully (missing statistics, unparseable partition value,
+    pyarrow absent) — the caller then runs the original scan, so this
+    is purely an I/O optimization, never a semantics change. Row
+    counts come from footer metadata (always exact); partition-column
+    values come from the Hive directory layout, typed like the
+    basePath read typed them."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    from urllib.parse import unquote
+
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    }
+    part_cols = list(partition_by or [])
+    metas: list[dict] = []
+    for m in moved:
+        full = os.path.join(data_dir, m)
+        try:
+            md = pq.ParquetFile(full).metadata
+        except Exception:
+            return None
+        rows = md.num_rows
+        agg: dict[str, dict] = {}
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if name not in types or name in part_cols:
+                    continue
+                st = col.statistics
+                cur = agg.setdefault(
+                    name, {"min": None, "max": None, "nulls": 0}
+                )
+                if st is None or not st.has_null_count:
+                    return None  # footer can't reproduce the scan
+                cur["nulls"] += st.null_count
+                if st.num_values and not st.has_min_max:
+                    return None  # stats dropped (e.g. oversized)
+                if st.has_min_max:
+                    mn = _footer_norm(st.min)
+                    mx = _footer_norm(st.max)
+                    if cur["min"] is None or _footer_lt(mn, cur["min"]):
+                        cur["min"] = mn
+                    if cur["max"] is None or _footer_lt(cur["max"], mx):
+                        cur["max"] = mx
+        stats = {}
+        for name, cur in agg.items():
+            stats[name] = {
+                "min": _json_safe(cur["min"]),
+                "max": _json_safe(cur["max"]),
+                "nulls": cur["nulls"],
+            }
+        # a statted data column entirely absent from the footers (never
+        # happens for flat schemas, but cheap to guard) -> fall back
+        for name in types:
+            if name not in part_cols and name not in agg and rows > 0:
+                return None
+        if part_cols:
+            comps = m.replace(os.sep, "/").split("/")[:-1]
+            kv = {}
+            for comp in comps:
+                if "=" not in comp:
+                    return None
+                k, v = comp.split("=", 1)
+                kv[k] = unquote(v)
+            for c in part_cols:
+                if c not in kv:
+                    return None
+                raw = kv[c]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    stats[c] = {"min": None, "max": None, "nulls": rows}
+                    continue
+                try:
+                    val = _json_safe(
+                        _parse_partition_value(raw, types.get(c, ""))
+                    )
+                except Exception:
+                    return None
+                stats[c] = {"min": val, "max": val, "nulls": 0}
+        meta = {
+            "path": f"data/{m}",
+            "rows": rows,
+            "bytes": os.path.getsize(full),
+            "stats": stats,
+        }
+        if part_cols:
+            meta["partition"] = {
+                c: stats[c]["min"] if c in stats else None
+                for c in part_cols
+            }
+        metas.append(meta)
+    return metas
