@@ -52,6 +52,13 @@ def get_spark(
         # events table does); Spark refuses it natively. Read as long
         # and convert at the reader boundary (sources.readers).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write tz timestamps as INT64 micros, not the deprecated INT96
+        # default: INT96 columns carry NO parquet min/max statistics
+        # (undefined sort order), which (a) forced the lake write path's
+        # footer-stats read to fall back to a full stats-scan Spark job
+        # on every timestamp-bearing table and (b) disabled min/max file
+        # pruning on timestamp predicates. Values are identical on read.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -4244,7 +4244,16 @@ def _parse_partition_value(raw: str, simple_type: str):
 
     if simple_type in ("tinyint", "smallint", "int", "bigint"):
         return int(raw)
-    if simple_type in ("float", "double"):
+    if simple_type == "float":
+        # The reader casts the Hive dir string to float32 and the stats
+        # scan then observes that value widened back to double (e.g.
+        # "0.1" -> 0.10000000149011612, not 0.1). Round-trip through
+        # float32 so pruning compares against the value actually seen
+        # in data; a bare float(raw) here wrongly prunes files.
+        import struct
+
+        return struct.unpack("<f", struct.pack("<f", float(raw)))[0]
+    if simple_type == "double":
         return float(raw)
     if simple_type == "boolean":
         if raw not in ("true", "false"):

@@ -12,6 +12,7 @@ path actually fires (no silent always-fallback)."""
 from __future__ import annotations
 
 import datetime
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -67,8 +68,23 @@ def _tricky_frame(spark):
 
 
 def _metas_both_ways(monkeypatch, df, path, **kwargs):
+    """Manifest files computed via the footer path AND the scan path.
+
+    Asserts the footer path actually FIRED (returned non-None) on this
+    frame — otherwise a writer/pyarrow change that silently falls back
+    would make every equivalence test vacuously compare scan-to-scan."""
+    real = lakehouse._footer_metas
+    fired = {}
+
+    def spy(*a, **k):
+        r = real(*a, **k)
+        fired["returned_none"] = r is None
+        return r
+
+    monkeypatch.setattr(lakehouse, "_footer_metas", spy)
     t = LakeTable.create(df, path, **kwargs)
     footer = t._state()["files"]
+    assert fired == {"returned_none": False}, "footer path fell back"
     monkeypatch.setattr(lakehouse, "_footer_metas", lambda *a, **k: None)
     t2 = LakeTable.create(df, path + "_scan", **kwargs)
     scan = t2._state()["files"]
@@ -84,14 +100,40 @@ def _stats_by_rows(files):
     return sorted(out, key=lambda x: (x[0], str(x[1])))
 
 
+def _val_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+    return a == b and type(a) is type(b)
+
+
+def _assert_stats_equal(f, s):
+    """Order-insensitive, NaN-aware equality of the (rows, stats,
+    partition) triples from _stats_by_rows — repr() comparison was
+    dict-insertion-order sensitive and only passed by accident."""
+    assert len(f) == len(s)
+    for (fr, fstats, fpart), (sr, sstats, spart) in zip(f, s):
+        assert fr == sr
+        assert set(fstats) == set(sstats)
+        for col in fstats:
+            fc, sc = fstats[col], sstats[col]
+            assert set(fc) == set(sc) == {"min", "max", "nulls"}
+            for k in ("min", "max", "nulls"):
+                assert _val_eq(fc[k], sc[k]), (col, k, fc[k], sc[k])
+        assert (fpart is None) == (spart is None)
+        if fpart is not None:
+            assert set(fpart) == set(spart)
+            for k in fpart:
+                assert _val_eq(fpart[k], spart[k]), (k, fpart[k], spart[k])
+
+
 def test_footer_stats_match_scan_unpartitioned(spark, tmp_path, monkeypatch):
     df = _tricky_frame(spark).coalesce(1)
     footer, scan = _metas_both_ways(
         monkeypatch, df, str(tmp_path / "t")
     )
     f, s = _stats_by_rows(footer), _stats_by_rows(scan)
-    # NaN != NaN, so compare through repr (json serializes both as NaN)
-    assert repr(f) == repr(s)
+    _assert_stats_equal(f, s)
     # and the footer path actually carried full-length string stats
     (_, stats, _) = f[0]
     assert len(stats["long_s"]["max"]) == 500
@@ -104,9 +146,35 @@ def test_footer_stats_match_scan_partitioned(spark, tmp_path, monkeypatch):
         monkeypatch, df, str(tmp_path / "p"), partition_by=["p"]
     )
     f, s = _stats_by_rows(footer), _stats_by_rows(scan)
-    assert repr(f) == repr(s)
+    _assert_stats_equal(f, s)
     parts = {str(p) for (_, _, p) in f}
     assert parts == {"{'p': 'F'}", "{'p': 'O'}", "{'p': None}"}
+
+
+def test_footer_stats_match_scan_float_partition(
+    spark, tmp_path, monkeypatch
+):
+    """Float partition values: the reader casts the Hive dir string to
+    float32 and the scan observes the float32-widened double (0.1 ->
+    0.10000000149011612). The footer path must type the dir value the
+    same way or pruning vs observed data silently drops files."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("fp", T.FloatType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.1), (3, 2.5), (4, None)], schema
+    ).coalesce(1)
+    footer, scan = _metas_both_ways(
+        monkeypatch, df, str(tmp_path / "fp"), partition_by=["fp"]
+    )
+    f, s = _stats_by_rows(footer), _stats_by_rows(scan)
+    _assert_stats_equal(f, s)
+    # the 0.1 partition records the float32-widened value, not 0.1
+    vals = {p["fp"] for (_, _, p) in f if p["fp"] is not None}
+    assert 0.10000000149011612 in vals and 2.5 in vals
 
 
 def test_footer_path_fires(spark, tmp_path, monkeypatch):
@@ -144,5 +212,10 @@ def test_partition_value_parse_roundtrip():
     assert p("x y", "string") == "x y"
     assert p("true", "boolean") is True
     assert p("2024-01-02", "date") == datetime.date(2024, 1, 2)
+    # float round-trips through float32 (the reader's typing);
+    # double stays exact
+    assert p("0.1", "float") == 0.10000000149011612
+    assert p("0.1", "double") == 0.1
+    assert p("2.5", "float") == 2.5
     with pytest.raises(ValueError):
         p("maybe", "boolean")
