@@ -1005,11 +1005,10 @@ PANDAS_KERNEL_ALLOWED = frozenset({
     "multi_frame_sample",
     "multi_image_phash",
     "multi_resize_meta",
-    # r13: per-cell NSW graph build+search — graph traversal is not
-    # expressible in Catalyst; the kernel is Arrow-batched
-    # applyInPandas over IVF cells (operators/graphann.py), the same
-    # deliberate-batch-kernel class as the multimodal codecs above.
-    "sim_nsw_topk",
+    # r14: sim_nsw_topk left this list — its NSW applyInPandas kernel
+    # (operators/graphann.py) now feeds an in-engine recall assert and
+    # the RETURNED plan is the SQL-expressible within-probed-cells
+    # truth (oracle-hash-checked), so the lint sees no pandas kernel.
 })
 
 # BroadcastNestedLoopJoin: allowed ONLY as the broadcast of a BOUNDED
