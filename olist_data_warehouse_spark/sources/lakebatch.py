@@ -395,6 +395,47 @@ def _same_scalar(a, b) -> bool:
     return a == b
 
 
+def _canary_sql_literal(v, simple: str) -> str:
+    """Render one canary value as a typed Spark SQL literal (so the
+    canary frame is a VALUES LocalRelation — evaluated driver-side by
+    ConvertToLocalRelation, zero Spark jobs — instead of an RDD-backed
+    createDataFrame whose every collect()/toArrow() was a full
+    scheduled job: ~0.35 s each, ~0.7 s per DDL, pure overhead for an
+    8-row battery)."""
+    up = simple.upper()
+    if v is None:
+        return f"CAST(NULL AS {up})"
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return f"CAST({v} AS {up})"
+    if simple in ("float", "double"):
+        if v != v:  # NaN
+            return f"CAST('NaN' AS {up})"
+        return f"CAST('{v!r}' AS {up})"
+    if simple == "string":
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    if simple == "date":
+        return f"DATE '{v.isoformat()}'"
+    if simple == "timestamp":
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if simple == "boolean":
+        return "true" if v else "false"
+    raise ValueError(f"no SQL literal for canary type {simple}")
+
+
+_CANARY_PA_TYPES = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "date": "date32",
+    "boolean": "bool",
+}
+
+
 def _duckdb_aligned(
     spark, schema, pairs: dict[str, tuple[str, str]]
 ) -> str | None:
@@ -403,12 +444,19 @@ def _duckdb_aligned(
     references, or return the reason it cannot be proven. Conservative
     by construction: unsupported referenced column types, an error in
     either engine, or any value divergence all return a reason (and
-    the caller keeps refusing the write)."""
+    the caller keeps refusing the write).
+
+    The battery is 8 rows, so both sides are built job-free: the Spark
+    side as a typed VALUES LocalRelation (collect() of a LocalTableScan
+    never schedules a job), the DuckDB side as a pyarrow table built
+    directly from the same values with the arrow types Spark's
+    toArrow() would have produced (timestamps tz-aware UTC). The old
+    createDataFrame round-trip cost two full Spark jobs (~0.7 s) per
+    DDL for identical verdicts."""
     import re
 
     import duckdb
     import pyarrow as pa
-    from pyspark.sql.types import LongType, StructField, StructType
 
     all_sql = " ".join(s for p in pairs.values() for s in p)
     refd = [
@@ -427,30 +475,49 @@ def _duckdb_aligned(
             )
         vals[f.name] = v
     n = max((len(v) for v in vals.values()), default=1)
-    rows = [
-        tuple([i] + [vals[f.name][i % len(vals[f.name])] for f in refd])
-        for i in range(n)
-    ]
-    canary_schema = StructType(
-        [StructField("_cidx", LongType(), False)]
-        + [StructField(f.name, f.dataType, True) for f in refd]
-    )
     labels = sorted(pairs)
     try:
-        df = spark.createDataFrame(rows, canary_schema)
-        spark_rows = (
-            df.selectExpr(
-                "_cidx",
-                *[
-                    f"({pairs[lab][0]}) AS c{i}"
-                    for i, lab in enumerate(labels)
-                ],
+        value_rows = ", ".join(
+            "("
+            + ", ".join(
+                [f"CAST({i} AS BIGINT)"]
+                + [
+                    _canary_sql_literal(
+                        vals[f.name][i % len(vals[f.name])],
+                        f.dataType.simpleString(),
+                    )
+                    for f in refd
+                ]
             )
-            .collect()
+            + ")"
+            for i in range(n)
         )
+        col_list = ", ".join(["_cidx"] + [f"`{f.name}`" for f in refd])
+        sel = ", ".join(
+            f"({pairs[lab][0]}) AS c{i}" for i, lab in enumerate(labels)
+        )
+        spark_rows = spark.sql(
+            f"SELECT _cidx, {sel} FROM (VALUES {value_rows}) "
+            f"AS b({col_list})"
+        ).collect()
         spark_rows.sort(key=lambda r: r["_cidx"])
+
+        def _pa_type(simple):
+            if simple == "timestamp":
+                # what Spark's toArrow() produced for TimestampType
+                # (naive canary datetimes are session-UTC wall clock)
+                return pa.timestamp("us", tz="UTC")
+            return pa.type_for_alias(_CANARY_PA_TYPES[simple])
+
+        arrays = {"_cidx": pa.array(range(n), pa.int64())}
+        for f in refd:
+            st = f.dataType.simpleString()
+            arrays[f.name] = pa.array(
+                [vals[f.name][i % len(vals[f.name])] for i in range(n)],
+                _pa_type(st),
+            )
         con = duckdb.connect()
-        con.register("b", df.toArrow())
+        con.register("b", pa.table(arrays))
         duck_rows = con.execute(
             "SELECT _cidx, "
             + ", ".join(
