@@ -1591,7 +1591,13 @@ def lake_write_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olist_data_warehouse_spark.sources import lakebatch
 
     lakebatch.register(spark)
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # heal=False: the documents heal exists for per-row-heavy text/
+    # vector consumers; here the frame only feeds WRITES, so healing
+    # to defaultParallelism just fans the table into 32 tiny files
+    # (32 Python writer tasks, 32 footer reads, 32-file scans on every
+    # later mutation). Input-proportional write parallelism is the
+    # honest posture: many input files at 100 TB -> many writer tasks.
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
     even = d.where(F.col("doc_id") % 2 == 0)
     odd = d.where(F.col("doc_id") % 2 == 1)
     t = LakeTable.create(
@@ -1769,7 +1775,11 @@ def lake_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lakebatch.register(spark)
     lakestream.register(spark)
-    d = _t(spark, sf_dir, "documents")["documents"].where(
+    # heal=False: d only CREATES the stream's source table — decode
+    # parallelism comes from the lakestream reader, so healing here
+    # only multiplies source files and writer tasks (see
+    # lake_write_governed).
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"].where(
         F.col("doc_id") % 3 == 0
     )
     w = (F.col("doc_id") % 64 + 16).cast("int")
@@ -1842,7 +1852,8 @@ FROM documents
     "change), not by pipeline discipline.",
 )
 def lake_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # heal=False: write-path entry — see lake_write_governed
+    d = _t(spark, sf_dir, "documents", heal=False)["documents"]
     even = d.where(F.col("doc_id") % 2 == 0)
     odd = d.where(F.col("doc_id") % 2 == 1)
     t = LakeTable.create(
