@@ -772,19 +772,27 @@ ORDER BY edit_dist, part_a, part_b LIMIT 15
     "names found by BLOCKED pairwise edit distance — the classic "
     "dedupe/Splink shape. Blocking key = the name's noun token, so "
     "candidate pairs come from an equi hash join on the block, never "
-    "an all-pairs cross join. The kernel is tiered, cheapest first: "
-    "(1) a length-difference bound (|len_a − len_b| > k implies "
-    "edit_dist > k — provably lossless) discards pairs before any "
-    "DP; (2) the survivors run BANDED levenshtein with threshold=k "
-    "(O(len·k) per pair, not O(len²); distances above k report as "
-    "-1 and drop — same accept set, ~10× less work). The oracle "
-    "applies the same length bound and an unbanded levenshtein — "
+    "an all-pairs cross join. The DP itself runs on DISTINCT name "
+    "pairs only (the Splink comparison-dedup move, guide §8's decide-"
+    "with-small-rows): per block the distinct names pair up, each "
+    "pair passes a lossless length-difference bound (|len_a − len_b| "
+    "> k implies edit_dist > k) then BANDED levenshtein with "
+    "threshold=k (O(len·k), not O(len²)), and the resulting tiny "
+    "accepted-pair table broadcasts back onto the key-level pair "
+    "enumeration as a hash-join LOOKUP — the 25M key pairs at sf0.1 "
+    "share only 64 distinct names, so the DP runs ~4k times instead "
+    "of 25M with a bit-identical accept set. The oracle applies the "
+    "same length bound and an unbanded levenshtein per key pair — "
     "identical accept set, per-pair cost is the engine's problem. "
-    "At 100 TB block size is the skew knob — a hot block degrades "
-    "to quadratic exactly like an LSH bucket, and the same "
-    "cap-and-drop fuse (dedup.max_shingle_df, "
-    "embedding_lsh.max_bucket_size) applies. Top-k ordered by "
-    "(distance, ids) for a deterministic k-boundary.",
+    "At 100 TB distinct-value cardinality ≪ row count is exactly why "
+    "entity-resolution engines dedup comparisons; if a corpus ever "
+    "had ~row-count distinct names the broadcast would grow toward "
+    "the block product and the per-pair DP would be the right shape "
+    "again. Block size stays the skew knob — a hot block degrades to "
+    "quadratic exactly like an LSH bucket, and the same cap-and-drop "
+    "fuse (dedup.max_shingle_df, embedding_lsh.max_bucket_size) "
+    "applies. Top-k ordered by (distance, ids) for a deterministic "
+    "k-boundary.",
 )
 def link_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")["part"]
@@ -803,27 +811,70 @@ def link_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         "noun",
     )
-    # Parallelism, not per-pair cost, is the first-order term: the part
-    # scan is one small-file partition, and a broadcast join inherits
-    # the PROBE side's partitioning — without the repartition the whole
-    # quadratic block kernel runs in a single task. Round-robin
-    # spreading the probe rows balances work by construction: each
-    # probe row carries ~its block's size worth of DP calls, and rows
-    # of a hot block scatter uniformly, so no salting is needed (the
-    # same reason the skew-join salt replicates the BUILD side).
-    return (
-        a.repartition(64)
-        .join(F.broadcast(b), "noun")
-        .filter(
-            (F.col("part_a") < F.col("part_b"))
-            # lossless tier-1 reject: k edits change length by <= k
-            & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(4)
+    # the DP table: distinct names per block, paired within the block,
+    # length-bounded, banded-DP'd, accepted pairs only — tiny (64
+    # names at sf0.1), computed once, broadcast as a lookup
+    # Tier 0 — exact duplicates (edit_dist = 0 ⟺ name_a = name_b):
+    # the standard tiered-linkage shortcut. The number of exact-
+    # duplicate pairs is computable from name COUNTS alone (Σ n·(n−1)/2
+    # — one tiny aggregate, no pair enumeration); when it already
+    # fills k, no d ≥ 1 pair can enter the top-k (order is d-first),
+    # so the answer is the k smallest same-name key pairs. Those all
+    # have BOTH endpoints among their group's 16 smallest keys: a pair
+    # with an endpoint of within-group rank ≥ 17 has ≥ 15 lexicographic
+    # predecessors inside its own group, so it can never be top-15.
+    # The candidate set is then ≤ groups × C(16,2) rows instead of the
+    # 25M blocked pairs. Falls through to the full blocked enumeration
+    # whenever exact duplicates are scarce (identical rows for ANY
+    # input — the oracle pins it at every SF).
+    from pyspark.sql.window import Window
+
+    k = 15
+    counts = named.groupBy("noun", "p_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_exact = (
+        counts.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        or 0
+    )
+    if n_exact >= k:
+        wr = Window.partitionBy("noun", "p_name").orderBy("p_partkey")
+        small = (
+            named.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= k + 1)
+            .select("noun", "p_name", "p_partkey")
+        )
+        x = small.select(
+            "noun", "p_name", F.col("p_partkey").alias("part_a")
+        )
+        y = small.select(
+            "noun", "p_name", F.col("p_partkey").alias("part_b")
+        )
+        return (
+            x.join(y, ["noun", "p_name"])
+            .filter(F.col("part_a") < F.col("part_b"))
+            .select(
+                "part_a",
+                "part_b",
+                F.col("p_name").alias("name_a"),
+                F.col("p_name").alias("name_b"),
+                F.lit(0).cast("long").alias("edit_dist"),
             )
+            .orderBy("part_a", "part_b")
+            .limit(k)
+        )
+    dn = named.select("noun", "p_name").distinct()
+    ndist = (
+        dn.select("noun", F.col("p_name").alias("name_a"))
+        .join(dn.select("noun", F.col("p_name").alias("name_b")), "noun")
+        # lossless tier-1 reject: k edits change length by <= k
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(4)
         )
         .select(
-            "part_a",
-            "part_b",
+            "noun",
             "name_a",
             "name_b",
             # banded DP: O(len*k) per pair; > threshold reports -1
@@ -832,6 +883,21 @@ def link_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 4))
+    )
+    # Parallelism, not per-pair cost, is the first-order term: the part
+    # scan is one small-file partition, and a broadcast join inherits
+    # the PROBE side's partitioning — without the repartition the whole
+    # quadratic block enumeration runs in a single task. Round-robin
+    # spreading the probe rows balances work by construction: each
+    # probe row carries ~its block's size worth of lookups, and rows
+    # of a hot block scatter uniformly, so no salting is needed (the
+    # same reason the skew-join salt replicates the BUILD side).
+    return (
+        a.repartition(64)
+        .join(F.broadcast(b), "noun")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(F.broadcast(ndist), ["noun", "name_a", "name_b"])
+        .select("part_a", "part_b", "name_a", "name_b", "edit_dist")
         .orderBy("edit_dist", "part_a", "part_b")
         .limit(15)
     )

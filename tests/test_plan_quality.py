@@ -684,14 +684,41 @@ def test_cooccurrence_dedups_before_self_join(spark):
     assert "Window" in plan
 
 
-def test_fuzzy_link_probe_side_is_parallel(spark):
-    """link_fuzzy_parts' quadratic block kernel must not collapse into
-    a single task: the probe side carries an explicit round-robin
-    exchange and the build side broadcasts."""
-    plan = plan_of(spark, "link_fuzzy_parts")
+def test_fuzzy_link_probe_side_is_parallel(spark, tmp_path):
+    """link_fuzzy_parts' FALLBACK tier (exact duplicates scarce) runs
+    the quadratic block kernel, which must not collapse into a single
+    task: the probe side carries an explicit round-robin exchange and
+    the build side broadcasts. Built over a synthetic low-duplicate
+    part table because the testdata SFs all satisfy tier 0."""
+    import io
+    from contextlib import redirect_stdout
+
+    names = [f"mk{i} gizmo v{i}" for i in range(40)]  # all distinct
+    rows = [(i, names[i]) for i in range(40)]
+    spark.createDataFrame(rows, "p_partkey long, p_name string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "part.parquet"))
+    df = REGISTRY["link_fuzzy_parts"].fn(spark, str(tmp_path))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "RoundRobinPartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_link_tier0_no_pair_enumeration(spark):
+    """At the testdata SFs exact-duplicate pairs exceed k, so the plan
+    is the tier-0 shortcut: window-ranked same-name pairs, no 25M-row
+    blocked enumeration (no round-robin kernel exchange), still an
+    equi join + TakeOrdered."""
+    plan = plan_of(spark, "link_fuzzy_parts")
+    assert "RoundRobinPartitioning" not in plan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_pagerank_iterations_stay_equi_joins(spark):

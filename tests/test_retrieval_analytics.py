@@ -171,6 +171,62 @@ def test_fuzzy_linkage_blocking_excludes_cross_noun_pairs(spark):
         assert na == nb
 
 
+def test_fuzzy_linkage_fallback_tier_matches_oracle(spark, tmp_path):
+    """The r14 tiered shortcut (exact-duplicate pairs fill k => skip
+    the blocked enumeration) must leave the FALLBACK tier intact and
+    oracle-identical. The testdata SFs all satisfy tier 0, so this
+    builds a part table where exact duplicates are scarce (< k pairs)
+    and near-duplicates dominate, and runs the full oracle comparison
+    over it."""
+    from tests.oracle_check import compare_query
+
+    # 2 exact-duplicate pairs (< 15), many near pairs within edit 4,
+    # spread over two noun blocks, plus cross-block decoys.
+    names = (
+        ["alpha bolt mk1", "alpha bolt mk2", "alphq bolt mk1"]
+        + [f"beta bolt v{i}" for i in range(6)]
+        + ["gamma ring xx", "gamma ring xy", "gamma ring xx"]
+        + ["delta ring zz", "delta ring zz"]
+        + [f"unrelated widget {i}{i}{i}{i}" for i in range(4)]
+    )
+    _write_part_file(tmp_path, names)
+    ok, detail = compare_query(spark, str(tmp_path), "link_fuzzy_parts")
+    assert ok, detail
+
+
+def _write_part_file(tmp_path, names):
+    """One single-file part.parquet (like the testdata layout — the
+    DuckDB oracle view reads the exact path, not a directory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(
+                    range(1, len(names) + 1), pa.int64()
+                ),
+                "p_name": pa.array(names, pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+
+
+def test_fuzzy_linkage_tier0_matches_oracle_on_synthetic(spark, tmp_path):
+    """Tier 0 on a crafted table (>= 15 exact-duplicate pairs, PLUS
+    near pairs that must lose to them): full oracle comparison."""
+    from tests.oracle_check import compare_query
+
+    names = ["hot bolt"] * 8 + ["red ring"] * 6 + [
+        "hot bolz",  # d=1 from hot bolt, must not displace d=0 pairs
+        "red rink",
+    ]
+    _write_part_file(tmp_path, names)
+    ok, detail = compare_query(spark, str(tmp_path), "link_fuzzy_parts")
+    assert ok, detail
+
+
 # ---------------------------------------------------------------------------
 # ts_ohlc_bars
 # ---------------------------------------------------------------------------
