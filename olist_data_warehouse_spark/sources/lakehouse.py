@@ -611,6 +611,40 @@ class LakeTable:
             metas.append(meta)
         return metas
 
+    def _stage_files_par(
+        self,
+        jobs: list[tuple[DataFrame | None, list[str] | None]],
+    ) -> list[list[dict]]:
+        """Stage several INDEPENDENT frames, overlapping their Spark
+        jobs (optimization guide §2.6: actions are only sequential
+        because driver code calls them sequentially; submitting the
+        CDF pre-image write alongside the survivor rewrite lets the
+        second job's tasks back-fill executors freed by the first
+        job's tail — both read the same touched files, neither
+        depends on the other). Results come back in argument order;
+        a ``None`` frame yields ``[]``. Single-job lists run inline —
+        no thread overhead on the common uncommitted-CDF path. Each
+        staging writes to its own uuid stage dir and appends to its
+        own meta list, so the only shared state is Spark's own
+        thread-safe job submission."""
+        live = [(i, df, pby) for i, (df, pby) in enumerate(jobs)
+                if df is not None]
+        out: list[list[dict]] = [[] for _ in jobs]
+        if len(live) <= 1:
+            for i, df, pby in live:
+                out[i] = self._stage_files(df, partition_by=pby)
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(live)) as pool:
+            futs = [
+                (i, pool.submit(self._stage_files, df, partition_by=pby))
+                for i, df, pby in live
+            ]
+            for i, fut in futs:
+                out[i] = fut.result()
+        return out
+
     def _partition_by(self, state: dict) -> list[str] | None:
         return state.get("config", {}).get("partition_by")
 
@@ -1794,16 +1828,21 @@ class LakeTable:
                 # NULL predicate rows survive: keep unless literally TRUE
                 ~predicate.eqNullSafe(F.lit(True))
             )
-            add = self._stage_files(survivors, partition_by=pby)
-            if self._cdf_enabled(state):
-                # change feed: persist the removed-row pre-images so
-                # read_changes_since can replay this commit as -1 rows
-                cdf_delete = self._stage_files(
+            # change feed: persist the removed-row pre-images so
+            # read_changes_since can replay this commit as -1 rows;
+            # the two stagings read the same touched files and are
+            # independent, so they overlap (guide §2.6)
+            add, cdf_delete = self._stage_files_par([
+                (survivors, pby),
+                (
                     self._scan_live(spark, state, touched).where(
                         predicate.eqNullSafe(F.lit(True))
-                    ),
-                    partition_by=pby,
-                )
+                    )
+                    if self._cdf_enabled(state)
+                    else None,
+                    pby,
+                ),
+            ])
         v = state["version"] + 1
         self._write_commit(
             v,
@@ -1902,17 +1941,22 @@ class LakeTable:
             survivors = self._scan_live(spark, state, touched).where(
                 ~predicate.eqNullSafe(F.lit(True))
             )
-            survivor_add = self._stage_files(
-                survivors, partition_by=pby
-            )
-            if self._cdf_enabled(state):
-                cdf_delete = self._stage_files(
+            # survivor rewrite, pre-image persist, and the incoming
+            # region all stage independently — overlap (guide §2.6)
+            survivor_add, cdf_delete, new_add = self._stage_files_par([
+                (survivors, pby),
+                (
                     self._scan_live(spark, state, touched).where(
                         predicate.eqNullSafe(F.lit(True))
-                    ),
-                    partition_by=pby,
-                )
-        new_add = self._stage_files(df, partition_by=pby)
+                    )
+                    if self._cdf_enabled(state)
+                    else None,
+                    pby,
+                ),
+                (df, pby),
+            ])
+        else:
+            new_add = self._stage_files(df, partition_by=pby)
         v = state["version"] + 1
         self._write_commit(
             v,
@@ -2245,14 +2289,14 @@ class LakeTable:
             self._enforce_constraints(
                 state, post_image(tdf), "update_where post-images"
             )
-            add = self._stage_files(rewritten, partition_by=pby)
-            if self._cdf_enabled(state):
-                cdf_delete = self._stage_files(
-                    tdf.where(matched_true), partition_by=pby
-                )
-                cdf_insert = self._stage_files(
-                    post_image(tdf), partition_by=pby
-                )
+            # rewrite + the two CDF sides all derive from the touched
+            # files independently — overlap their jobs (guide §2.6)
+            cdf_on = self._cdf_enabled(state)
+            add, cdf_delete, cdf_insert = self._stage_files_par([
+                (rewritten, pby),
+                (tdf.where(matched_true) if cdf_on else None, pby),
+                (post_image(tdf) if cdf_on else None, pby),
+            ])
         v = state["version"] + 1
         self._write_commit(
             v,
@@ -2309,11 +2353,15 @@ class LakeTable:
                 self._enforce_constraints(
                     state, post, "update_where post-images"
                 )
-                add = self._stage_files(post, partition_by=pby)
-                if self._cdf_enabled(state):
-                    cdf_delete = self._stage_files(
-                        matched.select(*cols), partition_by=pby
-                    )
+                add, cdf_delete = self._stage_files_par([
+                    (post, pby),
+                    (
+                        matched.select(*cols)
+                        if self._cdf_enabled(state)
+                        else None,
+                        pby,
+                    ),
+                ])
         v = state["version"] + 1
         self._write_commit(
             v,
@@ -2651,16 +2699,21 @@ class LakeTable:
             remove = touched
             if touched:
                 tdf = self._scan_live(spark, state, touched)
-                add += self._stage_files(
-                    tdf.join(skeys, keys, "left_anti"), partition_by=pby
-                )
-                if self._cdf_enabled(state):
-                    # matched target pre-images: the -1 side of the
-                    # merge's row delta (the +1 side is src_add itself)
-                    cdf_delete = self._stage_files(
-                        tdf.join(skeys, keys, "left_semi"),
-                        partition_by=pby,
-                    )
+                # carried-row rewrite and matched pre-images (the -1
+                # side of the merge's row delta; the +1 side is
+                # src_add itself) both anti/semi-join the same staged
+                # source against the same touched files — independent,
+                # so their jobs overlap (guide §2.6)
+                carried, cdf_delete = self._stage_files_par([
+                    (tdf.join(skeys, keys, "left_anti"), pby),
+                    (
+                        tdf.join(skeys, keys, "left_semi")
+                        if self._cdf_enabled(state)
+                        else None,
+                        pby,
+                    ),
+                ])
+                add += carried
         else:
             # insert-only: zero files rewritten — stage ONLY the
             # anti-joined inserts; matched target rows stay in place
@@ -3006,13 +3059,13 @@ class LakeTable:
             self._enforce_constraints(
                 state, post_rows, "merge_into changed rows"
             )
-            if cdf_on:
-                cdf_delete = self._stage_files(
-                    j.where(changed).select(
-                        *[F.col(f"t.`{c}`").alias(c) for c in cols]
-                    ),
-                    partition_by=pby,
+            pre_images = (
+                j.where(changed).select(
+                    *[F.col(f"t.`{c}`").alias(c) for c in cols]
                 )
+                if cdf_on
+                else None
+            )
             if mode == "dv":
                 new_dv = self._stage_dv(
                     j.where(changed).select(
@@ -3021,7 +3074,12 @@ class LakeTable:
                     )
                 )
                 dv_metas = self._fold_dv_metas(state, touched, new_dv)
-                post_add = self._stage_files(post_rows, partition_by=pby)
+                # post-images and pre-images stage independently —
+                # overlap their jobs (guide §2.6)
+                post_add, cdf_delete = self._stage_files_par([
+                    (post_rows, pby),
+                    (pre_images, pby),
+                ])
                 add += post_add
                 if cdf_on:
                     # the post-image files ARE the +1 side — same
@@ -3029,18 +3087,26 @@ class LakeTable:
                     cdf_insert += list(post_add)
             else:
                 remove = touched
-                add += self._stage_files(
-                    j.where(~drop).select(
-                        *[_out_col(c, upd_fires, n_fire) for c in cols]
-                    ),
-                    partition_by=pby,
+                # rewritten files carry unchanged rows too — the
+                # +1 side needs its own changed-rows-only staging;
+                # all three derive from the same join independently,
+                # so their jobs overlap (guide §2.6)
+                rew_add, cdf_delete, cdf_ins_part = (
+                    self._stage_files_par([
+                        (
+                            j.where(~drop).select(
+                                *[_out_col(c, upd_fires, n_fire)
+                                  for c in cols]
+                            ),
+                            pby,
+                        ),
+                        (pre_images, pby),
+                        (post_rows if cdf_on else None, pby),
+                    ])
                 )
+                add += rew_add
                 if cdf_on:
-                    # rewritten files carry unchanged rows too — the
-                    # +1 side needs its own changed-rows-only staging
-                    cdf_insert += self._stage_files(
-                        post_rows, partition_by=pby
-                    )
+                    cdf_insert += cdf_ins_part
 
         # 5. inserts
         n_inserted = 0
@@ -3298,15 +3364,19 @@ class LakeTable:
         cdf_delete: list[dict] = []
         if touched:
             tdf = self._scan_live(spark, state, touched)
-            add += self._stage_files(
-                tdf.join(skeys, keys, "left_anti"), partition_by=pby
-            )
-            if self._cdf_enabled(state):
-                # pre-images of EVERYTHING removed — updated and
-                # deleted rows alike are the feed's -1 side
-                cdf_delete = self._stage_files(
-                    tdf.join(skeys, keys, "left_semi"), partition_by=pby
-                )
+            # carried rows and pre-images of EVERYTHING removed
+            # (updated and deleted rows alike are the feed's -1 side)
+            # stage independently — overlap (guide §2.6)
+            carried, cdf_delete = self._stage_files_par([
+                (tdf.join(skeys, keys, "left_anti"), pby),
+                (
+                    tdf.join(skeys, keys, "left_semi")
+                    if self._cdf_enabled(state)
+                    else None,
+                    pby,
+                ),
+            ])
+            add += carried
         v = state["version"] + 1
         self._write_commit(
             v,
