@@ -818,7 +818,7 @@ def drain(
     table_path: str,
     *,
     probe_dir: str | None = None,
-    poll_seconds: float = 0.2,
+    poll_seconds: float = 0.05,
     timeout: float = 600.0,
     retries: int = 0,
 ) -> dict:
