@@ -140,9 +140,10 @@ def shingle_sets(
     re-evaluating the regexp+split chain per element. On Spark 3.3+
     (SPARK-36718) a plain projection suffices: CollapseProject will
     not inline a non-cheap alias referenced more than once, and the
-    shingle lambda references ``toks`` three times — verified in the
-    r13 plans (Generate's generator reads the ``toks`` attribute, the
-    tokenizer chain stays in the Project below it). The repartition
+    shingle lambda references ``toks`` three times — see the committed
+    post-change dumps (plans/r14/dedup_*_after.txt: Generate's
+    generator reads the ``toks`` attribute, the tokenizer chain stays
+    in the Project below it). The repartition
     exchange this used to hide behind was a SECOND full shuffle of
     the token arrays right after the scan-side heal exchange
     (sources/readers.py:_heal_partitioning already parallelizes the

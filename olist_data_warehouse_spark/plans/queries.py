@@ -1850,57 +1850,51 @@ def w7_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything NOT listed follows in registration order — already proven
 # green in r1 and continuously covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # Round-13 prefix. Union r1-r12 = 258/258 entries driver-green —
-    # per the standing discipline only NEW or TOUCHED entries lead;
-    # the rest of the 50 slots are high-value re-proofs.
-    # 1: TOUCHED this round — the SQL dispatcher was hardened (masked
-    #    conjunct pairing in _auto_prune, the r12-advice high bug;
-    #    session-scoped DML bindings; symmetric spark.sql fallback;
-    #    WHEN-clause boundary fix for CASE WHEN in SET; 7-day VACUUM
-    #    default; flat-grammar subquery rejects): every entry that
-    #    routes through sources/lakesql.py re-proves.
-    "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
-    "lake_sql_ddl", "lake_vacuum_retention", "lake_copy_into",
-    "lake_replace_where", "lake_sql_asof", "lake_sql_view",
-    # 1b: NEW this round — streaming-native multimodal decode
-    #    (readStream -> mapInPandas kernel -> exactly-once lake sink,
-    #    r12 verdict optional #6) and the graph-ANN family
-    #    (partitioned NSW over IVF cells; the cert entry is
-    #    oracle-paired, the raw search is rows-only by nature).
-    "lake_stream_decode", "sim_nsw_recall_cert", "sim_nsw_topk",
-    # 1c: TOUCHED — shard_for_decode defaults to input-proportional
-    #    shard count (BENCH_DRIFT r13); every multimodal entry that
-    #    reshards re-proves.
-    "multi_decode_meta", "multi_extract_features", "multi_resize_meta",
-    "multi_frame_sample", "multi_audio_meta", "multi_image_phash",
-    # 2: r12 prefix carry-over (all driver-green in r12; the DML/
-    #    storage family stays near the front while it is the active
-    #    surface).
+    # Round-14 prefix (optimization round). MUST_PROVE discipline
+    # (r13 verdict #9): everything the round's changes touch leads,
+    # then the nine names that rotated out of the r13 sample, so the
+    # 261-entry union stays provably closed with zero stale fails.
+    # 1: CONTRACT CHANGED — sim_nsw_topk now returns the exact
+    #    within-probed-cells truth (oracle-paired, r13 verdict #1)
+    #    after an in-engine NSW recall assert; its cert twin and the
+    #    entry sharing the factored oracle SQL re-prove with it.
+    "sim_nsw_topk", "sim_nsw_recall_cert", "sim_ivf_topk_mp",
+    # 1b: PLAN CHANGED — tiered fuzzy linkage (distinct-name DP +
+    #    exact-duplicate tier-0 shortcut; bit-identical accept set).
+    "link_fuzzy_parts",
+    # 2: WRITE PATH TOUCHED — TIMESTAMP_MICROS output (footer stats on
+    #    timestamp tables), float32 partition-value typing, job-free
+    #    dialect canaries, and thread-overlapped staged writes touch
+    #    every lake mutator; the events-backed (timestamp-bearing) and
+    #    governed/CDF entries re-prove first, then the DML matrix.
+    "lake_batch_cdf", "lake_change_feed", "lake_cdf_incremental",
+    "lake_stream_cdf", "lake_dv_cdf",
+    "lake_write_governed", "lake_generated_cols", "lake_constraint_gate",
+    "lake_stream_decode", "lake_stream_sink", "lake_stream_drain",
+    "lake_stream_pipeline",
+    "lake_delete_where", "lake_update_where", "lake_replace_where",
     "lake_merge_clauses", "lake_merge_upsert", "lake_merge_dv",
-    "lake_apply_changes", "lake_time_travel", "lake_timestamp_travel",
-    "q1_top_units_dw",
-    "lake_write_partitioned", "lake_write_governed", "lake_stream_sink",
-    "lake_write_roundtrip", "lake_constraint_gate",
-    "lake_generated_cols", "lake_column_mapping",
-    "lake_delete_dv", "lake_dv_compact",
-    "lake_update_where",
-    "lake_batch_cdf", "lake_stream_drain",
-    "dedup_semdedup",
-    "lake_delete_where", "lake_schema_evolution",
-    "lake_change_feed", "lake_cdf_incremental", "lake_stream_pipeline",
-    "lake_prune_read", "lake_zorder_prune",
-    "lake_partition_drop", "lake_shallow_clone",
-    # 3: high-value re-proofs backfilling the 50-slot cap — flagship
-    #    OLTP/DW pairs, incremental/merge shapes, and one headliner
-    #    per operator family (similarity, dedup, sampling, streaming).
-    "q1_top_units_oltp",
+    "lake_apply_changes", "lake_delete_dv", "lake_dv_compact",
+    "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
+    "lake_sql_ddl", "lake_copy_into", "lake_vacuum_retention",
+    "lake_write_partitioned", "lake_write_roundtrip",
+    "lake_time_travel", "lake_column_mapping",
+    "lake_clone_partitioned", "lake_pushdown_read",
+    # 3: the remaining r13 rotated-out names (r13 verdict #9) — all
+    #    driver-green in r12, re-proven here so no name ever shows a
+    #    stale last-known-fail.
+    "q2_top_revenue_oltp", "q3_conversion_oltp", "samp_dsir_importance",
+    "dedup_decontaminate", "sim_pq_trained_encode",
+    # 4: high-value re-proofs backfilling the 50-slot cap — flagship
+    #    OLTP/DW pairs, the heaviest dedup composite, multimodal and
+    #    streaming headliners (all continuously oracle-tested anyway).
+    "q1_top_units_dw", "q1_top_units_oltp",
     "q2_top_revenue_dw", "q3_conversion_dw",
     "j7_incremental_delta", "j7_merge_upsert",
-    "dedup_exact", "dedup_minhash_lsh",
-    "sim_ivfpq_topk", "samp_dsir_importance",
-    "s1_scan_project_alias", "stream_sessionize",
+    "dedup_pipeline_eval", "dedup_cdc_chunks", "dedup_containment",
+    "multi_decode_meta", "stream_sessionize", "samp_cluster_split",
     # Everything else follows in registration order — each has at
-    # least one prior driver-green row (r1-r12) and runs continuously
+    # least one prior driver-green row (r1-r13) and runs continuously
     # via tests/test_queries_oracle.py, bench.py, and entry().
 ]
 

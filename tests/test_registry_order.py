@@ -13,25 +13,30 @@ from olist_data_warehouse_spark.plans.queries import (
 # evaluated) — these MUST sit inside the evaluated prefix. Keep in sync
 # with the union of CORRECTNESS_r*.json: an entry leaves this set when
 # a round records it green; it enters when registered or changed.
-# r12 went 50/50 green, keeping the union closed at 258/258. Round-13
-# must-prove: every entry whose code path the round touched — (a) the
-# SQL dispatcher hardening (_auto_prune masked conjunct pairing,
-# session-scoped DML bindings, symmetric fallback, WHEN-boundary fix,
-# 7-day VACUUM default, flat-grammar subquery rejects) re-proves all
-# lakesql-routed entries; (b) shard_for_decode's input-proportional
-# default re-proves every resharding multimodal entry.
+# Round-14 must-prove (r13 verdict #9): (a) sim_nsw_topk's new
+# oracle-paired contract (the only entry with no green row anywhere —
+# r13 scored it no_oracle) plus the entries sharing its changed code;
+# (b) the plan-changed fuzzy linkage; (c) the lake write path touched
+# by TIMESTAMP_MICROS output / float32 partition typing / job-free
+# canaries / overlapped staged writes — the timestamp-bearing
+# (events-backed), governed, and CDF-mutating representatives;
+# (d) the nine names that rotated out of the r13 sample.
 MUST_PROVE = {
-    # (a) lakesql surface touched in r13:
-    "lake_sql_merge", "lake_sql_delete", "lake_sql_update",
-    "lake_sql_ddl", "lake_vacuum_retention", "lake_copy_into",
-    "lake_replace_where", "lake_sql_asof", "lake_sql_view",
-    # (b) multimodal sharding touched in r13:
-    "multi_decode_meta", "multi_extract_features", "multi_resize_meta",
-    "multi_frame_sample", "multi_audio_meta", "multi_image_phash",
-    # (c) NEW in r13: streaming-native decode through the
-    # exactly-once lake sink, and the partitioned-NSW graph-ANN
-    # family:
-    "lake_stream_decode", "sim_nsw_topk", "sim_nsw_recall_cert",
+    # (a) contract changed this round:
+    "sim_nsw_topk", "sim_nsw_recall_cert", "sim_ivf_topk_mp",
+    # (b) plan changed this round:
+    "link_fuzzy_parts",
+    # (c) lake write path touched this round:
+    "lake_batch_cdf", "lake_change_feed", "lake_cdf_incremental",
+    "lake_write_governed", "lake_generated_cols",
+    "lake_constraint_gate", "lake_stream_decode", "lake_stream_sink",
+    "lake_delete_where", "lake_update_where", "lake_replace_where",
+    "lake_merge_clauses", "lake_merge_dv", "lake_apply_changes",
+    "lake_sql_merge", "lake_sql_ddl",
+    # (d) r13 rotated-out names (all driver-green in r12):
+    "q2_top_revenue_oltp", "q3_conversion_oltp", "samp_dsir_importance",
+    "dedup_decontaminate", "lake_clone_partitioned", "lake_dv_cdf",
+    "lake_pushdown_read", "lake_stream_cdf", "sim_pq_trained_encode",
 }
 
 
