@@ -936,13 +936,22 @@ def kmeans_refine(
             "vec_id", "qe", "centroid_id",
             _sq_dist(_dequant("qe"), F.col("c_emb")).alias("sq_dist"),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.asc("sq_dist"), F.asc("centroid_id")
-        )
+        # argmin as min_by aggregate (partial-agg map-side, no sort) —
+        # same tie-break as the old ORDER BY (sq_dist, centroid_id)
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "qe", "centroid_id", "sq_dist")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("qe", "centroid_id", "sq_dist"),
+                    F.struct("sq_dist", "centroid_id"),
+                ).alias("_w")
+            )
+            .select(
+                "vec_id",
+                F.col("_w.qe").alias("qe"),
+                F.col("_w.centroid_id").alias("centroid_id"),
+                F.col("_w.sq_dist").alias("sq_dist"),
+            )
         )
         # centroid update: exact integer per-dimension sums
         sums = (
@@ -1695,17 +1704,27 @@ def pq_train_residual_codebooks(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy("sqd", "centroid_id")
+    # argmin as a min_by AGGREGATE, not a row_number window: the hash
+    # aggregate partially combines map-side (C candidate rows per
+    # vector collapse before any exchange) and needs no sort — the
+    # window form shuffled AND sorted all N·C rows per pass
+    # (optimization guide §2.3/§2.4). Tie-break identical to the old
+    # ORDER BY (sqd, centroid_id): struct comparison is lexicographic.
     asg = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("sqd", int_sqd)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "qe", "qc"),
+                F.struct("sqd", "centroid_id"),
+            ).alias("_w")
+        )
         .select(
             "vec_id",
-            "centroid_id",
+            F.col("_w.centroid_id").alias("centroid_id"),
             F.zip_with(
-                F.col("qe"), F.col("qc"), lambda a, b: a - b
+                F.col("_w.qe"), F.col("_w.qc"), lambda a, b: a - b
             ).alias("r"),
         )
     )
@@ -1744,15 +1763,27 @@ def pq_train_residual_codebooks(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wk = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
-
     def _assign(books):
+        # same argmin-as-aggregate shape as the coarse assign above:
+        # K codeword candidates per (vector, subspace) collapse
+        # map-side; tie-break (dist, code) matches the old window
         return (
             slices.join(F.broadcast(books), "m")
             .withColumn("dist", dbl_dist)
-            .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "centroid_id", "m", "rs", "code")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct("code", "rs", "centroid_id"),
+                    F.struct("dist", "code"),
+                ).alias("_w")
+            )
+            .select(
+                "vec_id",
+                F.col("_w.centroid_id").alias("centroid_id"),
+                "m",
+                F.col("_w.rs").alias("rs"),
+                F.col("_w.code").alias("code"),
+            )
         )
 
     for _ in range(iters):
